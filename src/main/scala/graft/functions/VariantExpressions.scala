@@ -1,0 +1,381 @@
+package graft.functions
+
+import graft.variant._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Spark-facing variant column type: a plain struct of two binary
+  * buffers, mirroring the reference's Arrow layout
+  * (/root/reference/arrow-open-variant/src/json.rs:67-80) minus the
+  * dictionary-encoding (SURVEY §1.6 — Spark has no DataFrame-level
+  * dictionary type; rows are self-contained instead, SURVEY §7.3).
+  */
+object VariantSchema {
+  val TYPE: StructType = StructType(Seq(
+    StructField("metadata", BinaryType, nullable = false),
+    StructField("value", BinaryType, nullable = false)))
+
+  def isVariantStruct(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.length == 2 && s(0).name == "metadata" && s(0).dataType == BinaryType &&
+        s(1).name == "value" && s(1).dataType == BinaryType
+    case _ => false
+  }
+}
+
+/** `variant_from_json(jsonStr)` / `try_variant_from_json(jsonStr)`:
+  * parse a JSON string/binary column into a variant struct.
+  * Semantics follow the reference kernel (json.rs:38-81): top-level JSON
+  * `null` → SQL NULL; malformed JSON → error (or NULL in `try` mode);
+  * non-string input rejected at analysis (json.rs:108-112).
+  */
+case class VariantFromJson(child: Expression, failOnError: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (failOnError) "variant_from_json" else "try_variant_from_json"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"Input data type not supported in variant_from_json: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes: Array[Byte] = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    try {
+      val pair = VariantJsonCodec.fromJsonBytes(bytes, 0, bytes.length)
+      if (pair == null) null
+      else new GenericInternalRow(Array[Any](pair._1, pair._2))
+    } catch {
+      case e: Exception if !failOnError => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared eval helpers for variant extraction expressions. */
+object VariantExtract {
+
+  /** Cast an extracted variant view to a Spark internal value of
+    * `target`; null when the variant value cannot represent the target
+    * (lenient mode) or throws (strict).
+    */
+  def cast(meta: MetadataView, v: VariantView, target: DataType, failOnError: Boolean): Any = {
+    if (v == null || v.isNull) return null
+    try {
+      target match {
+        case LongType =>
+          if (v.isLong) v.getLong
+          else if (v.isDecimal) v.getDecimal.longValueExact()
+          else if (v.isBoolean) (if (v.getBoolean) 1L else 0L)
+          else if (v.isString) v.getString.trim.toLong
+          else fail(v, target)
+        case IntegerType =>
+          val l = cast(meta, v, LongType, failOnError)
+          if (l == null) null else Math.toIntExact(l.asInstanceOf[Long])
+        case DoubleType =>
+          if (v.isDouble) v.getDouble
+          else if (v.isLong) v.getLong.toDouble
+          else if (v.isDecimal) v.getDecimal.doubleValue()
+          else if (v.isString) v.getString.trim.toDouble
+          else fail(v, target)
+        case BooleanType =>
+          if (v.isBoolean) v.getBoolean
+          else if (v.isString) v.getString.trim.toBoolean
+          else fail(v, target)
+        case _: StringType =>
+          UTF8String.fromString(asString(meta, v))
+        case d: DecimalType =>
+          val bd =
+            if (v.isDecimal) v.getDecimal
+            else if (v.isLong) java.math.BigDecimal.valueOf(v.getLong)
+            else if (v.isDouble) java.math.BigDecimal.valueOf(v.getDouble)
+            else if (v.isString) new java.math.BigDecimal(v.getString.trim)
+            else return fail(v, target)
+          val dec = org.apache.spark.sql.types.Decimal(bd)
+          if (dec.changePrecision(d.precision, d.scale)) dec else fail(v, target)
+        case BinaryType =>
+          if (v.isBinary) v.getBinary
+          else if (v.isString) v.getString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          else fail(v, target)
+        case DateType =>
+          if (v.basicType == VariantConst.BASIC_PRIMITIVE && v.typeInfo == VariantConst.P_DATE)
+            v.getDateDays
+          else fail(v, target)
+        case TimestampType | TimestampNTZType =>
+          if (v.basicType == VariantConst.BASIC_PRIMITIVE &&
+            (v.typeInfo == VariantConst.P_TIMESTAMP || v.typeInfo == VariantConst.P_TIMESTAMP_NTZ))
+            v.getTimestampMicros
+          else fail(v, target)
+        case s: StructType if VariantSchema.isVariantStruct(s) =>
+          new GenericInternalRow(Array[Any](meta.bytes, v.copyBytes))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"variant_get target type not supported: ${other.simpleString}")
+      }
+    } catch {
+      case e: UnsupportedOperationException => throw e
+      case e: Exception if !failOnError => null
+    }
+  }
+
+  private def fail(v: VariantView, target: DataType): Any =
+    throw new IllegalArgumentException(
+      s"Cannot cast variant ${v.typeName} to ${target.simpleString}")
+
+  /** Scalar → bare string; object/array → compact JSON. */
+  def asString(meta: MetadataView, v: VariantView): String = {
+    import VariantConst._
+    v.basicType match {
+      case BASIC_SHORT_STR => v.getString
+      case BASIC_OBJECT | BASIC_ARRAY =>
+        VariantJsonCodec.toJsonString(meta.bytes, v.copyBytes)
+      case _ =>
+        v.typeInfo match {
+          case P_TRUE => "true"
+          case P_FALSE => "false"
+          case P_INT8 | P_INT16 | P_INT32 | P_INT64 => v.getLong.toString
+          case P_DOUBLE | P_FLOAT => v.getDouble.toString
+          case P_DECIMAL4 | P_DECIMAL8 | P_DECIMAL16 => v.getDecimal.toPlainString
+          case P_LONG_STR => v.getString
+          case P_BINARY => java.util.Base64.getEncoder.encodeToString(v.getBinary)
+          case P_DATE => java.time.LocalDate.ofEpochDay(v.getDateDays.toLong).toString
+          case P_TIMESTAMP | P_TIMESTAMP_NTZ =>
+            val m = v.getTimestampMicros
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L).toString
+          case t => throw new IllegalStateException(s"unknown type id $t")
+        }
+    }
+  }
+}
+
+/** `variant_get(v, '$.path'[, 'type'])`: walk a pre-parsed path through
+  * the variant and cast to the target type. Path resolution per step is
+  * the reference's `find_string` binary search + `get_field` binary
+  * search (metadata.rs:162-184, read.rs:156-171); a miss at any step
+  * yields SQL NULL.
+  */
+case class VariantGet(
+    child: Expression,
+    path: String,
+    targetType: DataType,
+    failOnError: Boolean = false) extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val steps: Array[PathStep] = VariantPath.parse(path)
+
+  override def dataType: DataType = targetType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (failOnError) "variant_get" else "try_variant_get"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_get expects a variant struct, got: ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val metaBytes = row.getBinary(0)
+    val valBytes = row.getBinary(1)
+    if (valBytes == null) return null
+    val meta = new MetadataView(metaBytes, 0)
+    val v = VariantPath.walk(meta, new VariantView(valBytes, 0), steps)
+    if (v == null) null else VariantExtract.cast(meta, v, targetType, failOnError)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `variant_typeof(v)`: human-readable type of the variant root. */
+case class VariantTypeOf(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_typeof expects a variant struct, got: ${child.dataType.simpleString}")
+  override def prettyName: String = "variant_typeof"
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    UTF8String.fromString(new VariantView(row.getBinary(1), 0).typeName)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `is_variant_null(v)`: true iff the variant encodes the JSON `null`
+  * primitive (distinct from SQL NULL — SURVEY §1.4).
+  */
+case class IsVariantNull(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "is_variant_null"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"is_variant_null expects a variant struct, got: ${child.dataType.simpleString}")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else new VariantView(v.asInstanceOf[InternalRow].getBinary(1), 0).isNull
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `variant_to_json(v)`: compact JSON text of the whole variant (parity
+  * extension — inverse of the reference's only kernel).
+  */
+case class VariantToJson(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "variant_to_json"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_to_json expects a variant struct, got: ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    UTF8String.fromString(
+      VariantJsonCodec.toJsonString(row.getBinary(0), row.getBinary(1)))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `to_variant(anyCol)`: encode a typed Spark value (scalar, struct,
+  * array, map<string,_>) as a variant — parity extension enabling
+  * variant creation from relational data (SURVEY §3.2 "writer path").
+  */
+case class ToVariant(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = VariantSchema.TYPE
+  override def prettyName: String = "to_variant"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case NullType | BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | _: DecimalType | StringType | BinaryType |
+          DateType | TimestampType | TimestampNTZType => true
+      case ArrayType(et, _) => ok(et)
+      case MapType(StringType, vt, _) => ok(vt)
+      case s: StructType => s.fields.forall(f => ok(f.dataType))
+      case _ => false
+    }
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"to_variant does not support type: ${child.dataType.simpleString}")
+  }
+
+  private def collectKeys(value: Any, dt: DataType, out: java.util.ArrayList[String]): Unit = {
+    if (value == null) return
+    dt match {
+      case s: StructType =>
+        val row = value.asInstanceOf[InternalRow]
+        var i = 0
+        while (i < s.length) {
+          out.add(s(i).name)
+          if (!row.isNullAt(i)) collectKeys(row.get(i, s(i).dataType), s(i).dataType, out)
+          i += 1
+        }
+      case ArrayType(et, _) =>
+        val arr = value.asInstanceOf[ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) collectKeys(arr.get(i, et), et, out)
+          i += 1
+        }
+      case MapType(StringType, vt, _) =>
+        val map = value.asInstanceOf[MapData]
+        val keys = map.keyArray()
+        val vals = map.valueArray()
+        var i = 0
+        while (i < map.numElements()) {
+          out.add(keys.getUTF8String(i).toString)
+          if (!vals.isNullAt(i)) collectKeys(vals.get(i, vt), vt, out)
+          i += 1
+        }
+      case _ => ()
+    }
+  }
+
+  private def convert(value: Any, dt: DataType, buf: ByteBuf,
+                      ids: java.util.HashMap[String, Integer]): Unit = {
+    if (value == null) { VariantWriter.writeNull(buf); return }
+    dt match {
+      case NullType => VariantWriter.writeNull(buf)
+      case BooleanType => VariantWriter.writeBoolean(buf, value.asInstanceOf[Boolean])
+      case ByteType => VariantWriter.writeLong(buf, value.asInstanceOf[Byte].toLong)
+      case ShortType => VariantWriter.writeLong(buf, value.asInstanceOf[Short].toLong)
+      case IntegerType => VariantWriter.writeLong(buf, value.asInstanceOf[Int].toLong)
+      case LongType => VariantWriter.writeLong(buf, value.asInstanceOf[Long])
+      case FloatType => VariantWriter.writeFloat(buf, value.asInstanceOf[Float])
+      case DoubleType => VariantWriter.writeDouble(buf, value.asInstanceOf[Double])
+      case d: DecimalType =>
+        val dec = value.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+        VariantWriter.writeDecimal(buf, dec.unscaledValue(), dec.scale())
+      case StringType => VariantWriter.writeStringBytes(buf, value.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => VariantWriter.writeBinary(buf, value.asInstanceOf[Array[Byte]])
+      case DateType => VariantWriter.writeDate(buf, value.asInstanceOf[Int])
+      case TimestampType => VariantWriter.writeTimestamp(buf, value.asInstanceOf[Long])
+      case TimestampNTZType => VariantWriter.writeTimestampNtz(buf, value.asInstanceOf[Long])
+      case s: StructType =>
+        val row = value.asInstanceOf[InternalRow]
+        val ob = new VariantObjectBuilder(buf)
+        var i = 0
+        while (i < s.length) {
+          val id = ids.get(s(i).name)
+          convert(if (row.isNullAt(i)) null else row.get(i, s(i).dataType),
+            s(i).dataType, ob.fieldBuffer(id), ids)
+          i += 1
+        }
+        ob.finish()
+      case ArrayType(et, _) =>
+        val arr = value.asInstanceOf[ArrayData]
+        val ab = new VariantArrayBuilder(buf)
+        var i = 0
+        while (i < arr.numElements()) {
+          convert(if (arr.isNullAt(i)) null else arr.get(i, et), et, ab.elementBuffer(), ids)
+          i += 1
+        }
+        ab.finish()
+      case MapType(StringType, vt, _) =>
+        val map = value.asInstanceOf[MapData]
+        val keys = map.keyArray()
+        val vals = map.valueArray()
+        val ob = new VariantObjectBuilder(buf)
+        var i = 0
+        while (i < map.numElements()) {
+          val id = ids.get(keys.getUTF8String(i).toString)
+          convert(if (vals.isNullAt(i)) null else vals.get(i, vt), vt, ob.fieldBuffer(id), ids)
+          i += 1
+        }
+        ob.finish()
+      case other =>
+        throw new UnsupportedOperationException(s"to_variant: ${other.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val keys = new java.util.ArrayList[String]()
+    collectKeys(input, child.dataType, keys)
+    val (metaBytes, ids) = VariantMetadata.build(keys)
+    val buf = new ByteBuf(64)
+    convert(input, child.dataType, buf, ids)
+    new GenericInternalRow(Array[Any](metaBytes, buf.result()))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

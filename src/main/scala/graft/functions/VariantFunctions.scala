@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataFrame DSL + SQL registration for the variant function surface
+  * (SURVEY §2.2 "Scalar functions — JSON"). The SQL names mirror the
+  * reference's intended DataFusion function layer (unbuilt there,
+  * /root/reference/README.md:13-16).
+  */
+object VariantFunctions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  def variant_from_json(c: Column): Column = col(VariantFromJson(expr(c), failOnError = true))
+  def try_variant_from_json(c: Column): Column = col(VariantFromJson(expr(c), failOnError = false))
+
+  def variant_get(c: Column, path: String): Column =
+    col(VariantGet(expr(c), path, VariantSchema.TYPE))
+  def variant_get(c: Column, path: String, targetType: DataType): Column =
+    col(VariantGet(expr(c), path, targetType))
+  def variant_get(c: Column, path: String, targetType: String): Column =
+    col(VariantGet(expr(c), path, CatalystSqlParser.parseDataType(targetType)))
+
+  def variant_typeof(c: Column): Column = col(VariantTypeOf(expr(c)))
+  def is_variant_null(c: Column): Column = col(IsVariantNull(expr(c)))
+  def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
+  def to_variant(c: Column): Column = col(ToVariant(expr(c)))
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
+  /** (name, builder, usage) for every SQL function we expose. */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("variant_from_json",
+      (es: Seq[Expression]) => VariantFromJson(es.head, failOnError = true),
+      "variant_from_json(jsonStr) - Parse JSON text into a variant value."),
+    ("try_variant_from_json",
+      (es: Seq[Expression]) => VariantFromJson(es.head, failOnError = false),
+      "try_variant_from_json(jsonStr) - Parse JSON text into a variant; NULL on malformed input."),
+    ("parse_variant",
+      (es: Seq[Expression]) => VariantFromJson(es.head, failOnError = true),
+      "parse_variant(jsonStr) - Alias of variant_from_json."),
+    ("variant_get",
+      (es: Seq[Expression]) => {
+        val path = litString(es(1), "variant_get path")
+        val tpe =
+          if (es.length >= 3)
+            CatalystSqlParser.parseDataType(litString(es(2), "variant_get type"))
+          else VariantSchema.TYPE
+        VariantGet(es.head, path, tpe)
+      },
+      "variant_get(v, path[, type]) - Extract a path from a variant, optionally cast."),
+    ("try_variant_get",
+      (es: Seq[Expression]) => {
+        val path = litString(es(1), "try_variant_get path")
+        val tpe =
+          if (es.length >= 3)
+            CatalystSqlParser.parseDataType(litString(es(2), "try_variant_get type"))
+          else VariantSchema.TYPE
+        VariantGet(es.head, path, tpe, failOnError = false)
+      },
+      "try_variant_get(v, path[, type]) - Like variant_get; NULL on cast failure."),
+    ("variant_typeof",
+      (es: Seq[Expression]) => VariantTypeOf(es.head),
+      "variant_typeof(v) - Type name of the variant root value."),
+    ("is_variant_null",
+      (es: Seq[Expression]) => IsVariantNull(es.head),
+      "is_variant_null(v) - True iff v encodes a variant (JSON) null."),
+    ("variant_to_json",
+      (es: Seq[Expression]) => VariantToJson(es.head),
+      "variant_to_json(v) - Render a variant as compact JSON text."),
+    ("to_variant",
+      (es: Seq[Expression]) => ToVariant(es.head),
+      "to_variant(col) - Encode a typed value (scalar/struct/array/map) as a variant."))
+
+  /** Imperative registration for an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit = {
+    sqlFunctions.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook:
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    VariantFunctions.sqlFunctions.foreach { case (name, builder, usage) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder))
+    }
+  }
+}

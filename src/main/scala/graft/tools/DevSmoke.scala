@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.{VariantFunctions => vf}
+
+/** Manual end-to-end drive of the variant surface against the driver
+  * testdata. Run: `sbt "runMain graft.tools.DevSmoke"`.
+  */
+object DevSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-dev-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.createOrReplaceTempView("events")
+
+    println("=== DSL: flagship aggregate over variant_get ===")
+    val agg = events
+      .withColumn("v", vf.variant_from_json($"props"))
+      .groupBy($"event_type")
+      .agg(sum(vf.variant_get($"v", "$.k", LongType)).as("k_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+    agg.show(10, truncate = false)
+
+    println("=== SQL via extensions: variant_get / typeof / to_json ===")
+    spark.sql(
+      """SELECT props,
+        |       variant_get(variant_from_json(props), '$.k', 'bigint') AS k,
+        |       variant_typeof(variant_from_json(props)) AS t,
+        |       variant_to_json(variant_from_json(props)) AS j,
+        |       is_variant_null(variant_get(variant_from_json(props), '$.missing')) AS isn
+        |FROM events LIMIT 5""".stripMargin).show(truncate = false)
+
+    println("=== nested JSON through SQL literals ===")
+    spark.sql(
+      """SELECT variant_get(variant_from_json('{"a": {"b": [1, 2, {"c": 42}]}}'), '$.a.b[2].c', 'bigint') AS deep,
+        |       variant_to_json(variant_from_json('{"z": 1, "a": [true, null, 1.5]}')) AS rt,
+        |       variant_typeof(variant_from_json('[1,2]')) AS t_arr,
+        |       variant_from_json('null') IS NULL AS topnull,
+        |       try_variant_from_json('{bad') IS NULL AS badjson,
+        |       variant_get(variant_from_json('{"s": "87"}'), '$.s', 'bigint') AS cast_s,
+        |       variant_to_json(to_variant(named_struct('x', 1, 'y', array(1.5D), 'z', 'str'))) AS tv
+        |""".stripMargin).show(truncate = false)
+
+    println("=== explain (plan shape) ===")
+    agg.explain("formatted")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,185 @@
+package graft.variant
+
+import com.fasterxml.jackson.core.JsonFactory
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.JsonNodeType
+
+/** JSON ⇄ variant conversion.
+  *
+  * JSON → variant mirrors the reference kernel `variant_from_json`
+  * (/root/reference/arrow-open-variant/src/json.rs:38-81) per row:
+  * parse → collect all object keys (json.rs:115-163) → build metadata →
+  * recursively convert (json.rs:202-246). Coercions match the reference:
+  * JSON int → integer; big int → Decimal16 scale 0, error beyond 128 bits
+  * (json.rs:213-218); JSON float → Float64; top-level JSON `null` → SQL
+  * null (json.rs:184-196) while nested nulls stay variant Null
+  * (json.rs:27-29).
+  *
+  * Metadata is built per ROW, not per batch — the deliberate Spark-native
+  * divergence (SURVEY §7.3): rows stay self-contained across shuffles,
+  * persistence, and streaming.
+  */
+object VariantJsonCodec {
+  private val mapper = new ObjectMapper()
+  private val factory = new JsonFactory()
+
+  final val VARIANT_NULL: Array[Byte] = {
+    val b = new ByteBuf(1); VariantWriter.writeNull(b); b.result()
+  }
+
+  /** Parse error wrapper — same trigger condition as the reference's
+    * whole-batch ComputeError (json.rs:43-47), scoped to the row.
+    */
+  final class JsonParseException(msg: String, cause: Throwable)
+      extends RuntimeException(msg, cause)
+
+  def parseTree(utf8: Array[Byte], off: Int, len: Int): JsonNode =
+    try mapper.readTree(factory.createParser(utf8, off, len))
+    catch {
+      case e: Exception =>
+        throw new JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+    }
+
+  /** JSON text → (metadata, value); returns null for a top-level JSON
+    * `null` (the SQL-null rule, json.rs:184-196).
+    */
+  def fromJsonBytes(utf8: Array[Byte], off: Int, len: Int): (Array[Byte], Array[Byte]) = {
+    val tree = parseTree(utf8, off, len)
+    if (tree == null || tree.isNull) return null
+    fromTree(tree)
+  }
+
+  def fromJson(json: String): (Array[Byte], Array[Byte]) = {
+    val b = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fromJsonBytes(b, 0, b.length)
+  }
+
+  def fromTree(tree: JsonNode): (Array[Byte], Array[Byte]) = {
+    val keys = new java.util.ArrayList[String]()
+    collectKeys(tree, keys)
+    val (metaBytes, ids) = VariantMetadata.build(keys)
+    val buf = new ByteBuf(64)
+    convert(tree, buf, ids)
+    (metaBytes, buf.result())
+  }
+
+  /** Gather every object key at every nesting depth (json.rs:115-163). */
+  private def collectKeys(node: JsonNode, out: java.util.ArrayList[String]): Unit = {
+    node.getNodeType match {
+      case JsonNodeType.OBJECT =>
+        val it = node.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out.add(e.getKey)
+          collectKeys(e.getValue, out)
+        }
+      case JsonNodeType.ARRAY =>
+        val it = node.elements()
+        while (it.hasNext) collectKeys(it.next(), out)
+      case _ => ()
+    }
+  }
+
+  /** Recursive JSON→variant conversion (json.rs:202-246). */
+  private def convert(node: JsonNode, buf: ByteBuf, ids: java.util.HashMap[String, Integer]): Unit = {
+    node.getNodeType match {
+      case JsonNodeType.NULL | JsonNodeType.MISSING => VariantWriter.writeNull(buf)
+      case JsonNodeType.BOOLEAN => VariantWriter.writeBoolean(buf, node.booleanValue())
+      case JsonNodeType.NUMBER =>
+        if (node.isIntegralNumber) {
+          if (node.canConvertToLong) VariantWriter.writeLong(buf, node.longValue())
+          else {
+            val bi = node.bigIntegerValue()
+            if (bi.bitLength() >= 128)
+              throw new JsonParseException(
+                s"Could not fit value $bi into an i128", null)
+            VariantWriter.writeDecimal(buf, bi, 0)
+          }
+        } else VariantWriter.writeDouble(buf, node.doubleValue())
+      case JsonNodeType.STRING => VariantWriter.writeString(buf, node.textValue())
+      case JsonNodeType.ARRAY =>
+        val ab = new VariantArrayBuilder(buf)
+        val it = node.elements()
+        while (it.hasNext) {
+          val el = it.next()
+          convert(el, ab.elementBuffer(), ids)
+        }
+        ab.finish()
+      case JsonNodeType.OBJECT =>
+        val ob = new VariantObjectBuilder(buf)
+        val it = node.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val id = ids.get(e.getKey)
+          if (id == null)
+            throw new IllegalStateException(
+              s"Key '${e.getKey}' not present in metadata dictionary")
+          convert(e.getValue, ob.fieldBuffer(id), ids)
+        }
+        ob.finish()
+      case other =>
+        throw new JsonParseException(s"Unsupported JSON node type: $other", null)
+    }
+  }
+
+  /** Variant → compact JSON text (parity extension; the reference has no
+    * inverse printer). Uses a Jackson generator so output formatting is
+    * canonical.
+    */
+  def toJsonString(metaBytes: Array[Byte], valueBytes: Array[Byte]): String = {
+    val sw = new java.io.StringWriter()
+    val gen = factory.createGenerator(sw)
+    writeJson(new MetadataView(metaBytes, 0), new VariantView(valueBytes, 0), gen)
+    gen.close()
+    sw.toString
+  }
+
+  private def writeJson(meta: MetadataView, v: VariantView,
+                        gen: com.fasterxml.jackson.core.JsonGenerator): Unit = {
+    import VariantConst._
+    v.basicType match {
+      case BASIC_SHORT_STR => gen.writeString(v.getString)
+      case BASIC_OBJECT =>
+        val o = v.getObject
+        gen.writeStartObject()
+        var i = 0
+        while (i < o.numElements) {
+          gen.writeFieldName(meta.getKey(o.fieldIdAt(i)))
+          writeJson(meta, o.valueAt(i), gen)
+          i += 1
+        }
+        gen.writeEndObject()
+      case BASIC_ARRAY =>
+        val a = v.getArray
+        gen.writeStartArray()
+        var i = 0
+        while (i < a.numElements) {
+          writeJson(meta, a.elementAt(i), gen)
+          i += 1
+        }
+        gen.writeEndArray()
+      case _ =>
+        v.typeInfo match {
+          case P_NULL => gen.writeNull()
+          case P_TRUE => gen.writeBoolean(true)
+          case P_FALSE => gen.writeBoolean(false)
+          case P_INT8 | P_INT16 | P_INT32 | P_INT64 => gen.writeNumber(v.getLong)
+          case P_DOUBLE | P_FLOAT => gen.writeNumber(v.getDouble)
+          case P_DECIMAL4 | P_DECIMAL8 | P_DECIMAL16 =>
+            val d = v.getDecimal
+            if (d.scale() == 0) gen.writeNumber(d.unscaledValue()) else gen.writeNumber(d)
+          case P_LONG_STR => gen.writeString(v.getString)
+          case P_BINARY =>
+            gen.writeString(java.util.Base64.getEncoder.encodeToString(v.getBinary))
+          case P_DATE =>
+            gen.writeString(java.time.LocalDate.ofEpochDay(v.getDateDays.toLong).toString)
+          case P_TIMESTAMP | P_TIMESTAMP_NTZ =>
+            val micros = v.getTimestampMicros
+            val inst = java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+            gen.writeString(inst.toString)
+          case t => throw new IllegalStateException(s"unknown type id $t")
+        }
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.variant
+
+/** JSONPath-lite used by `variant_get`: `$`, `.key`, `['key']`, `[123]`.
+  * Parsed once at analysis time; evaluated per row by walking views
+  * (the reference's per-step analog is `VariantRef::field`,
+  * /root/reference/open-variant/src/values/read.rs:87-93).
+  */
+sealed trait PathStep
+object PathStep {
+  final case class Key(name: String) extends PathStep {
+    val utf8: Array[Byte] = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+  final case class Index(i: Int) extends PathStep
+}
+
+object VariantPath {
+
+  /** Parse a path like `$.a.b[2]['c d']`. Throws IllegalArgumentException
+    * on malformed input.
+    */
+  def parse(path: String): Array[PathStep] = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[PathStep]
+    var i = 0
+    val n = path.length
+    if (n == 0 || path.charAt(0) != '$')
+      throw new IllegalArgumentException(s"variant path must start with '$$': $path")
+    i = 1
+    while (i < n) {
+      path.charAt(i) match {
+        case '.' =>
+          i += 1
+          val start = i
+          while (i < n && path.charAt(i) != '.' && path.charAt(i) != '[') i += 1
+          if (i == start)
+            throw new IllegalArgumentException(s"empty key in variant path: $path")
+          steps += PathStep.Key(path.substring(start, i))
+        case '[' =>
+          i += 1
+          if (i < n && (path.charAt(i) == '\'' || path.charAt(i) == '"')) {
+            val quote = path.charAt(i)
+            i += 1
+            val start = i
+            while (i < n && path.charAt(i) != quote) i += 1
+            if (i >= n || i + 1 >= n || path.charAt(i + 1) != ']')
+              throw new IllegalArgumentException(s"unterminated quoted key in: $path")
+            steps += PathStep.Key(path.substring(start, i))
+            i += 2
+          } else {
+            val start = i
+            while (i < n && path.charAt(i) != ']') i += 1
+            if (i >= n || i == start)
+              throw new IllegalArgumentException(s"bad index in variant path: $path")
+            val idx = path.substring(start, i)
+            steps += PathStep.Index(
+              try idx.toInt
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(s"bad index '$idx' in: $path")
+              })
+            i += 1
+          }
+        case c =>
+          throw new IllegalArgumentException(s"unexpected '$c' at $i in variant path: $path")
+      }
+    }
+    steps.toArray
+  }
+
+  /** Walk `steps` from the root value. Returns null when any step misses
+    * (absent key, index out of bounds, or step applied to a scalar).
+    */
+  def walk(metadata: MetadataView, value: VariantView, steps: Array[PathStep]): VariantView = {
+    var cur = value
+    var i = 0
+    while (i < steps.length) {
+      if (cur == null) return null
+      steps(i) match {
+        case k: PathStep.Key =>
+          if (!cur.isObject) return null
+          val id = metadata.findKey(k.utf8)
+          if (id < 0) return null
+          cur = cur.getObject.getField(id)
+        case PathStep.Index(idx) =>
+          if (!cur.isArray) return null
+          cur = cur.getArray.elementAt(idx)
+      }
+      i += 1
+    }
+    cur
+  }
+}

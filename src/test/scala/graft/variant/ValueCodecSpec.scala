@@ -1,0 +1,194 @@
+package graft.variant
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Mirrors the reference's value writer/reader tests
+  * (/root/reference/open-variant/src/values/write.rs:276-407), plus
+  * boundary cases at the is_large and width switches (FIXTURES §A.5).
+  */
+class ValueCodecSpec extends AnyFunSuite {
+
+  private def write(f: ByteBuf => Unit): VariantView = {
+    val b = new ByteBuf()
+    f(b)
+    new VariantView(b.result(), 0)
+  }
+
+  test("bool round-trip (write.rs:283-301)") {
+    assert(write(VariantWriter.writeBoolean(_, true)).getBoolean)
+    assert(!write(VariantWriter.writeBoolean(_, false)).getBoolean)
+  }
+
+  test("integer round-trip incl. extremes (write.rs:303-319)") {
+    for (v <- Seq(0L, -100L, 100L, Long.MaxValue, Long.MinValue,
+        127L, 128L, -128L, -129L, 32767L, 32768L,
+        Int.MaxValue.toLong, Int.MaxValue + 1L)) {
+      val view = write(VariantWriter.writeLong(_, v))
+      assert(view.isLong && view.getLong == v, s"for $v")
+    }
+  }
+
+  test("narrowest int encoding chosen") {
+    assert(write(VariantWriter.writeLong(_, 7L)).typeInfo == VariantConst.P_INT8)
+    assert(write(VariantWriter.writeLong(_, 300L)).typeInfo == VariantConst.P_INT16)
+    assert(write(VariantWriter.writeLong(_, 70000L)).typeInfo == VariantConst.P_INT32)
+    assert(write(VariantWriter.writeLong(_, 1L << 40)).typeInfo == VariantConst.P_INT64)
+  }
+
+  test("double round-trip (write.rs:343)") {
+    for (v <- Seq(23.0, 32.0, -1.5e300, 0.1, Double.MinPositiveValue)) {
+      assert(write(VariantWriter.writeDouble(_, v)).getDouble == v)
+    }
+  }
+
+  test("decimal round-trip incl. large negatives (SURVEY §2.1 row 35)") {
+    import java.math.BigInteger
+    val cases = Seq(
+      (BigInteger.valueOf(12345), 2),
+      (BigInteger.valueOf(-12345), 2),
+      (BigInteger.valueOf(Long.MaxValue), 0),
+      (BigInteger.valueOf(Long.MinValue), 0), // reference truncates this one
+      (new BigInteger("170141183460469231731687303715884105727"), 10), // i128 max
+      (new BigInteger("-170141183460469231731687303715884105728"), 10)) // i128 min
+    for ((unscaled, scale) <- cases) {
+      val view = write(VariantWriter.writeDecimal(_, unscaled, scale))
+      val d = view.getDecimal
+      assert(d.unscaledValue() == unscaled && d.scale() == scale, s"for $unscaled/$scale")
+    }
+  }
+
+  test("decimal scale bounds") {
+    intercept[IllegalArgumentException] {
+      write(VariantWriter.writeDecimal(_, java.math.BigInteger.ONE, 39))
+    }
+    intercept[IllegalArgumentException] {
+      write(VariantWriter.writeDecimal(_,
+        new java.math.BigInteger("170141183460469231731687303715884105728"), 0)) // 2^127
+    }
+  }
+
+  test("string round-trip: short and long forms") {
+    val short = "hello world"
+    val v1 = write(VariantWriter.writeString(_, short))
+    assert(v1.basicType == VariantConst.BASIC_SHORT_STR && v1.getString == short)
+    val exactly63 = "x" * 63
+    assert(write(VariantWriter.writeString(_, exactly63)).getString == exactly63)
+    val long = "y" * 64
+    val v2 = write(VariantWriter.writeString(_, long))
+    assert(v2.basicType == VariantConst.BASIC_PRIMITIVE &&
+      v2.typeInfo == VariantConst.P_LONG_STR && v2.getString == long)
+    val unicode = "héllo wörld ≠ ascii 🎉"
+    assert(write(VariantWriter.writeString(_, unicode)).getString == unicode)
+  }
+
+  test("binary / date / timestamp round-trip (ids the reference declares but never implements)") {
+    val bytes = Array[Byte](1, 2, 3, -1, 0)
+    assert(write(VariantWriter.writeBinary(_, bytes)).getBinary.toSeq == bytes.toSeq)
+    assert(write(VariantWriter.writeDate(_, 19723)).getDateDays == 19723)
+    assert(write(VariantWriter.writeDate(_, -100)).getDateDays == -100)
+    assert(write(VariantWriter.writeTimestamp(_, 1700000000123456L)).getTimestampMicros == 1700000000123456L)
+    assert(write(VariantWriter.writeFloat(_, 1.5f)).getDouble == 1.5)
+  }
+
+  test("object build with out-of-lexical-order appends (write.rs:321-368)") {
+    val (metaBytes, ids) = VariantMetadata.build(Seq("user_id", "date", "score").asJava)
+    val meta = new MetadataView(metaBytes, 0)
+    val buf = new ByteBuf()
+    val ob = new VariantObjectBuilder(buf)
+    VariantWriter.writeLong(ob.fieldBuffer(ids.get("user_id")), 42L)
+    VariantWriter.writeString(ob.fieldBuffer(ids.get("date")), "2024-01-01")
+    VariantWriter.writeDouble(ob.fieldBuffer(ids.get("score")), 98.6)
+    ob.finish()
+    val view = new VariantView(buf.result(), 0)
+    assert(view.isObject)
+    val o = view.getObject
+    assert(o.numElements == 3)
+    // field ids stored sorted ascending = lexical key order
+    assert((0 until 3).map(o.fieldIdAt).toSeq.sorted == (0 until 3).map(o.fieldIdAt).toSeq)
+    assert(o.getField(meta.findKey("user_id")).getLong == 42L)
+    assert(o.getField(meta.findKey("date")).getString == "2024-01-01")
+    assert(o.getField(meta.findKey("score")).getDouble == 98.6)
+    assert(o.getField(999) == null)
+  }
+
+  test("array of mixed types (write.rs:370-406)") {
+    val buf = new ByteBuf()
+    val ab = new VariantArrayBuilder(buf)
+    VariantWriter.writeLong(ab.elementBuffer(), 1L)
+    VariantWriter.writeString(ab.elementBuffer(), "b")
+    VariantWriter.writeDouble(ab.elementBuffer(), 3.0)
+    ab.finish()
+    val a = new VariantView(buf.result(), 0).getArray
+    assert(a.numElements == 3)
+    assert(a.elementAt(0).getLong == 1L)
+    assert(a.elementAt(1).getString == "b")
+    assert(a.elementAt(2).getDouble == 3.0)
+    assert(a.elementAt(3) == null)
+    assert(a.elementAt(-1) == null)
+  }
+
+  test("is_large switch: arrays of 255 and 256 elements") {
+    for (n <- Seq(255, 256, 300)) {
+      val buf = new ByteBuf()
+      val ab = new VariantArrayBuilder(buf)
+      (0 until n).foreach(i => VariantWriter.writeLong(ab.elementBuffer(), i.toLong))
+      ab.finish()
+      val a = new VariantView(buf.result(), 0).getArray
+      assert(a.isLarge == (n > 255))
+      assert(a.numElements == n)
+      (0 until n).foreach(i => assert(a.elementAt(i).getLong == i.toLong))
+    }
+  }
+
+  test("object with >255 fields and wide field ids stays self-consistent (SURVEY §1.3 header bug)") {
+    val keys = (0 until 300).map(i => f"k$i%04d")
+    val (metaBytes, ids) = VariantMetadata.build(keys.asJava)
+    val meta = new MetadataView(metaBytes, 0)
+    val buf = new ByteBuf()
+    val ob = new VariantObjectBuilder(buf)
+    keys.foreach(k => VariantWriter.writeLong(ob.fieldBuffer(ids.get(k)), ids.get(k).toLong))
+    ob.finish()
+    val o = new VariantView(buf.result(), 0).getObject
+    assert(o.isLarge && o.numElements == 300 && o.fieldIdSize == 2)
+    keys.foreach { k =>
+      val id = meta.findKey(k)
+      assert(o.getField(id).getLong == id.toLong)
+    }
+  }
+
+  test("few fields but large field ids → wide ids, small count (the reference's unpatched-header case)") {
+    val keys = (0 until 200).map(i => f"k$i%04d")
+    val (metaBytes, ids) = VariantMetadata.build(keys.asJava)
+    val buf = new ByteBuf()
+    val ob = new VariantObjectBuilder(buf)
+    // two fields whose ids exceed 127 → field_id_size must be 2
+    VariantWriter.writeLong(ob.fieldBuffer(ids.get("k0190")), 1L)
+    VariantWriter.writeLong(ob.fieldBuffer(ids.get("k0199")), 2L)
+    ob.finish()
+    val o = new VariantView(buf.result(), 0).getObject
+    assert(!o.isLarge && o.numElements == 2 && o.fieldIdSize == 2)
+    val meta = new MetadataView(metaBytes, 0)
+    assert(o.getField(meta.findKey("k0190")).getLong == 1L)
+    assert(o.getField(meta.findKey("k0199")).getLong == 2L)
+  }
+
+  test("sizeInBytes matches encoded extent for nested values") {
+    val buf = new ByteBuf()
+    val ab = new VariantArrayBuilder(buf)
+    VariantWriter.writeLong(ab.elementBuffer(), 1L)
+    val inner = ab.elementBuffer()
+    val ob = new VariantObjectBuilder(inner)
+    val (_, ids) = VariantMetadata.build(Seq("a").asJava)
+    VariantWriter.writeString(ob.fieldBuffer(ids.get("a")), "zzz")
+    ob.finish()
+    VariantWriter.writeDouble(ab.elementBuffer(), 2.5)
+    ab.finish()
+    val bytes = buf.result()
+    val root = new VariantView(bytes, 0)
+    assert(root.sizeInBytes == bytes.length)
+    val copied = root.getArray.elementAt(1).copyBytes
+    val obj = new VariantView(copied, 0)
+    assert(obj.isObject && obj.getObject.numElements == 1)
+  }
+}
