@@ -1,0 +1,360 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{VariantFunctions => vf}
+import graft.operators.{SimilarityQueries, StreamingQueries, TextQueries}
+
+/** One entry per implemented operator (SURVEY §2) with, where SQL can
+  * express it, a DuckDB oracle over the same parquet tables.
+  *
+  * Determinism rules for hash-parity with the oracle:
+  *  - every query ends in ORDER BY over a unique key prefix;
+  *  - aggregate column names are aliased identically on both sides;
+  *  - SUM/AVG over double columns go through DECIMAL(18,2) (exact,
+  *    order-independent) and cast the final result to DOUBLE — a raw
+  *    double sum would differ in the last ulp between engines.
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+  import Tables._
+
+  /** Sum of a double column as exact decimal, emitted as double. */
+  private def dsum(c: String): Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  private def parsedEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).withColumn("v", vf.variant_from_json(col("props")))
+
+  // ---------------------------------------------------------------------
+  // Variant function surface (SURVEY §2.1/§2.2 scalar functions)
+  // ---------------------------------------------------------------------
+
+  private val variantQueries = Seq(
+    QueryDef("v_sum_by_type",
+      (s, d) => parsedEvents(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |       COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("v_filter_high",
+      (s, d) => parsedEvents(s, d)
+        .withColumn("k", vf.variant_get(col("v"), "$.k", LongType))
+        .filter(col("k") > 90)
+        .select(col("event_id"), col("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("v_get_string",
+      (s, d) => parsedEvents(s, d)
+        .select(col("event_id"),
+          vf.variant_get(col("v"), "$.k", StringType).as("ks"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS ks
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef("v_typeof_counts",
+      (s, d) => parsedEvents(s, d)
+        .groupBy(vf.variant_typeof(col("v")).as("t"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("t")),
+      Some("SELECT 'object' AS t, COUNT(*) AS n FROM events")),
+
+    QueryDef("v_missing_is_null",
+      (s, d) => parsedEvents(s, d)
+        .agg(
+          count(when(vf.variant_get(col("v"), "$.zzz", LongType).isNull, 1)).as("n_missing"),
+          count(when(vf.is_variant_null(col("v")), 1)).as("n_variant_null")),
+      Some("""SELECT COUNT(CASE WHEN json_extract(props, '$.zzz') IS NULL THEN 1 END) AS n_missing,
+             |       0::BIGINT AS n_variant_null
+             |FROM events""".stripMargin)),
+
+    // printer → re-parse → extract: exercises variant_to_json end-to-end
+    // without comparing JSON text formatting (DuckDB preserves input
+    // whitespace; our printer is canonical-compact).
+    QueryDef("v_json_roundtrip",
+      (s, d) => parsedEvents(s, d)
+        .withColumn("v2", vf.variant_from_json(vf.variant_to_json(col("v"))))
+        .select(col("event_id"),
+          vf.variant_get(col("v2"), "$.k", LongType).as("k2"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef("v_to_variant",
+      (s, d) => orders(s, d)
+        .withColumn("tv", vf.to_variant(struct(
+          col("o_orderstatus").as("s"), col("o_custkey").as("c"))))
+        .select(col("o_orderkey"),
+          vf.variant_get(col("tv"), "$.s", StringType).as("s"),
+          vf.variant_get(col("tv"), "$.c", LongType).as("c"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_orderstatus AS s, o_custkey AS c
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
+
+  // ---------------------------------------------------------------------
+  // Relational operator coverage (SURVEY §2.2): scans, filters, aggs,
+  // joins (shuffle/broadcast/semi/anti), windows, sort/limit, set ops,
+  // rollup/cube, distinct aggregates.
+  // ---------------------------------------------------------------------
+
+  private val relationalQueries = Seq(
+    QueryDef("q1_pricing_summary",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |       COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q3_top_revenue",
+      (s, d) => {
+        val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, d)
+        val l = lineitem(s, d)
+        // customer is tiny → broadcast; orders⋈lineitem shuffles on the key
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(l("l_orderkey"), date_format(o("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    QueryDef("q5_region_revenue",
+      (s, d) => {
+        val l = lineitem(s, d)
+        val o = orders(s, d)
+        val c = customer(s, d)
+        val n = nation(s, d)
+        val r = region(s, d).filter(col("r_name") === "ASIA")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(n("n_name"))
+          .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n_lineitems
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    QueryDef("q_semi_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q_anti_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_window_topn",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lineitem(s, d)
+          .withColumn("running_qty",
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             |         PARTITION BY l_suppkey
+             |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        lineitem(s, d)
+          .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("prev_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             |       LAG(l_quantity, 1) OVER (
+             |         PARTITION BY l_suppkey
+             |         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_topk",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(15),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""".stripMargin)),
+
+    QueryDef("q_set_intersect",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q_set_except",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+          .except(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |       COALESCE(l_linestatus, 'ALL') AS ls,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    QueryDef("q_cube",
+      (s, d) => orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"), col("n"))
+        .orderBy(col("st"), col("pri")),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+             |       COALESCE(o_orderpriority, 'ALL') AS pri,
+             |       COUNT(*) AS n
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY st, pri""".stripMargin)),
+
+    QueryDef("q_distinct_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS d_parts,
+             |       COUNT(DISTINCT l_suppkey) AS d_supps, COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("q_broadcast_join",
+      (s, d) => nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name, COUNT(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)))
+
+  // ---------------------------------------------------------------------
+  // All queries + lookup maps for SparkEntry
+  // ---------------------------------------------------------------------
+
+  def all: Seq[QueryDef] =
+    variantQueries ++ relationalQueries ++ TextQueries.all ++
+      SimilarityQueries.all ++ StreamingQueries.all
+
+  lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  lazy val oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}

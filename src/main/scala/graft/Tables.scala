@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the driver testdata (TESTDATA.md).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 reads it only as a
+  * long (spark.sql.legacy.parquet.nanosAsLong) — `events()` converts to a
+  * proper TimestampType column in micros.
+  */
+object Tables {
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "embeddings")
+
+  /** events with `ts` converted long-nanos → TimestampType (micros). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    df(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Session defaults every entry point should apply. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Similarity search over embedding columns (`embeddings.embedding`,
+  * array<float> dim 64).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the (small)
+  * probe set, stream the corpus once — no shuffle of the corpus, scales
+  * linearly with corpus size across executors. The LSH/IVF variants (see
+  * MinHash/ivf operators) trade exactness for sub-linear candidate sets.
+  */
+object Similarity {
+
+  /** Dot product of two float vectors in double precision, left-to-right
+    * (same accumulation order as the DuckDB oracle's list reduction).
+    */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each probe: broadcast probes × corpus scan
+    * → per-probe window rank. Corpus never shuffles; only k·|probes| rows
+    * reach the final sort.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine("embedding", "qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+}
+
+object SimilarityQueries {
+  import Tables._
+  import Similarity._
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("e_ann_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        bruteForceTopK(emb, probes, 5).orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |sims AS (
+             |  SELECT p.qid, e.vec_id,
+             |         list_sum(list_transform(list_zip(e.embedding, p.qv),
+             |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |            * sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+             |  FROM embeddings e CROSS JOIN probes p
+             |  WHERE e.vec_id <> p.qid),
+             |ranked AS (
+             |  SELECT qid, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+             |  FROM sims)
+             |SELECT qid, rank, vec_id AS neighbor_id
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Embedding-cosine near-duplicate detection, blocked by label (the
+    // scale path replaces `label` with an LSH/IVF bucket id).
+    QueryDef("e_cosine_near_dup",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim", cosine("va", "vb"))
+          .filter(col("sim") >= 0.4)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)))
+}
+
+/** Structured Streaming coverage: the variant expressions and windowed
+  * aggregates run unchanged under `readStream` (reference has no
+  * streaming concept — SURVEY §2.2).
+  */
+object StreamingQueries {
+  import graft.Tables
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("s_window_counts",
+      (s, d) => {
+        // FileStreamSource needs a directory: stage the single parquet
+        // file into a temp dir (simulates a landing directory a real
+        // stream would tail).
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          stageDir.resolve("events.parquet"))
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir.toString)
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        val agg = stream
+          .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val qname = s"s_window_counts_${runCounter.incrementAndGet()}"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(qname).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(qname)
+          .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      Some("""SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
+             |       event_type, COUNT(*) AS n
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)))
+}
