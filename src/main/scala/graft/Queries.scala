@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{VariantFunctions => vf}
-import graft.operators.{SimilarityQueries, StreamingQueries, TextQueries}
+import graft.operators.{DedupQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** One entry per implemented operator (SURVEY §2) with, where SQL can
   * express it, a DuckDB oracle over the same parquet tables.
@@ -94,6 +94,31 @@ object Queries {
         .orderBy(col("event_id")),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef("v_explode_kv",
+      (s, d) => parsedEvents(s, d)
+        .select(vf.variant_explode(col("v")))
+        .withColumn("val", vf.variant_get(col("value"), "$", LongType))
+        .groupBy(col("key"))
+        .agg(sum(col("val")).as("val_sum"), count(lit(1)).as("n"))
+        .orderBy(col("key")),
+      Some("""SELECT key,
+             |       SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS val_sum,
+             |       COUNT(*) AS n
+             |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t
+             |GROUP BY key ORDER BY key""".stripMargin)),
+
+    QueryDef("v_schema_of",
+      (s, d) => parsedEvents(s, d)
+        .groupBy(vf.schema_of_variant(col("v")).as("sch"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("sch")),
+      Some("SELECT 'object<k: bigint>' AS sch, COUNT(*) AS n FROM events")),
+
+    QueryDef("v_schema_agg",
+      (s, d) => parsedEvents(s, d)
+        .agg(vf.schema_of_variant_agg(col("v")).as("sch")),
+      Some("SELECT 'object<k: bigint>' AS sch")),
 
     QueryDef("v_to_variant",
       (s, d) => orders(s, d)
@@ -350,7 +375,7 @@ object Queries {
 
   def all: Seq[QueryDef] =
     variantQueries ++ relationalQueries ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ DedupQueries.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Self-contained deterministic 64-bit hashing for the dedup operators
+  * (FNV-1a over UTF-8 bytes + splitmix64 finalizer). Deterministic
+  * across JVMs/partitions — a hard requirement for shuffle-free
+  * re-computation at scale.
+  */
+object Hash64 {
+  final val FNV_OFFSET = 0xcbf29ce484222325L
+  final val FNV_PRIME = 0x100000001b3L
+
+  def fnv1a(bytes: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    var h = FNV_OFFSET ^ seed
+    var i = off
+    val end = off + len
+    while (i < end) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FNV_PRIME
+      i += 1
+    }
+    mix(h)
+  }
+
+  /** splitmix64 finalizer: avalanches FNV's weak high bits. */
+  def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x
+  }
+
+  def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long = {
+    val b = s.getBytes
+    fnv1a(b, 0, b.length, seed)
+  }
+}
+
+/** `minhash_signature(tokens, k)`: k-permutation MinHash signature of a
+  * string array. Signature slot i is the minimum of a seeded 64-bit hash
+  * over the token set — Pr[sig_a(i) == sig_b(i)] = Jaccard(a, b). Rows
+  * with empty/NULL token arrays yield NULL (no signature).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0 && numHashes <= 1024, s"numHashes out of range: $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<string>, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    // Hash every token once with seed 0, then derive the k seeded hashes
+    // with one multiply-add-mix per (token, slot): k·n mixes, not k·n
+    // full string hashes.
+    val base = new Array[Long](n)
+    var i = 0
+    var nonNull = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        base(nonNull) = Hash64.hashUtf8(arr.getUTF8String(i), 0L)
+        nonNull += 1
+      }
+      i += 1
+    }
+    if (nonNull == 0) return null
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      var min = Long.MaxValue
+      var j = 0
+      while (j < nonNull) {
+        val h = Hash64.mix(base(j) + 0x9e3779b97f4a7c15L * (s + 1))
+        if (h < min) min = h
+        j += 1
+      }
+      sig(s) = min
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)`: 64-bit SimHash of a string array — per-bit
+  * majority vote over token hashes; Hamming distance between signatures
+  * approximates (1 - cosine) of the token multisets.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Hash64.hashUtf8(arr.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hash64(str[, seed])`: the raw deterministic hash, exposed for
+  * fingerprinting and bucketing.
+  */
+case class StringHash64(child: Expression, seed: Long) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash64 expects string or binary, got: ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: org.apache.spark.unsafe.types.UTF8String => Hash64.hashUtf8(s, seed)
+    case b: Array[Byte] => Hash64.fnv1a(b, 0, b.length, seed)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -74,7 +74,16 @@ object VariantExtract {
     * (lenient mode) or throws (strict).
     */
   def cast(meta: MetadataView, v: VariantView, target: DataType, failOnError: Boolean): Any = {
-    if (v == null || v.isNull) return null
+    if (v == null) return null
+    // A variant-null VALUE stays a variant null when the target is
+    // variant (is_variant_null must see it); it becomes SQL NULL for
+    // every scalar target.
+    target match {
+      case s: StructType if VariantSchema.isVariantStruct(s) =>
+        return new GenericInternalRow(Array[Any](meta.bytes, v.copyBytes))
+      case _ => ()
+    }
+    if (v.isNull) return null
     try {
       target match {
         case LongType =>
@@ -120,8 +129,6 @@ object VariantExtract {
             (v.typeInfo == VariantConst.P_TIMESTAMP || v.typeInfo == VariantConst.P_TIMESTAMP_NTZ))
             v.getTimestampMicros
           else fail(v, target)
-        case s: StructType if VariantSchema.isVariantStruct(s) =>
-          new GenericInternalRow(Array[Any](meta.bytes, v.copyBytes))
         case other =>
           throw new UnsupportedOperationException(
             s"variant_get target type not supported: ${other.simpleString}")

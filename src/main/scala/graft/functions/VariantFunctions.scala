@@ -32,6 +32,13 @@ object VariantFunctions {
   def is_variant_null(c: Column): Column = col(IsVariantNull(expr(c)))
   def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
   def to_variant(c: Column): Column = col(ToVariant(expr(c)))
+  def variant_explode(c: Column): Column = col(VariantExplode(expr(c)))
+  def schema_of_variant(c: Column): Column = col(SchemaOfVariant(expr(c)))
+  def schema_of_variant_agg(c: Column): Column =
+    col(SchemaOfVariantAgg(expr(c)).toAggregateExpression())
+  def minhash_signature(c: Column, k: Int): Column = col(MinHashSignature(expr(c), k))
+  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -81,7 +88,32 @@ object VariantFunctions {
       "variant_to_json(v) - Render a variant as compact JSON text."),
     ("to_variant",
       (es: Seq[Expression]) => ToVariant(es.head),
-      "to_variant(col) - Encode a typed value (scalar/struct/array/map) as a variant."))
+      "to_variant(col) - Encode a typed value (scalar/struct/array/map) as a variant."),
+    ("variant_explode",
+      (es: Seq[Expression]) => VariantExplode(es.head),
+      "variant_explode(v) - One row per object field (pos, key, value) or array element (pos, NULL, value)."),
+    ("schema_of_variant",
+      (es: Seq[Expression]) => SchemaOfVariant(es.head),
+      "schema_of_variant(v) - Rendered type of a variant value."),
+    ("schema_of_variant_agg",
+      (es: Seq[Expression]) => SchemaOfVariantAgg(es.head).toAggregateExpression(),
+      "schema_of_variant_agg(v) - Least-upper-bound schema across a group."),
+    ("minhash_signature",
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature k must be an int literal, got: $other")
+        }
+        MinHashSignature(es.head, k)
+      },
+      "minhash_signature(tokens, k) - k-slot MinHash signature of a string array."),
+    ("simhash64",
+      (es: Seq[Expression]) => SimHash64(es.head),
+      "simhash64(tokens) - 64-bit SimHash of a string array."),
+    ("hash64",
+      (es: Seq[Expression]) => StringHash64(es.head, 0L),
+      "hash64(str) - Deterministic 64-bit FNV/splitmix hash."))
 
   /** Imperative registration for an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,136 @@
+package graft.functions
+
+import graft.variant._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `variant_explode(v)`: one output row per object field (pos, key,
+  * value) or array element (pos, NULL, value); scalars and SQL NULL
+  * produce no rows. The per-step primitive is the reference's
+  * polymorphic `VariantRef::field`
+  * (/root/reference/open-variant/src/values/read.rs:87-93), lifted to a
+  * Spark Generator — the natural UDTF parity extension (SURVEY §2.2).
+  */
+case class VariantExplode(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", VariantSchema.TYPE, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_explode expects a variant struct, got: ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val row = v.asInstanceOf[InternalRow]
+    val metaBytes = row.getBinary(0)
+    val valBytes = row.getBinary(1)
+    val meta = new MetadataView(metaBytes, 0)
+    val view = new VariantView(valBytes, 0)
+    if (view.isObject) {
+      val o = view.getObject
+      (0 until o.numElements).map { i =>
+        new GenericInternalRow(Array[Any](
+          i,
+          UTF8String.fromString(meta.getKey(o.fieldIdAt(i))),
+          new GenericInternalRow(Array[Any](metaBytes, o.valueAt(i).copyBytes))))
+      }
+    } else if (view.isArray) {
+      val a = view.getArray
+      (0 until a.numElements).map { i =>
+        new GenericInternalRow(Array[Any](
+          i, null,
+          new GenericInternalRow(Array[Any](metaBytes, a.elementAt(i).copyBytes))))
+      }
+    } else Nil
+  }
+
+  override def prettyName: String = "variant_explode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `schema_of_variant(v)`: render the inferred type of one variant value
+  * (e.g. `object<k: bigint>`).
+  */
+case class SchemaOfVariant(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "schema_of_variant"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"schema_of_variant expects a variant struct, got: ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val meta = new MetadataView(row.getBinary(0), 0)
+    val v = new VariantView(row.getBinary(1), 0)
+    UTF8String.fromString(SchemaInfer.infer(meta, v).render)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `schema_of_variant_agg(v)`: least-upper-bound schema across all rows
+  * of a group — a TypedImperativeAggregate whose buffer is the SType
+  * lattice value; partial aggregation (map-side combine) works because
+  * the merge is associative and commutative.
+  */
+case class SchemaOfVariantAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SchemaInfer.SType] with UnaryLike[Expression] {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "schema_of_variant_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"schema_of_variant_agg expects a variant struct, got: ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): SchemaInfer.SType = SchemaInfer.SNull
+
+  override def update(buffer: SchemaInfer.SType, input: InternalRow): SchemaInfer.SType = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val row = v.asInstanceOf[InternalRow]
+      val inferred = SchemaInfer.infer(
+        new MetadataView(row.getBinary(0), 0),
+        new VariantView(row.getBinary(1), 0))
+      SchemaInfer.merge(buffer, inferred)
+    }
+  }
+
+  override def merge(a: SchemaInfer.SType, b: SchemaInfer.SType): SchemaInfer.SType =
+    SchemaInfer.merge(a, b)
+
+  override def eval(buffer: SchemaInfer.SType): Any =
+    UTF8String.fromString(buffer.render)
+
+  override def serialize(buffer: SchemaInfer.SType): Array[Byte] =
+    SchemaInfer.serialize(buffer).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def deserialize(bytes: Array[Byte]): SchemaInfer.SType =
+    SchemaInfer.deserialize(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SchemaOfVariantAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SchemaOfVariantAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{VariantFunctions => vf}
+
+/** Near-duplicate detection pipelines for training-data curation.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - MinHash LSH: tokens → k-slot signature (map-only) → band buckets
+  *    (explode k/r rows per doc) → shuffle on (band, bucket-hash) →
+  *    pairs only within buckets → exact-Jaccard verification on the
+  *    (tiny) candidate set. Candidate generation is the ONLY shuffle and
+  *    its width is the bucket histogram, not n².
+  *  - SimHash: one 64-bit signature per doc (map-only), bucket on the
+  *    top 16 bits → Hamming verification within buckets.
+  * Both avoid any O(n²) stage; the brute-force same-source Jaccard in
+  * TextQueries is the small-scale exact oracle for recall testing.
+  */
+object Dedup {
+  import TextAnalysis.tokens
+
+  /** docs(id, tokens) → candidate pairs (id_a < id_b) that share ≥ 1 LSH
+    * band bucket, with their exact token Jaccard.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = docs.withColumn("sig", vf.minhash_signature(col("toks"), numHashes))
+      .filter(col("sig").isNotNull)
+    // band id + hash of the band's slice of the signature = bucket key
+    val banded = sig.select(col("id"), col("toks"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jac",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))))
+  }
+
+  /** Exact-verified near-dups above `threshold` from the LSH candidates. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.7): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(tokens(textCol)).as("toks"))
+    minhashCandidates(toks, numHashes, bands)
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** SimHash near-dups: bucket by signature prefix, verify by Hamming
+    * distance ≤ maxHamming within buckets.
+    */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8, prefixBits: Int = 12): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+        vf.simhash64(tokens(textCol)).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}
+
+/** Dedup queries. LSH/SimHash results are approximate-candidate-based —
+  * not ANSI-SQL-expressible — so these entries carry no oracle (driver
+  * records the weaker rows-only check); the ScalaTest suite instead
+  * asserts recall/precision against the exact Jaccard query.
+  */
+object DedupQueries {
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("d_minhash_lsh",
+      (s, d) => Dedup.minhashDedup(documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    QueryDef("d_simhash",
+      (s, d) => Dedup.simhashDedup(documents(s, d), "doc_id", "text", maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b")),
+      None))
+}

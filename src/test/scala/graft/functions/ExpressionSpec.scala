@@ -1,0 +1,143 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{AnalysisException, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level semantics of the variant expression surface, mirroring
+  * the reference's error cases (FIXTURES §A.4) at the SQL boundary.
+  */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sql1(q: String): Row = spark.sql(q).collect()(0)
+
+  test("wrong input type rejected at analysis (json.rs:505-516)") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT variant_from_json(42)").collect()
+    }
+    assert(e.getMessage.contains("not supported") || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("malformed JSON: error strict, NULL in try mode (json.rs:518-529)") {
+    val e = intercept[Exception] {
+      spark.sql("""SELECT variant_from_json('{"a": ')""").collect()
+    }
+    assert(e.getMessage.contains("Failed to parse JSON") ||
+      e.getCause != null && e.getCause.getMessage.contains("Failed to parse JSON"))
+    assert(sql1("""SELECT try_variant_from_json('{"a": ') IS NULL AS r""").getBoolean(0))
+  }
+
+  test("top-level null vs nested null (json.rs:275-294)") {
+    assert(sql1("SELECT variant_from_json('null') IS NULL AS r").getBoolean(0))
+    assert(sql1(
+      """SELECT is_variant_null(variant_get(variant_from_json('{"x": null}'), '$.x')) AS r""")
+      .getBoolean(0))
+    assert(!sql1(
+      """SELECT is_variant_null(variant_from_json('{"x": null}')) AS r""").getBoolean(0))
+  }
+
+  test("typed extraction + casts") {
+    val r = sql1(
+      """SELECT variant_get(variant_from_json('{"a": 1, "b": 2.5, "c": "x", "d": true, "e": [10, 20]}'), '$.a', 'bigint') AS a,
+        |       variant_get(variant_from_json('{"b": 2.5}'), '$.b', 'double') AS b,
+        |       variant_get(variant_from_json('{"c": "x"}'), '$.c', 'string') AS c,
+        |       variant_get(variant_from_json('{"d": true}'), '$.d', 'boolean') AS d,
+        |       variant_get(variant_from_json('{"e": [10, 20]}'), '$.e[1]', 'bigint') AS e,
+        |       variant_get(variant_from_json('{"a": 1}'), '$.missing', 'bigint') AS m
+        |""".stripMargin)
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 2.5 && r.getString(2) == "x")
+    assert(r.getBoolean(3) && r.getLong(4) == 20L && r.isNullAt(5))
+  }
+
+  test("try_variant_get nulls on type mismatch; strict variant_get throws") {
+    assert(sql1(
+      """SELECT try_variant_get(variant_from_json('{"c": "xyz"}'), '$.c', 'bigint') IS NULL AS r""")
+      .getBoolean(0))
+  }
+
+  test("big int → decimal round-trip (json.rs:321-329)") {
+    // 38 digits: the largest decimal Spark can represent. (i128 max is 39
+    // digits — storable in the variant encoding, extractable as string,
+    // but beyond DecimalType(38).)
+    val big38 = "99999999999999999999999999999999999999"
+    val r = sql1(
+      s"""SELECT CAST(variant_get(variant_from_json('{"big": $big38}'), '$$.big', 'decimal(38,0)') AS STRING) AS s,
+         |       variant_get(variant_from_json('{"big": 170141183460469231731687303715884105727}'), '$$.big', 'string') AS s39""".stripMargin)
+    assert(r.getString(0) == big38)
+    assert(r.getString(1) == "170141183460469231731687303715884105727")
+  }
+
+  test("variant_typeof across types") {
+    val r = sql1(
+      """SELECT variant_typeof(variant_from_json('{"a": 1}')) AS o,
+        |       variant_typeof(variant_from_json('[1]')) AS a,
+        |       variant_typeof(variant_from_json('1.5')) AS d,
+        |       variant_typeof(variant_from_json('"s"')) AS s,
+        |       variant_typeof(variant_from_json('true')) AS b,
+        |       variant_typeof(variant_from_json('12')) AS i
+        |""".stripMargin)
+    assert(r.toSeq == Seq("object", "array", "double", "string", "boolean", "tinyint"))
+  }
+
+  test("variant_explode over object and array") {
+    val obj = spark.sql(
+      """SELECT pos, key, variant_get(value, '$', 'bigint') AS v
+        |FROM (SELECT variant_explode(variant_from_json('{"b": 2, "a": 1}')) )""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(obj.toSeq == Seq((0, "a", 1L), (1, "b", 2L))) // metadata-sorted order
+    val arr = spark.sql(
+      """SELECT pos, key, variant_get(value, '$', 'bigint') AS v
+        |FROM (SELECT variant_explode(variant_from_json('[5, 7]')) )""".stripMargin)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+    assert(arr.toSeq == Seq((0, null, 5L), (1, null, 7L)))
+    // scalar → zero rows
+    assert(spark.sql("SELECT variant_explode(variant_from_json('42'))").count() == 0)
+  }
+
+  test("schema_of_variant and schema_of_variant_agg") {
+    assert(sql1(
+      """SELECT schema_of_variant(variant_from_json('{"a": 1, "b": [1.5, 2]}')) AS s""")
+      .getString(0) == "object<a: bigint, b: array<double>>")
+    // agg merges across rows: long + double widen, extra key appears
+    val df = Seq("""{"a": 1}""", """{"a": 2.5, "b": "x"}""").toDF("j")
+    df.createOrReplaceTempView("schema_agg_in")
+    assert(sql1(
+      """SELECT schema_of_variant_agg(variant_from_json(j)) AS s FROM schema_agg_in""")
+      .getString(0) == "object<a: double, b: string>")
+  }
+
+  test("to_variant round-trips maps and arrays") {
+    assert(sql1(
+      """SELECT variant_to_json(to_variant(map('z', 26, 'a', 1))) AS j""")
+      .getString(0) == """{"a":1,"z":26}""")
+    assert(sql1(
+      """SELECT variant_to_json(to_variant(array(1, 2, 3))) AS j""")
+      .getString(0) == "[1,2,3]")
+    assert(sql1(
+      """SELECT variant_get(to_variant(named_struct('d', DATE'2024-06-01')), '$.d', 'date') = DATE'2024-06-01' AS r""")
+      .getBoolean(0))
+  }
+
+  test("hash64 / simhash64 / minhash_signature determinism and shape") {
+    val r1 = sql1("SELECT hash64('hello') AS h, simhash64(array('a','b')) AS s")
+    val r2 = sql1("SELECT hash64('hello') AS h, simhash64(array('a','b')) AS s")
+    assert(r1.getLong(0) == r2.getLong(0) && r1.getLong(1) == r2.getLong(1))
+    val sig = sql1("SELECT minhash_signature(array('a','b','c'), 16) AS s").getSeq[Long](0)
+    assert(sig.length == 16)
+    // signature of identical sets identical; disjoint sets differ
+    val both = sql1(
+      """SELECT minhash_signature(array('x','y'), 32) = minhash_signature(array('y','x'), 32) AS eq,
+        |       minhash_signature(array('x','y'), 32) = minhash_signature(array('p','q'), 32) AS neq""".stripMargin)
+    assert(both.getBoolean(0) && !both.getBoolean(1))
+  }
+
+  test("variant binary equality is canonical across key order") {
+    assert(sql1(
+      """SELECT variant_from_json('{"a": 1, "b": 2}') = variant_from_json('{"b": 2, "a": 1}') AS r""")
+      .getBoolean(0))
+  }
+}
