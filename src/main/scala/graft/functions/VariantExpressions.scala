@@ -53,8 +53,20 @@ case class VariantFromJson(child: Expression, failOnError: Boolean = true)
       case s: UTF8String => s.getBytes
       case b: Array[Byte] => b
     }
+    val memo = VariantFromJson.lastParse.get()
+    if (memo(0) != null &&
+      java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], bytes)) {
+      val pair = memo(1).asInstanceOf[(Array[Byte], Array[Byte])]
+      return if (pair == null) null
+      else new GenericInternalRow(Array[Any](pair._1, pair._2))
+    }
     try {
       val pair = VariantJsonCodec.fromJsonBytes(bytes, 0, bytes.length)
+      // defensive copy: getBytes may expose a reused backing buffer, and
+      // a stale reference would make the equality probe compare a buffer
+      // against itself
+      memo(0) = bytes.clone()
+      memo(1) = pair
       if (pair == null) null
       else new GenericInternalRow(Array[Any](pair._1, pair._2))
     } catch {
@@ -64,6 +76,19 @@ case class VariantFromJson(child: Expression, failOnError: Boolean = true)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object VariantFromJson {
+  /** Catalyst duplicates expressions across Filter/Project boundaries
+    * (predicate pushdown re-substitutes the parse under the filter, so a
+    * `filter(variant_get(v,…) > x).select(variant_get(v,…))` plan parses
+    * each row twice — SURVEY §4.2). Both copies evaluate on the same
+    * thread back-to-back per row, so a process-wide, thread-local
+    * last-input memo collapses the duplicate work. Also de-dupes
+    * repeated identical JSON payloads across adjacent rows.
+    */
+  private[functions] val lastParse: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](2))
 }
 
 /** Shared eval helpers for variant extraction expressions. */

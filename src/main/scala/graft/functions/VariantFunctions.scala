@@ -39,6 +39,8 @@ object VariantFunctions {
   def minhash_signature(c: Column, k: Int): Column = col(MinHashSignature(expr(c), k))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
+  def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
+  def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -113,7 +115,13 @@ object VariantFunctions {
       "simhash64(tokens) - 64-bit SimHash of a string array."),
     ("hash64",
       (es: Seq[Expression]) => StringHash64(es.head, 0L),
-      "hash64(str) - Deterministic 64-bit FNV/splitmix hash."))
+      "hash64(str) - Deterministic 64-bit FNV/splitmix hash."),
+    ("vec_cosine",
+      (es: Seq[Expression]) => CosineSimFloat(es.head, es(1)),
+      "vec_cosine(a, b) - Cosine similarity of two float/double vectors."),
+    ("jaccard_sorted",
+      (es: Seq[Expression]) => JaccardSorted(es.head, es(1)),
+      "jaccard_sorted(a, b) - Jaccard similarity of two sorted distinct string arrays."))
 
   /** Imperative registration for an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

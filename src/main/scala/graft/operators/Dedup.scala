@@ -21,6 +21,16 @@ import graft.functions.{VariantFunctions => vf}
 object Dedup {
   import TextAnalysis.tokens
 
+  /** Word n-gram shingles: the standard MinHash input. Unigram token
+    * SETS collapse on small vocabularies (every long doc contains every
+    * word → all docs near-identical → LSH buckets degenerate to O(n²));
+    * shingles keep word ORDER, so only genuinely overlapping text
+    * collides.
+    */
+  def shingles(tokensCol: String, n: Int): Column =
+    expr(s"transform(sequence(0, greatest(size($tokensCol) - $n, 0)), " +
+      s"i -> concat_ws(' ', slice($tokensCol, i + 1, $n)))")
+
   /** docs(id, tokens) → candidate pairs (id_a < id_b) that share ≥ 1 LSH
     * band bucket, with their exact token Jaccard.
     */
@@ -41,16 +51,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("jac",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
+        graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
   }
 
-  /** Exact-verified near-dups above `threshold` from the LSH candidates. */
+  /** Exact-verified near-dups above `threshold` from the LSH candidates,
+    * over `shingleSize`-gram shingle sets.
+    */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.7): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      array_distinct(tokens(textCol)).as("toks"))
+                   threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), tokens(textCol).as("words"))
+      .select(col("id"),
+        array_sort(array_distinct(shingles("words", shingleSize))).as("toks"))
     minhashCandidates(toks, numHashes, bands)
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))

@@ -14,17 +14,12 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** Dot product of two float vectors in double precision, left-to-right
-    * (same accumulation order as the DuckDB oracle's list reduction).
+  /** Cosine similarity via the native tight-loop kernel (double
+    * accumulation, left-to-right — same order as the DuckDB oracle's
+    * list reduction, so results stay bit-identical).
     */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-
-  def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
-
   def cosine(a: String, b: String): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.VariantFunctions.vec_cosine(col(a), col(b))
 
   /** Exact top-k neighbors for each probe: broadcast probes × corpus scan
     * → per-probe window rank. Corpus never shuffles; only k·|probes| rows

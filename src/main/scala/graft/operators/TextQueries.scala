@@ -96,16 +96,20 @@ object TextQueries {
     // coarser LSH bucket; see MinHash operators for the approximate path).
     QueryDef("d_ngram_jaccard",
       (s, d) => {
+        // tokenize+sort ONCE per doc; per-pair work is a single merge
+        // pass (jaccard_sorted) — no per-pair hash sets. One side of the
+        // block join is broadcast (documents are the small side here; at
+        // 100 TB the blocks come from LSH buckets and both sides shuffle
+        // on the block key).
         val docs = documents(s, d)
           .select(col("doc_id"), col("source"),
-            array_distinct(tokens("text")).as("toks"))
+            array_sort(array_distinct(tokens("text"))).as("toks"))
         val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
         val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-        a.join(b, Seq("source"))
+        a.join(broadcast(b), Seq("source"))
           .filter(col("doc_a") < col("doc_b"))
           .withColumn("jac",
-            size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-              size(array_union(col("toks_a"), col("toks_b"))))
+            graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
           .filter(col("jac") >= 0.7)
           .select(col("doc_a"), col("doc_b"), col("jac"))
           .orderBy(col("doc_a"), col("doc_b"))

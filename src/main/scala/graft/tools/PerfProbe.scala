@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.functions.{VariantFunctions => vf}
+
+/** Ad-hoc perf probes against sf0.1. Run: sbt "runMain graft.tools.PerfProbe" */
+object PerfProbe {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[perf] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+
+    val ev = Tables.events(spark, d)
+    time("warmup count")(ev.count())
+
+    def parsed = ev.withColumn("v", vf.variant_from_json(col("props")))
+
+    time("parse+extract+agg (v_sum_by_type)") {
+      parsed.groupBy(col("event_type"))
+        .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("parse only, count via agg") {
+      parsed.select(vf.variant_get(col("v"), "$.k", LongType).as("k"))
+        .agg(sum(col("k"))).write.mode("overwrite").format("noop").save()
+    }
+    val filterQ = parsed
+      .withColumn("k", vf.variant_get(col("v"), "$.k", LongType))
+      .filter(col("k") > 90)
+      .select(col("event_id"), col("k"))
+      .orderBy(col("event_id"))
+    time("v_filter_high as written") {
+      filterQ.write.mode("overwrite").format("noop").save()
+    }
+    println(filterQ.queryExecution.optimizedPlan.treeString.take(1500))
+    spark.stop()
+  }
+}
