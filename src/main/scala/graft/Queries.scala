@@ -359,6 +359,16 @@ object Queries {
              |       COUNT(DISTINCT l_suppkey) AS d_supps, COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // HLL sketch (approx_count_distinct): approximate by design, so no
+    // byte-exact oracle; the smoke spec bounds its error vs the exact
+    // count instead.
+    QueryDef("q_approx_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     QueryDef("q_broadcast_join",
       (s, d) => nation(s, d)
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))

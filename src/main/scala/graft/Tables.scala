@@ -23,10 +23,13 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "embeddings")
 
-  /** events with `ts` converted long-nanos → TimestampType (micros). */
+  /** events with `ts` converted long-nanos → TimestampType (micros).
+    * Integer division (DIV), not `/`: epoch nanos ≈ 1.7e18 exceed a
+    * double's 53-bit mantissa, so float division silently loses µs.
+    */
   def events(spark: SparkSession, dir: String): DataFrame =
     df(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** Session defaults every entry point should apply. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b

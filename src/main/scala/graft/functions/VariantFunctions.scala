@@ -41,6 +41,7 @@ object VariantFunctions {
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
   def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
+  def hyperplane_bucket(c: Column, bits: Int): Column = col(HyperplaneBucket(expr(c), bits))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString

@@ -64,6 +64,58 @@ case class CosineSimFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `hyperplane_bucket(vec, bits)`: random-hyperplane LSH bucket id of a
+  * float/double vector — bit j is the sign of ⟨vec, h_j⟩ where h_j is a
+  * deterministic Rademacher (±1) vector derived from Hash64. Vectors
+  * with small angle agree on most bits, so equal bucket ids (or ids
+  * within small Hamming distance, see multiprobe in Similarity.lshTopK)
+  * are the candidate filter for approximate nearest-neighbor search at
+  * scale: the corpus shuffles once on bucket id instead of crossing
+  * with every probe.
+  */
+case class HyperplaneBucket(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 30, s"bits out of range: $bits")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket expects array<float|double>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        // Rademacher entry: deterministic ±1 from (plane j, dim i)
+        val sign = if ((Hash64.mix(j.toLong * 1000003L + i) & 1L) == 0L) 1.0 else -1.0
+        dot += x * sign
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity of two SORTED, DISTINCT string arrays via a single
   * merge pass — |A ∩ B| / |A ∪ B| with no per-pair hash sets. Callers
   * sort upstream once per document (`array_sort(array_distinct(...))`),

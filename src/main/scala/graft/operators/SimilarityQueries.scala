@@ -35,6 +35,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
   }
+
+  /** Approximate top-k via random-hyperplane LSH with multiprobe: the
+    * corpus is bucketed ONCE (a map + one shuffle on bucket id); each
+    * probe visits its own bucket plus all buckets within Hamming
+    * distance 1 of it. Candidate count ≈ (bits+1)/2^bits of the corpus
+    * per probe instead of the full scan — the 100 TB path, where
+    * brute-force cosine against every probe is impossible.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fn = graft.functions.VariantFunctions
+    val bucketed = corpus.withColumn("bucket", fn.hyperplane_bucket(col("embedding"), bits))
+    // multiprobe: the probe's bucket and every 1-bit flip of it
+    val probeBuckets = probes
+      .withColumn("b0", fn.hyperplane_bucket(col("qv"), bits))
+      .withColumn("bucket", explode(expr(
+        s"array_union(array(b0), transform(sequence(0, ${bits - 1}), i -> int(b0 ^ shiftleft(1, i))))")))
+      .select(col("qid"), col("qv"), col("bucket"))
+    val joined = bucketed.join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine("embedding", "qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
 }
 
 object SimilarityQueries {
@@ -66,6 +92,20 @@ object SimilarityQueries {
              |  FROM sims)
              |SELECT qid, rank, vec_id AS neighbor_id
              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Approximate ANN via hyperplane LSH + multiprobe (no oracle:
+    // candidate sets are hash-dependent; recall is asserted in
+    // OperatorSpec against planted near-duplicates).
+    QueryDef("e_ann_lsh",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        lshTopK(emb, probes, 5, bits = 8)
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
 
     // Embedding-cosine near-duplicate detection, blocked by label (the
     // scale path replaces `label` with an LSH/IVF bucket id).
@@ -112,7 +152,7 @@ object StreamingQueries {
           java.nio.file.Paths.get(s"$d/events.parquet"),
           stageDir.resolve("events.parquet"))
         val stream = s.readStream.schema(staticSchema).parquet(stageDir.toString)
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         val agg = stream
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -128,5 +168,30 @@ object StreamingQueries {
       Some("""SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
              |       event_type, COUNT(*) AS n
              |FROM events
-             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // Sessionization: Spark's session_window (same operator batch or
+    // streaming) vs the classic gaps-and-islands formulation in the
+    // oracle. 10-minute inactivity gap per user.
+    QueryDef("s_session_stats",
+      (s, d) => graft.Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start")),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |marked AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, epoch_us(MIN(ts)) AS sess_start, COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, sess_start""".stripMargin)))
 }

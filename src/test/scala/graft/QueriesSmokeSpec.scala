@@ -22,9 +22,23 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx_count_distinct stays within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.SF)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getLong(1).toDouble
+      val e = r.getLong(2).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("every query name has either an oracle or a documented omission") {
     val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // only the approximate (non-SQL-expressible) operators may omit oracles
-    assert(noOracle.subsetOf(Set("d_minhash_lsh", "d_simhash")))
+    assert(noOracle.subsetOf(Set("d_minhash_lsh", "d_simhash", "e_ann_lsh", "q_approx_distinct")))
   }
 }

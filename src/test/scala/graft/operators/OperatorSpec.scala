@@ -78,6 +78,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(top.getAs[Long]("neighbor_id") == 99999L)
   }
 
+  test("hyperplane LSH ANN finds a planted near-duplicate (multiprobe)") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val planted = v0.map(x => x * 1.0001f)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, planted)).toDF("vec_id", "embedding"))
+    val probes = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.lshTopK(corpus, probes, 1, bits = 8).collect()
+    assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val out = df.groupBy(md5(col("text")).as("fp"))

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class UserCount(user_id: Long, n: Long)
+
+/** Structured Streaming coverage beyond the driver query: watermark +
+  * append emission, stateful processing via flatMapGroupsWithState, and
+  * the variant expressions running unchanged inside a stream (SURVEY
+  * §2.2 Streaming row).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stageEvents(): String = {
+    val dir = Files.createTempDirectory("graft_stream_spec_")
+    Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.SF}/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def eventsStream(stageDir: String) = {
+    val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
+    spark.readStream.schema(schema).parquet(stageDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  test("watermark + append emits exactly the closed windows") {
+    val stage = stageEvents()
+    val agg = eventsStream(stage)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_append").start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wm_append")
+    // append mode withholds windows not yet past the watermark: the
+    // final watermark is max(ts) - 10min, so every window ending before
+    // that must be present and none after
+    val maxTs = Tables.events(spark, TestSpark.SF)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val watermark = new Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val complete = Tables.events(spark, TestSpark.SF)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window.end") < lit(watermark))
+    assert(emitted.filter(col("window.end") < lit(watermark)).count() == complete.count())
+    assert(complete.count() > 0)
+    // no window that is still open may have been emitted
+    val lastStart = emitted.agg(max(col("window.start"))).collect()(0).getTimestamp(0)
+    assert(!lastStart.after(watermark))
+  }
+
+  test("variant expressions run unchanged under readStream") {
+    import graft.functions.{VariantFunctions => vf}
+    val stage = stageEvents()
+    val agg = eventsStream(stage)
+      .withColumn("v", vf.variant_from_json(col("props")))
+      .groupBy(col("event_type"))
+      .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("stream_variant").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_variant")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.SparkEntry.entry(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState: per-user running event count with custom state") {
+    val stage = stageEvents()
+    val counted = eventsStream(stage)
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + rows.size
+          state.update(total)
+          Iterator(UserCount(user, total))
+      }
+    val q = counted.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("fmgws").start()
+    q.processAllAvailable()
+    q.stop()
+    // single micro-batch → state output equals a plain groupBy count
+    val got = spark.table("fmgws")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Tables.events(spark, TestSpark.SF)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+}
