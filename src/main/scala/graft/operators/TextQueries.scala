@@ -106,7 +106,10 @@ object TextQueries {
             array_sort(array_distinct(tokens("text"))).as("toks"))
         val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
         val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-        a.join(broadcast(b), Seq("source"))
+        // no broadcast hint: AQE broadcasts while the block table is
+        // small and falls back to a shuffle join on the block key when
+        // it isn't — the behavior that survives a 1000× scale-up
+        a.join(b, Seq("source"))
           .filter(col("doc_a") < col("doc_b"))
           .withColumn("jac",
             graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
