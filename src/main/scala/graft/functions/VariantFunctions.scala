@@ -144,5 +144,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name, usage),
         builder))
     }
+    // SURVEY §4.2.2: parse+get fusion (single-pass JSON extraction)
+    ext.injectOptimizerRule(_ => VariantGetFusionRule)
   }
 }

@@ -42,11 +42,99 @@ object VariantJsonCodec {
 
   /** JSON text → (metadata, value); returns null for a top-level JSON
     * `null` (the SQL-null rule, json.rs:184-196).
+    *
+    * Two streaming passes over the raw bytes (key collection, then
+    * conversion) — no JsonNode tree is materialized. The hot path of
+    * `variant_from_json`: at 100 TB the parse IS the workload, and the
+    * tree walk allocates an object per JSON token.
     */
   def fromJsonBytes(utf8: Array[Byte], off: Int, len: Int): (Array[Byte], Array[Byte]) = {
-    val tree = parseTree(utf8, off, len)
-    if (tree == null || tree.isNull) return null
-    fromTree(tree)
+    import com.fasterxml.jackson.core.JsonToken
+    try {
+      // pass 1: collect object keys at all depths (json.rs:115-163)
+      val keys = new java.util.ArrayList[String]()
+      var p = factory.createParser(utf8, off, len)
+      var tok = p.nextToken()
+      if (tok == null) throw new JsonParseException("Failed to parse JSON: empty input", null)
+      if (tok == JsonToken.VALUE_NULL) {
+        if (p.nextToken() != null)
+          throw new JsonParseException("Failed to parse JSON: trailing tokens", null)
+        return null
+      }
+      var depth = 0
+      while (tok != null) {
+        tok match {
+          case JsonToken.FIELD_NAME => keys.add(p.currentName())
+          case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
+          case JsonToken.END_OBJECT | JsonToken.END_ARRAY => depth -= 1
+          case _ => ()
+        }
+        tok = if (depth == 0 && (tok.isScalarValue || tok == JsonToken.END_OBJECT ||
+          tok == JsonToken.END_ARRAY)) {
+          if (p.nextToken() != null)
+            throw new JsonParseException("Failed to parse JSON: trailing tokens", null)
+          null
+        } else p.nextToken()
+      }
+      p.close()
+      val (metaBytes, ids) = VariantMetadata.build(keys)
+      // pass 2: convert tokens → variant bytes directly
+      p = factory.createParser(utf8, off, len)
+      p.nextToken()
+      val buf = new ByteBuf(64)
+      convertStream(p, buf, ids)
+      p.close()
+      (metaBytes, buf.result())
+    } catch {
+      case e: JsonParseException => throw e
+      case e: IllegalArgumentException => throw e
+      case e: Exception =>
+        throw new JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+    }
+  }
+
+  /** Recursive-descent token → variant writer; parser is positioned ON
+    * the value's first token when called.
+    */
+  private def convertStream(p: com.fasterxml.jackson.core.JsonParser, buf: ByteBuf,
+                            ids: java.util.HashMap[String, Integer]): Unit = {
+    import com.fasterxml.jackson.core.{JsonToken => T}
+    p.currentToken() match {
+      case T.VALUE_NULL => VariantWriter.writeNull(buf)
+      case T.VALUE_TRUE => VariantWriter.writeBoolean(buf, true)
+      case T.VALUE_FALSE => VariantWriter.writeBoolean(buf, false)
+      case T.VALUE_NUMBER_INT =>
+        p.getNumberType match {
+          case com.fasterxml.jackson.core.JsonParser.NumberType.BIG_INTEGER =>
+            val bi = p.getBigIntegerValue
+            if (bi.bitLength() >= 128)
+              throw new JsonParseException(s"Could not fit value $bi into an i128", null)
+            VariantWriter.writeDecimal(buf, bi, 0)
+          case _ => VariantWriter.writeLong(buf, p.getLongValue)
+        }
+      case T.VALUE_NUMBER_FLOAT => VariantWriter.writeDouble(buf, p.getDoubleValue)
+      case T.VALUE_STRING => VariantWriter.writeString(buf, p.getText)
+      case T.START_ARRAY =>
+        val ab = new VariantArrayBuilder(buf)
+        while (p.nextToken() != T.END_ARRAY) {
+          convertStream(p, ab.elementBuffer(), ids)
+        }
+        ab.finish()
+      case T.START_OBJECT =>
+        val ob = new VariantObjectBuilder(buf)
+        while (p.nextToken() != T.END_OBJECT) {
+          // currentToken == FIELD_NAME
+          val id = ids.get(p.currentName())
+          if (id == null)
+            throw new IllegalStateException(
+              s"Key '${p.currentName()}' not present in metadata dictionary")
+          p.nextToken()
+          convertStream(p, ob.fieldBuffer(id), ids)
+        }
+        ob.finish()
+      case other =>
+        throw new JsonParseException(s"Unsupported JSON token: $other", null)
+    }
   }
 
   def fromJson(json: String): (Array[Byte], Array[Byte]) = {

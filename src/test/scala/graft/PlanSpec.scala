@@ -39,6 +39,18 @@ class PlanSpec extends AnyFunSuite {
     assert(smjs <= 1, s"dimension join fell back to sort-merge:\n$p")
   }
 
+  test("parse+get fusion rule fires for scalar targets and only those") {
+    val fusedPlan = Queries.queryMap("v_filter_high")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedPlan.contains("json_path_extract"), fusedPlan)
+    assert(!fusedPlan.contains("variant_from_json"), fusedPlan)
+    // string-target extraction keeps the full pipeline (needs canonical
+    // sub-tree printing)
+    val unfused = Queries.queryMap("v_get_string")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(unfused.contains("variant_from_json"), unfused)
+  }
+
   test("q_topk plans TakeOrderedAndProject (no global sort of the full table)") {
     val p = physical("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
