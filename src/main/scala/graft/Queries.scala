@@ -108,6 +108,16 @@ object Queries {
              |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t
              |GROUP BY key ORDER BY key""".stripMargin)),
 
+    QueryDef("v_keys_size",
+      (s, d) => parsedEvents(s, d)
+        .select(col("event_id"),
+          vf.variant_keys(col("v")).as("ks"),
+          vf.variant_size(col("v")).as("sz"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, json_keys(props) AS ks,
+             |       CAST(len(json_keys(props)) AS INT) AS sz
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     QueryDef("v_schema_of",
       (s, d) => parsedEvents(s, d)
         .groupBy(vf.schema_of_variant(col("v")).as("sch"))

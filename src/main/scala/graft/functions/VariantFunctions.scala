@@ -33,6 +33,8 @@ object VariantFunctions {
   def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
   def to_variant(c: Column): Column = col(ToVariant(expr(c)))
   def variant_explode(c: Column): Column = col(VariantExplode(expr(c)))
+  def variant_keys(c: Column): Column = col(VariantKeys(expr(c)))
+  def variant_size(c: Column): Column = col(VariantSize(expr(c)))
   def schema_of_variant(c: Column): Column = col(SchemaOfVariant(expr(c)))
   def schema_of_variant_agg(c: Column): Column =
     col(SchemaOfVariantAgg(expr(c)).toAggregateExpression())
@@ -95,6 +97,12 @@ object VariantFunctions {
     ("variant_explode",
       (es: Seq[Expression]) => VariantExplode(es.head),
       "variant_explode(v) - One row per object field (pos, key, value) or array element (pos, NULL, value)."),
+    ("variant_keys",
+      (es: Seq[Expression]) => VariantKeys(es.head),
+      "variant_keys(v) - Sorted key names of a variant object; NULL for non-objects."),
+    ("variant_size",
+      (es: Seq[Expression]) => VariantSize(es.head),
+      "variant_size(v) - Field/element count of a variant object/array; NULL for scalars."),
     ("schema_of_variant",
       (es: Seq[Expression]) => SchemaOfVariant(es.head),
       "schema_of_variant(v) - Rendered type of a variant value."),

@@ -61,6 +61,55 @@ case class VariantExplode(child: Expression)
     copy(child = newChild)
 }
 
+/** `variant_keys(v)`: the root object's key names in dictionary (sorted
+  * UTF-8) order; NULL for non-objects.
+  */
+case class VariantKeys(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "variant_keys"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_keys expects a variant struct, got: ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val meta = new MetadataView(row.getBinary(0), 0)
+    val v = new VariantView(row.getBinary(1), 0)
+    if (!v.isObject) return null
+    val o = v.getObject
+    val out = new Array[Any](o.numElements)
+    var i = 0
+    while (i < o.numElements) {
+      out(i) = UTF8String.fromString(meta.getKey(o.fieldIdAt(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `variant_size(v)`: field count for objects, element count for arrays,
+  * NULL for scalars.
+  */
+case class VariantSize(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "variant_size"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_size expects a variant struct, got: ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val v = new VariantView(row.getBinary(1), 0)
+    if (v.isObject) v.getObject.numElements
+    else if (v.isArray) v.getArray.numElements
+    else null
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `schema_of_variant(v)`: render the inferred type of one variant value
   * (e.g. `object<k: bigint>`).
   */

@@ -37,6 +37,27 @@ object PerfProbe {
       parsed.select(vf.variant_get(col("v"), "$.k", LongType).as("k"))
         .agg(sum(col("k"))).write.mode("overwrite").format("noop").save()
     }
+    // Secondary yardstick (BASELINE.md): Spark 4.1's built-in variant
+    // expressions on the identical workload. Constructed directly — our
+    // extension shadows the registry names.
+    time("BUILTIN parse_json+variant_get agg") {
+      import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet => SparkVG}
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.graftbridge.Bridge
+      val parsedB = Bridge.column(ParseJson(Bridge.expression(col("props")), true))
+      ev.withColumn("v", parsedB)
+        .withColumn("k", Bridge.column(SparkVG(Bridge.expression(col("v")),
+          Literal.create("$.k"), org.apache.spark.sql.types.LongType, true, None)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("OURS    parse+variant_get agg (2nd run)") {
+      parsed.groupBy(col("event_type"))
+        .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"))
+        .write.mode("overwrite").format("noop").save()
+    }
+
     val filterQ = parsed
       .withColumn("k", vf.variant_get(col("v"), "$.k", LongType))
       .filter(col("k") > 90)

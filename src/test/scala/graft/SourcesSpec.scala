@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source/sink breadth (SURVEY §2.2 scans/sinks rows): JSON-lines and
+  * CSV round-trips of driver data, and partitioned parquet writes whose
+  * partition filters prune at the scan.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("JSON-lines sink + source round-trips events (variant parse intact)") {
+    import graft.functions.{VariantFunctions => vf}
+    import org.apache.spark.sql.types.LongType
+    val dir = tmp("graft_jsonl_")
+    val ev = Tables.events(spark, TestSpark.SF)
+    ev.write.mode("overwrite").json(s"$dir/events_json")
+    val back = spark.read.schema(ev.schema).json(s"$dir/events_json")
+    assert(back.count() == ev.count())
+    val sumOrig = ev.withColumn("v", vf.variant_from_json(col("props")))
+      .agg(sum(vf.variant_get(col("v"), "$.k", LongType))).collect()(0).getLong(0)
+    val sumBack = back.withColumn("v", vf.variant_from_json(col("props")))
+      .agg(sum(vf.variant_get(col("v"), "$.k", LongType))).collect()(0).getLong(0)
+    assert(sumOrig == sumBack)
+  }
+
+  test("CSV sink + source round-trips lineitem aggregates") {
+    val dir = tmp("graft_csv_")
+    val li = Tables.lineitem(spark, TestSpark.SF)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").option("header", "true").csv(s"$dir/li_csv")
+    val back = spark.read.schema(li.schema).option("header", "true").csv(s"$dir/li_csv")
+    val a = li.groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toMap
+    val b = back.groupBy("l_returnflag").agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toMap
+    assert(a == b)
+  }
+
+  test("partitioned parquet write: partition filter prunes the scan") {
+    val dir = tmp("graft_part_")
+    Tables.events(spark, TestSpark.SF)
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/ev_part")
+    val q = spark.read.parquet(s"$dir/ev_part")
+      .filter(col("event_type") === "click")
+      .select(count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // variant column persists through parquet as struct<metadata,value>
+    import graft.functions.{VariantFunctions => vf}
+    val vdir = s"$dir/variant_out"
+    Tables.events(spark, TestSpark.SF)
+      .withColumn("v", vf.variant_from_json(col("props")))
+      .select("event_id", "v")
+      .write.mode("overwrite").parquet(vdir)
+    val back = spark.read.parquet(vdir)
+    val n = back.filter(vf.variant_get(col("v"), "$.k", org.apache.spark.sql.types.LongType) > 90)
+      .count()
+    assert(n > 0)
+  }
+}
