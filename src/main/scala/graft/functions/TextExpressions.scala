@@ -141,6 +141,83 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** `winnow_fingerprints(text, k, w)`: winnowing document fingerprints
+  * (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling Rabin-Karp hashes of
+  * all k-char grams, then the minimum hash of each w-hash window
+  * (rightmost-min tie break), deduplicated and sorted. Two documents
+  * sharing a text run of ≥ k+w-1 chars are guaranteed to share a
+  * fingerprint — the local-plagiarism/near-dup primitive that md5
+  * whole-doc hashing cannot provide. Output is array<long>, ready for
+  * `jaccard`-style overlap joins or explode+group inverted indexes.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && k <= 64, s"gram size out of range: $k")
+  require(w >= 1 && w <= 256, s"window size out of range: $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 1000003L
+    // rolling k-gram hashes
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    var bk = 1L // B^(k-1)
+    var i = 0
+    while (i < k) {
+      h = h * B + (bytes(i) & 0xffL)
+      if (i < k - 1) bk *= B
+      i += 1
+    }
+    hashes(0) = Hash64.mix(h)
+    var raw = h
+    i = 1
+    while (i < m) {
+      raw = (raw - (bytes(i - 1) & 0xffL) * bk) * B + (bytes(i + k - 1) & 0xffL)
+      hashes(i) = Hash64.mix(raw)
+      i += 1
+    }
+    // winnow: min of each w-window, rightmost min on ties
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var min = hashes(0); i = 1
+      while (i < m) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+      picked.add(min)
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var min = hashes(start)
+        var j = start + 1
+        while (j < start + w) {
+          if (hashes(j) <= min) min = hashes(j)
+          j += 1
+        }
+        picked.add(min)
+        start += 1
+      }
+    }
+    val out = new Array[Long](picked.size())
+    val it = picked.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `hash64(str[, seed])`: the raw deterministic hash, exposed for
   * fingerprinting and bucketing.
   */

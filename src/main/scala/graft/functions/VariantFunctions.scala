@@ -44,6 +44,8 @@ object VariantFunctions {
   def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
   def hyperplane_bucket(c: Column, bits: Int): Column = col(HyperplaneBucket(expr(c), bits))
+  def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
+    col(WinnowFingerprints(expr(c), k, w))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -125,6 +127,9 @@ object VariantFunctions {
     ("hash64",
       (es: Seq[Expression]) => StringHash64(es.head, 0L),
       "hash64(str) - Deterministic 64-bit FNV/splitmix hash."),
+    ("winnow_fingerprints",
+      (es: Seq[Expression]) => WinnowFingerprints(es.head, 8, 16),
+      "winnow_fingerprints(text) - Winnowing rolling-hash fingerprints (k=8, w=16)."),
     ("vec_cosine",
       (es: Seq[Expression]) => CosineSimFloat(es.head, es(1)),
       "vec_cosine(a, b) - Cosine similarity of two float/double vectors."),

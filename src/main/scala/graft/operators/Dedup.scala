@@ -105,5 +105,17 @@ object DedupQueries {
     QueryDef("d_simhash",
       (s, d) => Dedup.simhashDedup(documents(s, d), "doc_id", "text", maxHamming = 12)
         .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Winnowing fingerprints per document (rolling-hash k-grams, window
+    // minima): local-overlap detection primitive. Rows-only (the rolling
+    // hash is not SQL-expressible); overlap guarantees are unit-tested.
+    QueryDef("d_winnow",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.VariantFunctions.winnow_fingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          element_at(col("fps"), 1).as("min_fp"))
+        .orderBy(col("doc_id")),
       None))
 }

@@ -36,6 +36,45 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus
+    * into `nlist` cells; each probe searches only its `nprobe` nearest
+    * cells. Unlike hyperplane LSH, the cells adapt to the data
+    * distribution. Centroids are tiny and broadcast; the corpus is
+    * assigned in one map pass and shuffles once on cell id.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val featured = corpus.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    val assigned = model.transform(featured)
+      .withColumnRenamed("prediction", "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // nprobe nearest cells per probe, via the broadcast centroid table
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine("qv", "centroid"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine("embedding", "qv"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multiprobe: the
     * corpus is bucketed ONCE (a map + one shuffle on bucket id); each
     * probe visits its own bucket plus all buckets within Hamming
@@ -102,6 +141,19 @@ object SimilarityQueries {
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         lshTopK(emb, probes, 5, bits = 8)
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    // IVF ANN (k-means cells, nprobe=4 of 16): approximate, so rows-only
+    // check; recall asserted against planted duplicates in OperatorSpec.
+    QueryDef("e_ann_ivf",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        ivfTopK(emb, probes, 5)
           .select(col("qid"), col("rank"), col("neighbor_id"))
           .orderBy(col("qid"), col("rank"))
       },

@@ -39,6 +39,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every query name has either an oracle or a documented omission") {
     val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // only the approximate (non-SQL-expressible) operators may omit oracles
-    assert(noOracle.subsetOf(Set("d_minhash_lsh", "d_simhash", "e_ann_lsh", "q_approx_distinct")))
+    assert(noOracle.subsetOf(Set(
+      "d_minhash_lsh", "d_simhash", "d_winnow",
+      "e_ann_lsh", "e_ann_ivf", "q_approx_distinct")))
   }
 }

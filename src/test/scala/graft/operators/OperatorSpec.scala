@@ -90,6 +90,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
   }
 
+  test("IVF k-means ANN finds a planted near-duplicate") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val planted = v0.map(x => x * 1.0001f)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, planted)).toDF("vec_id", "embedding"))
+    val probes = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.ivfTopK(corpus, probes, 1).collect()
+    assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
+  }
+
+  test("winnowing: shared text runs guarantee shared fingerprints; disjoint texts share none") {
+    val sql1 = spark.sql(
+      """SELECT winnow_fingerprints('The quick brown fox jumps over the lazy dog near the river bank today') AS a""")
+      .collect()(0).getSeq[Long](0).toSet
+    // same long run embedded in different surroundings
+    val sql2 = spark.sql(
+      """SELECT winnow_fingerprints('PREFIX text here -- quick brown fox jumps over the lazy dog -- SUFFIX') AS a""")
+      .collect()(0).getSeq[Long](0).toSet
+    assert((sql1 & sql2).nonEmpty, "shared 40-char run produced no shared fingerprint")
+    val sql3 = spark.sql(
+      """SELECT winnow_fingerprints('zebra xylophone quartz vex jumbo whiskey golf hotel india kilo lima') AS a""")
+      .collect()(0).getSeq[Long](0).toSet
+    assert((sql1 & sql3).isEmpty, "disjoint texts share fingerprints")
+    // determinism
+    val again = spark.sql(
+      """SELECT winnow_fingerprints('The quick brown fox jumps over the lazy dog near the river bank today') AS a""")
+      .collect()(0).getSeq[Long](0).toSet
+    assert(again == sql1)
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val out = df.groupBy(md5(col("text")).as("fp"))
