@@ -13,14 +13,19 @@ object Bench {
     // query, not first-touch class loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink fully materializes every output row (count() would let
-      // Spark skip projections).
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // two timed runs, report the min: first touch pays JIT/classload
+      // noise that says nothing about the plan
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink fully materializes every output row (count() would
+        // let Spark skip projections).
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

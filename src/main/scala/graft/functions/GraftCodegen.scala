@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+
+/** Whole-stage-codegen support for the unary variant expressions.
+  *
+  * `CodegenFallback` would re-evaluate the CHILD expression interpreted
+  * (it calls `eval(row)` on the whole subtree); this trait instead keeps
+  * the child inside the generated pipeline and hands only its computed
+  * value to the expression's `nullSafeEval` through a typed reference —
+  * one virtual call per row, no row boxing, no interpreted re-walk of
+  * the subtree (builder-prompt criterion: keep hot paths inside
+  * WholeStageCodegen spans).
+  */
+object GraftCodegen {
+  def unboxAssign(dt: DataType, res: String): String = dt match {
+    case LongType => s"((java.lang.Long) $res).longValue()"
+    case IntegerType => s"((java.lang.Integer) $res).intValue()"
+    case DoubleType => s"((java.lang.Double) $res).doubleValue()"
+    case BooleanType => s"((java.lang.Boolean) $res).booleanValue()"
+    case FloatType => s"((java.lang.Float) $res).floatValue()"
+    case dt => s"(${CodeGenerator.boxedType(dt)}) $res"
+  }
+}
+
+/** Binary twin of [[GraftUnaryCodegen]] for the pair-join kernels. */
+trait GraftBinaryCodegen { self: BinaryExpression =>
+  def evalChildValues(l: Any, r: Any): Any = nullSafeEval(l, r)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val res = ctx.freshName("graftRes")
+      s"""
+         |Object $res = $ref.evalChildValues($l, $r);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${GraftCodegen.unboxAssign(dataType, res)};
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+trait GraftUnaryCodegen { self: UnaryExpression =>
+
+  /** Public bridge so generated code can reach the protected eval. */
+  def evalChildValue(v: Any): Any = nullSafeEval(v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("graftRes")
+      s"""
+         |Object $res = $ref.evalChildValue($c);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${GraftCodegen.unboxAssign(dataType, res)};
+         |}
+       """.stripMargin
+    })
+  }
+}

@@ -24,7 +24,7 @@ case class JsonPathExtract(
     targetType: DataType,
     parseFailOnError: Boolean,
     castFailOnError: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryCodegen {
 
   @transient private lazy val steps: Array[PathStep] = VariantPath.parse(path)
 

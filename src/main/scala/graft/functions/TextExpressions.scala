@@ -49,7 +49,7 @@ object Hash64 {
   * with empty/NULL token arrays yield NULL (no signature).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryCodegen {
   require(numHashes > 0 && numHashes <= 1024, s"numHashes out of range: $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -103,7 +103,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * majority vote over token hashes; Hamming distance between signatures
   * approximates (1 - cosine) of the token multisets.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -151,7 +151,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * `jaccard`-style overlap joins or explode+group inverted indexes.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryCodegen {
   require(k >= 2 && k <= 64, s"gram size out of range: $k")
   require(w >= 1 && w <= 256, s"window size out of range: $w")
 
@@ -221,7 +221,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 /** `hash64(str[, seed])`: the raw deterministic hash, exposed for
   * fingerprinting and bucketing.
   */
-case class StringHash64(child: Expression, seed: Long) extends UnaryExpression with CodegenFallback {
+case class StringHash64(child: Expression, seed: Long) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "hash64"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

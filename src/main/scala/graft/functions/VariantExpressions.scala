@@ -35,7 +35,7 @@ object VariantSchema {
   * non-string input rejected at analysis (json.rs:108-112).
   */
 case class VariantFromJson(child: Expression, failOnError: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryCodegen {
 
   override def dataType: DataType = VariantSchema.TYPE
   override def nullable: Boolean = true
@@ -205,7 +205,7 @@ case class VariantGet(
     child: Expression,
     path: String,
     targetType: DataType,
-    failOnError: Boolean = false) extends UnaryExpression with CodegenFallback {
+    failOnError: Boolean = false) extends UnaryExpression with GraftUnaryCodegen {
 
   @transient private lazy val steps: Array[PathStep] = VariantPath.parse(path)
 
@@ -233,7 +233,7 @@ case class VariantGet(
 }
 
 /** `variant_typeof(v)`: human-readable type of the variant root. */
-case class VariantTypeOf(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VariantTypeOf(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
     if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
@@ -271,7 +271,7 @@ case class IsVariantNull(child: Expression) extends UnaryExpression with Codegen
 /** `variant_to_json(v)`: compact JSON text of the whole variant (parity
   * extension — inverse of the reference's only kernel).
   */
-case class VariantToJson(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VariantToJson(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = StringType
   override def prettyName: String = "variant_to_json"
   override def checkInputDataTypes(): TypeCheckResult =
@@ -291,7 +291,7 @@ case class VariantToJson(child: Expression) extends UnaryExpression with Codegen
   * array, map<string,_>) as a variant — parity extension enabling
   * variant creation from relational data (SURVEY §3.2 "writer path").
   */
-case class ToVariant(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ToVariant(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = VariantSchema.TYPE
   override def prettyName: String = "to_variant"
 

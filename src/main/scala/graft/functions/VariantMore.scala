@@ -64,7 +64,7 @@ case class VariantExplode(child: Expression)
 /** `variant_keys(v)`: the root object's key names in dictionary (sorted
   * UTF-8) order; NULL for non-objects.
   */
-case class VariantKeys(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VariantKeys(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "variant_keys"
   override def checkInputDataTypes(): TypeCheckResult =
@@ -92,7 +92,7 @@ case class VariantKeys(child: Expression) extends UnaryExpression with CodegenFa
 /** `variant_size(v)`: field count for objects, element count for arrays,
   * NULL for scalars.
   */
-case class VariantSize(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VariantSize(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "variant_size"
   override def checkInputDataTypes(): TypeCheckResult =
@@ -113,7 +113,7 @@ case class VariantSize(child: Expression) extends UnaryExpression with CodegenFa
 /** `schema_of_variant(v)`: render the inferred type of one variant value
   * (e.g. `object<k: bigint>`).
   */
-case class SchemaOfVariant(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SchemaOfVariant(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = StringType
   override def prettyName: String = "schema_of_variant"
   override def checkInputDataTypes(): TypeCheckResult =

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * replace (and to the DuckDB list-reduction oracle).
   */
 case class CosineSimFloat(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with GraftBinaryCodegen {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
@@ -74,7 +74,7 @@ case class CosineSimFloat(left: Expression, right: Expression)
   * with every probe.
   */
 case class HyperplaneBucket(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryCodegen {
   require(bits > 0 && bits <= 30, s"bits out of range: $bits")
 
   override def dataType: DataType = IntegerType
@@ -122,7 +122,7 @@ case class HyperplaneBucket(child: Expression, bits: Int)
   * not once per pair.
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with GraftBinaryCodegen {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
