@@ -108,6 +108,18 @@ object Queries {
              |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t
              |GROUP BY key ORDER BY key""".stripMargin)),
 
+    // grouping directly ON the variant column: legal because our object
+    // encoding is canonical (identical content → identical bytes,
+    // SURVEY §2.2 set-ops note)
+    QueryDef("v_group_by_variant",
+      (s, d) => parsedEvents(s, d)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+        .select(vf.variant_get(col("v"), "$.k", LongType).as("k"), col("n"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+             |FROM events GROUP BY props ORDER BY k""".stripMargin)),
+
     QueryDef("v_keys_size",
       (s, d) => parsedEvents(s, d)
         .select(col("event_id"),

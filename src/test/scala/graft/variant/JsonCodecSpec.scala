@@ -127,6 +127,22 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(o.getField(0).getLong == 2L)
   }
 
+  test("wide objects and long arrays through the JSON path (is_large + wide ids)") {
+    val obj = (0 until 300).map(i => f""""k$i%04d": $i""").mkString("{", ", ", "}")
+    val (meta, v) = parse(obj)
+    val o = v.getObject
+    assert(o.isLarge && o.numElements == 300)
+    (0 until 300 by 37).foreach { i =>
+      assert(o.getField(meta.findKey(f"k$i%04d")).getLong == i.toLong)
+    }
+    val arr = (0 until 400).mkString("[", ", ", "]")
+    val (_, va) = parse(arr)
+    assert(va.getArray.isLarge && va.getArray.numElements == 400)
+    assert(va.getArray.elementAt(399).getLong == 399L)
+    assert(roundTrip(obj) == TestJson.canonical(obj))
+    assert(roundTrip(arr) == arr.replace(" ", ""))
+  }
+
   test("duplicate keys across nesting levels dedup in metadata") {
     val (meta, v) = parse("""{"a": {"a": {"a": 1}}}""")
     assert(meta.dictionarySize == 1)
