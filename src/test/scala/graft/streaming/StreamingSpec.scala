@@ -79,6 +79,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("multi-batch stream: state accumulates across micro-batches and matches batch") {
+    import org.apache.spark.sql.types.LongType
+    import graft.functions.{VariantFunctions => vf}
+    // split events into 4 files, feed one file per micro-batch
+    val stage = Files.createTempDirectory("graft_stream_multi_").toString
+    val ev = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("v", vf.variant_from_json(col("props")))
+    val agg = stream.groupBy(col("event_type"))
+      .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("multi_batch").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.length
+    q.stop()
+    assert(batches >= 4, s"expected >=4 micro-batches, saw $batches")
+    val streamed = spark.table("multi_batch")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.SparkEntry.entry(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState: per-user running event count with custom state") {
     val stage = stageEvents()
     val counted = eventsStream(stage)
