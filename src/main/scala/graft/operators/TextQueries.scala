@@ -128,6 +128,32 @@ object TextQueries {
              |        / len(list_distinct(a.t || b.t)) >= 0.7
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // BPE-ish subword token estimate: letter runs / digit runs /
+    // punctuation runs with leading-space folding — a regex both Java
+    // and RE2 (DuckDB) interpret identically.
+    QueryDef("d_bpe_tokens",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(size(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS BIGINT)")
+            .as("n_bpe"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal: byte-histogram features are REAL computation (entropy,
+    // moments); rows-only check (per-byte loops are not SQL-expressible
+    // in the oracle), unit-tested instead.
+    QueryDef("mm_features",
+      (s, d) => Multimodal.blobFeatures(s, documents(s, d)),
+      None),
+
+    // Multimodal decode→resize→frame-sample pipeline (decode stubbed,
+    // the rest real arithmetic over bytes).
+    QueryDef("mm_pipeline",
+      (s, d) => Multimodal.pipeline(s, documents(s, d)),
+      None),
+
     // Multimodal plumbing: opaque binary column + typed metadata via a
     // stubbed decoder (real image/audio libs absent in this container —
     // the Spark-side schema/partitioning/batch shape is the real part).
@@ -143,12 +169,19 @@ object TextQueries {
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.
-  * The decode is a deterministic STUB (no codec libs in-container); the
-  * Spark plumbing — binary columns, per-partition batch iteration, typed
-  * output schema — is real and is what matters at scale.
+  * The codec DECODE step is a deterministic STUB (no image/audio libs
+  * in-container); feature extraction, resize bookkeeping, and frame
+  * sampling are real byte-level computations. The Spark plumbing —
+  * binary columns, per-partition batch iteration, typed output schemas,
+  * array-of-binary frames — is the part that matters at scale.
   */
 object Multimodal {
   case class BlobMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)
+  case class BlobFeatures(doc_id: Long, entropy: Double, mean_byte: Double,
+                          distinct_bytes: Int, histogram_top: Int)
+  case class ResizedMeta(doc_id: Long, src_w: Long, src_h: Long,
+                         dst_w: Long, dst_h: Long, scale: Double)
+  case class FrameSample(doc_id: Long, n_frames: Int, sampled: Seq[Array[Byte]])
 
   /** STUB decoder: in production this would call an image codec per
     * batch; here metadata is derived deterministically from the bytes.
@@ -163,12 +196,89 @@ object Multimodal {
     BlobMeta(id, n, 64 + n % 512, 64 + (n * 7) % 512, fmt)
   }
 
+  /** REAL byte-level feature extraction: histogram, entropy, moments —
+    * the shape of a per-blob featurizer (a neural encoder would slot in
+    * at the same place with the same partitioning).
+    */
+  def extractFeatures(id: Long, bytes: Array[Byte]): BlobFeatures = {
+    val hist = new Array[Int](256)
+    var i = 0
+    var sum = 0.0
+    while (i < bytes.length) {
+      hist(bytes(i) & 0xff) += 1
+      sum += (bytes(i) & 0xff)
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    var entropy = 0.0
+    var distinct = 0
+    var top = 0
+    i = 0
+    while (i < 256) {
+      if (hist(i) > 0) {
+        distinct += 1
+        val pr = hist(i).toDouble / n
+        entropy -= pr * math.log(pr) / math.log(2)
+        if (hist(i) > hist(top)) top = i
+      }
+      i += 1
+    }
+    BlobFeatures(id, entropy, sum / n, distinct, top)
+  }
+
+  /** Resize bookkeeping from the stub-decoded dimensions: target fit
+    * into maxDim preserving aspect ratio (the arithmetic a real resampler
+    * needs before touching pixels).
+    */
+  def resizeMeta(meta: BlobMeta, maxDim: Long = 128L): ResizedMeta = {
+    val scale = math.min(1.0, maxDim.toDouble / math.max(meta.width, meta.height))
+    ResizedMeta(meta.doc_id, meta.width, meta.height,
+      math.max(1L, math.round(meta.width * scale)),
+      math.max(1L, math.round(meta.height * scale)), scale)
+  }
+
+  /** Frame sampling for "video" blobs: fixed-size frames, every k-th
+    * kept — array<binary> output, the batch shape a downstream encoder
+    * consumes.
+    */
+  def sampleFrames(id: Long, bytes: Array[Byte], frameSize: Int = 64, every: Int = 4): FrameSample = {
+    val nFrames = (bytes.length + frameSize - 1) / frameSize
+    val sampled = (0 until nFrames by every).map { f =>
+      java.util.Arrays.copyOfRange(bytes, f * frameSize,
+        math.min((f + 1) * frameSize, bytes.length))
+    }
+    FrameSample(id, nFrames, sampled)
+  }
+
+  private def blobs(docs: DataFrame) =
+    docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
+
   def blobMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
-      .as[(Long, Array[Byte])]
+    blobs(docs).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
       .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  def blobFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs(docs).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => extractFeatures(id, bytes) })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs(docs).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta = decodeStub(id, bytes)
+        val rs = resizeMeta(meta)
+        val frames = sampleFrames(id, bytes)
+        (id, meta.fmt, rs.dst_w, rs.dst_h, frames.n_frames, frames.sampled.length)
+      })
+      .toDF("doc_id", "fmt", "dst_w", "dst_h", "n_frames", "n_sampled")
       .orderBy(col("doc_id"))
   }
 }

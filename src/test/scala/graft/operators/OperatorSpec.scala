@@ -130,6 +130,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("multimodal feature extraction: entropy/moments are real and deterministic") {
+    val uniform = Multimodal.extractFeatures(1L, Array.tabulate[Byte](256)(_.toByte))
+    assert(math.abs(uniform.entropy - 8.0) < 1e-9) // 256 distinct bytes = 8 bits
+    assert(uniform.distinct_bytes == 256)
+    val constant = Multimodal.extractFeatures(2L, Array.fill[Byte](100)(65))
+    assert(constant.entropy == 0.0 && constant.distinct_bytes == 1 && constant.mean_byte == 65.0)
+  }
+
+  test("multimodal resize preserves aspect ratio; frame sampling covers the blob") {
+    val meta = Multimodal.BlobMeta(1L, 1000L, 512L, 256L, "png")
+    val rs = Multimodal.resizeMeta(meta, maxDim = 128L)
+    assert(rs.dst_w == 128L && rs.dst_h == 64L && rs.scale == 0.25)
+    val fs = Multimodal.sampleFrames(1L, new Array[Byte](1000), frameSize = 64, every = 4)
+    assert(fs.n_frames == 16 && fs.sampled.length == 4)
+    assert(fs.sampled.head.length == 64)
+  }
+
   test("multimodal stub decode emits typed metadata per blob") {
     val out = Multimodal.blobMeta(spark, docs.limit(5)).collect()
     assert(out.length == 5)
