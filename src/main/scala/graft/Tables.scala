@@ -27,9 +27,13 @@ object Tables {
     * Integer division (DIV), not `/`: epoch nanos ≈ 1.7e18 exceed a
     * double's 53-bit mantissa, so float division silently loses µs.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // defensive: the driver may hand us a session without our configs
+    // (nanosAsLong is a runtime SQLConf, safe to set here)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Session defaults every entry point should apply. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b

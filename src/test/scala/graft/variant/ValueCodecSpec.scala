@@ -173,6 +173,43 @@ class ValueCodecSpec extends AnyFunSuite {
     assert(o.getField(meta.findKey("k0199")).getLong == 2L)
   }
 
+  test("reader accepts reference-style encodings our writer never emits") {
+    // The reference writer always uses Int64 for integers and the long
+    // string form (write.rs:29-33, 60-65); our writer picks narrower
+    // encodings. The reader must accept both. Hand-craft the reference
+    // forms byte-by-byte:
+    import VariantConst._
+    val b = new ByteBuf()
+    // int64-encoded 5: header (6<<2|0), 8 LE bytes
+    b.addByte(primitiveHeader(P_INT64)); b.addIntLE(5L, 8)
+    val i64 = new VariantView(b.result(), 0)
+    assert(i64.isLong && i64.getLong == 5L)
+
+    val s = new ByteBuf()
+    // long-string-encoded "hi": header (16<<2|0), 4-byte LE len, bytes
+    s.addByte(primitiveHeader(P_LONG_STR)); s.addIntLE(2, 4)
+    s.addBytes("hi".getBytes("UTF-8"))
+    val str = new VariantView(s.result(), 0)
+    assert(str.isString && str.getString == "hi")
+
+    // object with one int64 field, 1-byte ids/offsets (reference frame):
+    // header bits: is_large=0, id_size=1, offset_size=1 → value_header 0
+    val o = new ByteBuf()
+    o.addByte(header(0, BASIC_OBJECT))
+    o.addByte(1) // count
+    o.addByte(0) // field id 0
+    o.addByte(0); o.addByte(9) // offsets 0, 9 (int64 value = 9 bytes)
+    o.addByte(primitiveHeader(P_INT64)); o.addIntLE(42L, 8)
+    val (metaBytes, _) = VariantMetadata.build(java.util.List.of("answer"))
+    val meta = new MetadataView(metaBytes, 0)
+    val obj = new VariantView(o.result(), 0).getObject
+    assert(obj.numElements == 1 && obj.getField(meta.findKey("answer")).getLong == 42L)
+    // trailing junk after the value buffer is tolerated (reference
+    // read-path property, metadata.rs:95-96)
+    val padded = o.result() ++ Array.fill[Byte](7)(0x55)
+    assert(new VariantView(padded, 0).getObject.getField(0).getLong == 42L)
+  }
+
   test("sizeInBytes matches encoded extent for nested values") {
     val buf = new ByteBuf()
     val ab = new VariantArrayBuilder(buf)
