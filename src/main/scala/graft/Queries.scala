@@ -381,6 +381,33 @@ object Queries {
              |       COUNT(DISTINCT l_suppkey) AS d_supps, COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // As-of join (most recent click at or before each purchase, per
+    // user): composed union+window single-shuffle plan vs DuckDB's
+    // native ASOF LEFT JOIN.
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Joins.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+            Map("event_id" -> "click_id", "ts" -> "click_ts"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_ts"),
+            col("click_id"),
+            unix_micros(col("click_ts")).as("c_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
+             |       c.click_id, epoch_us(c.ts) AS c_ts
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // HLL sketch (approx_count_distinct): approximate by design, so no
     // byte-exact oracle; the smoke spec bounds its error vs the exact
     // count instead.

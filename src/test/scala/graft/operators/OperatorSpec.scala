@@ -122,6 +122,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(again == sql1)
   }
 
+  test("asofJoin: most recent right row at or before each left row; null when none") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq(
+      (1L, 10L, ts(100)), // after r@50 → matches 50
+      (2L, 10L, ts(300)), // after r@250 → matches 250
+      (3L, 20L, ts(100)), // key 20 has right only at 200 → null
+      (4L, 20L, ts(200))  // equality included → matches 200
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts(50)),
+      (102L, 10L, ts(250)),
+      (103L, 20L, ts(200))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Joins.asofJoin(left, right, "user_id", "ts", "ts",
+        Map("event_id" -> "click_id"))
+      .select("event_id", "click_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 101L, 2L -> 102L, 3L -> null, 4L -> 103L))
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val out = df.groupBy(md5(col("text")).as("fp"))
