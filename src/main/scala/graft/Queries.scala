@@ -408,6 +408,21 @@ object Queries {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Range (interval) join: pairs of events of the same user within 60
+    // seconds, via bucketized equi-join (no theta-join blowup).
+    QueryDef("q_range_join",
+      (s, d) => graft.operators.Joins
+        .rangeJoinPairs(events(s, d), "user_id", "ts", 60L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id")),
+      Some("""SELECT a.user_id, COUNT(*) AS n_pairs
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+             | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 60 SECOND
+             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
+
     // HLL sketch (approx_count_distinct): approximate by design, so no
     // byte-exact oracle; the smoke spec bounds its error vs the exact
     // count instead.

@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Time-range self/pair join: all (a, b) with the same key and
+    * `0 < b.ts - a.ts <= window`. A naive theta join is O(|key group|²)
+    * *scanned* per partition with no pruning; bucketizing `ts` to
+    * `window`-sized cells and exploding the right side into its cell and
+    * the preceding one turns it into an equi-join on (key, cell) — each
+    * qualifying pair is produced exactly once, and the shuffle key
+    * carries the time locality. This is the composition pattern for
+    * interval joins at scale (cf. Flink interval joins / range-bucketing).
+    *
+    * @param windowMicros match window in microseconds (ts columns are
+    *                     TimestampType)
+    */
+  def rangeJoinPairs(events: DataFrame, key: String, tsCol: String,
+                     windowMicros: Long): DataFrame = {
+    val cell = (c: Column) => floor(unix_micros(c) / lit(windowMicros))
+    val a = events.select(col(key), col(tsCol).as("ts_a"))
+      .withColumn("_cell", cell(col("ts_a")))
+    val b = events.select(col(key), col(tsCol).as("ts_b"))
+      .withColumn("_cell_real", cell(col("ts_b")))
+      .withColumn("_cell", explode(array(col("_cell_real") - 1, col("_cell_real"))))
+      .drop("_cell_real")
+    a.join(b, Seq(key, "_cell"))
+      .filter(unix_micros(col("ts_b")) > unix_micros(col("ts_a")) &&
+        unix_micros(col("ts_b")) <= unix_micros(col("ts_a")) + windowMicros)
+      .drop("_cell")
+  }
+
   /** @param left      left rows (keep all their columns)
     * @param right     right rows; `rightCols` are carried onto matches
     * @param key       equi-join key column name (both sides)

@@ -145,6 +145,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map(1L -> 101L, 2L -> 102L, 3L -> null, 4L -> 103L))
   }
 
+  test("rangeJoinPairs: exactly the pairs within the window, each once (incl. cell-boundary pairs)") {
+    import java.sql.Timestamp
+    def ts(us: Long) = new Timestamp(us / 1000) // ms precision is enough here
+    val w = 60L * 1000000L
+    val ev = Seq(
+      (10L, ts(0L)),
+      (10L, ts(59L * 1000000L)),  // same cell as 0 → pair (0, 59s)
+      (10L, ts(61L * 1000000L)),  // next cell; 59→61 within 60s (boundary cross)
+      (10L, ts(200L * 1000000L)), // isolated
+      (20L, ts(30L * 1000000L))   // other key
+    ).toDF("user_id", "ts")
+    val pairs = Joins.rangeJoinPairs(ev, "user_id", "ts", w)
+      .select("user_id", "ts_a", "ts_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000))
+      .toSet
+    assert(pairs == Set((10L, 0L, 59L), (10L, 59L, 61L)), pairs)
+    // no duplicates: count equals set size
+    assert(Joins.rangeJoinPairs(ev, "user_id", "ts", w).count() == 2)
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val out = df.groupBy(md5(col("text")).as("fp"))
