@@ -34,11 +34,12 @@ trait GraftBinaryCodegen { self: BinaryExpression =>
     val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val res = ctx.freshName("graftRes")
+      val nullHandling =
+        if (nullable) s"if ($res == null) { ${ev.isNull} = true; } else"
+        else "" // non-nullable: ev.isNull is a literal, not assignable
       s"""
          |Object $res = $ref.evalChildValues($l, $r);
-         |if ($res == null) {
-         |  ${ev.isNull} = true;
-         |} else {
+         |$nullHandling {
          |  ${ev.value} = ${GraftCodegen.unboxAssign(dataType, res)};
          |}
        """.stripMargin
@@ -55,11 +56,12 @@ trait GraftUnaryCodegen { self: UnaryExpression =>
     val ref = ctx.addReferenceObj("graftExpr", this, getClass.getName)
     nullSafeCodeGen(ctx, ev, c => {
       val res = ctx.freshName("graftRes")
+      val nullHandling =
+        if (nullable) s"if ($res == null) { ${ev.isNull} = true; } else"
+        else "" // non-nullable: ev.isNull is a literal, not assignable
       s"""
          |Object $res = $ref.evalChildValue($c);
-         |if ($res == null) {
-         |  ${ev.isNull} = true;
-         |} else {
+         |$nullHandling {
          |  ${ev.value} = ${GraftCodegen.unboxAssign(dataType, res)};
          |}
        """.stripMargin

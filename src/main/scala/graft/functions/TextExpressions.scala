@@ -53,6 +53,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   require(numHashes > 0 && numHashes <= 1024, s"numHashes out of range: $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty/all-null token arrays yield NULL
   override def prettyName: String = "minhash_signature"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

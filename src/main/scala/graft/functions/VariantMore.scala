@@ -66,6 +66,7 @@ case class VariantExplode(child: Expression)
   */
 case class VariantKeys(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // non-objects yield NULL
   override def prettyName: String = "variant_keys"
   override def checkInputDataTypes(): TypeCheckResult =
     if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
@@ -94,6 +95,7 @@ case class VariantKeys(child: Expression) extends UnaryExpression with GraftUnar
   */
 case class VariantSize(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // scalars yield NULL
   override def prettyName: String = "variant_size"
   override def checkInputDataTypes(): TypeCheckResult =
     if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess

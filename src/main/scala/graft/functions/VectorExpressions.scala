@@ -19,6 +19,7 @@ case class CosineSimFloat(left: Expression, right: Expression)
     extends BinaryExpression with GraftBinaryCodegen {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // zero-norm vectors yield NULL
   override def prettyName: String = "vec_cosine"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -125,6 +126,7 @@ case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression with GraftBinaryCodegen {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // two empty sets yield NULL
   override def prettyName: String = "jaccard_sorted"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

@@ -57,6 +57,28 @@ object DevSmoke {
     println("=== explain (plan shape) ===")
     agg.explain("formatted")
 
+    println("=== wider surface: explode / schema / keys / dedup / ANN / asof ===")
+    spark.sql(
+      """SELECT key, variant_get(value, '$', 'bigint') AS v
+        |FROM (SELECT variant_explode(variant_from_json('{"b": 2, "a": 1}')))""".stripMargin)
+      .show(truncate = false)
+    spark.sql(
+      """SELECT schema_of_variant(variant_from_json('{"a": [1, 2.5]}')) AS sch,
+        |       variant_keys(variant_from_json('{"z": 1, "a": 2}')) AS ks,
+        |       variant_size(variant_from_json('[1,2,3]')) AS sz,
+        |       simhash64(array('a','b')) AS sh,
+        |       size(winnow_fingerprints('hello world hello world hello')) AS n_fp
+        |""".stripMargin).show(truncate = false)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    println("minhash pairs: " +
+      graft.operators.Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5).count())
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    println("ann topk rows: " +
+      graft.operators.Similarity.bruteForceTopK(emb, probes, 3).count())
+    println("asof rows: " + graft.Queries.queryMap("q_asof_join")(spark, "/root/testdata/sf0.001").count())
+    println("range join rows: " + graft.Queries.queryMap("q_range_join")(spark, "/root/testdata/sf0.001").count())
+
     spark.stop()
   }
 }
