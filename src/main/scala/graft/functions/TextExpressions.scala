@@ -100,6 +100,109 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** `shingle_tokens(text, n)`: whitespace tokenization + word n-gram
+  * shingling in ONE pass. Exists as a native expression because the
+  * `transform(sequence(...), i -> slice(regexp_extract_all(text), ...))`
+  * formulation re-executes the regex per shingle element after Catalyst
+  * inlines the tokens column into the lambda (O(tokens²) regex scans per
+  * document). Shorter-than-n documents yield one shingle of all tokens.
+  */
+case class ShingleTokens(child: Expression, n: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(n >= 1 && n <= 16, s"shingle size out of range: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_tokens expects string, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) words += s.substring(start, i)
+    }
+    val m = words.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val count = math.max(m - n + 1, 1)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder(n * 12)
+    var w = 0
+    while (w < count) {
+      sb.setLength(0)
+      var j = w
+      val end = math.min(w + n, m)
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out(w) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(tokens, k, b)`: LSH band bucket ids computed in ONE
+  * pass — slot signature then one combined hash per band of r = k/b
+  * consecutive slots. Exists as a single expression because computing
+  * `hash(slice(sig, ...))` per band in a lambda makes Catalyst inline
+  * the signature expression into every band slice after project
+  * collapse — k×b hashing per row instead of k.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(numHashes % bands == 0, "numHashes must divide into bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty/all-null token arrays yield NULL
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<string>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val sigExpr = MinHashSignature(child, numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = sigExpr.nullSafeEval(input)
+    if (sig == null) return null
+    val slots = sig.asInstanceOf[ArrayData]
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Hash64.mix(b.toLong + 0x51_7c_c1_b7_27_22_0a_95L)
+      var j = 0
+      while (j < r) {
+        h = Hash64.mix(h ^ slots.getLong(b * r + j))
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)`: 64-bit SimHash of a string array — per-bit
   * majority vote over token hashes; Hamming distance between signatures
   * approximates (1 - cosine) of the token multisets.

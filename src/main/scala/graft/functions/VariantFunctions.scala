@@ -39,6 +39,8 @@ object VariantFunctions {
   def schema_of_variant_agg(c: Column): Column =
     col(SchemaOfVariantAgg(expr(c)).toAggregateExpression())
   def minhash_signature(c: Column, k: Int): Column = col(MinHashSignature(expr(c), k))
+  def minhash_bands(c: Column, k: Int, bands: Int): Column = col(MinHashBands(expr(c), k, bands))
+  def shingle_tokens(c: Column, n: Int): Column = col(ShingleTokens(expr(c), n))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
   def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))

@@ -31,40 +31,54 @@ object Dedup {
     expr(s"transform(sequence(0, greatest(size($tokensCol) - $n, 0)), " +
       s"i -> concat_ws(' ', slice($tokensCol, i + 1, $n)))")
 
-  /** docs(id, tokens) → candidate pairs (id_a < id_b) that share ≥ 1 LSH
-    * band bucket, with their exact token Jaccard.
+  /** docs(id, toks) → candidate id pairs (id_a < id_b) sharing ≥ 1 LSH
+    * band bucket; verification is the caller's job (minhashDedup).
     */
   def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val sig = docs.withColumn("sig", vf.minhash_signature(col("toks"), numHashes))
-      .filter(col("sig").isNotNull)
-    // band id + hash of the band's slice of the signature = bucket key
-    val banded = sig.select(col("id"), col("toks"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
-          .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("toks").as("toks_b"))
+    // Single-expression banding: signature + per-band bucket hash in one
+    // eval (a lambda over slice(sig, ...) would re-evaluate the
+    // signature once per band after project collapse).
+    // The exploded rows carry ONLY (id, band, bucket): shuffling the
+    // token arrays bands-times per doc costs more than the whole rest of
+    // the pipeline; tokens rejoin the (small) surviving candidate set
+    // afterwards.
+    val banded = docs
+      .withColumn("bandArr", graft.functions.VariantFunctions.minhash_bands(
+        col("toks"), numHashes, bands))
+      .filter(col("bandArr").isNotNull)
+      .select(col("id"), posexplode(col("bandArr")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jac",
-        graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
   }
 
   /** Exact-verified near-dups above `threshold` from the LSH candidates,
-    * over `shingleSize`-gram shingle sets.
+    * over `shingleSize`-gram shingle sets. The expensive shingle+
+    * signature map runs ONCE over the corpus; exact verification
+    * re-derives shingles only for the (tiny) candidate pair set.
     */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"), tokens(textCol).as("words"))
-      .select(col("id"),
-        array_sort(array_distinct(shingles("words", shingleSize))).as("toks"))
-    minhashCandidates(toks, numHashes, bands)
+    val raw = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    def sortedShinglesOf(c: String): Column = array_sort(array_distinct(
+      graft.functions.VariantFunctions.shingle_tokens(col(c), shingleSize)))
+    val toks = raw
+      // a small input file arrives as ONE partition; spread rows before
+      // the CPU-heavy shingle+signature map or it runs single-threaded
+      .repartition(col("id"))
+      .select(col("id"), sortedShinglesOf("text").as("toks"))
+    val cand = minhashCandidates(toks, numHashes, bands)
+    cand
+      .join(raw.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(raw.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jac",
+        graft.functions.VariantFunctions.jaccard_sorted(
+          sortedShinglesOf("text_a"), sortedShinglesOf("text_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }

@@ -96,21 +96,28 @@ object TextQueries {
     // coarser LSH bucket; see MinHash operators for the approximate path).
     QueryDef("d_ngram_jaccard",
       (s, d) => {
-        // tokenize+sort ONCE per doc; per-pair work is a single merge
-        // pass (jaccard_sorted) — no per-pair hash sets. One side of the
-        // block join is broadcast (documents are the small side here; at
-        // 100 TB the blocks come from LSH buckets and both sides shuffle
-        // on the block key).
-        val docs = documents(s, d)
-          .select(col("doc_id"), col("source"),
-            array_sort(array_distinct(tokens("text"))).as("toks"))
-        val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-        val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-        // no broadcast hint: AQE broadcasts while the block table is
-        // small and falls back to a shuffle join on the block key when
-        // it isn't — the behavior that survives a 1000× scale-up
+        // Pair enumeration runs on NARROW (source, id) rows — the block
+        // self-join never shuffles token arrays (pair-count × array-size
+        // shuffle bytes dominate everything else). Tokens are sorted
+        // once per doc and attach to the pairs afterwards; AQE picks
+        // broadcast for the small token table and falls back to a
+        // shuffle join when it isn't — the behavior that survives a
+        // 1000× scale-up. Per-pair work is one merge pass
+        // (jaccard_sorted), no per-pair hash sets.
+        val base = documents(s, d)
+        val ids = base.select(col("doc_id"), col("source"))
+        val toksTable = base
+          .select(col("doc_id"), array_sort(array_distinct(tokens("text"))).as("toks"))
+        val a = ids.select(col("source"), col("doc_id").as("doc_a"))
+        val b = ids.select(col("source"), col("doc_id").as("doc_b"))
         a.join(b, Seq("source"))
           .filter(col("doc_a") < col("doc_b"))
+          // pairs inherit the block-key partitioning (few distinct
+          // sources → few active tasks); respread before the per-pair
+          // merge work so all cores participate
+          .repartition(col("doc_a"), col("doc_b"))
+          .join(toksTable.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+          .join(toksTable.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
           .withColumn("jac",
             graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
           .filter(col("jac") >= 0.7)

@@ -58,6 +58,11 @@ object PerfProbe {
         .write.mode("overwrite").format("noop").save()
     }
 
+    for (i <- 1 to 2) time(s"d_minhash_lsh run $i") {
+      graft.Queries.queryMap("d_minhash_lsh")(spark, d)
+        .write.mode("overwrite").format("noop").save()
+    }
+
     val filterQ = parsed
       .withColumn("k", vf.variant_get(col("v"), "$.k", LongType))
       .filter(col("k") > 90)
