@@ -108,6 +108,18 @@ object Queries {
              |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t
              |GROUP BY key ORDER BY key""".stripMargin)),
 
+    // Auto-shredding: schema_of_variant_agg infers the field set, the
+    // fields materialize as typed columns, and the aggregate runs on the
+    // shredded column (same oracle as the unshredded path).
+    QueryDef("v_auto_shred",
+      (s, d) => graft.operators.Shred.autoShred(parsedEvents(s, d), "v")
+        .groupBy(col("event_type"))
+        .agg(sum(col("v_k")).as("k_sum"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // grouping directly ON the variant column: legal because our object
     // encoding is canonical (identical content → identical bytes,
     // SURVEY §2.2 set-ops note)

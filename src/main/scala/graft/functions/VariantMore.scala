@@ -139,6 +139,7 @@ case class SchemaOfVariant(child: Expression) extends UnaryExpression with Graft
   */
 case class SchemaOfVariantAgg(
     child: Expression,
+    renderOutput: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[SchemaInfer.SType] with UnaryLike[Expression] {
@@ -170,7 +171,8 @@ case class SchemaOfVariantAgg(
     SchemaInfer.merge(a, b)
 
   override def eval(buffer: SchemaInfer.SType): Any =
-    UTF8String.fromString(buffer.render)
+    UTF8String.fromString(
+      if (renderOutput) buffer.render else SchemaInfer.serialize(buffer))
 
   override def serialize(buffer: SchemaInfer.SType): Array[Byte] =
     SchemaInfer.serialize(buffer).getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -41,6 +41,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("shredded variant fields get parquet filter pushdown; raw variant does not") {
+    import graft.functions.{VariantFunctions => vf}
+    import graft.operators.Shred
+    val dir = tmp("graft_shred_")
+    val parsed = Tables.events(spark, TestSpark.SF)
+      .withColumn("v", vf.variant_from_json(col("props")))
+    val fields = Shred.inferFields(parsed, "v")
+    assert(fields == Seq(("$.k", org.apache.spark.sql.types.LongType, "v_k")), fields)
+    Shred.autoShred(parsed, "v")
+      .select("event_id", "v", "v_k")
+      .write.mode("overwrite").parquet(s"$dir/shredded")
+    val back = spark.read.parquet(s"$dir/shredded")
+    val plan = back.filter(col("v_k") > 90).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v_k), GreaterThan(v_k,90)]"), plan)
+    // shredded result equals extracting from the variant column
+    val a = back.filter(col("v_k") > 90).count()
+    val b = back.filter(
+      vf.variant_get(col("v"), "$.k", org.apache.spark.sql.types.LongType) > 90).count()
+    assert(a == b && a > 0)
+  }
+
   test("partitioned parquet write: partition filter prunes the scan") {
     val dir = tmp("graft_part_")
     Tables.events(spark, TestSpark.SF)
