@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet => SparkVG}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Differential testing against Spark 4.1's built-in variant
+  * implementation (SURVEY §1.6: the built-in is the differential oracle,
+  * not our storage type). Where semantics coincide — everything except
+  * the reference's top-level-null rule — extraction through our codec
+  * must equal extraction through Spark's.
+  */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def builtinGet(jsonCol: String, path: String, dt: DataType) =
+    Bridge.column(SparkVG(
+      Bridge.expression(Bridge.column(ParseJson(Bridge.expression(col(jsonCol)), true))),
+      Literal.create(path), dt, true, None))
+
+  private def oursGet(jsonCol: String, path: String, dt: DataType) =
+    VariantFunctions.variant_get(
+      VariantFunctions.variant_from_json(col(jsonCol)), path, dt)
+
+  test("events corpus: long/string extraction equals Spark built-in") {
+    val ev = graft.Tables.events(spark, TestSpark.SF).select(col("props").as("j"))
+    val diff = ev.select(
+        oursGet("j", "$.k", LongType).as("ours"),
+        builtinGet("j", "$.k", LongType).as("theirs"))
+      .filter(!(col("ours") <=> col("theirs")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("generated JSON corpus: typed extraction equals Spark built-in") {
+    // Field types are fixed per path: JSON float formatting is a KNOWN
+    // divergence (the reference maps floats to Float64, json.rs:26-33;
+    // Spark's parse_json normalizes exact decimals, so '-1.0' renders
+    // '-1' there) — numeric leaves compare as DOUBLE, string leaves as
+    // STRING.
+    val genLong: Gen[String] = Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_.toString)
+    val genStr: Gen[String] = Gen.alphaNumStr.map(s => "\"" + s + "\"")
+    val genMixed: Gen[String] = Gen.oneOf(genStr, Gen.oneOf("true", "false", "null"))
+    val genDoc: Gen[String] = for {
+      a <- Gen.chooseNum(-1e9, 1e9)
+      b <- genStr; c <- genMixed
+      d0 <- genStr; d2 <- genLong
+    } yield s"""{"a": $a, "b": {"c": $b}, "d": [$d0, null, $d2], "e": $c}"""
+
+    var seed = Seed(7L)
+    val docs = (1 to 120).flatMap { i =>
+      val r = genDoc.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      r
+    }
+    val df = docs.toDF("j")
+    df.cache().count()
+    val cases: Seq[(String, DataType)] = Seq(
+      ("$.a", DoubleType),
+      ("$.b.c", StringType), ("$.d[0]", StringType), ("$.d[2]", LongType),
+      ("$.e", StringType), ("$.missing", StringType), ("$.d[9]", StringType))
+    for ((path, dt) <- cases) {
+      // try-mode on both sides: cast mismatches become NULL rather than
+      // error, so every generated doc is comparable
+      val ours = VariantFunctions.variant_get(
+        VariantFunctions.try_variant_from_json(col("j")), path, dt)
+      val theirs = Bridge.column(SparkVG(
+        Bridge.expression(Bridge.column(ParseJson(Bridge.expression(col("j")), true))),
+        Literal.create(path), dt, false, None))
+      val mismatches = df.select(col("j"), ours.as("ours"), theirs.as("theirs"))
+        .filter(!(col("ours") <=> col("theirs")))
+        .collect()
+      assert(mismatches.isEmpty,
+        s"path $path as $dt: ${mismatches.take(3).mkString("; ")}")
+    }
+    df.unpersist()
+  }
+}
