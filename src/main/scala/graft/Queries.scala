@@ -445,6 +445,48 @@ object Queries {
         .orderBy(col("l_returnflag")),
       None),
 
+    // exact interpolated percentiles: same p*(n-1) definition in Spark's
+    // percentile() and DuckDB's quantile_cont
+    QueryDef("q_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |       quantile_cont(l_quantity, 0.5) AS p50,
+             |       quantile_cont(l_quantity, 0.95) AS p95,
+             |       MIN(l_quantity) AS qmin,
+             |       MAX(l_quantity) AS qmax
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // string/date/math scalar-function parity sweep
+    QueryDef("q_scalar_funcs",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 5)).as("pri5"),
+          length(col("o_orderstatus")).cast("long").as("st_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          (col("o_orderkey") % 7).as("k_mod"),
+          abs(col("o_totalprice") * -1).as("abs_price"),
+          round(col("o_totalprice") / 100, 1).as("hundredths"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |       upper(substring(o_orderpriority, 1, 5)) AS pri5,
+             |       CAST(length(o_orderstatus) AS BIGINT) AS st_len,
+             |       concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+             |       CAST(year(o_orderdate) AS BIGINT) AS y,
+             |       CAST(month(o_orderdate) AS BIGINT) AS m,
+             |       o_orderkey % 7 AS k_mod,
+             |       abs(o_totalprice * -1) AS abs_price,
+             |       round(o_totalprice / 100, 1) AS hundredths
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("q_broadcast_join",
       (s, d) => nation(s, d)
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))

@@ -143,6 +143,16 @@ class JsonCodecSpec extends AnyFunSuite {
     assert(roundTrip(arr) == arr.replace(" ", ""))
   }
 
+  test("deep nesting (500 levels) round-trips without stack issues") {
+    val depth = 500
+    val json = ("""{"a": """ * depth) + "1" + ("}" * depth)
+    val (meta, v) = parse(json)
+    var cur = v
+    (0 until depth).foreach { _ => cur = cur.getObject.getField(meta.findKey("a")) }
+    assert(cur.getLong == 1L)
+    assert(roundTrip(json) == json.replace(""": """, ":").replace(""" """, ""))
+  }
+
   test("duplicate keys across nesting levels dedup in metadata") {
     val (meta, v) = parse("""{"a": {"a": {"a": 1}}}""")
     assert(meta.dictionarySize == 1)
