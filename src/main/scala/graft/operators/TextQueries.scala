@@ -105,13 +105,19 @@ object TextQueries {
         // 1000× scale-up. Per-pair work is one merge pass
         // (jaccard_sorted), no per-pair hash sets.
         val base = documents(s, d)
-        val ids = base.select(col("doc_id"), col("source"))
+        // distinct-token count rides the narrow pair rows: J(A,B) >= t
+        // forces min(|A|,|B|) >= t*max(|A|,|B|), so size-incompatible
+        // pairs prune BEFORE any token array is attached or merged
+        val ids = base.select(col("doc_id"), col("source"),
+          size(array_distinct(tokens("text"))).as("n_toks"))
         val toksTable = base
           .select(col("doc_id"), array_sort(array_distinct(tokens("text"))).as("toks"))
-        val a = ids.select(col("source"), col("doc_id").as("doc_a"))
-        val b = ids.select(col("source"), col("doc_id").as("doc_b"))
+        val a = ids.select(col("source"), col("doc_id").as("doc_a"), col("n_toks").as("n_a"))
+        val b = ids.select(col("source"), col("doc_id").as("doc_b"), col("n_toks").as("n_b"))
         a.join(b, Seq("source"))
           .filter(col("doc_a") < col("doc_b"))
+          .filter(least(col("n_a"), col("n_b")).cast("double") >=
+            lit(0.7) * greatest(col("n_a"), col("n_b")))
           // pairs inherit the block-key partitioning (few distinct
           // sources → few active tasks); respread before the per-pair
           // merge work so all cores participate
