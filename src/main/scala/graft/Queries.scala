@@ -108,6 +108,22 @@ object Queries {
              |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t
              |GROUP BY key ORDER BY key""".stripMargin)),
 
+    // variant extraction mixed with plain relational columns in one
+    // aggregate (the everyday shape of semi-structured analytics)
+    QueryDef("v_mixed_agg",
+      (s, d) => parsedEvents(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+          sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"),
+          countDistinct(col("user_id")).as("d_users"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+             |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |       COUNT(DISTINCT user_id) AS d_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Auto-shredding: schema_of_variant_agg infers the field set, the
     // fields materialize as typed columns, and the aggregate runs on the
     // shredded column (same oracle as the unshredded path).

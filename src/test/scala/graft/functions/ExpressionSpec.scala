@@ -135,6 +135,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(both.getBoolean(0) && !both.getBoolean(1))
   }
 
+  test("to_variant round-trips the full declared type space (ids the reference left dead)") {
+    val r = sql1(
+      """SELECT variant_get(to_variant(named_struct(
+        |         'ts', TIMESTAMP'2024-06-01 12:34:56.789',
+        |         'bin', CAST('bytes!' AS BINARY),
+        |         'f', CAST(1.25 AS FLOAT),
+        |         'dec', CAST(123.45 AS DECIMAL(10,2)),
+        |         'short', CAST(-7 AS SMALLINT))), '$.ts', 'timestamp') AS ts,
+        |       variant_get(to_variant(named_struct('bin', CAST('bytes!' AS BINARY))), '$.bin', 'binary') AS bin,
+        |       variant_get(to_variant(named_struct('f', CAST(1.25 AS FLOAT))), '$.f', 'double') AS f,
+        |       CAST(variant_get(to_variant(named_struct('dec', CAST(123.45 AS DECIMAL(10,2)))), '$.dec', 'decimal(10,2)') AS STRING) AS dec,
+        |       variant_get(to_variant(named_struct('short', CAST(-7 AS SMALLINT))), '$.short', 'bigint') AS short,
+        |       variant_typeof(variant_get(to_variant(named_struct('ts', TIMESTAMP'2024-06-01 00:00:00')), '$.ts')) AS tname
+        |""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2024-06-01 12:34:56.789")
+    assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == "bytes!")
+    assert(r.getDouble(2) == 1.25)
+    assert(r.getString(3) == "123.45")
+    assert(r.getLong(4) == -7L)
+    assert(r.getString(5) == "timestamp")
+  }
+
   test("variant binary equality is canonical across key order") {
     assert(sql1(
       """SELECT variant_from_json('{"a": 1, "b": 2}') = variant_from_json('{"b": 2, "a": 1}') AS r""")
