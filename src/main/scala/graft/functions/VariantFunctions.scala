@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GeneratorOuter, Literal}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DataType
@@ -33,6 +33,8 @@ object VariantFunctions {
   def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
   def to_variant(c: Column): Column = col(ToVariant(expr(c)))
   def variant_explode(c: Column): Column = col(VariantExplode(expr(c)))
+  def variant_explode_outer(c: Column): Column =
+    col(GeneratorOuter(VariantExplode(expr(c))))
   def variant_keys(c: Column): Column = col(VariantKeys(expr(c)))
   def variant_size(c: Column): Column = col(VariantSize(expr(c)))
   def schema_of_variant(c: Column): Column = col(SchemaOfVariant(expr(c)))
@@ -101,6 +103,9 @@ object VariantFunctions {
     ("variant_explode",
       (es: Seq[Expression]) => VariantExplode(es.head),
       "variant_explode(v) - One row per object field (pos, key, value) or array element (pos, NULL, value)."),
+    ("variant_explode_outer",
+      (es: Seq[Expression]) => GeneratorOuter(VariantExplode(es.head)),
+      "variant_explode_outer(v) - Like variant_explode but emits one all-NULL row for scalars/NULL."),
     ("variant_keys",
       (es: Seq[Expression]) => VariantKeys(es.head),
       "variant_keys(v) - Sorted key names of a variant object; NULL for non-objects."),

@@ -96,6 +96,11 @@ class ExpressionSpec extends AnyFunSuite {
     assert(arr.toSeq == Seq((0, null, 5L), (1, null, 7L)))
     // scalar → zero rows
     assert(spark.sql("SELECT variant_explode(variant_from_json('42'))").count() == 0)
+    // outer variant keeps the row with NULLs for scalars
+    val outer = spark.sql(
+      """SELECT pos, key FROM (SELECT variant_explode_outer(variant_from_json('42')))""")
+      .collect()
+    assert(outer.length == 1 && outer(0).isNullAt(0) && outer(0).isNullAt(1))
   }
 
   test("schema_of_variant and schema_of_variant_agg") {
