@@ -105,6 +105,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup: duplicated input across micro-batches collapses to one copy") {
+    // the same events file lands twice (e.g. at-least-once upstream
+    // delivery); watermarked dropDuplicates keeps state bounded and
+    // emits each event once
+    val stage = Files.createTempDirectory("graft_stream_dup_").toString
+    val src = java.nio.file.Paths.get(s"${TestSpark.SF}/events.parquet")
+    Files.copy(src, java.nio.file.Paths.get(s"$stage/copy1.parquet"))
+    Files.copy(src, java.nio.file.Paths.get(s"$stage/copy2.parquet"))
+    val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("stream_dedup").count()
+    val expected = spark.read.parquet(s"${TestSpark.SF}/events.parquet").count()
+    assert(n == expected, s"streamed $n vs $expected unique events")
+  }
+
   test("flatMapGroupsWithState: per-user running event count with custom state") {
     val stage = stageEvents()
     val counted = eventsStream(stage)
