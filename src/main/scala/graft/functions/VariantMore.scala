@@ -61,6 +61,50 @@ case class VariantExplode(child: Expression)
     copy(child = newChild)
 }
 
+/** `variant_get_multi(v, fields)`: extract MANY paths in one evaluation —
+  * the metadata dictionary is decoded and each frame walked once per
+  * row, not once per field. This is the shredding workhorse: projecting
+  * k fields through k separate `variant_get`s costs k header decodes +
+  * k binary searches per shared path prefix; this costs one.
+  */
+case class VariantGetMulti(
+    child: Expression,
+    fields: Seq[(String, DataType, String)]) extends UnaryExpression with GraftUnaryCodegen {
+  require(fields.nonEmpty, "variant_get_multi needs at least one field")
+
+  @transient private lazy val steps: Array[Array[graft.variant.PathStep]] =
+    fields.map(f => graft.variant.VariantPath.parse(f._1)).toArray
+
+  override def dataType: DataType =
+    StructType(fields.map { case (_, dt, name) => StructField(name, dt, nullable = true) })
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_get_multi"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_get_multi expects a variant struct, got: ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val meta = new MetadataView(row.getBinary(0), 0)
+    val root = new VariantView(row.getBinary(1), 0)
+    val out = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val v = graft.variant.VariantPath.walk(meta, root, steps(i))
+      out(i) =
+        if (v == null) null
+        else VariantExtract.cast(meta, v, fields(i)._2, failOnError = false)
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `variant_keys(v)`: the root object's key names in dictionary (sorted
   * UTF-8) order; NULL for non-objects.
   */

@@ -18,12 +18,20 @@ import org.apache.spark.sql.types._
   */
 object Shred {
 
-  /** Explicit shredding: add a typed column per (path, type, name). */
+  /** Explicit shredding: add a typed column per (path, type, name).
+    * All fields extract through ONE variant_get_multi evaluation —
+    * metadata decode and frame walk are shared across the field set.
+    */
   def shred(df: DataFrame, variantCol: String,
-            fields: Seq[(String, DataType, String)]): DataFrame =
-    fields.foldLeft(df) { case (d, (path, dt, name)) =>
-      d.withColumn(name, vf.variant_get(col(variantCol), path, dt))
-    }
+            fields: Seq[(String, DataType, String)]): DataFrame = {
+    if (fields.isEmpty) return df
+    val multi = Bridge.column(
+      graft.functions.VariantGetMulti(Bridge.expression(col(variantCol)), fields))
+    val shredded = df.withColumn("_shred", multi)
+    fields.foldLeft(shredded) { case (d, (_, _, name)) =>
+      d.withColumn(name, col(s"_shred.$name"))
+    }.drop("_shred")
+  }
 
   /** Infer the shreddable top-level fields by aggregating the variant
     * schema lattice over the data (one tiny driver-side value — the

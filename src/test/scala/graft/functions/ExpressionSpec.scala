@@ -162,6 +162,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getString(5) == "timestamp")
   }
 
+  test("variant_get_multi equals individual variant_gets field by field") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fields = Seq(
+      ("$.a", LongType, "fa"),
+      ("$.b.c", StringType, "fbc"),
+      ("$.d[1]", DoubleType, "fd1"),
+      ("$.missing", LongType, "fm"))
+    val df = Seq("""{"a": 7, "b": {"c": "x"}, "d": [1.5, 2.5]}""",
+      """{"a": 1, "d": []}""").toDF("j")
+      .withColumn("v", VariantFunctions.variant_from_json(col("j")))
+    val multi = df.withColumn("m", Bridge.column(
+        VariantGetMulti(Bridge.expression(col("v")), fields)))
+      .select(col("m.fa"), col("m.fbc"), col("m.fd1"), col("m.fm"))
+      .collect().map(_.toSeq)
+    val singles = df.select(
+        VariantFunctions.variant_get(col("v"), "$.a", LongType),
+        VariantFunctions.variant_get(col("v"), "$.b.c", StringType),
+        VariantFunctions.variant_get(col("v"), "$.d[1]", DoubleType),
+        VariantFunctions.variant_get(col("v"), "$.missing", LongType))
+      .collect().map(_.toSeq)
+    assert(multi.toSeq == singles.toSeq)
+  }
+
   test("variant binary equality is canonical across key order") {
     assert(sql1(
       """SELECT variant_from_json('{"a": 1, "b": 2}') = variant_from_json('{"b": 2, "a": 1}') AS r""")
