@@ -26,6 +26,22 @@ object PerfProbe {
     val ev = Tables.events(spark, d)
     time("warmup count")(ev.count())
 
+    // Throughput record: JSON→variant conversion (the reference's single
+    // kernel) over the events corpus.
+    locally {
+      val rows = ev.count()
+      val bytes = ev.agg(sum(length(col("props")))).collect()(0).getLong(0)
+      // warm once, then measure
+      ev.select(vf.variant_from_json(col("props")).as("v"))
+        .write.mode("overwrite").format("noop").save()
+      val t0 = System.nanoTime()
+      ev.select(vf.variant_from_json(col("props")).as("v"))
+        .write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[perf] parse throughput: ${rows / secs / 1e6}%.2f M rows/s, " +
+        f"${bytes / secs / 1e6}%.1f MB/s JSON in ($rows rows, $secs%.3f s, local[32])")
+    }
+
     def parsed = ev.withColumn("v", vf.variant_from_json(col("props")))
 
     time("parse+extract+agg (v_sum_by_type)") {
