@@ -30,7 +30,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val record =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Bare stdout line (run/outputStrategy strips the sbt prefix) plus a
+    // file copy, so the driver can parse either.
+    println(record)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (record + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -43,8 +43,10 @@ object Queries {
         .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type")),
+      // CAST(SUM(..) AS BIGINT): DuckDB's SUM(BIGINT) yields HUGEINT
+      // (int128); Spark emits int64 — cast so the hash compare agrees.
       Some("""SELECT event_type,
-             |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
              |       COUNT(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -103,7 +105,7 @@ object Queries {
         .agg(sum(col("val")).as("val_sum"), count(lit(1)).as("n"))
         .orderBy(col("key")),
       Some("""SELECT key,
-             |       SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS val_sum,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS val_sum,
              |       COUNT(*) AS n
              |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t
              |GROUP BY key ORDER BY key""".stripMargin)),
@@ -120,7 +122,7 @@ object Queries {
         .orderBy(col("event_type")),
       Some("""SELECT event_type,
              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
-             |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
              |       COUNT(DISTINCT user_id) AS d_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -133,7 +135,7 @@ object Queries {
         .agg(sum(col("v_k")).as("k_sum"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type,
-             |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // grouping directly ON the variant column: legal because our object
@@ -151,10 +153,12 @@ object Queries {
     QueryDef("v_keys_size",
       (s, d) => parsedEvents(s, d)
         .select(col("event_id"),
-          vf.variant_keys(col("v")).as("ks"),
+          // scalar join, not a LIST column: the driver's pandas sort
+          // can't hash numpy arrays
+          array_join(vf.variant_keys(col("v")), ",").as("ks"),
           vf.variant_size(col("v")).as("sz"))
         .orderBy(col("event_id")),
-      Some("""SELECT event_id, json_keys(props) AS ks,
+      Some("""SELECT event_id, array_to_string(json_keys(props), ',') AS ks,
              |       CAST(len(json_keys(props)) AS INT) AS sz
              |FROM events ORDER BY event_id""".stripMargin)),
 

@@ -1,0 +1,232 @@
+package graft.functions
+
+import graft.variant.{VariantJsonCodec, VariantMetadata}
+import com.fasterxml.jackson.core.JsonToken
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused forms of `variant_keys` / `variant_size` / `variant_explode`
+  * over a raw JSON column: one streaming token pass instead of
+  * parse → metadata build → variant encode → decode. Installed by
+  * [[VariantGetFusionRule]] when the child is `variant_from_json`; the
+  * unfused expressions remain the semantic reference and each fused form
+  * reproduces their output exactly (dictionary-sorted key order
+  * included — the parity property tests in ExpressionSpec pin this).
+  */
+private[functions] object JsonFused {
+  /** Stable sort of strings by UTF-8 byte order — the metadata
+    * dictionary order the unfused path exposes (Metadata.scala
+    * compareUtf8). Returns the permutation, not the sorted array, so
+    * callers can carry payloads alongside keys.
+    */
+  def sortedOrder(names: Array[String]): Array[Integer] = {
+    val utf8 = names.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val order = Array.tabulate[Integer](names.length)(i => i)
+    java.util.Arrays.sort(order, (x: Integer, y: Integer) => {
+      val c = VariantMetadata.compareUtf8(utf8(x), utf8(y))
+      // ties broken by original position → stable
+      if (c != 0) c else Integer.compare(x, y)
+    })
+    order
+  }
+
+  def toBytes(input: Any): Array[Byte] = input match {
+    case s: UTF8String => s.getBytes
+    case b: Array[Byte] => b
+  }
+}
+
+/** `variant_keys(variant_from_json(s))` fused: root-object key names in
+  * dictionary (sorted UTF-8) order; NULL for non-objects and top-level
+  * JSON null.
+  */
+case class JsonKeys(child: Expression, parseFailOnError: Boolean)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_keys_fused"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"json_keys expects string/binary, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = JsonFused.toBytes(input)
+    try {
+      val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
+      try {
+        val tok = p.nextToken()
+        if (tok == null)
+          throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: empty input", null)
+        if (tok != JsonToken.START_OBJECT) return null
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        var t = p.nextToken()
+        while (t == JsonToken.FIELD_NAME) {
+          names += p.currentName()
+          p.nextToken()
+          p.skipChildren()
+          t = p.nextToken()
+        }
+        val arr = names.toArray
+        val order = JsonFused.sortedOrder(arr)
+        val out = new Array[Any](arr.length)
+        var i = 0
+        while (i < arr.length) { out(i) = UTF8String.fromString(arr(order(i))); i += 1 }
+        new GenericArrayData(out)
+      } finally p.close()
+    } catch {
+      case e: VariantJsonCodec.JsonParseException =>
+        if (parseFailOnError) throw e else null
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        if (parseFailOnError)
+          throw new VariantJsonCodec.JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+        else null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `variant_size(variant_from_json(s))` fused: field count for root
+  * objects, element count for root arrays, NULL for scalars/JSON null.
+  */
+case class JsonSize(child: Expression, parseFailOnError: Boolean)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_size_fused"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"json_size expects string/binary, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = JsonFused.toBytes(input)
+    try {
+      val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
+      try {
+        val tok = p.nextToken()
+        if (tok == null)
+          throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: empty input", null)
+        tok match {
+          case JsonToken.START_OBJECT =>
+            var n = 0
+            var t = p.nextToken()
+            while (t == JsonToken.FIELD_NAME) {
+              p.nextToken(); p.skipChildren(); n += 1; t = p.nextToken()
+            }
+            n
+          case JsonToken.START_ARRAY =>
+            var n = 0
+            var t = p.nextToken()
+            while (t != JsonToken.END_ARRAY) {
+              p.skipChildren(); n += 1; t = p.nextToken()
+            }
+            n
+          case _ => null
+        }
+      } finally p.close()
+    } catch {
+      case e: VariantJsonCodec.JsonParseException =>
+        if (parseFailOnError) throw e else null
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        if (parseFailOnError)
+          throw new VariantJsonCodec.JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+        else null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `variant_explode(variant_from_json(s))` fused: one row per root
+  * object field (pos, key, value) in dictionary-sorted key order, or per
+  * array element (pos, NULL, value). Each emitted value is a
+  * SELF-CONTAINED mini-variant (its own minimal metadata) rather than a
+  * slice sharing the row's dictionary — content-identical under every
+  * variant operation, and smaller on the wire for wide rows.
+  */
+case class JsonExplodeKV(child: Expression, parseFailOnError: Boolean)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", VariantSchema.TYPE, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"json_explode expects string/binary, got: ${other.simpleString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val in = child.eval(input)
+    if (in == null) return Nil
+    val bytes = JsonFused.toBytes(in)
+    try {
+      val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
+      try {
+        val tok = p.nextToken()
+        if (tok == null)
+          throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: empty input", null)
+        tok match {
+          case JsonToken.START_OBJECT =>
+            val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+            val vals = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+            var t = p.nextToken()
+            while (t == JsonToken.FIELD_NAME) {
+              keys += p.currentName()
+              p.nextToken()
+              vals += VariantJsonCodec.valueFromParser(p)
+              t = p.nextToken()
+            }
+            // unfused explode emits fields in stored (= sorted) order
+            val order = JsonFused.sortedOrder(keys.toArray)
+            (0 until keys.length).map { i =>
+              val src = order(i).intValue()
+              new GenericInternalRow(Array[Any](
+                i,
+                UTF8String.fromString(keys(src)),
+                new GenericInternalRow(Array[Any](vals(src)._1, vals(src)._2))))
+            }
+          case JsonToken.START_ARRAY =>
+            val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            var t = p.nextToken()
+            var i = 0
+            while (t != JsonToken.END_ARRAY) {
+              val pair = VariantJsonCodec.valueFromParser(p)
+              rows += new GenericInternalRow(Array[Any](
+                i, null, new GenericInternalRow(Array[Any](pair._1, pair._2))))
+              i += 1
+              t = p.nextToken()
+            }
+            rows
+          case _ => Nil
+        }
+      } finally p.close()
+    } catch {
+      case e: VariantJsonCodec.JsonParseException =>
+        if (parseFailOnError) throw e else Nil
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        if (parseFailOnError)
+          throw new VariantJsonCodec.JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+        else Nil
+    }
+  }
+
+  override def prettyName: String = "json_explode_fused"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

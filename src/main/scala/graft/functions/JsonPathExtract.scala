@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,11 +38,36 @@ case class JsonPathExtract(
       s"json_path_extract expects string/binary, got: ${other.simpleString}")
   }
 
+  /** Memo identity: two Catalyst copies of the same logical extraction
+    * (e.g. the Filter and Project copies created by predicate pushdown)
+    * share results iff every semantic field matches.
+    */
+  @transient private lazy val memoKey =
+    (path, targetType, parseFailOnError, castFailOnError)
+
   override def nullSafeEval(input: Any): Any = {
     val bytes: Array[Byte] = input match {
       case s: UTF8String => s.getBytes
       case b: Array[Byte] => b
     }
+    // Same pushdown-duplication story as VariantFromJson.lastParse: the
+    // Filter and Project copies of this expression evaluate back-to-back
+    // on the same thread per row, so a thread-local last-input memo
+    // halves the parse work (SURVEY §4.2).
+    val memo = JsonPathExtract.lastExtract.get()
+    if (memo(0) != null && memo(1) == memoKey &&
+        java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], bytes)) {
+      val r = memo(2)
+      return if (r eq JsonPathExtract.NULL_RESULT) null else r
+    }
+    val result = evalBytes(bytes)
+    memo(0) = bytes.clone()
+    memo(1) = memoKey
+    memo(2) = if (result == null) JsonPathExtract.NULL_RESULT else result.asInstanceOf[AnyRef]
+    result
+  }
+
+  private def evalBytes(bytes: Array[Byte]): Any = {
     try {
       val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
       try {
@@ -107,10 +132,17 @@ case class JsonPathExtract(
             case BooleanType => b
             case LongType => if (b) 1L else 0L
             case IntegerType => if (b) 1 else 0
+            case _: StringType => UTF8String.fromString(if (b) "true" else "false")
             case _ => mismatch("boolean")
           }
         case JsonToken.VALUE_NUMBER_INT =>
           val isBig = p.getNumberType == JsonParser.NumberType.BIG_INTEGER
+          // > i128 is a PARSE error in the unfused pipeline
+          // (VariantJsonCodec.fromJsonBytes), not a cast error — keep the
+          // same error class so parseFailOnError governs it.
+          if (isBig && p.getBigIntegerValue.bitLength() >= 128)
+            throw new VariantJsonCodec.JsonParseException(
+              s"Could not fit value ${p.getBigIntegerValue} into an i128", null)
           targetType match {
             case LongType =>
               if (isBig) new java.math.BigDecimal(p.getBigIntegerValue).longValueExact() else p.getLongValue
@@ -122,12 +154,17 @@ case class JsonPathExtract(
               val bd = if (isBig) new java.math.BigDecimal(p.getBigIntegerValue)
                 else java.math.BigDecimal.valueOf(p.getLongValue)
               toDecimal(bd, d)
+            // decimal16 scale-0 prints via toPlainString == BigInteger.toString
+            case _: StringType => UTF8String.fromString(
+              if (isBig) p.getBigIntegerValue.toString else java.lang.Long.toString(p.getLongValue))
             case _ => mismatch("bigint")
           }
         case JsonToken.VALUE_NUMBER_FLOAT =>
           targetType match {
             case DoubleType => p.getDoubleValue
             case d: DecimalType => toDecimal(java.math.BigDecimal.valueOf(p.getDoubleValue), d)
+            // unfused: codec stores Float64, asString prints Double.toString
+            case _: StringType => UTF8String.fromString(java.lang.Double.toString(p.getDoubleValue))
             case _ => mismatch("double")
           }
         case JsonToken.VALUE_STRING =>
@@ -138,10 +175,20 @@ case class JsonPathExtract(
             case DoubleType => s.trim.toDouble
             case BooleanType => s.trim.toBoolean
             case d: DecimalType => toDecimal(new java.math.BigDecimal(s.trim), d)
+            case _: StringType => UTF8String.fromString(s)
             case _ => mismatch("string")
           }
         case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
-          mismatch(if (tok == JsonToken.START_OBJECT) "object" else "array")
+          targetType match {
+            // object/array → canonical compact JSON: encode the subtree
+            // with the SAME codec the unfused path uses and print it, so
+            // output is byte-identical to VariantExtract.asString
+            // (sorted keys included).
+            case _: StringType =>
+              val (m, vb) = VariantJsonCodec.valueFromParser(p)
+              UTF8String.fromString(VariantJsonCodec.toJsonString(m, vb))
+            case _ => mismatch(if (tok == JsonToken.START_OBJECT) "object" else "array")
+          }
         case other => mismatch(other.toString)
       }
     } catch {
@@ -166,12 +213,25 @@ case class JsonPathExtract(
 object JsonPathExtract {
   private[functions] val factory = new com.fasterxml.jackson.core.JsonFactory()
 
+  /** Sentinel distinguishing "memoized null result" from "no memo". */
+  private val NULL_RESULT = new Object
+
+  /** Thread-local (input bytes, memo key, result) of the last evaluation —
+    * shared across expression INSTANCES because pushdown duplicates the
+    * same extraction into Filter and Project as separate copies.
+    */
+  private val lastExtract: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](3))
+
   /** Targets whose cast semantics the fused path replicates exactly.
-    * String/variant/binary targets keep the unfused pipeline (they need
-    * canonical sub-tree printing).
+    * String targets: scalar tokens print the same text as
+    * VariantExtract.asString; object/array subtrees round-trip through
+    * the codec's canonical printer. Variant/binary targets keep the
+    * unfused pipeline.
     */
   def fusableTarget(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | _: DecimalType => true
+    case _: StringType => true
     case _ => false
   }
 }
@@ -184,9 +244,79 @@ object JsonPathExtract {
   * pushed-down filter containing the fused form stays fused.
   */
 object VariantGetFusionRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+
+  /** Expression-local fusion: the parse is nested directly under the
+    * consumer (CollapseProject already inlined it).
+    */
+  private def fuseLocal(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case VariantGet(VariantFromJson(src, parseFail), path, t, castFail)
         if JsonPathExtract.fusableTarget(t) =>
       JsonPathExtract(src, path, t, parseFail, castFail)
+    case VariantKeys(VariantFromJson(src, parseFail)) => JsonKeys(src, parseFail)
+    case VariantSize(VariantFromJson(src, parseFail)) => JsonSize(src, parseFail)
+    // reaches generators too: Generate.generator is an expression field
+    case VariantExplode(VariantFromJson(src, parseFail)) => JsonExplodeKV(src, parseFail)
   }
+
+  /** Fusion THROUGH a Project boundary. CollapseProject refuses to
+    * inline a non-cheap `variant_from_json(src) AS v` referenced more
+    * than once (e.g. `select(variant_keys(v), variant_size(v))`), so the
+    * local pattern never sees the parse. Here each fusable consumer of
+    * such an alias is rewritten to its fused form over a NEW alias of the
+    * raw `src` appended to the child project; the original variant alias
+    * survives for any non-fusable consumer and column pruning drops it
+    * when none remain. N fused consumers cost N streaming token walks —
+    * still strictly cheaper than one parse+encode plus N decode walks.
+    */
+  /** Node kinds whose expressions evaluate directly against child.output
+    * in every position, so an appended child column is always visible.
+    * (An Aggregate's result expressions see only grouping keys and
+    * aggregate results — appending a project column there produces an
+    * unresolvable reference.)
+    */
+  private def expressionsSeeChildOutput(node: UnaryNode): Boolean = node match {
+    case _: Project | _: Filter | _: Generate => true
+    case _ => false
+  }
+
+  private def fuseThroughProject(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case node: UnaryNode
+        if node.child.isInstanceOf[Project] && expressionsSeeChildOutput(node) =>
+      val proj = node.child.asInstanceOf[Project]
+      val vfjAliases: Map[ExprId, (Alias, VariantFromJson)] =
+        proj.projectList.collect {
+          case a @ Alias(v: VariantFromJson, _) => a.exprId -> ((a, v))
+        }.toMap
+      if (vfjAliases.isEmpty) node
+      else {
+        val rawAliases = scala.collection.mutable.LinkedHashMap.empty[ExprId, Alias]
+        def rawAttr(id: ExprId): Attribute = rawAliases.getOrElseUpdate(id, {
+          val (a, v) = vfjAliases(id)
+          Alias(v.child, a.name + "_json")()
+        }).toAttribute
+        var changed = false
+        val newNode = node.transformExpressions {
+          case VariantGet(attr: AttributeReference, path, t, castFail)
+              if vfjAliases.contains(attr.exprId) && JsonPathExtract.fusableTarget(t) =>
+            changed = true
+            JsonPathExtract(rawAttr(attr.exprId), path, t,
+              vfjAliases(attr.exprId)._2.failOnError, castFail)
+          case VariantKeys(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonKeys(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+          case VariantSize(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonSize(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+          case VariantExplode(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonExplodeKV(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+        }
+        if (!changed) node
+        else newNode.withNewChildren(Seq(
+          proj.copy(projectList = proj.projectList ++ rawAliases.values)))
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    fuseThroughProject(fuseLocal(plan))
 }

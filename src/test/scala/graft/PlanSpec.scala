@@ -39,14 +39,26 @@ class PlanSpec extends AnyFunSuite {
     assert(smjs <= 1, s"dimension join fell back to sort-merge:\n$p")
   }
 
-  test("parse+get fusion rule fires for scalar targets and only those") {
+  test("parse+get fusion rule fires for scalar, string, keys/size/explode") {
     val fusedPlan = Queries.queryMap("v_filter_high")(spark, TestSpark.SF)
       .queryExecution.optimizedPlan.toString
     assert(fusedPlan.contains("json_path_extract"), fusedPlan)
     assert(!fusedPlan.contains("variant_from_json"), fusedPlan)
-    // string-target extraction keeps the full pipeline (needs canonical
-    // sub-tree printing)
-    val unfused = Queries.queryMap("v_get_string")(spark, TestSpark.SF)
+    val fusedStr = Queries.queryMap("v_get_string")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedStr.contains("json_path_extract"), fusedStr)
+    assert(!fusedStr.contains("variant_from_json"), fusedStr)
+    val fusedKeys = Queries.queryMap("v_keys_size")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedKeys.contains("json_keys_fused") && fusedKeys.contains("json_size_fused"), fusedKeys)
+    val fusedExpl = Queries.queryMap("v_explode_kv")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedExpl.contains("json_explode_fused"), fusedExpl)
+    // variant-target extraction keeps the full pipeline (the result IS
+    // the encoded variant)
+    val unfused = Tables.events(spark, TestSpark.SF)
+      .select(graft.functions.VariantFunctions.variant_get(
+        graft.functions.VariantFunctions.variant_from_json(col("props")), "$.k"))
       .queryExecution.optimizedPlan.toString
     assert(unfused.contains("variant_from_json"), unfused)
   }

@@ -57,6 +57,63 @@ class RobustnessSpec extends AnyFunSuite {
     assert(r.getLong(3) == 42L)
   }
 
+  // Blocks fusion by routing through a variant-target identity
+  // extraction — VariantGet(v, "$") is not rewritten by the rule.
+  private def unfusedVariant(c: org.apache.spark.sql.Column) =
+    VariantFunctions.variant_get(VariantFunctions.variant_from_json(c), "$")
+
+  test("fused string-target extraction matches unfused canonical printing") {
+    val docs = Seq(
+      """{"x": "plain"}""",
+      """{"x": 42}""",
+      """{"x": 99999999999999999999999999}""",
+      """{"x": 2.5}""",
+      """{"x": 1e3}""",
+      """{"x": true}""",
+      """{"x": null}""",
+      """{"y": 1}""",
+      """{"x": {"zz": 1, "aa": [1, "s", null], "mm": {"q": 2.5}}}""",
+      """{"x": [3, {"b": 1, "a": 2}, "t"]}""",
+      """{"x": "unié😀"}""",
+      """{"x": "needs \"escaping\"\n"}""").toDF("j")
+    val fused = docs.select(VariantFunctions.variant_get(
+        VariantFunctions.variant_from_json(col("j")), "$.x", StringType).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    val unfused = docs.select(VariantFunctions.variant_get(
+        unfusedVariant(col("j")), "$.x", StringType).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(fused == unfused, s"fused $fused vs unfused $unfused")
+  }
+
+  test("fused keys/size/explode match the unfused pipeline") {
+    val docs = Seq(
+      """{"b": 1, "a": {"y": 2, "x": [1, "s", null]}, "c": [1.5, true]}""",
+      """{"z": "str", "aa": 3, "A": 4}""",
+      """[1, {"q": 2}, "three", null]""",
+      """"scalar"""",
+      """42""",
+      """null""",
+      """{}""",
+      """[]""").toDF("j")
+    def collectKeys(c: org.apache.spark.sql.Column) =
+      docs.select(VariantFunctions.variant_keys(c).as("ks")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0)).toSeq
+    assert(collectKeys(VariantFunctions.variant_from_json(col("j"))) ==
+      collectKeys(unfusedVariant(col("j"))))
+    def collectSize(c: org.apache.spark.sql.Column) =
+      docs.select(VariantFunctions.variant_size(c).as("sz")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(collectSize(VariantFunctions.variant_from_json(col("j"))) ==
+      collectSize(unfusedVariant(col("j"))))
+    def collectExplode(c: org.apache.spark.sql.Column) =
+      docs.select(VariantFunctions.variant_explode(c))
+        .select(col("pos"), col("key"),
+          VariantFunctions.variant_to_json(col("value")).as("vj"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(collectExplode(VariantFunctions.variant_from_json(col("j"))) ==
+      collectExplode(unfusedVariant(col("j"))))
+  }
+
   test("fused and unfused paths agree on the lenient matrix") {
     // fused: literal parse composed directly (rule fires for scalars);
     // unfused: via an intermediate non-fusable variant target
