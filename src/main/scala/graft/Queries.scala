@@ -162,6 +162,39 @@ object Queries {
              |       CAST(len(json_keys(props)) AS INT) AS sz
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Variant column persisted to parquet and read back — rows repeat
+    // the same metadata bytes, so extraction runs on the decoded-metadata
+    // id cache instead of per-row binary searches. String target keeps
+    // the shredded-pushdown rule out of the way (v_k is long).
+    QueryDef("v_readback",
+      (s, d) => {
+        val staged = graft.operators.Shred.stageShreddedTable(s, d)
+        s.read.parquet(staged)
+          .select(col("event_id"),
+            vf.variant_get(col("v"), "$.k", StringType).as("ks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS ks
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // variant_get over a shredded table: the rewrite rule turns both the
+    // predicate and the projection into the typed v_k column, so the
+    // parquet scan pushes the filter and never decodes the variant
+    // (PlanSpec pins PushedFilters).
+    QueryDef("v_shred_pushdown",
+      (s, d) => {
+        val staged = graft.operators.Shred.stageShreddedTable(s, d)
+        s.read.parquet(staged)
+          .filter(vf.variant_get(col("v"), "$.k", LongType) > 90)
+          .select(col("event_id"),
+            vf.variant_get(col("v"), "$.k", LongType).as("k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+             |ORDER BY event_id""".stripMargin)),
+
     QueryDef("v_schema_of",
       (s, d) => parsedEvents(s, d)
         .groupBy(vf.schema_of_variant(col("v")).as("sch"))

@@ -209,6 +209,17 @@ case class VariantGet(
 
   @transient private lazy val steps: Array[PathStep] = VariantPath.parse(path)
 
+  /** Decoded-metadata amortization (SURVEY §4.2.3): rows read back from
+    * parquet/shuffle repeat the same metadata bytes file- or
+    * partition-wide, so the key→id binary searches resolve once and
+    * reuse until the bytes change — the Spark-native restoration of the
+    * reference's batch-shared dictionary
+    * (/root/reference/arrow-open-variant/src/json.rs:51-63).
+    * Slots: 0 = metadata bytes, 1 = resolved ids.
+    */
+  @transient private lazy val idCache: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](2))
+
   override def dataType: DataType = targetType
   override def nullable: Boolean = true
   override def prettyName: String = if (failOnError) "variant_get" else "try_variant_get"
@@ -224,7 +235,19 @@ case class VariantGet(
     val valBytes = row.getBinary(1)
     if (valBytes == null) return null
     val meta = new MetadataView(metaBytes, 0)
-    val v = VariantPath.walk(meta, new VariantView(valBytes, 0), steps)
+    val cache = idCache.get()
+    val ids: Array[Int] =
+      if (cache(0) != null &&
+          java.util.Arrays.equals(cache(0).asInstanceOf[Array[Byte]], metaBytes))
+        cache(1).asInstanceOf[Array[Int]]
+      else {
+        val r = VariantPath.resolveIds(meta, steps)
+        // getBinary returns a fresh copy per call — safe to hold
+        cache(0) = metaBytes
+        cache(1) = r
+        r
+      }
+    val v = VariantPath.walkWithIds(new VariantView(valBytes, 0), steps, ids)
     if (v == null) null else VariantExtract.cast(meta, v, targetType, failOnError)
   }
 

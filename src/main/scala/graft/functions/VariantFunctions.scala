@@ -166,5 +166,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // SURVEY §4.2.2: parse+get fusion (single-pass JSON extraction)
     ext.injectOptimizerRule(_ => VariantGetFusionRule)
+    // variant_get over a shredded table → direct column ref (Dremel
+    // pushdown: parquet min/max pruning on the shredded column)
+    ext.injectOptimizerRule(_ => ShreddedPushdownRule)
   }
 }

@@ -75,6 +75,12 @@ case class VariantGetMulti(
   @transient private lazy val steps: Array[Array[graft.variant.PathStep]] =
     fields.map(f => graft.variant.VariantPath.parse(f._1)).toArray
 
+  /** Same decoded-metadata amortization as VariantGet, across the whole
+    * field set: one id resolution per distinct metadata, not per row.
+    */
+  @transient private lazy val idCache: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](2))
+
   override def dataType: DataType =
     StructType(fields.map { case (_, dt, name) => StructField(name, dt, nullable = true) })
   override def nullable: Boolean = true
@@ -87,12 +93,24 @@ case class VariantGetMulti(
 
   override def nullSafeEval(input: Any): Any = {
     val row = input.asInstanceOf[InternalRow]
-    val meta = new MetadataView(row.getBinary(0), 0)
+    val metaBytes = row.getBinary(0)
+    val meta = new MetadataView(metaBytes, 0)
     val root = new VariantView(row.getBinary(1), 0)
+    val cache = idCache.get()
+    val allIds: Array[Array[Int]] =
+      if (cache(0) != null &&
+          java.util.Arrays.equals(cache(0).asInstanceOf[Array[Byte]], metaBytes))
+        cache(1).asInstanceOf[Array[Array[Int]]]
+      else {
+        val r = steps.map(graft.variant.VariantPath.resolveIds(meta, _))
+        cache(0) = metaBytes
+        cache(1) = r
+        r
+      }
     val out = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
-      val v = graft.variant.VariantPath.walk(meta, root, steps(i))
+      val v = graft.variant.VariantPath.walkWithIds(root, steps(i), allIds(i))
       out(i) =
         if (v == null) null
         else VariantExtract.cast(meta, v, fields(i)._2, failOnError = false)

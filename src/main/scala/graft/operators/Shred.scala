@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{SchemaOfVariantAgg, VariantFunctions => vf}
 import graft.variant.SchemaInfer
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -18,6 +18,15 @@ import org.apache.spark.sql.types._
   */
 object Shred {
 
+  /** Column-metadata keys marking a shredded column; the
+    * [[graft.functions.ShreddedPushdownRule]] rewrites
+    * `variant_get(source, path)` to the marked column so parquet min/max
+    * pruning fires on read-back. The marks survive a parquet round trip
+    * (Spark stores field metadata in the file footer schema).
+    */
+  val SHRED_SOURCE_KEY = "graft.shred.source"
+  val SHRED_PATH_KEY = "graft.shred.path"
+
   /** Explicit shredding: add a typed column per (path, type, name).
     * All fields extract through ONE variant_get_multi evaluation —
     * metadata decode and frame walk are shared across the field set.
@@ -28,20 +37,41 @@ object Shred {
     val multi = Bridge.column(
       graft.functions.VariantGetMulti(Bridge.expression(col(variantCol)), fields))
     val shredded = df.withColumn("_shred", multi)
-    fields.foldLeft(shredded) { case (d, (_, _, name)) =>
-      d.withColumn(name, col(s"_shred.$name"))
-    }.drop("_shred")
+    val marked = fields.map { case (path, _, name) =>
+      val md = new MetadataBuilder()
+        .putString(SHRED_SOURCE_KEY, variantCol)
+        .putString(SHRED_PATH_KEY, path)
+        .build()
+      col(s"_shred.$name").as(name, md)
+    }
+    shredded.select(df.columns.map(col).toIndexedSeq ++ marked: _*)
+  }
+
+  /** The bounded-sample schema-inference aggregation. Exposed so plan
+    * tests can assert the sample bound and the pruned read schema.
+    * `sampleRows <= 0` means full scan (explicit opt-in: a field absent
+    * from the sample prefix is not shredded).
+    */
+  private[graft] def inferenceFrame(df: DataFrame, variantCol: String,
+                                    sampleRows: Int): DataFrame = {
+    val pruned = df.select(col(variantCol))
+    val src = if (sampleRows > 0) pruned.limit(sampleRows) else pruned
+    src.agg(Bridge.column(
+      SchemaOfVariantAgg(Bridge.expression(col(variantCol)), renderOutput = false)
+        .toAggregateExpression()).as("s"))
   }
 
   /** Infer the shreddable top-level fields by aggregating the variant
-    * schema lattice over the data (one tiny driver-side value — the
-    * merged schema — not a data collect).
+    * schema lattice over a BOUNDED SAMPLE (default 10k rows, column-pruned
+    * to the variant alone). A full inference pass would double the read
+    * at 100 TB; the lattice merge makes the sampled result a lower bound
+    * of the true field set, which is the safe direction for shredding —
+    * un-sampled fields simply stay in the variant column. Pass
+    * `sampleRows = 0` to force the exact full scan.
     */
-  def inferFields(df: DataFrame, variantCol: String): Seq[(String, DataType, String)] = {
-    val serialized = df
-      .agg(Bridge.column(
-        SchemaOfVariantAgg(Bridge.expression(col(variantCol)), renderOutput = false)
-          .toAggregateExpression()).as("s"))
+  def inferFields(df: DataFrame, variantCol: String,
+                  sampleRows: Int = 10000): Seq[(String, DataType, String)] = {
+    val serialized = inferenceFrame(df, variantCol, sampleRows)
       .collect()(0).getString(0)
     SchemaInfer.deserialize(serialized) match {
       case SchemaInfer.SObject(fieldMap) =>
@@ -63,7 +93,31 @@ object Shred {
     case _ => None // nested/variant-typed fields stay in the variant column
   }
 
-  /** Auto-shred: infer top-level scalar fields and materialize them. */
-  def autoShred(df: DataFrame, variantCol: String): DataFrame =
-    shred(df, variantCol, inferFields(df, variantCol))
+  /** Auto-shred: infer top-level scalar fields on a bounded sample and
+    * materialize them. `sampleRows = 0` forces full-scan inference.
+    */
+  def autoShred(df: DataFrame, variantCol: String, sampleRows: Int = 10000): DataFrame =
+    shred(df, variantCol, inferFields(df, variantCol, sampleRows))
+
+  /** Stage a shredded copy of the events table (event columns + variant
+    * `v` + marked shredded `v_k`) as parquet, once per (sfDir, JVM);
+    * returns the staged path. Backing store for the read-back queries:
+    * `v_readback` (variant column persisted and re-extracted — exercises
+    * the decoded-metadata cache) and `v_shred_pushdown` (variant_get
+    * rewritten to the shredded column with parquet PushedFilters).
+    */
+  def stageShreddedTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_shredded_${Integer.toHexString(sfDir.hashCode)}")
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      val ev = graft.Tables.events(spark, sfDir)
+        .withColumn("v", vf.variant_from_json(col("props")))
+      autoShred(ev, "v")
+        .drop("props")
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir.toString
+  }
 }

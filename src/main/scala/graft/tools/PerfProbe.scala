@@ -74,6 +74,30 @@ object PerfProbe {
         .write.mode("overwrite").format("noop").save()
     }
 
+    // Read-back extraction: decoded-metadata id cache vs full re-parse.
+    // Metadata marks are stripped so the shredded-pushdown rule cannot
+    // shortcut the decode.
+    locally {
+      val staged = graft.operators.Shred.stageShreddedTable(spark, d)
+      // mark-free read schema: the relation attrs carry no shred marks,
+      // so the rewrite cannot shortcut the decode we want to measure
+      val stripped = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(staged).schema.map(
+          _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      val t = spark.read.schema(stripped).parquet(staged)
+        .select(col("event_id"), col("v"))
+      val q = t.select(vf.variant_get(col("v"), "$.k", LongType).as("k"))
+        .agg(sum(col("k")))
+      q.write.mode("overwrite").format("noop").save() // warm
+      time("readback variant_get (id cache)") {
+        q.write.mode("overwrite").format("noop").save()
+      }
+      time("reparse variant_get (same rows)") {
+        parsed.select(vf.variant_get(col("v"), "$.k", LongType).as("k"))
+          .agg(sum(col("k"))).write.mode("overwrite").format("noop").save()
+      }
+    }
+
     for (i <- 1 to 2) time(s"d_minhash_lsh run $i") {
       graft.Queries.queryMap("d_minhash_lsh")(spark, d)
         .write.mode("overwrite").format("noop").save()

@@ -69,15 +69,45 @@ object VariantPath {
   /** Walk `steps` from the root value. Returns null when any step misses
     * (absent key, index out of bounds, or step applied to a scalar).
     */
-  def walk(metadata: MetadataView, value: VariantView, steps: Array[PathStep]): VariantView = {
+  def walk(metadata: MetadataView, value: VariantView, steps: Array[PathStep]): VariantView =
+    walkWithIds(value, steps, resolveIds(metadata, steps))
+
+  /** Key→dictionary-id resolution for every Key step — the only part of
+    * a path walk that touches the metadata dictionary. Resolving once
+    * and reusing across rows restores the reference's batch-shared
+    * amortization ("one find_string per batch",
+    * /root/reference/arrow-open-variant/src/json.rs:51-63): variant
+    * columns read back from parquet/shuffle repeat the same metadata
+    * bytes on every row of a file/partition. Index steps get
+    * [[IDX_STEP]]; missing keys get -1 (walk yields NULL).
+    */
+  final val IDX_STEP: Int = -2
+
+  def resolveIds(metadata: MetadataView, steps: Array[PathStep]): Array[Int] = {
+    val ids = new Array[Int](steps.length)
+    var i = 0
+    while (i < steps.length) {
+      ids(i) = steps(i) match {
+        case k: PathStep.Key => metadata.findKey(k.utf8)
+        case _ => IDX_STEP
+      }
+      i += 1
+    }
+    ids
+  }
+
+  /** Walk with pre-resolved field ids (from [[resolveIds]], possibly
+    * cached across rows sharing metadata bytes).
+    */
+  def walkWithIds(value: VariantView, steps: Array[PathStep], ids: Array[Int]): VariantView = {
     var cur = value
     var i = 0
     while (i < steps.length) {
       if (cur == null) return null
       steps(i) match {
-        case k: PathStep.Key =>
+        case _: PathStep.Key =>
           if (!cur.isObject) return null
-          val id = metadata.findKey(k.utf8)
+          val id = ids(i)
           if (id < 0) return null
           cur = cur.getObject.getField(id)
         case PathStep.Index(idx) =>

@@ -63,6 +63,28 @@ class PlanSpec extends AnyFunSuite {
     assert(unfused.contains("variant_from_json"), unfused)
   }
 
+  test("auto-shred inference reads a bounded, column-pruned sample") {
+    val ev = Tables.events(spark, TestSpark.SF)
+      .withColumn("v", graft.functions.VariantFunctions.variant_from_json(col("props")))
+    val inf = graft.operators.Shred.inferenceFrame(ev, "v", sampleRows = 10000)
+    val opt = inf.queryExecution.optimizedPlan.toString
+    assert(opt.contains("GlobalLimit 10000") || opt.contains("LocalLimit 10000"), opt)
+    val scans = inf.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("ReadSchema: struct<props:string>")),
+      scans.mkString("\n"))
+  }
+
+  test("shredded pushdown: variant_get becomes the typed column with PushedFilters") {
+    val p = physical("v_shred_pushdown")
+    assert(p.contains("GreaterThan(v_k,90"), p)
+    assert(!p.contains("variant_get") && !p.contains("json_path_extract"), p)
+    // and the scan does not read the variant blob at all
+    val scans = Queries.queryMap("v_shred_pushdown")(spark, TestSpark.SF)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("ReadSchema: struct<event_id:bigint,v_k:bigint>")),
+      scans.mkString("\n"))
+  }
+
   test("q_topk plans TakeOrderedAndProject (no global sort of the full table)") {
     val p = physical("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
