@@ -116,6 +116,7 @@ object VariantExtract {
           else if (v.isDecimal) v.getDecimal.longValueExact()
           else if (v.isBoolean) (if (v.getBoolean) 1L else 0L)
           else if (v.isString) v.getString.trim.toLong
+          else if (v.isDictString) v.getDictKey(meta).trim.toLong
           else fail(v, target)
         case IntegerType =>
           val l = cast(meta, v, LongType, failOnError)
@@ -125,10 +126,12 @@ object VariantExtract {
           else if (v.isLong) v.getLong.toDouble
           else if (v.isDecimal) v.getDecimal.doubleValue()
           else if (v.isString) v.getString.trim.toDouble
+          else if (v.isDictString) v.getDictKey(meta).trim.toDouble
           else fail(v, target)
         case BooleanType =>
           if (v.isBoolean) v.getBoolean
           else if (v.isString) v.getString.trim.toBoolean
+          else if (v.isDictString) v.getDictKey(meta).trim.toBoolean
           else fail(v, target)
         case _: StringType =>
           UTF8String.fromString(asString(meta, v))
@@ -138,12 +141,15 @@ object VariantExtract {
             else if (v.isLong) java.math.BigDecimal.valueOf(v.getLong)
             else if (v.isDouble) java.math.BigDecimal.valueOf(v.getDouble)
             else if (v.isString) new java.math.BigDecimal(v.getString.trim)
+            else if (v.isDictString) new java.math.BigDecimal(v.getDictKey(meta).trim)
             else return fail(v, target)
           val dec = org.apache.spark.sql.types.Decimal(bd)
           if (dec.changePrecision(d.precision, d.scale)) dec else fail(v, target)
         case BinaryType =>
           if (v.isBinary) v.getBinary
           else if (v.isString) v.getString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          else if (v.isDictString || v.isDictBinary)
+            v.getDictKey(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           else fail(v, target)
         case DateType =>
           if (v.basicType == VariantConst.BASIC_PRIMITIVE && v.typeInfo == VariantConst.P_DATE)
@@ -183,7 +189,10 @@ object VariantExtract {
           case P_DOUBLE | P_FLOAT => v.getDouble.toString
           case P_DECIMAL4 | P_DECIMAL8 | P_DECIMAL16 => v.getDecimal.toPlainString
           case P_LONG_STR => v.getString
+          case P_STRING_FROM_DICT => v.getDictKey(meta)
           case P_BINARY => java.util.Base64.getEncoder.encodeToString(v.getBinary)
+          case P_BINARY_FROM_DICT => java.util.Base64.getEncoder.encodeToString(
+            v.getDictKey(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           case P_DATE => java.time.LocalDate.ofEpochDay(v.getDateDays.toLong).toString
           case P_TIMESTAMP | P_TIMESTAMP_NTZ =>
             val m = v.getTimestampMicros

@@ -240,6 +240,35 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // Streaming MinHash+LSH near-dup detection: incremental candidate
+    // pairs via flatMapGroupsWithState over (band, bucket) state.
+    // Approximate + stateful → no SQL oracle (rows-only check); the
+    // StreamingSpec pins batch/streaming equality and cross-batch state.
+    QueryDef("s_minhash_dedup",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/documents.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#docs", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_docs_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/documents.parquet"),
+            sd.resolve("documents.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+        val pairs = StreamingDedup.minhashDupStream(stream, "doc_id", "text")
+        val qname = s"s_minhash_dedup_${runCounter.incrementAndGet()}"
+        val q = pairs.writeStream.outputMode("append")
+          .format("memory").queryName(qname).start()
+        q.processAllAvailable()
+        q.stop()
+        // one row per shared bucket → dedupe pairs for the report
+        s.table(qname)
+          .dropDuplicates("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), round(col("est"), 4).as("est"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
     // Sessionization: Spark's session_window (same operator batch or
     // streaming) vs the classic gaps-and-islands formulation in the
     // oracle. 10-minute inactivity gap per user.

@@ -290,8 +290,12 @@ object VariantJsonCodec {
             val d = v.getDecimal
             if (d.scale() == 0) gen.writeNumber(d.unscaledValue()) else gen.writeNumber(d)
           case P_LONG_STR => gen.writeString(v.getString)
+          case P_STRING_FROM_DICT => gen.writeString(v.getDictKey(meta))
           case P_BINARY =>
             gen.writeString(java.util.Base64.getEncoder.encodeToString(v.getBinary))
+          case P_BINARY_FROM_DICT =>
+            gen.writeString(java.util.Base64.getEncoder.encodeToString(
+              v.getDictKey(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           case P_DATE =>
             gen.writeString(java.time.LocalDate.ofEpochDay(v.getDateDays.toLong).toString)
           case P_TIMESTAMP | P_TIMESTAMP_NTZ =>

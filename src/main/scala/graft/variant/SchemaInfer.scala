@@ -85,8 +85,8 @@ object SchemaInfer {
           case P_INT8 | P_INT16 | P_INT32 | P_INT64 => SLong
           case P_DOUBLE | P_FLOAT => SDouble
           case P_DECIMAL4 | P_DECIMAL8 | P_DECIMAL16 => SDecimal(v.decimalScale)
-          case P_LONG_STR => SString
-          case P_BINARY => SBinary
+          case P_LONG_STR | P_STRING_FROM_DICT => SString
+          case P_BINARY | P_BINARY_FROM_DICT => SBinary
           case P_DATE => SDate
           case P_TIMESTAMP | P_TIMESTAMP_NTZ => STimestamp
           case t => throw new IllegalStateException(s"unknown type id $t")

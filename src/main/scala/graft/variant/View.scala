@@ -27,6 +27,23 @@ final class VariantView(val bytes: Array[Byte], val pos: Int) {
   def isBinary: Boolean = basicType == BASIC_PRIMITIVE && typeInfo == P_BINARY
   def isObject: Boolean = basicType == BASIC_OBJECT
   def isArray: Boolean = basicType == BASIC_ARRAY
+  def isDictString: Boolean = basicType == BASIC_PRIMITIVE && typeInfo == P_STRING_FROM_DICT
+  def isDictBinary: Boolean = basicType == BASIC_PRIMITIVE && typeInfo == P_BINARY_FROM_DICT
+
+  /** Dictionary index payload of the id-17/18 reference encodings. */
+  def getDictId: Int = {
+    if (!isDictString && !isDictBinary)
+      throw new IllegalStateException(s"not a dictionary reference (type id $typeInfo)")
+    ByteUtil.readUnsignedLE(bytes, pos + 1, 4).toInt
+  }
+
+  /** Resolve an id-17/18 dictionary reference against the metadata. */
+  def getDictKey(meta: MetadataView): String = {
+    val k = meta.getKey(getDictId)
+    if (k == null)
+      throw new IllegalStateException(s"dictionary id $getDictId out of range")
+    k
+  }
 
   def getBoolean: Boolean = typeInfo match {
     case P_TRUE  => true
@@ -98,6 +115,7 @@ final class VariantView(val bytes: Array[Byte], val pos: Int) {
         case P_INT8                          => 2
         case P_INT16                         => 3
         case P_INT32 | P_DATE | P_FLOAT      => 5
+        case P_BINARY_FROM_DICT | P_STRING_FROM_DICT => 5
         case P_INT64 | P_DOUBLE              => 9
         case P_TIMESTAMP | P_TIMESTAMP_NTZ   => 9
         case P_DECIMAL4                      => 6
@@ -132,8 +150,8 @@ final class VariantView(val bytes: Array[Byte], val pos: Int) {
         case P_DATE                        => "date"
         case P_TIMESTAMP                   => "timestamp"
         case P_TIMESTAMP_NTZ               => "timestamp_ntz"
-        case P_BINARY                      => "binary"
-        case P_LONG_STR                    => "string"
+        case P_BINARY | P_BINARY_FROM_DICT => "binary"
+        case P_LONG_STR | P_STRING_FROM_DICT => "string"
         case t                             => s"unknown($t)"
       }
   }

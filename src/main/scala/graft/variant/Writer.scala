@@ -102,6 +102,22 @@ object VariantWriter {
     buf.addBytes(bytes)
   }
 
+  /** Dictionary-reference encodings (ids 17/18): header + 4-byte LE
+    * index into the metadata dictionary. The reference declares these
+    * ids with no reader or writer (values/mod.rs:58-59); the layout here
+    * follows the other length-free fixed-width primitives. The payload
+    * is the dictionary entry (for binary: its UTF-8 bytes).
+    */
+  def writeStringFromDict(buf: ByteBuf, dictId: Int): Unit = {
+    buf.addByte(primitiveHeader(P_STRING_FROM_DICT))
+    buf.addIntLE(dictId & 0xffffffffL, 4)
+  }
+
+  def writeBinaryFromDict(buf: ByteBuf, dictId: Int): Unit = {
+    buf.addByte(primitiveHeader(P_BINARY_FROM_DICT))
+    buf.addIntLE(dictId & 0xffffffffL, 4)
+  }
+
   def writeDate(buf: ByteBuf, daysSinceEpoch: Int): Unit = {
     buf.addByte(primitiveHeader(P_DATE))
     buf.addIntLE(daysSinceEpoch & 0xffffffffL, 4)

@@ -42,6 +42,6 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(noOracle.subsetOf(Set(
       "d_minhash_lsh", "d_simhash", "d_winnow",
       "e_ann_lsh", "e_ann_ivf", "q_approx_distinct",
-      "mm_features", "mm_pipeline")))
+      "mm_features", "mm_pipeline", "s_minhash_dedup")))
   }
 }

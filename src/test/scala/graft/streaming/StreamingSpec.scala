@@ -128,6 +128,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected, s"streamed $n vs $expected unique events")
   }
 
+  test("streaming LSH dedup: multi-batch pairs equal the batch pipeline, incl. cross-batch pairs") {
+    import graft.operators.StreamingDedup
+    val docs = spark.read.parquet(s"${TestSpark.SF}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // two files split by id parity, one per micro-batch: a near-dup pair
+    // with one even and one odd id is only findable via state carried
+    // across batches
+    val stage = Files.createTempDirectory("graft_stream_lsh_").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$stage/f0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$stage/f1")
+    val dir = Files.createTempDirectory("graft_stream_lsh_in_").toString
+    for ((f, i) <- Seq("f0", "f1").zipWithIndex;
+         p <- new java.io.File(s"$stage/$f").listFiles() if p.getName.endsWith(".parquet"))
+      Files.copy(p.toPath, java.nio.file.Paths.get(s"$dir/part$i.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingDedup.minhashDupStream(stream, "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lsh_dedup").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.length
+    q.stop()
+    assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairSet(spark.table("lsh_dedup"))
+    // same code path in batch mode: state starts empty, one call per
+    // bucket — must yield the identical pair set for ANY batch split
+    val batch = pairSet(StreamingDedup.minhashDupStream(docs, "doc_id", "text"))
+    assert(streamed == batch,
+      s"streaming ${streamed.size} vs batch ${batch.size}; " +
+        s"only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    assert(streamed.nonEmpty)
+    assert(streamed.exists { case (a, b) => a % 2 != b % 2 },
+      "no cross-batch (even,odd) pair found — state did not carry across micro-batches")
+  }
+
   test("flatMapGroupsWithState: per-user running event count with custom state") {
     val stage = stageEvents()
     val counted = eventsStream(stage)

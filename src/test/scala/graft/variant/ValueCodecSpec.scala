@@ -210,6 +210,45 @@ class ValueCodecSpec extends AnyFunSuite {
     assert(new VariantView(padded, 0).getObject.getField(0).getLong == 42L)
   }
 
+  test("dictionary-reference ids 17/18 round-trip through all readers") {
+    val (metaBytes, ids) = VariantMetadata.build(java.util.List.of("alpha", "beta", "42"))
+    val meta = new MetadataView(metaBytes, 0)
+
+    val sb = new ByteBuf()
+    VariantWriter.writeStringFromDict(sb, meta.findKey("beta"))
+    val sv = new VariantView(sb.result(), 0)
+    assert(sv.isDictString && !sv.isString)
+    assert(sv.sizeInBytes == 5 && sv.typeName == "string")
+    assert(sv.getDictKey(meta) == "beta")
+    // consumer surfaces: cast-to-string, JSON printer, schema inference
+    assert(graft.functions.VariantExtract.asString(meta, sv) == "beta")
+    assert(VariantJsonCodec.toJsonString(metaBytes, sb.result()) == "\"beta\"")
+    assert(SchemaInfer.infer(meta, sv) == SchemaInfer.SString)
+    // numeric dictionary payloads cast like strings
+    val nb = new ByteBuf()
+    VariantWriter.writeStringFromDict(nb, meta.findKey("42"))
+    val nv = new VariantView(nb.result(), 0)
+    assert(graft.functions.VariantExtract.cast(meta, nv,
+      org.apache.spark.sql.types.LongType, failOnError = true) == 42L)
+
+    val bb = new ByteBuf()
+    VariantWriter.writeBinaryFromDict(bb, meta.findKey("alpha"))
+    val bv = new VariantView(bb.result(), 0)
+    assert(bv.isDictBinary && bv.typeName == "binary")
+    val asBin = graft.functions.VariantExtract.cast(meta, bv,
+      org.apache.spark.sql.types.BinaryType, failOnError = true)
+    assert(java.util.Arrays.equals(asBin.asInstanceOf[Array[Byte]],
+      "alpha".getBytes("UTF-8")))
+    assert(SchemaInfer.infer(meta, bv) == SchemaInfer.SBinary)
+
+    // out-of-range id is an error, not silent garbage
+    val ob = new ByteBuf()
+    VariantWriter.writeStringFromDict(ob, 99)
+    intercept[IllegalStateException] {
+      new VariantView(ob.result(), 0).getDictKey(meta)
+    }
+  }
+
   test("sizeInBytes matches encoded extent for nested values") {
     val buf = new ByteBuf()
     val ab = new VariantArrayBuilder(buf)
