@@ -162,6 +162,28 @@ object Queries {
              |       CAST(len(json_keys(props)) AS INT) AS sz
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Multi-path extraction: one metadata decode + frame walk serves the
+    // whole field set (the shredding workhorse, §2.1 amortization) — vs
+    // the oracle's three independent json_extracts.
+    QueryDef("v_get_multi",
+      (s, d) => {
+        import org.apache.spark.sql.graftbridge.Bridge
+        val multi = Bridge.column(graft.functions.VariantGetMulti(
+          Bridge.expression(col("v")),
+          Seq(("$.k", LongType, "k"), ("$.k", StringType, "ks"),
+            ("$.zzz", LongType, "zz"))))
+        parsedEvents(s, d)
+          .withColumn("m", multi)
+          .select(col("event_id"), col("m.k").as("k"),
+            col("m.ks").as("ks"), col("m.zz").as("zz"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       json_extract_string(props, '$.k') AS ks,
+             |       CAST(json_extract_string(props, '$.zzz') AS BIGINT) AS zz
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Variant column persisted to parquet and read back — rows repeat
     // the same metadata bytes, so extraction runs on the decoded-metadata
     // id cache instead of per-row binary searches. String target keeps
@@ -548,7 +570,113 @@ object Queries {
         .orderBy(col("r_name")),
       Some("""SELECT r_name, COUNT(*) AS n_nations
              |FROM nation JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY r_name ORDER BY r_name""".stripMargin)))
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef("q_grouping_sets",
+      (s, d) => lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |       COALESCE(l_linestatus, 'ALL') AS ls,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)),
+
+    QueryDef("q_pivot",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("pri"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("pri")),
+      Some("""SELECT o_orderpriority AS pri,
+             |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+             |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY pri""".stripMargin)),
+
+    // wide→long reshaping (unpivot/melt — the inverse of pivot)
+    QueryDef("q_unpivot",
+      (s, d) => part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, metric, val
+             |FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+             |      FROM part)
+             |UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
+    QueryDef("q_union",
+      (s, d) => {
+        val o = orders(s, d)
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+          .unionByName(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .distinct()
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |UNION
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // min_by/max_by vs DuckDB arg_min/arg_max; the ordering value
+    // l_orderkey*8+l_linenumber is unique per row (linenumber ≤ 7), so
+    // the picked row is deterministic
+    QueryDef("q_minmax_by",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("max_by(l_partkey, l_orderkey * 8 + l_linenumber)").as("last_part"),
+          expr("min_by(l_partkey, l_orderkey * 8 + l_linenumber)").as("first_part"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |       arg_max(l_partkey, l_orderkey * 8 + l_linenumber) AS last_part,
+             |       arg_min(l_partkey, l_orderkey * 8 + l_linenumber) AS first_part
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ranking-function family beyond row_number: ntile buckets and the
+    // rational-valued percent_rank/cume_dist (deterministic: o_orderkey
+    // is unique within each partition)
+    QueryDef("q_window_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+        orders(s, d)
+          .select(col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("nt"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS nt,
+             |       percent_rank() OVER w AS pr,
+             |       cume_dist() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // generator/lateral over a computed array (explode ↔ unnest)
+    QueryDef("q_explode_lateral",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          explode(split(col("o_orderpriority"), "-")).as("part"))
+        .orderBy(col("o_orderkey"), col("part")),
+      Some("""SELECT o_orderkey, unnest(str_split(o_orderpriority, '-')) AS part
+             |FROM orders ORDER BY o_orderkey, part""".stripMargin)))
 
   // ---------------------------------------------------------------------
   // All queries + lookup maps for SparkEntry

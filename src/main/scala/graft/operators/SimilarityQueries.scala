@@ -171,6 +171,20 @@ object SimilarityQueries {
       },
       None),
 
+    // Vector arithmetic via higher-order functions: per-row L2 norm as a
+    // sequential left-to-right double fold (bit-identical to the
+    // oracle's list reduction). Map-only — scales trivially.
+    QueryDef("e_embed_norm",
+      (s, d) => embeddings(s, d)
+        .select(col("vec_id"),
+          sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("l2"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+             |       sqrt(list_sum(list_transform(embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // Embedding-cosine near-duplicate detection, blocked by label (the
     // scale path replaces `label` with an LSH/IVF bucket id).
     QueryDef("e_cosine_near_dup",

@@ -141,6 +141,66 @@ object TextQueries {
              |        / len(list_distinct(a.t || b.t)) >= 0.7
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Repetition / type-token quality signal: share of repeated tokens
+    // per document (a standard low-quality-text filter).
+    QueryDef("d_repetition",
+      (s, d) => documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks"))).as("rep_ratio"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_distinct,
+             |       1.0 - CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE)
+             |             / len(regexp_extract_all(text, '\S+')) AS rep_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF-style term weighting, fully distributed: explode terms →
+    // per-(doc,term) tf → per-term document frequency → integer-scaled
+    // score (tf·1e6 div df — exact integer arithmetic on both engines, no
+    // cross-engine libm log drift) → top-3 terms per doc. Three shuffles
+    // (tf, df, window), each on narrow rows; at 100 TB the df table is
+    // vocabulary-sized and broadcast-joins back.
+    QueryDef("d_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = documents(s, d)
+          .select(col("doc_id"), explode(tokens("text")).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, Seq("term"))
+          .withColumn("score", expr("tf * CAST(1000000 AS BIGINT) DIV df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+             |dfreq AS (
+             |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf * 1000000 // dfreq.df AS score
+             |  FROM tf JOIN dfreq USING (term)),
+             |ranked AS (
+             |  SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+             |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, term, score FROM ranked
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // BPE-ish subword token estimate: letter runs / digit runs /
     // punctuation runs with leading-space folding — a regex both Java
     // and RE2 (DuckDB) interpret identically.
