@@ -214,6 +214,85 @@ object TextQueries {
              |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic hash-based train/val split (the reproducible,
+    // shuffle-free way to partition a 100 TB corpus): first hex char of
+    // md5(text) < 'c' → train (12/16 = 75%). Content-keyed, so exact
+    // duplicates always land in the same split.
+    QueryDef("d_train_split",
+      (s, d) => documents(s, d)
+        .withColumn("split",
+          when(substring(md5(col("text")), 1, 1) < "c", lit("train"))
+            .otherwise(lit("val")))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split")),
+      Some("""SELECT source,
+             |       CASE WHEN substring(md5(text), 1, 1) < 'c'
+             |            THEN 'train' ELSE 'val' END AS split,
+             |       COUNT(*) AS n_docs
+             |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
+    // Sequence packing: greedy running-token bins of 2048 per source
+    // (the distributed approximation of context-window packing — bins
+    // are assigned by a window cumsum, one shuffle on the pack key).
+    QueryDef("d_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .withColumn("n_tok", size(tokens("text")).cast("long"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", expr("(cum - n_tok) DIV 2048"))
+          .groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+          .orderBy(col("source"), col("pack_id"))
+      },
+      Some("""WITH sized AS (
+             |  SELECT source, doc_id,
+             |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |packed AS (
+             |  SELECT source, n_tok,
+             |         (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |            ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS pack_id
+             |  FROM sized)
+             |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+             |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+             |FROM packed GROUP BY source, pack_id
+             |ORDER BY source, pack_id""".stripMargin)),
+
+    // Retention policy closing the dedup loop: drop the higher-id side
+    // of every verified near-dup pair (exact Jaccard ≥ 0.7 within
+    // source blocks), keep everything else — the survivors list a
+    // curation job actually materializes.
+    QueryDef("d_dedup_keep",
+      (s, d) => {
+        val base = documents(s, d)
+        val toks = base.select(col("doc_id"),
+          array_sort(array_distinct(tokens("text"))).as("toks"), col("source"))
+        val a = toks.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+        val b = toks.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+        val drops = a.join(b, Seq("source"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(graft.functions.VariantFunctions.jaccard_sorted(
+            col("toks_a"), col("toks_b")) >= 0.7)
+          .select(col("doc_b").as("doc_id")).distinct()
+        base.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, list_distinct(regexp_extract_all(text, '\S+')) AS t
+             |  FROM documents)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (
+             |  SELECT b.doc_id
+             |  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |          / len(list_distinct(a.t || b.t)) >= 0.7)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Multimodal: byte-histogram features are REAL computation (entropy,
     // moments); rows-only check (per-byte loops are not SQL-expressible
     // in the oracle), unit-tested instead.
