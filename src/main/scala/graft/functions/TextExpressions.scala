@@ -203,6 +203,50 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** `minhash_bands_of(sig, b)`: LSH band buckets derived from an ALREADY
+  * COMPUTED signature array — for pipelines that carry the signature
+  * anyway (streaming dedup verifies with it), where `minhash_bands`
+  * would hash every token a second time. Same band-hash scheme as
+  * [[MinHashBands]], so the two produce identical buckets.
+  */
+case class MinHashBandsOfSig(child: Expression, bands: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(bands > 0, "bands must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands_of"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands_of expects array<bigint>, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val slots = input.asInstanceOf[ArrayData]
+    val k = slots.numElements()
+    if (k == 0 || k % bands != 0) return null
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Hash64.mix(b.toLong + 0x51_7c_c1_b7_27_22_0a_95L)
+      var j = 0
+      while (j < r) {
+        h = Hash64.mix(h ^ slots.getLong(b * r + j))
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)`: 64-bit SimHash of a string array — per-bit
   * majority vote over token hashes; Hamming distance between signatures
   * approximates (1 - cosine) of the token multisets.

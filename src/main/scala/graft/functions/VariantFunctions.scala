@@ -42,6 +42,7 @@ object VariantFunctions {
     col(SchemaOfVariantAgg(expr(c)).toAggregateExpression())
   def minhash_signature(c: Column, k: Int): Column = col(MinHashSignature(expr(c), k))
   def minhash_bands(c: Column, k: Int, bands: Int): Column = col(MinHashBands(expr(c), k, bands))
+  def minhash_bands_of(sig: Column, bands: Int): Column = col(MinHashBandsOfSig(expr(sig), bands))
   def shingle_tokens(c: Column, n: Int): Column = col(ShingleTokens(expr(c), n))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))

@@ -57,7 +57,9 @@ object StreamingDedup {
         array_sort(array_distinct(
           vf.shingle_tokens(col(textCol), shingleSize))).as("toks"))
       .withColumn("sig", vf.minhash_signature(col("toks"), numHashes))
-      .withColumn("bandArr", vf.minhash_bands(col("toks"), numHashes, bands))
+      // band the signature we already carry — minhash_bands(toks) would
+      // hash every token a second time
+      .withColumn("bandArr", vf.minhash_bands_of(col("sig"), bands))
       .filter(col("sig").isNotNull && col("bandArr").isNotNull)
       .select(col("id"), posexplode(col("bandArr")).as(Seq("band", "bucket")), col("sig"))
 

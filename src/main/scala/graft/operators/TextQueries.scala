@@ -28,6 +28,40 @@ object TextQueries {
 
   private val stopListSql = STOPWORDS.map(s => s"'$s'").mkString(", ")
 
+  /** Exact token-set Jaccard ≥ 0.7 pairs within source blocks — the
+    * verified-near-dup plan shared by `d_ngram_jaccard` (report) and
+    * `d_dedup_keep` (retention).
+    *
+    * Pair enumeration runs on NARROW (source, id, n_toks) rows — the
+    * block self-join never shuffles token arrays (pair-count ×
+    * array-size shuffle bytes dominate everything else). J(A,B) ≥ t
+    * forces min(|A|,|B|) ≥ t·max(|A|,|B|), so size-incompatible pairs
+    * prune BEFORE any token array is attached; tokens are sorted once
+    * per doc and join back onto the (tiny) surviving pair set, where one
+    * merge pass (jaccard_sorted) verifies. The pairs respread off the
+    * block-key partitioning first so every core participates.
+    */
+  def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+    val ids = base.select(col("doc_id"), col("source"),
+      size(array_distinct(tokens("text"))).as("n_toks"))
+    val toksTable = base
+      .select(col("doc_id"), array_sort(array_distinct(tokens("text"))).as("toks"))
+    val a = ids.select(col("source"), col("doc_id").as("doc_a"), col("n_toks").as("n_a"))
+    val b = ids.select(col("source"), col("doc_id").as("doc_b"), col("n_toks").as("n_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(0.7) * greatest(col("n_a"), col("n_b")))
+      .repartition(col("doc_a"), col("doc_b"))
+      .join(toksTable.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toksTable.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .withColumn("jac",
+        graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("d_token_stats",
@@ -95,41 +129,8 @@ object TextQueries {
     // same structure a 100 TB run needs, where `source` would be a
     // coarser LSH bucket; see MinHash operators for the approximate path).
     QueryDef("d_ngram_jaccard",
-      (s, d) => {
-        // Pair enumeration runs on NARROW (source, id) rows — the block
-        // self-join never shuffles token arrays (pair-count × array-size
-        // shuffle bytes dominate everything else). Tokens are sorted
-        // once per doc and attach to the pairs afterwards; AQE picks
-        // broadcast for the small token table and falls back to a
-        // shuffle join when it isn't — the behavior that survives a
-        // 1000× scale-up. Per-pair work is one merge pass
-        // (jaccard_sorted), no per-pair hash sets.
-        val base = documents(s, d)
-        // distinct-token count rides the narrow pair rows: J(A,B) >= t
-        // forces min(|A|,|B|) >= t*max(|A|,|B|), so size-incompatible
-        // pairs prune BEFORE any token array is attached or merged
-        val ids = base.select(col("doc_id"), col("source"),
-          size(array_distinct(tokens("text"))).as("n_toks"))
-        val toksTable = base
-          .select(col("doc_id"), array_sort(array_distinct(tokens("text"))).as("toks"))
-        val a = ids.select(col("source"), col("doc_id").as("doc_a"), col("n_toks").as("n_a"))
-        val b = ids.select(col("source"), col("doc_id").as("doc_b"), col("n_toks").as("n_b"))
-        a.join(b, Seq("source"))
-          .filter(col("doc_a") < col("doc_b"))
-          .filter(least(col("n_a"), col("n_b")).cast("double") >=
-            lit(0.7) * greatest(col("n_a"), col("n_b")))
-          // pairs inherit the block-key partitioning (few distinct
-          // sources → few active tasks); respread before the per-pair
-          // merge work so all cores participate
-          .repartition(col("doc_a"), col("doc_b"))
-          .join(toksTable.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-          .join(toksTable.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-          .withColumn("jac",
-            graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
-          .filter(col("jac") >= 0.7)
-          .select(col("doc_a"), col("doc_b"), col("jac"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => exactJaccardPairs(s, d)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH toks AS (
              |  SELECT doc_id, source, list_distinct(regexp_extract_all(text, '\S+')) AS t
              |  FROM documents)
@@ -268,17 +269,10 @@ object TextQueries {
     // curation job actually materializes.
     QueryDef("d_dedup_keep",
       (s, d) => {
-        val base = documents(s, d)
-        val toks = base.select(col("doc_id"),
-          array_sort(array_distinct(tokens("text"))).as("toks"), col("source"))
-        val a = toks.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-        val b = toks.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-        val drops = a.join(b, Seq("source"))
-          .filter(col("doc_a") < col("doc_b"))
-          .filter(graft.functions.VariantFunctions.jaccard_sorted(
-            col("toks_a"), col("toks_b")) >= 0.7)
+        // the verified pairs reuse the size-pruned narrow-pair plan
+        val drops = exactJaccardPairs(s, d)
           .select(col("doc_b").as("doc_id")).distinct()
-        base.join(drops, Seq("doc_id"), "left_anti")
+        documents(s, d).join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },

@@ -140,6 +140,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(both.getBoolean(0) && !both.getBoolean(1))
   }
 
+  test("minhash_bands_of a signature equals minhash_bands of the tokens") {
+    val df = spark.range(50).selectExpr(
+      "array(concat('a', id), concat('b', id % 7), concat('c', id % 3)) AS toks")
+    val both = df.select(
+      VariantFunctions.minhash_bands(org.apache.spark.sql.functions.col("toks"), 64, 16).as("direct"),
+      VariantFunctions.minhash_bands_of(
+        VariantFunctions.minhash_signature(org.apache.spark.sql.functions.col("toks"), 64), 16).as("derived"))
+    assert(both.filter("direct <> derived").count() == 0)
+    // non-divisible slot count yields NULL, not garbage
+    val bad = df.limit(1).select(VariantFunctions.minhash_bands_of(
+      VariantFunctions.minhash_signature(org.apache.spark.sql.functions.col("toks"), 10), 16))
+    assert(bad.collect()(0).isNullAt(0))
+  }
+
   test("to_variant round-trips the full declared type space (ids the reference left dead)") {
     val r = sql1(
       """SELECT variant_get(to_variant(named_struct(
