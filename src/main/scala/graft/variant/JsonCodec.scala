@@ -40,51 +40,75 @@ object VariantJsonCodec {
         throw new JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
     }
 
+  /** First-seen key interner for the single-pass encoder: keys get
+    * temporary ids in arrival order; `remapTo` translates them to the
+    * final sorted-dictionary ids.
+    */
+  private final class KeyInterner {
+    val keys = new java.util.ArrayList[String]()
+    private val map = new java.util.HashMap[String, Integer]()
+    def intern(k: String): Int = {
+      val existing = map.get(k)
+      if (existing != null) existing.intValue()
+      else {
+        val id = keys.size()
+        map.put(k, id)
+        keys.add(k)
+        id
+      }
+    }
+    def remapTo(finalIds: java.util.HashMap[String, Integer]): Array[Int] = {
+      val remap = new Array[Int](keys.size())
+      var i = 0
+      while (i < keys.size()) { remap(i) = finalIds.get(keys.get(i)); i += 1 }
+      remap
+    }
+  }
+
   /** JSON text → (metadata, value); returns null for a top-level JSON
     * `null` (the SQL-null rule, json.rs:184-196).
     *
-    * Two streaming passes over the raw bytes (key collection, then
-    * conversion) — no JsonNode tree is materialized. The hot path of
-    * `variant_from_json`: at 100 TB the parse IS the workload, and the
-    * tree walk allocates an object per JSON token.
+    * SINGLE streaming pass over the raw bytes — keys are interned with
+    * first-seen temporary ids while values encode, then the dictionary
+    * is built and, only when arrival order was not already the sorted
+    * order, the compact binary is re-encoded with final ids (a memcpy-
+    * heavy walk over our own buffer — far cheaper than the second
+    * Jackson tokenize the two-pass scheme paid; json.rs:115-163 does
+    * two passes). No JsonNode tree is materialized. The hot path of
+    * `variant_from_json`: at 100 TB the parse IS the workload.
     */
   def fromJsonBytes(utf8: Array[Byte], off: Int, len: Int): (Array[Byte], Array[Byte]) = {
     import com.fasterxml.jackson.core.JsonToken
     try {
-      // pass 1: collect object keys at all depths (json.rs:115-163)
-      val keys = new java.util.ArrayList[String]()
-      var p = factory.createParser(utf8, off, len)
-      var tok = p.nextToken()
+      val p = factory.createParser(utf8, off, len)
+      val tok = p.nextToken()
       if (tok == null) throw new JsonParseException("Failed to parse JSON: empty input", null)
       if (tok == JsonToken.VALUE_NULL) {
         if (p.nextToken() != null)
           throw new JsonParseException("Failed to parse JSON: trailing tokens", null)
         return null
       }
-      var depth = 0
-      while (tok != null) {
-        tok match {
-          case JsonToken.FIELD_NAME => keys.add(p.currentName())
-          case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
-          case JsonToken.END_OBJECT | JsonToken.END_ARRAY => depth -= 1
-          case _ => ()
-        }
-        tok = if (depth == 0 && (tok.isScalarValue || tok == JsonToken.END_OBJECT ||
-          tok == JsonToken.END_ARRAY)) {
-          if (p.nextToken() != null)
-            throw new JsonParseException("Failed to parse JSON: trailing tokens", null)
-          null
-        } else p.nextToken()
-      }
-      p.close()
-      val (metaBytes, ids) = VariantMetadata.build(keys)
-      // pass 2: convert tokens → variant bytes directly
-      p = factory.createParser(utf8, off, len)
-      p.nextToken()
+      val interner = new KeyInterner
       val buf = new ByteBuf(64)
-      convertStream(p, buf, ids)
+      convertStream(p, buf, interner)
+      if (p.nextToken() != null)
+        throw new JsonParseException("Failed to parse JSON: trailing tokens", null)
       p.close()
-      (metaBytes, buf.result())
+      val (metaBytes, finalIds) = VariantMetadata.build(interner.keys)
+      val remap = interner.remapTo(finalIds)
+      var identity = true
+      var i = 0
+      while (identity && i < remap.length) { identity = remap(i) == i; i += 1 }
+      if (identity) (metaBytes, buf.result())
+      else {
+        // arrival order ≠ dictionary order: re-encode from our own
+        // binary so frame id widths and field sort reflect final ids
+        // (in-place id rewriting could change a frame's id byte width —
+        // the builders re-derive widths, keeping the encoding canonical)
+        val out = new ByteBuf(buf.length + 16)
+        reencode(buf.rawBytes, 0, out, remap)
+        (metaBytes, out.result())
+      }
     } catch {
       case e: JsonParseException => throw e
       case e: IllegalArgumentException => throw e
@@ -93,11 +117,41 @@ object VariantJsonCodec {
     }
   }
 
+  /** Re-emit a temp-id-encoded value with final dictionary ids. Scalars
+    * copy verbatim; object/array frames rebuild through the canonical
+    * builders (sorted fields, minimal widths).
+    */
+  private def reencode(src: Array[Byte], pos: Int, out: ByteBuf, remap: Array[Int]): Unit = {
+    val v = new VariantView(src, pos)
+    v.basicType match {
+      case VariantConst.BASIC_OBJECT =>
+        val o = v.getObject
+        val ob = new VariantObjectBuilder(out)
+        var i = 0
+        while (i < o.numElements) {
+          reencode(src, o.valueAt(i).pos, ob.fieldBuffer(remap(o.fieldIdAt(i))), remap)
+          i += 1
+        }
+        ob.finish()
+      case VariantConst.BASIC_ARRAY =>
+        val a = v.getArray
+        val ab = new VariantArrayBuilder(out)
+        var i = 0
+        while (i < a.numElements) {
+          reencode(src, a.elementAt(i).pos, ab.elementBuffer(), remap)
+          i += 1
+        }
+        ab.finish()
+      case _ => out.addBytes(src, pos, v.sizeInBytes)
+    }
+  }
+
   /** Recursive-descent token → variant writer; parser is positioned ON
-    * the value's first token when called.
+    * the value's first token when called. Object keys intern to
+    * first-seen temp ids (remapped by the caller when necessary).
     */
   private def convertStream(p: com.fasterxml.jackson.core.JsonParser, buf: ByteBuf,
-                            ids: java.util.HashMap[String, Integer]): Unit = {
+                            interner: KeyInterner): Unit = {
     import com.fasterxml.jackson.core.{JsonToken => T}
     p.currentToken() match {
       case T.VALUE_NULL => VariantWriter.writeNull(buf)
@@ -117,19 +171,16 @@ object VariantJsonCodec {
       case T.START_ARRAY =>
         val ab = new VariantArrayBuilder(buf)
         while (p.nextToken() != T.END_ARRAY) {
-          convertStream(p, ab.elementBuffer(), ids)
+          convertStream(p, ab.elementBuffer(), interner)
         }
         ab.finish()
       case T.START_OBJECT =>
         val ob = new VariantObjectBuilder(buf)
         while (p.nextToken() != T.END_OBJECT) {
           // currentToken == FIELD_NAME
-          val id = ids.get(p.currentName())
-          if (id == null)
-            throw new IllegalStateException(
-              s"Key '${p.currentName()}' not present in metadata dictionary")
+          val id = interner.intern(p.currentName())
           p.nextToken()
-          convertStream(p, ob.fieldBuffer(id), ids)
+          convertStream(p, ob.fieldBuffer(id), interner)
         }
         ob.finish()
       case other =>
