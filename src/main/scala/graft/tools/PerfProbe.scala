@@ -74,6 +74,31 @@ object PerfProbe {
         .write.mode("overwrite").format("noop").save()
     }
 
+    // String-target extraction (the most common user operation): fused
+    // path vs Spark's builtin variant vs get_json_object.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet => SparkVG}
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.graftbridge.Bridge
+      import org.apache.spark.sql.types.StringType
+      val q = ev.select(vf.variant_get(
+        vf.variant_from_json(col("props")), "$.k", StringType).as("ks"))
+      q.write.mode("overwrite").format("noop").save() // warm
+      time("OURS    fused string extraction") {
+        q.write.mode("overwrite").format("noop").save()
+      }
+      time("BUILTIN variant string extraction") {
+        ev.select(Bridge.column(SparkVG(
+            Bridge.expression(Bridge.column(ParseJson(Bridge.expression(col("props")), true))),
+            Literal.create("$.k"), StringType, true, None)).as("ks"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("BUILTIN get_json_object") {
+        ev.select(get_json_object(col("props"), "$.k").as("ks"))
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+
     // Read-back extraction: decoded-metadata id cache vs full re-parse.
     // Metadata marks are stripped so the shredded-pushdown rule cannot
     // shortcut the decode.

@@ -39,6 +39,32 @@ class DifferentialSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("fused keys/size equal Spark's json_object_keys / json_array_length") {
+    // our variant_keys returns dictionary (sorted) order; Spark's
+    // json_object_keys preserves input order — compare sorted
+    val docs = Seq(
+      """{"b": 1, "a": 2, "c": {"x": 1}}""",
+      """{"only": [1, 2, 3]}""",
+      """{}""",
+      """[1, 2, {"q": 1}, null]""",
+      """[]""",
+      """"scalar"""").toDF("j")
+    val diff = docs.select(
+        sort_array(VariantFunctions.variant_keys(
+          VariantFunctions.variant_from_json(col("j")))).as("ours_keys"),
+        sort_array(json_object_keys(col("j"))).as("spark_keys"),
+        VariantFunctions.variant_size(
+          VariantFunctions.variant_from_json(col("j"))).cast("int").as("ours_size"),
+        when(col("j").startsWith("["),
+          json_array_length(col("j"))).as("spark_arr_len"))
+      .collect()
+    diff.foreach { r =>
+      assert((r.isNullAt(0) && r.isNullAt(1)) ||
+        r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+      if (!r.isNullAt(3)) assert(r.getInt(2) == r.getInt(3), r.toString)
+    }
+  }
+
   test("generated JSON corpus: typed extraction equals Spark built-in") {
     // Field types are fixed per path: JSON float formatting is a KNOWN
     // divergence (the reference maps floats to Float64, json.rs:26-33;
