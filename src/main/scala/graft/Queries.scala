@@ -669,6 +669,49 @@ object Queries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Moment statistics with an EXACT oracle: mean/variance derived from
+    // decimal sums via the algebraic identity, so both engines do the
+    // same double arithmetic on identical inputs (a streaming Welford
+    // stddev would drift in the last ulp between engines).
+    QueryDef("q_stats",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("s1"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)")).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mean_qty"),
+          ((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double")
+            / col("n")) / (col("n") - 1)).as("var_qty"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_qty,
+             |       (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE)
+             |        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |          * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             |       / (COUNT(*) - 1) AS var_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Scalar subquery: every order against the global average price
+    // (broadcast single-row aggregate, no shuffle of the fact side).
+    QueryDef("q_scalar_subquery",
+      (s, d) => {
+        val o = orders(s, d)
+        val avgRow = o.agg(
+          (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("avg_price"))
+        o.crossJoin(broadcast(avgRow))
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select(col("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |                             / COUNT(*) FROM orders) * 1.5
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // generator/lateral over a computed array (explode ↔ unnest)
     QueryDef("q_explode_lateral",
       (s, d) => orders(s, d)

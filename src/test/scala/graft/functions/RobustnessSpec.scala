@@ -27,6 +27,30 @@ class RobustnessSpec extends AnyFunSuite {
     assert(s == n.toLong * (n - 1) / 2)
   }
 
+  test("variant_get id cache stays correct under alternating metadata") {
+    // three interleaved shapes → the per-thread (metadata bytes → ids)
+    // cache thrashes every row; results must still be exact
+    val df = spark.range(3000).repartition(8)
+      .withColumn("j", expr(
+        """CASE id % 3
+          |  WHEN 0 THEN concat('{"a": ', id, '}')
+          |  WHEN 1 THEN concat('{"b": ', id, '}')
+          |  ELSE concat('{"a": ', id, ', "b": ', id * 2, '}')
+          |END""".stripMargin))
+      // route through a variant-target get so the unfused VariantGet
+      // (the expression carrying the id cache) does the extraction
+      .withColumn("v", VariantFunctions.variant_get(
+        VariantFunctions.variant_from_json(col("j")), "$"))
+      .withColumn("a", VariantFunctions.variant_get(col("v"), "$.a", LongType))
+      .withColumn("b", VariantFunctions.variant_get(col("v"), "$.b", LongType))
+    val bad = df.filter(
+      (col("id") % 3 === 0 && !(col("a") <=> col("id")) ) ||
+      (col("id") % 3 === 1 && !(col("b") <=> col("id")) ) ||
+      (col("id") % 3 === 2 && (!(col("a") <=> col("id")) || !(col("b") <=> col("id") * 2))))
+      .count()
+    assert(bad == 0)
+  }
+
   test("lenient cast matrix: try extraction yields NULL, never an error") {
     val cases = Seq(
       ("""{"x": "not a number"}""", "bigint"),
