@@ -79,6 +79,19 @@ object DevSmoke {
     println("asof rows: " + graft.Queries.queryMap("q_asof_join")(spark, "/root/testdata/sf0.001").count())
     println("range join rows: " + graft.Queries.queryMap("q_range_join")(spark, "/root/testdata/sf0.001").count())
 
+    println("=== round-2 surface: shred pushdown / readback / streaming dedup / curation ===")
+    val sf = "/root/testdata/sf0.001"
+    val pushPlan = graft.Queries.queryMap("v_shred_pushdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    println("shred pushdown fired: " +
+      (pushPlan.contains("GreaterThan(v_k,90") && !pushPlan.contains("variant_get")))
+    println("readback rows: " + graft.Queries.queryMap("v_readback")(spark, sf).count())
+    println("streaming dedup pairs: " +
+      graft.Queries.queryMap("s_minhash_dedup")(spark, sf).count())
+    println("tfidf top terms: " + graft.Queries.queryMap("d_tfidf")(spark, sf).count())
+    println("dedup survivors: " + graft.Queries.queryMap("d_dedup_keep")(spark, sf).count())
+    println("packed bins: " + graft.Queries.queryMap("d_pack")(spark, sf).count())
+
     spark.stop()
   }
 }
