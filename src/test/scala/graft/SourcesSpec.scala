@@ -41,6 +41,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ORC sink + source round-trips an encoded variant column byte-exactly") {
+    import graft.functions.{VariantFunctions => vf}
+    import org.apache.spark.sql.types.LongType
+    val dir = tmp("graft_orc_")
+    val ev = Tables.events(spark, TestSpark.SF)
+      .withColumn("v", vf.variant_from_json(col("props")))
+      .select("event_id", "v")
+    ev.write.mode("overwrite").orc(s"$dir/ev_orc")
+    val back = spark.read.orc(s"$dir/ev_orc")
+    assert(back.count() == ev.count())
+    // the binary struct survives ORC verbatim: extraction agrees row-wise
+    val joined = ev.select(col("event_id"), col("v").as("v1"))
+      .join(back.select(col("event_id"), col("v").as("v2")), Seq("event_id"))
+      .filter(!(vf.variant_get(col("v1"), "$.k", LongType) <=>
+        vf.variant_get(col("v2"), "$.k", LongType)) ||
+        !(col("v1") <=> col("v2")))
+    assert(joined.count() == 0)
+  }
+
   test("shredded variant fields get parquet filter pushdown; raw variant does not") {
     import graft.functions.{VariantFunctions => vf}
     import graft.operators.Shred
