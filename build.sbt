@@ -29,6 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JDK 17 defaults file.encoding to the native locale (ANSI_X3.4-1968
+  // here — LANG is unset); Spark's variant reader decodes strings with
+  // the platform charset, so non-UTF-8 default mangles non-ASCII data.
+  // JDK 18+ (JEP 400) makes this the default; we pin it for 17.
+  "-Dfile.encoding=UTF-8",
   // local[32] with array-heavy operators needs headroom or later
   // queries pay old-gen GC thrash (container has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",

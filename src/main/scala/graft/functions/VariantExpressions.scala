@@ -204,6 +204,50 @@ object VariantExtract {
   }
 }
 
+/** `to_spark_variant(v)`: reinterpret our variant struct as Spark 4.1's
+  * native `VariantType`. No re-encoding happens — both sides implement
+  * the same Open Variant binary spec (SURVEY §1.3), so the two buffers
+  * pass through verbatim and Spark's builtin variant functions read our
+  * bytes directly (DifferentialSpec proves extraction parity). This is
+  * the interop bridge a user migrating between the builtin and this
+  * library needs.
+  */
+case class ToSparkVariant(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = VariantType
+  override def nullable: Boolean = true
+  override def prettyName: String = "to_spark_variant"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"to_spark_variant expects a variant struct, got: ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    new org.apache.spark.unsafe.types.VariantVal(row.getBinary(1), row.getBinary(0))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `from_spark_variant(v)`: the inverse bridge — Spark's native variant
+  * value as our (metadata, value) struct, again byte-verbatim.
+  */
+case class FromSparkVariant(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String = "from_spark_variant"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case VariantType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"from_spark_variant expects variant, got: ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+    new GenericInternalRow(Array[Any](v.getMetadata, v.getValue))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `variant_get(v, '$.path'[, 'type'])`: walk a pre-parsed path through
   * the variant and cast to the target type. Path resolution per step is
   * the reference's `find_string` binary search + `get_field` binary

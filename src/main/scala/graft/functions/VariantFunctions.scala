@@ -32,6 +32,8 @@ object VariantFunctions {
   def is_variant_null(c: Column): Column = col(IsVariantNull(expr(c)))
   def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
   def to_variant(c: Column): Column = col(ToVariant(expr(c)))
+  def to_spark_variant(c: Column): Column = col(ToSparkVariant(expr(c)))
+  def from_spark_variant(c: Column): Column = col(FromSparkVariant(expr(c)))
   def variant_explode(c: Column): Column = col(VariantExplode(expr(c)))
   def variant_explode_outer(c: Column): Column =
     col(GeneratorOuter(VariantExplode(expr(c))))
@@ -101,6 +103,12 @@ object VariantFunctions {
     ("to_variant",
       (es: Seq[Expression]) => ToVariant(es.head),
       "to_variant(col) - Encode a typed value (scalar/struct/array/map) as a variant."),
+    ("to_spark_variant",
+      (es: Seq[Expression]) => ToSparkVariant(es.head),
+      "to_spark_variant(v) - Reinterpret our variant struct as Spark's native VariantType (byte-verbatim)."),
+    ("from_spark_variant",
+      (es: Seq[Expression]) => FromSparkVariant(es.head),
+      "from_spark_variant(v) - Spark's native variant as our (metadata, value) struct (byte-verbatim)."),
     ("variant_explode",
       (es: Seq[Expression]) => VariantExplode(es.head),
       "variant_explode(v) - One row per object field (pos, key, value) or array element (pos, NULL, value)."),

@@ -114,12 +114,23 @@ final class MetadataView(val bytes: Array[Byte], val start: Int) {
     k.length - entryLen
   }
 
-  /** Key → dictionary id via binary search; -1 if absent. Uses the
-    * half-open form everywhere (the reference's closed-interval version
-    * underflows when the probe sorts before the whole dictionary,
-    * metadata.rs:172-183 — fixed here per SURVEY §1.3).
+  /** Key → dictionary id; -1 if absent. Binary search (half-open form —
+    * the reference's closed-interval version underflows when the probe
+    * sorts before the whole dictionary, metadata.rs:172-183, fixed per
+    * SURVEY §1.3) when the header's sorted_strings flag is set; LINEAR
+    * scan otherwise — foreign writers (Spark's builtin parse_json among
+    * them) emit first-seen-order dictionaries with sorted=false, and
+    * binary-searching those returns wrong misses.
     */
   def findKey(keyUtf8: Array[Byte]): Int = {
+    if (!sortedStrings) {
+      var i = 0
+      while (i < dictionarySize) {
+        if (compareEntry(keyUtf8, i) == 0) return i
+        i += 1
+      }
+      return -1
+    }
     var lo = 0
     var hi = dictionarySize
     while (lo < hi) {

@@ -182,7 +182,16 @@ final class ObjectView(v: VariantView) {
   def valueAt(i: Int): VariantView =
     new VariantView(bytes, valuesStart + offsetAt(i))
 
-  /** Binary search over sorted field ids (read.rs:156-171). -1 if absent. */
+  /** Field id → position. Binary search first (read.rs:156-171): valid
+    * whenever the id array is monotonic, which our canonical writer
+    * guarantees (sorted dictionary ⇒ name order = id order). Foreign
+    * frames can be NON-monotonic — Spark's builtin sorts fields by key
+    * NAME over a first-seen dictionary, the reference appends in input
+    * order — where binary search can false-MISS (never false-hit, an
+    * equal probe is a genuine match). A miss therefore falls back to one
+    * linear scan; on canonical data that cost is only paid for genuinely
+    * absent keys. -1 if absent.
+    */
   def indexOfFieldId(fieldId: Int): Int = {
     var lo = 0
     var hi = numElements
@@ -192,6 +201,11 @@ final class ObjectView(v: VariantView) {
       if (cur == fieldId) return mid
       else if (fieldId < cur) hi = mid
       else lo = mid + 1
+    }
+    var i = 0
+    while (i < numElements) {
+      if (fieldIdAt(i) == fieldId) return i
+      i += 1
     }
     -1
   }

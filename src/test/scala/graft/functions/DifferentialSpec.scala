@@ -39,6 +39,54 @@ class DifferentialSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("interop: Spark's builtin reader consumes OUR encoded bytes (writer spec compat)") {
+    // our codec encodes, to_spark_variant passes the buffers verbatim,
+    // and Spark's builtin variant_get + cast-to-string read them — if
+    // our writer deviated from the Open Variant spec anywhere (widths,
+    // headers, dictionaries, frames) this would diverge or throw
+    val docs = Seq(
+      """{"b": 1, "a": {"y": 2.5, "x": [1, "s", null, true]}, "c": -128}""",
+      """{"big": 99999999999999999999999999, "neg": -3.75e2}""",
+      """{"unicode": "héllo😀", "longstr": "%s"}""".format("x" * 200),
+      """[1, [2, [3]], {"deep": {"deeper": 7}}]""",
+      """{"n": null, "t": true, "f": false}""",
+      """{"i8": 127, "i16": 32767, "i32": 2147483647, "i64": 9223372036854775807}""").toDF("j")
+    val ours = VariantFunctions.variant_from_json(col("j"))
+    val cases: Seq[(String, DataType)] = Seq(
+      ("$.a.x[1]", StringType), ("$.a.y", DoubleType), ("$.c", LongType),
+      ("$.i64", LongType), ("$.unicode", StringType), ("$.longstr", StringType),
+      ("$.n", StringType), ("$.t", BooleanType), ("$[2].deep.deeper", LongType))
+    for ((path, dt) <- cases) {
+      val mine = VariantFunctions.variant_get(ours, path, dt)
+      val theirs = Bridge.column(SparkVG(
+        Bridge.expression(VariantFunctions.to_spark_variant(ours)),
+        Literal.create(path), dt, false, None))
+      val bad = docs.select(col("j"), mine.as("ours"), theirs.as("theirs"))
+        .filter(!(col("ours") <=> col("theirs"))).collect()
+      assert(bad.isEmpty, s"path $path as $dt: ${bad.take(2).mkString(";")}")
+    }
+  }
+
+  test("interop: our reader consumes Spark's builtin-encoded bytes (reader spec compat)") {
+    val docs = Seq(
+      """{"b": 1, "a": {"y": 2.5, "x": [1, "s", null, true]}, "c": -128}""",
+      """[10, "arr", {"k": 5}]""",
+      """{"i64": 9223372036854775807, "d": 1.5}""").toDF("j")
+    val sparkV = Bridge.column(ParseJson(Bridge.expression(col("j")), true))
+    val backToOurs = VariantFunctions.from_spark_variant(sparkV)
+    val cases: Seq[(String, DataType)] = Seq(
+      ("$.a.x[3]", BooleanType), ("$.c", LongType), ("$.i64", LongType),
+      ("$.d", DoubleType), ("$[1]", StringType), ("$[2].k", LongType))
+    for ((path, dt) <- cases) {
+      val viaOurs = VariantFunctions.variant_get(backToOurs, path, dt)
+      val direct = Bridge.column(SparkVG(
+        Bridge.expression(sparkV), Literal.create(path), dt, false, None))
+      val bad = docs.select(col("j"), viaOurs.as("ours"), direct.as("theirs"))
+        .filter(!(col("ours") <=> col("theirs"))).collect()
+      assert(bad.isEmpty, s"path $path as $dt: ${bad.take(2).mkString(";")}")
+    }
+  }
+
   test("fused keys/size equal Spark's json_object_keys / json_array_length") {
     // our variant_keys returns dictionary (sorted) order; Spark's
     // json_object_keys preserves input order — compare sorted
