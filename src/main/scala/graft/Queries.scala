@@ -184,6 +184,31 @@ object Queries {
              |       CAST(json_extract_string(props, '$.zzz') AS BIGINT) AS zz
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Interop with Spark's native VariantType, both directions in one
+    // query: our encode read by the BUILTIN variant_get, and the builtin
+    // parse_json read by OUR variant_get — byte-verbatim bridges, same
+    // Open Variant spec (DifferentialSpec pins the full matrix).
+    QueryDef("v_interop",
+      (s, d) => {
+        import org.apache.spark.sql.graftbridge.Bridge
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet => SparkVG}
+        parsedEvents(s, d)
+          .select(col("event_id"),
+            Bridge.column(SparkVG(
+              Bridge.expression(vf.to_spark_variant(col("v"))),
+              Literal.create("$.k"), LongType, false, None)).as("k_builtin"),
+            vf.variant_get(
+              vf.from_spark_variant(
+                Bridge.column(ParseJson(Bridge.expression(col("props")), true))),
+              "$.k", LongType).as("k_ours"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_builtin,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ours
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Variant column persisted to parquet and read back — rows repeat
     // the same metadata bytes, so extraction runs on the decoded-metadata
     // id cache instead of per-row binary searches. String target keeps
