@@ -694,6 +694,25 @@ object Queries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Deterministic salted join (skew mitigation when broadcast is
+    // impossible): salt spreads each hot key over 8 sub-keys; results
+    // must equal the plain join, which is exactly what the oracle runs.
+    QueryDef("q_salted_join",
+      (s, d) => {
+        val big = orders(s, d)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val small = customer(s, d)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(big, small, "custkey", factor = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Moment statistics with an EXACT oracle: mean/variance derived from
     // decimal sums via the algebraic identity, so both engines do the
     // same double arithmetic on identical inputs (a streaming Welford

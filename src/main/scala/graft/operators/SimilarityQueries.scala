@@ -254,6 +254,39 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // Variant extraction under readStream: the fused parse+get runs
+    // unchanged inside a streaming filter + windowless aggregate.
+    QueryDef("s_variant_counts",
+      (s, d) => {
+        import org.apache.spark.sql.types.LongType
+        import graft.functions.{VariantFunctions => vf}
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("k", vf.variant_get(
+            vf.variant_from_json(col("props")), "$.k", LongType))
+          .filter(col("k") > 50)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        val qname = s"s_variant_counts_${runCounter.incrementAndGet()}"
+        val q = stream.writeStream.outputMode("complete")
+          .format("memory").queryName(qname).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(qname).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Streaming MinHash+LSH near-dup detection: incremental candidate
     // pairs via flatMapGroupsWithState over (band, bucket) state.
     // Approximate + stateful → no SQL oracle (rows-only check); the
