@@ -194,6 +194,102 @@ case class SchemaOfVariant(child: Expression) extends UnaryExpression with Graft
     copy(child = newChild)
 }
 
+/** `bottomk_by_hash(s, k)`: deterministic uniform sample — the k values
+  * with the smallest md5 digests. A mergeable sketch (union then trim),
+  * so partial aggregation works and the result is independent of row
+  * order, partitioning, and cluster size: the property that makes a
+  * sample reproducible across runs of a 100 TB pipeline. md5 (not our
+  * fnv) so an external SQL engine can replay the selection exactly.
+  */
+case class BottomKByHash(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[String, String]] with UnaryLike[Expression] {
+  require(k > 0 && k <= 100000, s"sample size out of range: $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottomk_by_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bottomk_by_hash expects string, got: ${other.simpleString}")
+  }
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  // buffer key "md5hex value" keeps equal-hash distinct values apart
+  override def createAggregationBuffer(): java.util.TreeMap[String, String] =
+    new java.util.TreeMap[String, String]()
+
+  private def trim(buf: java.util.TreeMap[String, String]): Unit =
+    while (buf.size() > k) buf.remove(buf.lastKey())
+
+  override def update(buf: java.util.TreeMap[String, String], input: InternalRow): java.util.TreeMap[String, String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.put(md5hex(s) + " " + s, s)
+      trim(buf)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeMap[String, String], b: java.util.TreeMap[String, String]): java.util.TreeMap[String, String] = {
+    a.putAll(b)
+    trim(a)
+    a
+  }
+
+  override def eval(buf: java.util.TreeMap[String, String]): Any = {
+    val out = new Array[Any](buf.size())
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[String, String]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder()
+    val it = buf.values().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      sb.append(s.length).append(':').append(s)
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, String] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < s.length) {
+      val colon = s.indexOf(':', i)
+      val len = s.substring(i, colon).toInt
+      val v = s.substring(colon + 1, colon + 1 + len)
+      buf.put(md5hex(v) + " " + v, v)
+      i = colon + 1 + len
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKByHash =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKByHash =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `schema_of_variant_agg(v)`: least-upper-bound schema across all rows
   * of a group — a TypedImperativeAggregate whose buffer is the SType
   * lattice value; partial aggregation (map-side combine) works because

@@ -263,6 +263,27 @@ object TextQueries {
              |FROM packed GROUP BY source, pack_id
              |ORDER BY source, pack_id""".stripMargin)),
 
+    // Reproducible per-source sampling: a mergeable bottom-k-by-md5
+    // sketch (custom TypedImperativeAggregate) — the sample is
+    // independent of row order, partitioning, and cluster size, and the
+    // oracle replays the identical selection in SQL.
+    QueryDef("d_sample",
+      (s, d) => {
+        import org.apache.spark.sql.graftbridge.Bridge
+        documents(s, d)
+          .groupBy(col("source"))
+          .agg(Bridge.column(graft.functions.BottomKByHash(
+              Bridge.expression(col("doc_id").cast("string")), 5)
+            .toAggregateExpression()).as("arr"))
+          .select(col("source"), array_join(col("arr"), ",").as("sample_ids"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source,
+             |       array_to_string(
+             |         (list(CAST(doc_id AS VARCHAR) ORDER BY md5(CAST(doc_id AS VARCHAR))))[1:5],
+             |         ',') AS sample_ids
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Retention policy closing the dedup loop: drop the higher-id side
     // of every verified near-dup pair (exact Jaccard ≥ 0.7 within
     // source blocks), keep everything else — the survivors list a

@@ -140,6 +140,23 @@ class ExpressionSpec extends AnyFunSuite {
     assert(both.getBoolean(0) && !both.getBoolean(1))
   }
 
+  test("bottomk_by_hash sample is invariant to partitioning and row order") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions.{col, array_join}
+    def sample(parts: Int, desc: Boolean) = {
+      var df = spark.range(500).select(col("id").cast("string").as("s"))
+      if (desc) df = df.orderBy(col("s").desc)
+      df.repartition(parts)
+        .agg(Bridge.column(graft.functions.BottomKByHash(
+            Bridge.expression(col("s")), 7).toAggregateExpression()).as("arr"))
+        .select(array_join(col("arr"), ",")).collect()(0).getString(0)
+    }
+    val base = sample(1, desc = false)
+    assert(base.split(",").length == 7)
+    assert(sample(32, desc = false) == base)
+    assert(sample(8, desc = true) == base)
+  }
+
   test("minhash_bands_of a signature equals minhash_bands of the tokens") {
     val df = spark.range(50).selectExpr(
       "array(concat('a', id), concat('b', id % 7), concat('c', id % 3)) AS toks")
