@@ -756,6 +756,24 @@ object Queries {
              |                             / COUNT(*) FROM orders) * 1.5
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // value-range window frame (RANGE, not ROWS): events per user in the
+    // trailing 60 s, on the numeric micros timeline
+    QueryDef("q_window_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"))
+          .rangeBetween(-60000000L, 0L)
+        events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_60s", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("n_60s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             |         RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS n_60s
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // generator/lateral over a computed array (explode ↔ unnest)
     QueryDef("q_explode_lateral",
       (s, d) => orders(s, d)

@@ -41,6 +41,73 @@ private[functions] object JsonFused {
   }
 }
 
+/** `variant_typeof(variant_from_json(s))` fused: the root's type name
+  * from the FIRST token — no parse of the remainder, no encode. Type
+  * names replicate the unfused path exactly, including the
+  * narrowest-int-encoding names and big-int → decimal(38,0).
+  */
+case class JsonTypeOf(child: Expression, parseFailOnError: Boolean)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_typeof_fused"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"json_typeof expects string/binary, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = JsonFused.toBytes(input)
+    try {
+      val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
+      try {
+        val tok = p.nextToken()
+        if (tok == null)
+          throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: empty input", null)
+        val name = tok match {
+          // top-level JSON null → SQL NULL in the unfused pipeline
+          case JsonToken.VALUE_NULL => null
+          case JsonToken.START_OBJECT => "object"
+          case JsonToken.START_ARRAY => "array"
+          case JsonToken.VALUE_STRING => "string"
+          case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE => "boolean"
+          case JsonToken.VALUE_NUMBER_FLOAT => "double"
+          case JsonToken.VALUE_NUMBER_INT =>
+            if (p.getNumberType == com.fasterxml.jackson.core.JsonParser.NumberType.BIG_INTEGER) {
+              val bi = p.getBigIntegerValue
+              if (bi.bitLength() >= 128)
+                throw new VariantJsonCodec.JsonParseException(
+                  s"Could not fit value $bi into an i128", null)
+              "decimal(38,0)"
+            } else {
+              val v = p.getLongValue
+              // names of the narrowest-int encodings the writer picks
+              if (v >= Byte.MinValue && v <= Byte.MaxValue) "tinyint"
+              else if (v >= Short.MinValue && v <= Short.MaxValue) "smallint"
+              else if (v >= Int.MinValue && v <= Int.MaxValue) "int"
+              else "bigint"
+            }
+          case other =>
+            throw new VariantJsonCodec.JsonParseException(s"Unsupported JSON token: $other", null)
+        }
+        if (name == null) null else UTF8String.fromString(name)
+      } finally p.close()
+    } catch {
+      case e: VariantJsonCodec.JsonParseException =>
+        if (parseFailOnError) throw e else null
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        if (parseFailOnError)
+          throw new VariantJsonCodec.JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+        else null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `variant_keys(variant_from_json(s))` fused: root-object key names in
   * dictionary (sorted UTF-8) order; NULL for non-objects and top-level
   * JSON null.

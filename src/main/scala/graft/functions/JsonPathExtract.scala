@@ -254,6 +254,7 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
       JsonPathExtract(src, path, t, parseFail, castFail)
     case VariantKeys(VariantFromJson(src, parseFail)) => JsonKeys(src, parseFail)
     case VariantSize(VariantFromJson(src, parseFail)) => JsonSize(src, parseFail)
+    case VariantTypeOf(VariantFromJson(src, parseFail)) => JsonTypeOf(src, parseFail)
     // reaches generators too: Generate.generator is an expression field
     case VariantExplode(VariantFromJson(src, parseFail)) => JsonExplodeKV(src, parseFail)
   }
@@ -307,6 +308,9 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
           case VariantSize(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
             changed = true
             JsonSize(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+          case VariantTypeOf(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonTypeOf(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
           case VariantExplode(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
             changed = true
             JsonExplodeKV(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)

@@ -88,6 +88,9 @@ class FusedPropertySpec extends AnyFunSuite {
       val uS = VariantSize(VariantFromJson(Literal(json))).eval(null)
       val fS = JsonSize(Literal(json), parseFailOnError = true).eval(null)
       assert(uS == fS, s"size json=$json unfused=$uS fused=$fS")
+      val uT = VariantTypeOf(VariantFromJson(Literal(json))).eval(null)
+      val fT = JsonTypeOf(Literal(json), parseFailOnError = true).eval(null)
+      assert(uT == fT, s"typeof json=$json unfused=$uT fused=$fT")
     }
   }
 }
