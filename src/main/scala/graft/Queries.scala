@@ -694,6 +694,31 @@ object Queries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Full-outer join with unmatched rows on BOTH sides (urgent-only vs
+    // F-status-only customers), USING-style coalesced key.
+    QueryDef("q_outer_join",
+      (s, d) => {
+        val o = orders(s, d)
+        val a = o.filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_urgent"))
+        val b = o.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_f"))
+        a.join(b, Seq("custkey"), "full_outer")
+          .select(col("custkey"),
+            coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+            coalesce(col("n_f"), lit(0L)).as("n_f"))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH a AS (SELECT o_custkey AS custkey, COUNT(*) AS n_urgent
+             |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             |b AS (SELECT o_custkey AS custkey, COUNT(*) AS n_f
+             |      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+             |SELECT custkey,
+             |       CAST(COALESCE(n_urgent, 0) AS BIGINT) AS n_urgent,
+             |       CAST(COALESCE(n_f, 0) AS BIGINT) AS n_f
+             |FROM a FULL JOIN b USING (custkey)
+             |ORDER BY custkey""".stripMargin)),
+
     // Deterministic salted join (skew mitigation when broadcast is
     // impossible): salt spreads each hot key over 8 sub-keys; results
     // must equal the plain join, which is exactly what the oracle runs.
