@@ -85,6 +85,19 @@ class PlanSpec extends AnyFunSuite {
       scans.mkString("\n"))
   }
 
+  test("shredded pushdown does NOT fire on a type mismatch (decode semantics preserved)") {
+    import graft.functions.{VariantFunctions => vf}
+    import org.apache.spark.sql.types.StringType
+    val staged = graft.operators.Shred.stageShreddedTable(spark, TestSpark.SF)
+    // v_k is long; a string-target get must keep the real variant decode
+    val p = spark.read.parquet(staged)
+      .select(vf.variant_get(col("v"), "$.k", StringType).as("ks"))
+      .queryExecution.optimizedPlan.toString
+    // the decode expression survives; the shredded column is not
+    // substituted into the projection
+    assert(p.contains("variant_get(v#"), p)
+  }
+
   test("q_topk plans TakeOrderedAndProject (no global sort of the full table)") {
     val p = physical("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
