@@ -221,6 +221,20 @@ object StreamingQueries {
   // not query work — reuse per JVM and sfDir
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stateful-operator partition sizing: a streaming query's state store
+    * count is fixed at plan time from spark.sql.shuffle.partitions; for
+    * these test-scale states, 32 stores mean 32× the per-batch
+    * checkpoint file churn for no parallelism gain. Run the micro-batch
+    * under a bounded setting, restore after. (At 100 TB you size this UP
+    * — the knob is the point.)
+    */
+  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_window_counts",
       (s, d) => {
@@ -241,10 +255,12 @@ object StreamingQueries {
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val qname = s"s_window_counts_${runCounter.incrementAndGet()}"
-        val q = agg.writeStream.outputMode("complete")
-          .format("memory").queryName(qname).start()
-        q.processAllAvailable()
-        q.stop()
+        withStatePartitions(s, 8) {
+          val q = agg.writeStream.outputMode("complete")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
         s.table(qname)
           .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
           .orderBy(col("ws"), col("event_type"))
@@ -275,10 +291,12 @@ object StreamingQueries {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
         val qname = s"s_variant_counts_${runCounter.incrementAndGet()}"
-        val q = stream.writeStream.outputMode("complete")
-          .format("memory").queryName(qname).start()
-        q.processAllAvailable()
-        q.stop()
+        withStatePartitions(s, 8) {
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
         s.table(qname).orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(*) AS n,
@@ -304,10 +322,12 @@ object StreamingQueries {
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
         val pairs = StreamingDedup.minhashDupStream(stream, "doc_id", "text")
         val qname = s"s_minhash_dedup_${runCounter.incrementAndGet()}"
-        val q = pairs.writeStream.outputMode("append")
-          .format("memory").queryName(qname).start()
-        q.processAllAvailable()
-        q.stop()
+        withStatePartitions(s, 8) {
+          val q = pairs.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
         // one row per shared bucket → dedupe pairs for the report
         s.table(qname)
           .dropDuplicates("id_a", "id_b")
