@@ -27,6 +27,25 @@ class RobustnessSpec extends AnyFunSuite {
     assert(s == n.toLong * (n - 1) / 2)
   }
 
+  test("concurrent query execution matches sequential results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // queries spanning the fused path, the id cache, text ops, and joins
+    // — run twice concurrently each; a thread-unsafe memo/cache would
+    // cross-contaminate rows between queries
+    val names = Seq("v_sum_by_type", "v_keys_size", "d_token_stats",
+      "q_broadcast_join", "v_get_string", "v_typeof_counts")
+    def run(n: String): Seq[String] =
+      graft.Queries.queryMap(n)(spark, TestSpark.SF).collect().map(_.toString).toSeq
+    val sequential = names.map(n => n -> run(n)).toMap
+    val futures = (names ++ names).map(n => Future(n -> run(n)))
+    val concurrent = Await.result(Future.sequence(futures), 5.minutes)
+    concurrent.foreach { case (n, rows) =>
+      assert(rows == sequential(n), s"query $n diverged under concurrency")
+    }
+  }
+
   test("variant_get id cache stays correct under alternating metadata") {
     // three interleaved shapes → the per-thread (metadata bytes → ids)
     // cache thrashes every row; results must still be exact
