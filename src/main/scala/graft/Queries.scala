@@ -344,6 +344,41 @@ object Queries {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // TPC-H Q6 shape: highly selective multi-predicate scan feeding a
+    // single global aggregate — every predicate must reach the parquet
+    // reader (min/max row-group skipping is the whole query at 100 TB).
+    QueryDef("q6_forecast_revenue",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+             |  AND l_shipdate < TIMESTAMP '1995-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // HAVING: post-aggregation filter on the aggregate value
+    QueryDef("q_having",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum("o_totalprice").as("sum_price"))
+        .filter(col("n_orders") >= 8)
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY o_custkey
+             |HAVING COUNT(*) >= 8
+             |ORDER BY o_custkey""".stripMargin)),
+
     QueryDef("q_semi_join",
       (s, d) => customer(s, d)
         .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
