@@ -798,6 +798,53 @@ object Queries {
              |       / (COUNT(*) - 1) AS var_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Pearson correlation from exact decimal sums via the algebraic
+    // identity (same both-engines-identical-doubles rationale as
+    // q_stats; a streaming corr would drift in the last ulp).
+    QueryDef("q_corr",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sx"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sy"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)")).as("sxx"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,4)")).as("syy"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,4)")).as("sxy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qp"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qp
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // Deterministic array aggregation: collect_set is unordered, so the
+    // comparable form is the sorted distinct list
+    QueryDef("q_array_agg",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Scalar subquery: every order against the global average price
     // (broadcast single-row aggregate, no shuffle of the fact side).
     QueryDef("q_scalar_subquery",
