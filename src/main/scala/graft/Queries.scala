@@ -487,6 +487,35 @@ object Queries {
              |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Multiset (ALL) set operations — bag semantics, duplicates kept
+    QueryDef("q_set_ops_all",
+      (s, d) => {
+        val o = orders(s, d)
+        val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        a.intersectAll(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_inter"))
+          .join(
+            a.exceptAll(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_exc")),
+            Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_exc"), lit(0L)).as("n_exc"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |i AS (SELECT o_custkey, COUNT(*) AS n_inter
+             |      FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+             |      GROUP BY 1),
+             |e AS (SELECT o_custkey, COUNT(*) AS n_exc
+             |      FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+             |      GROUP BY 1)
+             |SELECT o_custkey,
+             |       CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+             |       CAST(COALESCE(n_exc, 0) AS BIGINT) AS n_exc
+             |FROM i FULL JOIN e USING (o_custkey)
+             |ORDER BY o_custkey""".stripMargin)),
+
     QueryDef("q_rollup",
       (s, d) => lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

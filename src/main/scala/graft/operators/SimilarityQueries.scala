@@ -270,6 +270,48 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // Watermarked APPEND-mode windowed aggregation: only windows closed
+    // by the final watermark (max ts - 10 min) are emitted; the result
+    // is post-filtered to strictly-closed windows so the oracle can
+    // reproduce the exact set without depending on the emission
+    // boundary's <= vs < convention.
+    QueryDef("s_append_counts",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val qname = s"s_append_counts_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = stream.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        val maxTs = Tables.events(s, d).agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        val watermark = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+        s.table(qname)
+          .filter(col("w.end") < lit(watermark))
+          .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mt FROM events)
+             |SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
+             |       event_type, COUNT(*) AS n
+             |FROM events, m
+             |WHERE time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 5 MINUTE
+             |        < mt - INTERVAL 10 MINUTE
+             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
     // Variant extraction under readStream: the fused parse+get runs
     // unchanged inside a streaming filter + windowless aggregate.
     QueryDef("s_variant_counts",
