@@ -34,7 +34,10 @@ object ShreddedPushdownRule extends Rule[LogicalPlan] {
       else {
         val childIds = childOut.map(_.exprId).toSet
         node.transformExpressions {
-          case g @ VariantGet(attr: AttributeReference, path, t, _)
+          // lenient gets only: the shredded column was materialized with
+          // lenient casts, so substituting it under a STRICT get would
+          // silently drop the user's cast-error semantics
+          case g @ VariantGet(attr: AttributeReference, path, t, false)
               if childIds.contains(attr.exprId) =>
             index.get((attr.name, path)) match {
               // exact type match only: a cast could change null/error

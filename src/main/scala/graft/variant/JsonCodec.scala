@@ -194,7 +194,10 @@ object VariantJsonCodec {
     * go through the tree builder so key collection and canonical sorted
     * emission match `fromJsonBytes` byte-for-byte. Used by the fused
     * extraction/explode expressions to materialize sub-variants without
-    * re-parsing the full row.
+    * re-parsing the full row. Known divergence: Jackson's tree keeps the
+    * LAST of duplicate keys within a nested object, where the streaming
+    * encoder keeps both fields — content with duplicate JSON keys is
+    * undefined behavior in every variant implementation.
     */
   def valueFromParser(p: com.fasterxml.jackson.core.JsonParser): (Array[Byte], Array[Byte]) = {
     import com.fasterxml.jackson.core.{JsonParser => JP, JsonToken => T}

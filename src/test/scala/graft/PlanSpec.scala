@@ -96,6 +96,15 @@ class PlanSpec extends AnyFunSuite {
     // the decode expression survives; the shredded column is not
     // substituted into the projection
     assert(p.contains("variant_get(v#"), p)
+    // STRICT gets keep the decode too: the shredded column was
+    // materialized leniently, so substituting it would drop cast errors
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.LongType
+    val strict = spark.read.parquet(staged)
+      .select(Bridge.column(graft.functions.VariantGet(
+        Bridge.expression(col("v")), "$.k", LongType, failOnError = true)).as("k"))
+      .queryExecution.optimizedPlan.toString
+    assert(strict.contains("variant_get(v#"), strict)
   }
 
   test("q_topk plans TakeOrderedAndProject (no global sort of the full table)") {
