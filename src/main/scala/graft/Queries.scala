@@ -418,41 +418,51 @@ object Queries {
              |  FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // window ORDER BY includes quantity/price: the synthetic data has
+    // duplicate (shipdate, orderkey, linenumber) rows, and a ROWS frame
+    // over a non-total order makes intermediate running values depend on
+    // the engine's tie order
     QueryDef("q_window_running",
       (s, d) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         lineitem(s, d)
           .withColumn("running_qty",
             sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
-          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
-          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("running_qty"))
       },
-      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
              |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
              |         PARTITION BY l_suppkey
-             |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
              |FROM lineitem
-             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty""".stripMargin)),
 
     QueryDef("q_window_lag",
       (s, d) => {
+        // same total-order rationale as q_window_running
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
         lineitem(s, d)
           .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"), col("prev_qty"))
-          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("prev_qty"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
              |       LAG(l_quantity, 1) OVER (
              |         PARTITION BY l_suppkey
-             |         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+             |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty
              |FROM lineitem
-             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, prev_qty""".stripMargin)),
 
     QueryDef("q_topk",
       (s, d) => lineitem(s, d)
@@ -722,19 +732,19 @@ object Queries {
              |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY o_custkey""".stripMargin)),
 
-    // min_by/max_by vs DuckDB arg_min/arg_max; the ordering value
-    // l_orderkey*8+l_linenumber is unique per row (linenumber ≤ 7), so
-    // the picked row is deterministic
+    // min_by/max_by vs DuckDB arg_min/arg_max. The synthetic data has
+    // duplicate (orderkey, linenumber) rows, so the RESULT value rides
+    // in the ordering's low digits: ties then agree by construction.
     QueryDef("q_minmax_by",
       (s, d) => lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("max_by(l_partkey, l_orderkey * 8 + l_linenumber)").as("last_part"),
-          expr("min_by(l_partkey, l_orderkey * 8 + l_linenumber)").as("first_part"))
+          expr("max_by(l_partkey, (l_orderkey * 8 + l_linenumber) * 1000000 + l_partkey)").as("last_part"),
+          expr("min_by(l_partkey, (l_orderkey * 8 + l_linenumber) * 1000000 + l_partkey)").as("first_part"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-             |       arg_max(l_partkey, l_orderkey * 8 + l_linenumber) AS last_part,
-             |       arg_min(l_partkey, l_orderkey * 8 + l_linenumber) AS first_part
+             |       arg_max(l_partkey, (l_orderkey * 8 + l_linenumber) * 1000000 + l_partkey) AS last_part,
+             |       arg_min(l_partkey, (l_orderkey * 8 + l_linenumber) * 1000000 + l_partkey) AS first_part
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ranking-function family beyond row_number: ntile buckets and the
@@ -844,9 +854,12 @@ object Queries {
           sum((col("l_quantity").cast("decimal(18,2)") *
             col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,4)")).as("sxy"))
         .select(col("l_returnflag"),
-          ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+          // round to 9 decimals: sums of price² exceed 2^53 unscaled, and
+          // DuckDB's decimal→double conversion double-rounds there (one
+          // ulp off Spark's correctly-rounded BigDecimal conversion)
+          round((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
             / sqrt((col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
-              * (col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+              * (col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 9)
             .as("corr_qp"))
         .orderBy(col("l_returnflag")),
       Some("""WITH s AS (
@@ -858,7 +871,7 @@ object Queries {
              |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag,
-             |       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qp
+             |       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qp
              |FROM s ORDER BY l_returnflag""".stripMargin)),
 
     // Deterministic array aggregation: collect_set is unordered, so the
