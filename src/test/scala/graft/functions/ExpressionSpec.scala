@@ -140,6 +140,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(both.getBoolean(0) && !both.getBoolean(1))
   }
 
+  test("variant bridges: null passthrough, round-trip identity, analysis errors") {
+    import org.apache.spark.sql.functions.col
+    // null flows through both bridges
+    val r = spark.sql(
+      """SELECT to_spark_variant(try_variant_from_json('null')) AS sv,
+        |       from_spark_variant(to_spark_variant(variant_from_json('{"k": 7}'))) AS back
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0))
+    // round trip is byte-identical
+    val direct = spark.sql("""SELECT variant_from_json('{"k": 7}') AS v""").collect()(0).getStruct(0)
+    val back = r.getStruct(1)
+    assert(java.util.Arrays.equals(
+      back.getAs[Array[Byte]]("metadata"), direct.getAs[Array[Byte]]("metadata")))
+    assert(java.util.Arrays.equals(
+      back.getAs[Array[Byte]]("value"), direct.getAs[Array[Byte]]("value")))
+    // wrong input types rejected at analysis
+    intercept[Exception] { spark.sql("SELECT to_spark_variant(1)").collect() }
+    intercept[Exception] { spark.sql("SELECT from_spark_variant('x')").collect() }
+  }
+
   test("bottomk_by_hash sample is invariant to partitioning and row order") {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.functions.{col, array_join}
