@@ -87,6 +87,74 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: our reader resolves every leaf of Spark-encoded variants (foreign dictionaries)") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode, ArrayNode}
+    val mapper = new ObjectMapper()
+    val nf = JsonNodeFactory.instance
+    val genScalar: Gen[com.fasterxml.jackson.databind.JsonNode] = Gen.oneOf(
+      Gen.oneOf(true, false).map(nf.booleanNode(_): com.fasterxml.jackson.databind.JsonNode),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(nf.numberNode(_): com.fasterxml.jackson.databind.JsonNode),
+      Gen.alphaNumStr.map(nf.textNode(_): com.fasterxml.jackson.databind.JsonNode),
+      // multi-byte strings exercise the charset path end to end
+      Gen.identifier.map(s => nf.textNode(s + "é😀"): com.fasterxml.jackson.databind.JsonNode))
+    def genNode(depth: Int): Gen[com.fasterxml.jackson.databind.JsonNode] =
+      if (depth <= 0) genScalar
+      else Gen.frequency(
+        3 -> genScalar,
+        2 -> Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, genNode(depth - 1)).map { els =>
+          val a: ArrayNode = nf.arrayNode(); els.foreach(a.add); a: com.fasterxml.jackson.databind.JsonNode
+        }),
+        3 -> Gen.chooseNum(1, 5).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(Gen.identifier, genNode(depth - 1))).map { kvs =>
+            val o: ObjectNode = nf.objectNode()
+            kvs.foreach { case (k, v) => o.set[com.fasterxml.jackson.databind.JsonNode](k, v) }
+            o: com.fasterxml.jackson.databind.JsonNode
+          }))
+    var seed = Seed(13L)
+    val docs = (1 to 120).flatMap { _ =>
+      val r = genNode(3).apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      r.map(mapper.writeValueAsString)
+    }
+    // Spark's builtin writer: first-seen dictionaries, name-sorted frames
+    val encoded = docs.toDF("j")
+      .select(col("j"), VariantFunctions.from_spark_variant(
+        Bridge.column(ParseJson(Bridge.expression(col("j")), true))).as("v"))
+      .collect()
+    encoded.foreach { row =>
+      val json = row.getString(0)
+      val v = row.getStruct(1)
+      val meta = new graft.variant.MetadataView(v.getAs[Array[Byte]]("metadata"), 0)
+      val root = new graft.variant.VariantView(v.getAs[Array[Byte]]("value"), 0)
+      def walk(node: com.fasterxml.jackson.databind.JsonNode,
+               view: graft.variant.VariantView): Unit = {
+        assert(view != null, s"missing value in $json")
+        if (node.isObject) {
+          assert(view.isObject, json)
+          val it = node.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val id = meta.findKey(e.getKey)
+            assert(id >= 0, s"key ${e.getKey} unresolved in $json")
+            walk(e.getValue, view.getObject.getField(id))
+          }
+        } else if (node.isArray) {
+          assert(view.isArray, json)
+          (0 until node.size()).foreach(i => walk(node.get(i), view.getArray.elementAt(i)))
+        } else if (node.isTextual) {
+          assert(VariantExtract.asString(meta, view) == node.textValue(), json)
+        } else if (node.isBoolean) {
+          assert(view.getBoolean == node.booleanValue(), json)
+        } else if (node.isIntegralNumber) {
+          assert(VariantExtract.cast(meta, view, LongType, failOnError = true) ==
+            node.longValue(), json)
+        }
+      }
+      walk(mapper.readTree(json), root)
+    }
+  }
+
   test("fused keys/size equal Spark's json_object_keys / json_array_length") {
     // our variant_keys returns dictionary (sorted) order; Spark's
     // json_object_keys preserves input order — compare sorted
