@@ -60,6 +60,13 @@ object VariantFunctions {
       s"$what must be a string literal, got: $other")
   }
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case Literal(l: Long, _) => Math.toIntExact(l)
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
   /** (name, builder, usage) for every SQL function we expose. */
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("variant_from_json",
@@ -127,6 +134,23 @@ object VariantFunctions {
     ("schema_of_variant_agg",
       (es: Seq[Expression]) => SchemaOfVariantAgg(es.head).toAggregateExpression(),
       "schema_of_variant_agg(v) - Least-upper-bound schema across a group."),
+    ("minhash_bands",
+      (es: Seq[Expression]) => MinHashBands(es.head,
+        litInt(es(1), "minhash_bands k"), litInt(es(2), "minhash_bands bands")),
+      "minhash_bands(tokens, k, b) - LSH band bucket ids of a k-slot MinHash signature."),
+    ("minhash_bands_of",
+      (es: Seq[Expression]) => MinHashBandsOfSig(es.head, litInt(es(1), "minhash_bands_of bands")),
+      "minhash_bands_of(sig, b) - LSH band buckets from an existing signature array."),
+    ("shingle_tokens",
+      (es: Seq[Expression]) => ShingleTokens(es.head, litInt(es(1), "shingle_tokens n")),
+      "shingle_tokens(text, n) - Whitespace tokens joined into word n-gram shingles."),
+    ("hyperplane_bucket",
+      (es: Seq[Expression]) => HyperplaneBucket(es.head, litInt(es(1), "hyperplane_bucket bits")),
+      "hyperplane_bucket(vec, bits) - Sign-hash LSH bucket of an embedding vector."),
+    ("bottomk_by_hash",
+      (es: Seq[Expression]) => BottomKByHash(es.head, litInt(es(1), "bottomk_by_hash k"))
+        .toAggregateExpression(),
+      "bottomk_by_hash(s, k) - Deterministic uniform sample: the k values with smallest md5 digests."),
     ("minhash_signature",
       (es: Seq[Expression]) => {
         val k = es(1) match {

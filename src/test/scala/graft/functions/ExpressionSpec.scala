@@ -140,6 +140,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(both.getBoolean(0) && !both.getBoolean(1))
   }
 
+  test("SQL registration covers the full surface incl. aggregates and int-arg fns") {
+    val r = spark.sql(
+      """SELECT size(minhash_bands(array('a','b','c'), 64, 16)) AS nb,
+        |       minhash_bands_of(minhash_signature(array('a','b'), 32), 8)[0] AS b0,
+        |       size(shingle_tokens('one two three four', 2)) AS ns,
+        |       hyperplane_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS hb
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 16 && r.getInt(2) == 3)
+    val agg = spark.sql(
+      """SELECT array_join(bottomk_by_hash(CAST(id AS STRING), 3), ',') AS s
+        |FROM range(100)""".stripMargin).collect()(0).getString(0)
+    assert(agg.split(",").length == 3)
+  }
+
   test("variant bridges: null passthrough, round-trip identity, analysis errors") {
     import org.apache.spark.sql.functions.col
     // null flows through both bridges
