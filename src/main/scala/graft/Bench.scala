@@ -39,14 +39,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val record =
+    val detailed =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Bare stdout line (run/outputStrategy strips the sbt prefix) plus a
-    // file copy, so the driver can parse either.
-    println(record)
+    // The driver keeps only a short stdout tail (~2.2 KB); the detailed
+    // per-query record (~2.6 KB) overruns it. Print the detailed record
+    // first (for humans / the file copy), then a short total-only record
+    // LAST so it always lands inside the tail window and parses.
+    val short =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(detailed)
+    println(short)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
-      (record + "\n").getBytes("UTF-8"))
+      (detailed + "\n" + short + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -55,13 +56,20 @@ case class JsonPathExtract(
     // on the same thread per row, so a thread-local last-input memo
     // halves the parse work (SURVEY §4.2).
     val memo = JsonPathExtract.lastExtract.get()
-    if (memo(0) != null && memo(1) == memoKey &&
-        java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], bytes)) {
-      val r = memo(2)
-      return if (r eq JsonPathExtract.NULL_RESULT) null else r
+    if (memo(0) != null && memo(1) == memoKey) {
+      val prev = memo(0).asInstanceOf[Array[Byte]]
+      // Reference identity first (free), content equality second. Both
+      // producer paths hand us an array nobody mutates afterwards —
+      // UTF8String.getBytes / UnsafeRow.getBinary copy out of row
+      // buffers, and the no-copy UTF8String case aliases the string's
+      // own immutable backing array — so no stale-alias hazard.
+      if ((prev eq bytes) || java.util.Arrays.equals(prev, bytes)) {
+        val r = memo(2)
+        return if (r eq JsonPathExtract.NULL_RESULT) null else r
+      }
     }
     val result = evalBytes(bytes)
-    memo(0) = bytes.clone()
+    memo(0) = bytes // stored by reference: see immutability note above
     memo(1) = memoKey
     memo(2) = if (result == null) JsonPathExtract.NULL_RESULT else result.asInstanceOf[AnyRef]
     result
@@ -107,7 +115,22 @@ case class JsonPathExtract(
           }
           si += 1
         }
-        if (!found) null else castToken(p, tok)
+        // Cast AT the value's position, but surface parse errors FIRST:
+        // the unfused pipeline parses the whole document before any cast
+        // runs, so a malformed tail outranks a failing cast. Parse-class
+        // errors from the cast itself (the i128 bound) throw immediately
+        // — they sit earlier in the stream than anything the validation
+        // drain can find.
+        var castErr: Throwable = null
+        val out =
+          if (!found) null
+          else try castToken(p, tok) catch {
+            case e: VariantJsonCodec.JsonParseException => throw e
+            case e: Throwable => castErr = e; null
+          }
+        JsonFused.finishDocument(p)
+        if (castErr != null) throw castErr
+        out
       } finally p.close()
     } catch {
       case e: VariantJsonCodec.JsonParseException =>
@@ -257,6 +280,10 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
     case VariantTypeOf(VariantFromJson(src, parseFail)) => JsonTypeOf(src, parseFail)
     // reaches generators too: Generate.generator is an expression field
     case VariantExplode(VariantFromJson(src, parseFail)) => JsonExplodeKV(src, parseFail)
+    // reaches aggregate functions: AggregateExpression.aggregateFunction
+    // is an expression field of the Aggregate node
+    case SchemaOfVariantAgg(VariantFromJson(src, parseFail), render, o1, o2) =>
+      SchemaOfJsonAgg(src, parseFail, render, o1, o2)
   }
 
   /** Fusion THROUGH a Project boundary. CollapseProject refuses to
@@ -281,6 +308,64 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
   }
 
   private def fuseThroughProject(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Aggregate parent: result expressions see only grouping keys and
+    // aggregate results, so the generic appended-column rewrite below
+    // would produce unresolvable references there. But expressions
+    // INSIDE an AggregateExpression's function evaluate against
+    // child.output, so fusion is safe when confined to those subtrees —
+    // `agg(schema_of_variant_agg(v))` / `agg(sum(variant_get(v, ...)))`
+    // over a Project-defined variant alias.
+    case agg: Aggregate if agg.child.isInstanceOf[Project] =>
+      val proj = agg.child.asInstanceOf[Project]
+      val vfjAliases: Map[ExprId, (Alias, VariantFromJson)] =
+        proj.projectList.collect {
+          case a @ Alias(v: VariantFromJson, _) => a.exprId -> ((a, v))
+        }.toMap
+      if (vfjAliases.isEmpty) agg
+      else {
+        val rawAliases = scala.collection.mutable.LinkedHashMap.empty[ExprId, Alias]
+        def rawAttr(id: ExprId): Attribute = rawAliases.getOrElseUpdate(id, {
+          val (a, v) = vfjAliases(id)
+          Alias(v.child, a.name + "_json")()
+        }).toAttribute
+        var changed = false
+        val fuseInFunction: PartialFunction[Expression, Expression] = {
+          case s: SchemaOfVariantAgg if s.child.isInstanceOf[AttributeReference] &&
+              vfjAliases.contains(s.child.asInstanceOf[AttributeReference].exprId) =>
+            changed = true
+            val id = s.child.asInstanceOf[AttributeReference].exprId
+            SchemaOfJsonAgg(rawAttr(id), vfjAliases(id)._2.failOnError,
+              s.renderOutput, s.mutableAggBufferOffset, s.inputAggBufferOffset)
+          case VariantGet(attr: AttributeReference, path, t, castFail)
+              if vfjAliases.contains(attr.exprId) && JsonPathExtract.fusableTarget(t) =>
+            changed = true
+            JsonPathExtract(rawAttr(attr.exprId), path, t,
+              vfjAliases(attr.exprId)._2.failOnError, castFail)
+          case VariantKeys(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonKeys(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+          case VariantSize(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonSize(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+          case VariantTypeOf(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonTypeOf(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+        }
+        val newAggList = agg.aggregateExpressions.map { ne =>
+          ne.transform {
+            case ae: AggregateExpression =>
+              val newFn = ae.aggregateFunction.transform(fuseInFunction)
+                .asInstanceOf[AggregateFunction]
+              if (newFn eq ae.aggregateFunction) ae
+              else ae.copy(aggregateFunction = newFn)
+          }.asInstanceOf[NamedExpression]
+        }
+        if (!changed) agg
+        else agg.copy(
+          aggregateExpressions = newAggList,
+          child = proj.copy(projectList = proj.projectList ++ rawAliases.values))
+      }
+
     case node: UnaryNode
         if node.child.isInstanceOf[Project] && expressionsSeeChildOutput(node) =>
       val proj = node.child.asInstanceOf[Project]

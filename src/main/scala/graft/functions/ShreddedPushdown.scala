@@ -34,15 +34,22 @@ object ShreddedPushdownRule extends Rule[LogicalPlan] {
       else {
         val childIds = childOut.map(_.exprId).toSet
         node.transformExpressions {
-          // lenient gets only: the shredded column was materialized with
-          // lenient casts, so substituting it under a STRICT get would
-          // silently drop the user's cast-error semantics
-          case g @ VariantGet(attr: AttributeReference, path, t, false)
+          // Lenient gets substitute freely (the column was materialized
+          // with the same lenient casts). STRICT gets substitute only on
+          // exact-marked columns: full-scan inference proved every value
+          // at the path casts error-free to the column type, so strict
+          // and lenient are indistinguishable there. A sampled shred
+          // under a strict get keeps the decode — an unsampled row could
+          // owe the user a cast error.
+          case g @ VariantGet(attr: AttributeReference, path, t, failOnError)
               if childIds.contains(attr.exprId) =>
             index.get((attr.name, path)) match {
               // exact type match only: a cast could change null/error
               // semantics, and the shredder emits the lattice type anyway
-              case Some(s) if s.dataType == t => s
+              case Some(s) if s.dataType == t &&
+                  (!failOnError ||
+                    (s.metadata.contains(graft.operators.Shred.SHRED_EXACT_KEY) &&
+                      s.metadata.getBoolean(graft.operators.Shred.SHRED_EXACT_KEY))) => s
               case _ => g
             }
         }

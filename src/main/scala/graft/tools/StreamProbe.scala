@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming-overhead experiments: where do the ~1.5 s per streaming
+  * bench query go, and which knob (state partitions, trigger, state
+  * store provider, no-data batches) buys the most back?
+  * Run: sbt "runMain graft.tools.StreamProbe [sfDir]"
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shm = new java.io.File("/dev/shm/graft_probe_scratch")
+    if (shm.isDirectory || shm.mkdirs()) System.setProperty("java.io.tmpdir", shm.toString)
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", shm.toString))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sc = spark
+
+    val staticSchema = sc.read.parquet(s"$d/events.parquet").schema
+    val sd = java.nio.file.Files.createTempDirectory("graft_sprobe_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), sd.resolve("events.parquet"))
+
+    var n = 0
+    def run(label: String, parts: Int, availableNow: Boolean,
+            rocks: Boolean, noData: Boolean): Unit = {
+      val prevParts = sc.conf.get("spark.sql.shuffle.partitions")
+      sc.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      if (rocks) sc.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else sc.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      sc.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
+      val t0 = System.nanoTime()
+      val stream = sc.readStream.schema(staticSchema).parquet(sd.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      n += 1
+      val qname = s"sprobe_$n"
+      var w = stream.writeStream.outputMode("complete").format("memory").queryName(qname)
+      if (availableNow) w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = w.start()
+      if (availableNow) q.awaitTermination() else { q.processAllAvailable(); q.stop() }
+      val rows = sc.table(qname).count()
+      println(f"[sprobe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      sc.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+
+    run("warmup p8", 8, availableNow = false, rocks = false, noData = true)
+    run("baseline p8 processAll", 8, availableNow = false, rocks = false, noData = true)
+    run("baseline p8 again", 8, availableNow = false, rocks = false, noData = true)
+    run("p2", 2, availableNow = false, rocks = false, noData = true)
+    run("p1", 1, availableNow = false, rocks = false, noData = true)
+    run("p8 availableNow", 8, availableNow = true, rocks = false, noData = true)
+    run("p2 availableNow", 2, availableNow = true, rocks = false, noData = true)
+    run("p8 noDataBatches off", 8, availableNow = false, rocks = false, noData = false)
+    run("p8 rocksdb", 8, availableNow = false, rocks = true, noData = true)
+    spark.stop()
+  }
+}

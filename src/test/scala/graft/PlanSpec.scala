@@ -63,6 +63,18 @@ class PlanSpec extends AnyFunSuite {
     assert(unfused.contains("variant_from_json"), unfused)
   }
 
+  test("schema_of_variant_agg over variant_from_json fuses to the token-walk aggregate") {
+    val fusedAgg = Queries.queryMap("v_schema_agg")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedAgg.contains("schema_of_json_agg"), fusedAgg)
+    assert(!fusedAgg.contains("variant_from_json"), fusedAgg)
+    // grouping on a DIFFERENT variant-derived key must not be disturbed:
+    // v_schema_of groups on schema_of_variant(v) — stays unfused (scalar
+    // schema_of is not an aggregate) and must still resolve
+    val unfusedScalar = Queries.queryMap("v_schema_of")(spark, TestSpark.SF)
+    assert(unfusedScalar.collect().nonEmpty)
+  }
+
   test("auto-shred inference reads a bounded, column-pruned sample") {
     val ev = Tables.events(spark, TestSpark.SF)
       .withColumn("v", graft.functions.VariantFunctions.variant_from_json(col("props")))
@@ -105,6 +117,30 @@ class PlanSpec extends AnyFunSuite {
         Bridge.expression(col("v")), "$.k", LongType, failOnError = true)).as("k"))
       .queryExecution.optimizedPlan.toString
     assert(strict.contains("variant_get(v#"), strict)
+  }
+
+  test("strict-get pushdown fires on an EXACT (full-scan-inferred) shred with PushedFilters") {
+    import graft.functions.{VariantFunctions => vf}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.LongType
+    val staged = graft.operators.Shred.stageShreddedTable(spark, TestSpark.SF, exact = true)
+    val df = spark.read.parquet(staged)
+      .filter(Bridge.column(graft.functions.VariantGet(
+        Bridge.expression(col("v")), "$.k", LongType, failOnError = true)) > 90)
+      .select(col("event_id"),
+        Bridge.column(graft.functions.VariantGet(
+          Bridge.expression(col("v")), "$.k", LongType, failOnError = true)).as("k"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("variant_get"), opt)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("GreaterThan(v_k,90"), phys)
+    // and strict results equal the decode path's on the same data
+    val decoded = spark.read.parquet(
+      graft.operators.Shred.stageShreddedTable(spark, TestSpark.SF))
+      .filter(vf.variant_get(col("v"), "$.k", LongType) > 90)
+      .select(col("event_id"), vf.variant_get(col("v"), "$.k", LongType).as("k"))
+    assert(df.orderBy(col("event_id")).collect().toSeq ==
+      decoded.orderBy(col("event_id")).collect().toSeq)
   }
 
   test("q_topk plans TakeOrderedAndProject (no global sort of the full table)") {

@@ -26,15 +26,28 @@ class ReviewProbeSpec extends AnyFunSuite {
   }
 
   test("probe: fused typeof/keys on malformed trailing input vs unfused") {
-    val docs = Seq("1 2", """{"a":1} x""", "[1,2,").toDF("j")
-    val fused = docs.select(
-      vf.variant_typeof(vf.variant_from_json(col("j"))).as("t"),
-      vf.variant_keys(vf.variant_from_json(col("j"))).as("k"))
-    val unfusedV = vf.variant_get(vf.variant_from_json(col("j")), "$")
-    val unfused = docs.select(
-      vf.variant_typeof(unfusedV).as("t"),
-      vf.variant_keys(unfusedV).as("k"))
-    println("FUSED:   " + fused.collect().toSeq)
-    println("UNFUSED: " + unfused.collect().toSeq)
+    // Round-2 review probe, now a pinned regression: the fused
+    // single-pass forms must reject exactly the documents the unfused
+    // whole-document parse rejects — trailing roots, trailing garbage,
+    // truncated containers (JsonFused.finishDocument).
+    val bad = Seq("1 2", """{"a":1} x""", "[1,2,", """{"a":1""", "")
+    bad.foreach { doc =>
+      val docs = Seq(doc).toDF("j")
+      val fused = docs.select(
+        vf.variant_typeof(vf.variant_from_json(col("j"))).as("t"),
+        vf.variant_keys(vf.variant_from_json(col("j"))).as("k"))
+      // variant-target get keeps the full parse → encode pipeline
+      val unfusedV = vf.variant_get(vf.variant_from_json(col("j")), "$")
+      val unfused = docs.select(
+        vf.variant_typeof(unfusedV).as("t"),
+        vf.variant_keys(unfusedV).as("k"))
+      intercept[Exception] { unfused.collect() }
+      intercept[Exception] { fused.collect() }
+      // lenient parse: both sides yield the same null row
+      val fusedTry = docs.select(
+        vf.variant_typeof(vf.try_variant_from_json(col("j"))).as("t"),
+        vf.variant_keys(vf.try_variant_from_json(col("j"))).as("k"))
+      assert(fusedTry.collect().toSeq == Seq(org.apache.spark.sql.Row(null, null)), doc)
+    }
   }
 }

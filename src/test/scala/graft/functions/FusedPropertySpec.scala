@@ -76,6 +76,86 @@ class FusedPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused schema inference equals unfused lattice over random trees") {
+    import graft.variant.{MetadataView, SchemaInfer, VariantView}
+    import org.apache.spark.sql.catalyst.InternalRow
+    forAllSamples(genNode(3)) { node =>
+      val json = mapper.writeValueAsString(node)
+      val bytes = json.getBytes("UTF-8")
+      val enc = VariantFromJson(Literal(json)).eval(null)
+      val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
+      val tok = p.nextToken()
+      if (enc == null) {
+        // top-level JSON null is SQL null in both pipelines
+        assert(tok == com.fasterxml.jackson.core.JsonToken.VALUE_NULL)
+      } else {
+        val row = enc.asInstanceOf[InternalRow]
+        val u = SchemaInfer.infer(
+          new MetadataView(row.getBinary(0), 0), new VariantView(row.getBinary(1), 0))
+        val f = JsonFused.inferSchema(p)
+        assert(SchemaInfer.serialize(u) == SchemaInfer.serialize(f),
+          s"schema json=$json unfused=${u.render} fused=${f.render}")
+      }
+      p.close()
+    }
+  }
+
+  test("fused schema agg equals unfused agg over row batches (nulls and bad rows skipped)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.unsafe.types.UTF8String
+    val src = BoundReference(0, StringType, nullable = true)
+    val unfusedAgg = SchemaOfVariantAgg(VariantFromJson(src, failOnError = false))
+    val fusedAgg = SchemaOfJsonAgg(src, parseFailOnError = false)
+    forAllSamples(Gen.listOfN(8, genNode(2)), n = 100) { nodes =>
+      val rows = nodes.map(n => mapper.writeValueAsString(n)) ++
+        Seq(null, "null", "{not json") // SQL null, JSON null, parse failure
+      var ub = unfusedAgg.createAggregationBuffer()
+      var fb = fusedAgg.createAggregationBuffer()
+      rows.foreach { s =>
+        val row = InternalRow(if (s == null) null else UTF8String.fromString(s))
+        ub = unfusedAgg.update(ub, row)
+        fb = fusedAgg.update(fb, row)
+      }
+      assert(unfusedAgg.eval(ub) == fusedAgg.eval(fb),
+        s"agg rows=$rows unfused=${unfusedAgg.eval(ub)} fused=${fusedAgg.eval(fb)}")
+    }
+  }
+
+  test("fused forms reject exactly the malformed documents the unfused parse rejects") {
+    import graft.variant.VariantJsonCodec
+    val bad = Seq("1 2", """{"a":1} x""", "[1,2,", """{"a":1""", "", "tru",
+      """{"a":1}{"b":2}""", """[1] [2]""", """{"a":1,}""")
+    bad.foreach { json =>
+      // unfused reference behavior: whole-document parse throws
+      intercept[Exception](VariantFromJson(Literal(json)).eval(null))
+      intercept[Exception](
+        JsonPathExtract(Literal(json), "$.a", LongType,
+          parseFailOnError = true, castFailOnError = true).eval(null))
+      intercept[Exception](JsonKeys(Literal(json), parseFailOnError = true).eval(null))
+      intercept[Exception](JsonSize(Literal(json), parseFailOnError = true).eval(null))
+      intercept[Exception](JsonTypeOf(Literal(json), parseFailOnError = true).eval(null))
+      // lenient: all null / empty, like try_variant_from_json
+      assert(JsonPathExtract(Literal(json), "$.a", LongType,
+        parseFailOnError = false, castFailOnError = true).eval(null) == null, json)
+      assert(JsonKeys(Literal(json), parseFailOnError = false).eval(null) == null, json)
+      assert(JsonTypeOf(Literal(json), parseFailOnError = false).eval(null) == null, json)
+      assert(JsonExplodeKV(Literal(json), parseFailOnError = false)
+        .eval(null).iterator.isEmpty, json)
+    }
+    // parse errors outrank cast errors, exactly as in the unfused order
+    val parseBeatsCast = """{"x": "abc"} ["""
+    val e = intercept[Exception](
+      JsonPathExtract(Literal(parseBeatsCast), "$.x", LongType,
+        parseFailOnError = true, castFailOnError = true).eval(null))
+    assert(e.isInstanceOf[VariantJsonCodec.JsonParseException], e.toString)
+    // well-formed + failing cast still raises the cast error
+    val castOnly = intercept[Exception](
+      JsonPathExtract(Literal("""{"x": "abc"}"""), "$.x", LongType,
+        parseFailOnError = true, castFailOnError = true).eval(null))
+    assert(!castOnly.isInstanceOf[VariantJsonCodec.JsonParseException], castOnly.toString)
+  }
+
   test("fused keys/size equal unfused over random trees") {
     forAllSamples(genNode(3)) { node =>
       val json = mapper.writeValueAsString(node)
