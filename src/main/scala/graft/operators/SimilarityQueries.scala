@@ -228,11 +228,20 @@ object StreamingQueries {
     * under a bounded setting, restore after. (At 100 TB you size this UP
     * — the knob is the point.)
     */
-  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
+  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession, n: Int,
+                                     noDataBatches: Boolean = true)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val nd = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(nd)
     s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
+    // A no-data micro-batch only matters when event-time state must
+    // advance without input (watermark eviction, timers). The complete-
+    // mode and NoTimeout queries here have neither, so the extra empty
+    // batch is pure checkpoint churn — skip it. s_append_counts keeps it:
+    // its closed-window emission IS watermark advancement.
+    s.conf.set(nd, noDataBatches.toString)
+    try f finally { s.conf.set(key, prev); s.conf.set(nd, prevNd) }
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -255,7 +264,7 @@ object StreamingQueries {
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val qname = s"s_window_counts_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8) {
+        withStatePartitions(s, 8, noDataBatches = false) {
           val q = agg.writeStream.outputMode("complete")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -333,7 +342,7 @@ object StreamingQueries {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
         val qname = s"s_variant_counts_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8) {
+        withStatePartitions(s, 8, noDataBatches = false) {
           val q = stream.writeStream.outputMode("complete")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -361,10 +370,17 @@ object StreamingQueries {
             sd.resolve("documents.parquet"))
           sd.toString
         })
+        // The staged source is ONE small parquet file (one row group →
+        // one scan partition), which would serialize the 128-hash
+        // signature map. A real landing directory has many files and
+        // gets map parallelism from the file listing; locally an
+        // explicit repartition restores it (streaming has no AQE to
+        // coalesce it away).
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .repartition(s.sparkContext.defaultParallelism)
         val pairs = StreamingDedup.minhashDupStream(stream, "doc_id", "text")
         val qname = s"s_minhash_dedup_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8) {
+        withStatePartitions(s, 8, noDataBatches = false) {
           val q = pairs.writeStream.outputMode("append")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()

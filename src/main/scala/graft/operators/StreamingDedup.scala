@@ -22,11 +22,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  /** One exploded row per (doc, band). */
-  case class BandedDoc(id: Long, band: Int, bucket: Long, sig: Seq[Long])
+  /** One exploded row per (doc, band). `sig` is a primitive array: each
+    * doc's row fans out `bands`× through the bucket shuffle, so the
+    * signature's wire format dominates shuffle volume — Array[Long]
+    * encodes as an UnsafeArrayData primitive block (no per-element
+    * boxing), where Seq[Long] pays object serialization per slot.
+    */
+  case class BandedDoc(id: Long, band: Int, bucket: Long, sig: Array[Long])
 
   /** Per-bucket state: parallel id/signature lists of seen docs. */
-  case class BucketState(ids: List[Long], sigs: List[Seq[Long]])
+  case class BucketState(ids: List[Long], sigs: List[Array[Long]])
 
   case class DupPair(id_a: Long, id_b: Long, est: Double)
 
@@ -39,7 +44,7 @@ object StreamingDedup {
   /** Fraction of agreeing MinHash slots — the unbiased Jaccard
     * estimator.
     */
-  def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+  def estJaccard(a: Array[Long], b: Array[Long]): Double = {
     var m = 0
     var i = 0
     while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }

@@ -308,6 +308,141 @@ object TextQueries {
              |          / len(list_distinct(a.t || b.t)) >= 0.7)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Duplicate-cluster assignment — the step that turns pairwise
+    // near-dup hits into keep/drop decisions: connected components over
+    // the verified pair graph, label = min doc_id in the component.
+    // Iterative min-label propagation over the EDGE table only (edges ≈
+    // dup pairs, orders of magnitude smaller than the corpus); the
+    // driver loop tests convergence on an aggregate count, the data
+    // never leaves executors, and localCheckpoint truncates the
+    // per-iteration lineage. Iterations ≤ component diameter (tiny for
+    // dup clusters); at 100 TB the same loop runs with the
+    // large-star/small-star optimization (Kiveris et al., Connected
+    // Components in MapReduce), which this propagation is the simple
+    // case of.
+    QueryDef("d_dup_clusters",
+      (s, d) => {
+        val pairs = exactJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+            .groupBy(col("src").as("doc_id"))
+            .agg(min(col("nl")).as("nbr_min"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+            .localCheckpoint()
+          changed = next
+            .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
+            .filter(col("cluster_id") < col("prev")).count()
+          labels = next
+          iter += 1
+        }
+        labels.orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, source, list_distinct(regexp_extract_all(text, '\S+')) AS t
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |          / len(list_distinct(a.t || b.t)) >= 0.7),
+             |edges AS (
+             |  SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+             |SELECT u AS doc_id, CAST(least(u, MIN(v)) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // 4-gram with the held-out benchmark set (doc_id % 100 = 0 stands in
+    // for an eval suite). The benchmark gram set is benchmark-sized →
+    // broadcast; the corpus side is a map + one semi-join, never
+    // shuffled wide. Output = contaminated doc → distinct shared grams.
+    QueryDef("d_decontaminate",
+      (s, d) => {
+        val toks = documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .filter(size(col("toks")) >= 4)
+        val grams = toks.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', slice(toks, i + 1, 4)))"))
+            .as("gram"))
+        val benchGrams = grams.filter(col("doc_id") % 100 === 0)
+          .select(col("gram")).distinct()
+        grams.filter(col("doc_id") % 100 =!= 0)
+          .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+             |  WHERE len(regexp_extract_all(text, '\S+')) >= 4),
+             |grams AS (
+             |  SELECT doc_id, unnest([array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)]) AS gram
+             |  FROM toks),
+             |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0)
+             |SELECT doc_id, COUNT(DISTINCT gram) AS n_shared
+             |FROM grams WHERE doc_id % 100 <> 0 AND gram IN (SELECT gram FROM bench)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Domain-mixture reweighting: per-language sampling weight that
+    // rebalances the corpus to a uniform language mix (weight_ppm =
+    // uniform-share / actual-share, parts-per-million integer arithmetic
+    // — no cross-engine float drift). Two tiny aggregates + a broadcast;
+    // the corpus itself is never reshuffled.
+    QueryDef("d_mix_weights",
+      (s, d) => {
+        val counts = documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum(col("n_docs")).as("total"), count(lit(1)).as("n_langs"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            expr("total * CAST(1000000 AS BIGINT) DIV (n_langs * n_docs)").as("weight_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |       CAST((SELECT COUNT(*) FROM documents) * 1000000
+             |         // ((SELECT COUNT(DISTINCT lang) FROM documents) * COUNT(*)) AS BIGINT) AS weight_ppm
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Corpus-quality length cut: drop docs below their source's 10th
+    // percentile token count. Exact interpolated percentile per source
+    // (one narrow shuffle), cuts broadcast back over the corpus — the
+    // shape a 100 TB quality-filter pass takes.
+    QueryDef("d_length_filter",
+      (s, d) => {
+        val sized = documents(s, d).select(col("source"), col("doc_id"),
+          size(tokens("text")).cast("long").as("n_tok"))
+        val cuts = sized.groupBy(col("source"))
+          .agg(expr("percentile(n_tok, 0.1)").as("p10"))
+        sized.join(broadcast(cuts), Seq("source"))
+          .filter(col("n_tok").cast("double") < col("p10"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_dropped"), sum(col("n_tok")).as("dropped_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sized AS (
+             |  SELECT source, doc_id,
+             |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cuts AS (SELECT source, quantile_cont(n_tok, 0.1) AS p10 FROM sized GROUP BY source)
+             |SELECT s.source, COUNT(*) AS n_dropped, CAST(SUM(s.n_tok) AS BIGINT) AS dropped_tokens
+             |FROM sized s JOIN cuts c ON s.source = c.source
+             |WHERE s.n_tok < c.p10
+             |GROUP BY s.source ORDER BY s.source""".stripMargin)),
+
     // Multimodal: byte-histogram features are REAL computation (entropy,
     // moments); rows-only check (per-byte loops are not SQL-expressible
     // in the oracle), unit-tested instead.

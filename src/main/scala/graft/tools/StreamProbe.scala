@@ -54,13 +54,47 @@ object StreamProbe {
 
     run("warmup p8", 8, availableNow = false, rocks = false, noData = true)
     run("baseline p8 processAll", 8, availableNow = false, rocks = false, noData = true)
-    run("baseline p8 again", 8, availableNow = false, rocks = false, noData = true)
-    run("p2", 2, availableNow = false, rocks = false, noData = true)
-    run("p1", 1, availableNow = false, rocks = false, noData = true)
-    run("p8 availableNow", 8, availableNow = true, rocks = false, noData = true)
-    run("p2 availableNow", 2, availableNow = true, rocks = false, noData = true)
     run("p8 noDataBatches off", 8, availableNow = false, rocks = false, noData = false)
-    run("p8 rocksdb", 8, availableNow = false, rocks = true, noData = true)
+
+    // ---- minhash dedup: the signature map is the cost; a single small
+    // parquet file (594 KB, one row group) = ONE scan partition = serial
+    // minhash over every doc. Measure repartition-before-signature.
+    val docSchema = sc.read.parquet(s"$d/documents.parquet").schema
+    val dd = java.nio.file.Files.createTempDirectory("graft_sprobe_docs_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"), dd.resolve("documents.parquet"))
+
+    def runDedup(label: String, parts: Int, repart: Int, noData: Boolean): Unit = {
+      sc.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      sc.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
+      val t0 = System.nanoTime()
+      var stream: org.apache.spark.sql.DataFrame =
+        sc.readStream.schema(docSchema).parquet(dd.toString)
+      if (repart > 0) stream = stream.repartition(repart)
+      val pairs = graft.operators.StreamingDedup.minhashDupStream(stream, "doc_id", "text")
+      n += 1
+      val qname = s"sprobe_d_$n"
+      val q = pairs.writeStream.outputMode("append").format("memory").queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      val rows = sc.table(qname).dropDuplicates("id_a", "id_b").count()
+      println(f"[sprobe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows pairs)")
+    }
+    def runDedupBatch(label: String, repart: Int): Unit = {
+      val t0 = System.nanoTime()
+      var docs = sc.read.parquet(dd.toString)
+      if (repart > 0) docs = docs.repartition(repart)
+      val rows = graft.operators.StreamingDedup
+        .minhashDupStream(docs, "doc_id", "text")
+        .dropDuplicates("id_a", "id_b").count()
+      println(f"[sprobe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows pairs)")
+    }
+    runDedupBatch("dedup BATCH repart0 (warm twice)", 0)
+    runDedupBatch("dedup BATCH repart0", 0)
+    runDedupBatch("dedup BATCH repart32", 32)
+    runDedup("dedup stream p8 repart0", 8, 0, noData = true)
+    runDedup("dedup stream p8 repart32", 8, 32, noData = true)
+    runDedup("dedup stream p8 repart32 noData off", 8, 32, noData = false)
+    runDedup("dedup stream p32 repart32 noData off", 32, 32, noData = false)
     spark.stop()
   }
 }

@@ -174,6 +174,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("dup clusters: every near-dup pair shares a label; label is the component minimum") {
+    val clusters = graft.Queries.queryMap("d_dup_clusters")(spark, TestSpark.SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = TextQueries.exactJaccardPairs(spark, TestSpark.SF)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // connectivity: both endpoints of every edge carry the same label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // minimality: the label is a member of its own cluster and is the min
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.min == label,
+        s"cluster $label: min member ${members.keySet.min}")
+    }
+  }
+
   test("multimodal feature extraction: entropy/moments are real and deterministic") {
     val uniform = Multimodal.extractFeatures(1L, Array.tabulate[Byte](256)(_.toByte))
     assert(math.abs(uniform.entropy - 8.0) < 1e-9) // 256 distinct bytes = 8 bits
