@@ -394,6 +394,37 @@ object StreamingQueries {
       },
       None),
 
+    // Streaming exact dedup: Spark's stateful dropDuplicates operator —
+    // first-seen wins per fingerprint, state = one row per distinct
+    // fingerprint. Emitting only the fingerprint keeps the result
+    // arrival-order-independent (the distinct fp SET is deterministic),
+    // so the exact oracle applies. At scale the state store is
+    // hash-partitioned on fp; a production run adds a watermark on an
+    // event-time column to bound state retention.
+    QueryDef("s_dedup_exact",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/documents.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#docs", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_docs_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/documents.parquet"),
+            sd.resolve("documents.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .select(md5(col("text")).as("fp"))
+          .dropDuplicates("fp")
+        val qname = s"s_dedup_exact_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8, noDataBatches = false) {
+          val q = stream.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(qname).orderBy(col("fp"))
+      },
+      Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
+
     // Sessionization: Spark's session_window (same operator batch or
     // streaming) vs the classic gaps-and-islands formulation in the
     // oracle. 10-minute inactivity gap per user.

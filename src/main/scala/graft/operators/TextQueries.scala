@@ -335,14 +335,16 @@ object TextQueries {
             .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
             .groupBy(col("src").as("doc_id"))
             .agg(min(col("nl")).as("nbr_min"))
+          // carry the previous label through the propagation join so the
+          // convergence check is a filter over the checkpointed result,
+          // not a second join per iteration
           val next = labels.join(nbrMin, Seq("doc_id"), "left")
             .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("new_id"),
+              col("cluster_id").as("prev"))
             .localCheckpoint()
-          changed = next
-            .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
-            .filter(col("cluster_id") < col("prev")).count()
-          labels = next
+          changed = next.filter(col("new_id") < col("prev")).count()
+          labels = next.select(col("doc_id"), col("new_id").as("cluster_id"))
           iter += 1
         }
         labels.orderBy(col("doc_id"))
