@@ -40,6 +40,26 @@ object PerfProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[perf] parse throughput: ${rows / secs / 1e6}%.2f M rows/s, " +
         f"${bytes / secs / 1e6}%.1f MB/s JSON in ($rows rows, $secs%.3f s, local[32])")
+      // The staged file is ONE scan partition, so the number above is a
+      // single-core figure (repartitioning 100k tiny rows costs more
+      // than parsing them). For the scaling figure a many-file 100 TB
+      // scan sees natively, generate the JSON in place on 32 partitions
+      // (range → format_string, zero shuffle) and parse 3.2M rows.
+      val n = 3200000L
+      val gen = spark.range(0, n, 1, 32)
+        .select(format_string("""{"k": %d, "s": "ev%d", "f": %d.5}""",
+          col("id") % 200, col("id"), col("id") % 7).as("props"))
+      val par = gen.select(vf.variant_from_json(col("props")).as("v"))
+      par.write.mode("overwrite").format("noop").save()
+      gen.write.mode("overwrite").format("noop").save()
+      val tg = System.nanoTime()
+      gen.write.mode("overwrite").format("noop").save()
+      val gsecs = (System.nanoTime() - tg) / 1e9
+      val t1 = System.nanoTime()
+      par.write.mode("overwrite").format("noop").save()
+      val psecs = (System.nanoTime() - t1) / 1e9
+      println(f"[perf] parse throughput (32-way, 3.2M rows): ${n / psecs / 1e6}%.2f M rows/s " +
+        f"(generation-only baseline ${n / gsecs / 1e6}%.2f M rows/s)")
     }
 
     def parsed = ev.withColumn("v", vf.variant_from_json(col("props")))

@@ -19,6 +19,35 @@ class JsonCodecSpec extends AnyFunSuite {
     VariantJsonCodec.toJsonString(pair._1, pair._2)
   }
 
+  test("speculative encoder: any document SEQUENCE yields the two-pass canonical bytes") {
+    // The single-pass encoder predicts each row's key arrival from the
+    // previous row (thread-local), so correctness is SEQUENCE-sensitive:
+    // drive runs of one shape, shape switches, key subsets/supersets,
+    // reordered arrivals, scalars and nested docs through one thread and
+    // require byte-identity with the two-pass tree encoder for every doc.
+    val shapes = Seq(
+      """{"k": %d, "s": "v%d", "f": 1.5}""", // arrival ≠ sorted (f<k<s)
+      """{"a": %d, "b": %d}""", // arrival = sorted (identity remap)
+      """{"b": %d, "a": %d}""", // same set, reversed arrival
+      """{"k": %d}""", // subset of shape 0
+      """{"k": %d, "s": "x", "f": 2.5, "zz": %d}""", // superset
+      """{"n": {"k": %d, "q": [1, %d, {"k": 3}]}, "k": 7}""", // nested, repeated key
+      """[%d, "s", {"w": %d}]""", // array root
+      """%d""" // scalar root (empty dictionary)
+    )
+    val rnd = new scala.util.Random(7)
+    (1 to 400).foreach { i =>
+      // runs of the same shape with occasional switches
+      val shape = shapes(if (i % 11 == 0) rnd.nextInt(shapes.length) else (i / 50) % shapes.length)
+      val json = shape.format(i, i * 3)
+      val fast = VariantJsonCodec.fromJson(json)
+      val ref = VariantJsonCodec.fromTree(VariantJsonCodec.parseTree(
+        json.getBytes("UTF-8"), 0, json.getBytes("UTF-8").length))
+      assert(java.util.Arrays.equals(fast._1, ref._1), s"metadata diverged for: $json")
+      assert(java.util.Arrays.equals(fast._2, ref._2), s"value diverged for: $json")
+    }
+  }
+
   test("top-level null → SQL null; nested null stays variant Null (json.rs:275-294)") {
     assert(VariantJsonCodec.fromJson("null") == null)
     val (meta, v) = parse("""{"x": null}""")
