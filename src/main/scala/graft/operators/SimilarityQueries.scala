@@ -394,6 +394,41 @@ object StreamingQueries {
       },
       None),
 
+    // Stream-static enrichment join — the most common production
+    // streaming shape: the event stream joins a slowly-changing
+    // dimension read as a plain static table, broadcast so each
+    // micro-batch pays a hash probe and never shuffles the stream.
+    QueryDef("s_enrich_join",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+        val cust = broadcast(s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val agg = stream.join(cust, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        val qname = s"s_enrich_join_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8, noDataBatches = false) {
+          val q = agg.writeStream.outputMode("complete")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(qname).orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Streaming exact dedup: Spark's stateful dropDuplicates operator —
     // first-seen wins per fingerprint, state = one row per distinct
     // fingerprint. Emitting only the fingerprint keeps the result
