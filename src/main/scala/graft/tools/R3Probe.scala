@@ -18,7 +18,7 @@ object R3Probe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val targets = Seq("v_schema_agg", "v_auto_shred", "v_filter_high",
-      "v_explode_kv", "v_schema_of", "v_group_by_variant",
+      "v_explode_kv", "v_schema_of", "v_group_by_variant", "d_dup_clusters",
       "s_window_counts", "s_minhash_dedup")
     // warm
     SparkEntry.entry(spark).count()
