@@ -67,6 +67,14 @@ case class VariantExplode(child: Expression)
   * k fields through k separate `variant_get`s costs k header decodes +
   * k binary searches per shared path prefix; this costs one.
   */
+/** Multi-path extraction in one decode. Deliberately NOT rewritten by
+  * the fusion rule over `variant_from_json`: a fused
+  * struct-of-token-walks cannot produce the NULL STRUCT this returns
+  * when the parse itself is null (CreateNamedStruct is never null), and
+  * guarding with an extra validating walk costs the fusion's margin.
+  * The thread-local parse memo already dedups the parse across
+  * optimizer copies, and the id cache amortizes key resolution.
+  */
 case class VariantGetMulti(
     child: Expression,
     fields: Seq[(String, DataType, String)]) extends UnaryExpression with GraftUnaryCodegen {

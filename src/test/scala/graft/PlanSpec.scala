@@ -143,6 +143,15 @@ class PlanSpec extends AnyFunSuite {
       decoded.orderBy(col("event_id")).collect().toSeq)
   }
 
+  test("decontamination and length cut broadcast their small side (no corpus shuffle for the join)") {
+    val p = physical("d_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val lf = physical("d_length_filter")
+    assert(lf.contains("BroadcastHashJoin"), lf)
+    assert(!lf.contains("SortMergeJoin"), lf)
+  }
+
   test("q_topk plans TakeOrderedAndProject (no global sort of the full table)") {
     val p = physical("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

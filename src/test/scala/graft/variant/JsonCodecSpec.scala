@@ -33,7 +33,11 @@ class JsonCodecSpec extends AnyFunSuite {
       """{"k": %d, "s": "x", "f": 2.5, "zz": %d}""", // superset
       """{"n": {"k": %d, "q": [1, %d, {"k": 3}]}, "k": 7}""", // nested, repeated key
       """[%d, "s", {"w": %d}]""", // array root
-      """%d""" // scalar root (empty dictionary)
+      """%d""", // scalar root (empty dictionary)
+      // multi-byte UTF-8 keys: dictionary order is byte order
+      // (Z < a < é), exercised through the speculative id reuse
+      """{"é": %d, "Z": "z%d", "a": true}""",
+      """{"k😀": %d, "k": %d}""" // supplementary-plane key
     )
     val rnd = new scala.util.Random(7)
     (1 to 400).foreach { i =>
