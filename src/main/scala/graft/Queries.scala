@@ -22,6 +22,10 @@ final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Typed rows for the `Dataset[T]` API surface (`q_typed_dataset`). */
+final case class LineitemSlice(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+final case class FlagStats(l_returnflag: String, n_items: Long, max_qty: Double)
+
 object Queries {
   import Tables._
 
@@ -922,6 +926,32 @@ object Queries {
              |       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
              |         RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS n_60s
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Typed Dataset[T] surface: case-class encoders, typed filter,
+    // groupByKey + reduceGroups (a ReduceAggregator — partial map-side
+    // combine, unlike mapGroups). The trade is explicit: typed lambdas
+    // are opaque to Catalyst (no pushdown through them), so they belong
+    // where compile-time row types matter, with columnar ops staying in
+    // Column-land; the projection still prunes at the scan because it
+    // precedes the typed boundary.
+    QueryDef("q_typed_dataset",
+      (s, d) => {
+        import s.implicits._
+        val ds = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .as[LineitemSlice]
+        ds.filter(r => r.l_quantity > 10.0)
+          .groupByKey(_.l_returnflag)
+          .mapValues(r => FlagStats(r.l_returnflag, 1L, r.l_quantity))
+          .reduceGroups((a, b) =>
+            FlagStats(a.l_returnflag, a.n_items + b.n_items, math.max(a.max_qty, b.max_qty)))
+          .map(_._2)
+          .toDF()
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
+             |FROM lineitem WHERE l_quantity > 10.0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // generator/lateral over a computed array (explode ↔ unnest)
     QueryDef("q_explode_lateral",
