@@ -471,6 +471,79 @@ object TextQueries {
              |WHERE s.n_tok < c.p10
              |GROUP BY s.source ORDER BY s.source""".stripMargin)),
 
+    // The full curation pipeline in one call — what a user of this
+    // library actually runs over a raw corpus: (1) per-source length
+    // floor (P10), (2) drop the held-out benchmark docs AND anything
+    // sharing a 4-gram with them, (3) drop the higher id of every
+    // verified near-dup pair whose BOTH endpoints survived the earlier
+    // stages, then report retained docs/tokens per source. Each stage
+    // reuses the scale shape proven by its standalone query (broadcast
+    // cuts, broadcast benchmark grams, cached pair set).
+    QueryDef("d_curate_pipeline",
+      (s, d) => {
+        val sized = documents(s, d)
+          .withColumn("n_tok", size(tokens("text")).cast("long"))
+        val cuts = sized.groupBy(col("source"))
+          .agg(expr("percentile(n_tok, 0.1)").as("p10"))
+        val s1 = sized.join(broadcast(cuts), Seq("source"))
+          .filter(col("n_tok").cast("double") >= col("p10"))
+        val toks4 = documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .filter(size(col("toks")) >= 4)
+        val grams = toks4.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', slice(toks, i + 1, 4)))"))
+            .as("gram"))
+        val benchGrams = grams.filter(col("doc_id") % 100 === 0)
+          .select(col("gram")).distinct()
+        val contaminated = grams.filter(col("doc_id") % 100 =!= 0)
+          .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val s2 = s1.filter(col("doc_id") % 100 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val survivors = s2.select(col("doc_id"))
+        val drops = exactJaccardPairs(s, d)
+          .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+          .select(col("doc_b").as("doc_id")).distinct()
+        s2.join(drops, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sized AS (
+             |  SELECT doc_id, source, text,
+             |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cuts AS (SELECT source, quantile_cont(n_tok, 0.1) AS p10 FROM sized GROUP BY source),
+             |s1 AS (SELECT s.* FROM sized s JOIN cuts c USING (source) WHERE s.n_tok >= c.p10),
+             |tok4 AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+             |  WHERE len(regexp_extract_all(text, '\S+')) >= 4),
+             |grams AS (
+             |  SELECT doc_id, unnest([array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)]) AS gram
+             |  FROM tok4),
+             |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0),
+             |contaminated AS (
+             |  SELECT DISTINCT doc_id FROM grams
+             |  WHERE doc_id % 100 <> 0 AND gram IN (SELECT gram FROM bench)),
+             |s2 AS (SELECT * FROM s1
+             |       WHERE doc_id % 100 <> 0
+             |         AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+             |toks AS (
+             |  SELECT doc_id, source, list_distinct(regexp_extract_all(text, '\S+')) AS t
+             |  FROM documents),
+             |drops AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE a.doc_id IN (SELECT doc_id FROM s2)
+             |    AND b.doc_id IN (SELECT doc_id FROM s2)
+             |    AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             |          / len(list_distinct(a.t || b.t)) >= 0.7),
+             |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+             |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+             |FROM s3 GROUP BY source ORDER BY source""".stripMargin)),
+
     // Multimodal: byte-histogram features are REAL computation (entropy,
     // moments); rows-only check (per-byte loops are not SQL-expressible
     // in the oracle), unit-tested instead.
