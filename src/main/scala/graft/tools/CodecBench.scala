@@ -5,6 +5,15 @@ import graft.variant.VariantJsonCodec
 /** Pure-JVM micro-benchmark of the JSON→variant kernel, no Spark: how
   * much of the pipeline's parse cost is the codec itself vs executor
   * plumbing. Run: sbt "runMain graft.tools.CodecBench"
+  *
+  * Findings driving the round-3 work: tokenization alone is ~4M rows/s
+  * on these docs (isolated JIT profile), the pre-speculation encoder was
+  * 0.30M — 12× spent in per-row dictionary builds and re-encodes, now
+  * amortized by the speculative path (0.6-0.8M, ahead of Spark's builtin
+  * parseJson at ~0.5M). With tokenize+accessor floor measured at ~1M
+  * rows/s under a realistic mixed JIT profile, the remaining encoder
+  * overhead is ~35% — the kernel is Jackson-bound, so further pooling
+  * micro-optimization was measured and declined.
   */
 object CodecBench {
   def main(args: Array[String]): Unit = {
@@ -34,6 +43,24 @@ object CodecBench {
       val p = factory.createParser(d, 0, d.length)
       var n = 0L
       while (p.nextToken() != null) n += 1
+      p.close()
+      n
+    }
+    bench("tokenize + value accessors") { d =>
+      import com.fasterxml.jackson.core.JsonToken._
+      val p = factory.createParser(d, 0, d.length)
+      var n = 0L
+      var t = p.nextToken()
+      while (t != null) {
+        t match {
+          case VALUE_NUMBER_INT => n += p.getLongValue
+          case VALUE_NUMBER_FLOAT => n += p.getDoubleValue.toLong
+          case VALUE_STRING => n += p.getText.length
+          case FIELD_NAME => n += p.currentName().length
+          case _ => ()
+        }
+        t = p.nextToken()
+      }
       p.close()
       n
     }

@@ -15,6 +15,41 @@ class ExpressionSpec extends AnyFunSuite {
 
   private def sql1(q: String): Row = spark.sql(q).collect()(0)
 
+  test("heterogeneous JSON shapes shuffled across partitions stay canonical (speculative encoder)") {
+    import graft.variant.VariantJsonCodec
+    // 7 interleaved shapes over 8 partitions: every executor thread sees
+    // constant shape switches, so the speculative encoder's per-thread
+    // prediction misses constantly and must still produce the canonical
+    // bytes the two-pass tree encoder defines.
+    val shapes = (1 to 2100).map { i =>
+      i % 7 match {
+        case 0 => s"""{"k": $i, "s": "v$i", "f": ${i / 7.0}}"""
+        case 1 => s"""{"b": $i, "a": ${i * 2}}"""
+        case 2 => s"""{"a": $i}"""
+        case 3 => s"""[$i, {"z": $i}]"""
+        case 4 => s"""$i"""
+        case 5 => s"""{"é": $i, "Z": [$i, null]}"""
+        case 6 => "null"
+      }
+    }
+    val got = shapes.toDF("j").repartition(8)
+      .select(col("j"),
+        VariantFunctions.variant_to_json(VariantFunctions.variant_from_json(col("j"))).as("rt"))
+      .collect()
+    assert(got.length == 2100)
+    got.foreach { r =>
+      val j = r.getString(0)
+      val expected =
+        if (j == "null") null
+        else {
+          val b = j.getBytes("UTF-8")
+          val pair = VariantJsonCodec.fromTree(VariantJsonCodec.parseTree(b, 0, b.length))
+          VariantJsonCodec.toJsonString(pair._1, pair._2)
+        }
+      assert(r.getString(1) == expected, s"roundtrip diverged for: $j")
+    }
+  }
+
   test("wrong input type rejected at analysis (json.rs:505-516)") {
     val e = intercept[AnalysisException] {
       spark.sql("SELECT variant_from_json(42)").collect()
