@@ -41,6 +41,30 @@ object Queries {
   // ---------------------------------------------------------------------
 
   private val variantQueries = Seq(
+    // Pure-SQL user journey: every function referenced by NAME through
+    // the GraftExtensions registration (no Column DSL), over a temp
+    // view — pins the spark.sql(...) surface in the driver gate, not
+    // just in unit tests.
+    QueryDef("v_sql_surface",
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("events_sql")
+        s.sql("""
+          SELECT event_id,
+                 variant_get(variant_from_json(props), '$.k', 'bigint') AS k,
+                 variant_typeof(variant_get(variant_from_json(props), '$.k')) AS t,
+                 variant_size(variant_from_json(props)) AS sz,
+                 variant_to_json(variant_from_json(props)) AS j
+          FROM events_sql
+          ORDER BY event_id""")
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |                 BETWEEN -128 AND 127 THEN 'tinyint' ELSE 'smallint' END AS t,
+             |       CAST(len(json_keys(props)) AS INT) AS sz,
+             |       '{"k":' || json_extract_string(props, '$.k') || '}' AS j
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     QueryDef("v_sum_by_type",
       (s, d) => parsedEvents(s, d)
         .groupBy(col("event_type"))

@@ -394,6 +394,34 @@ object StreamingQueries {
       },
       None),
 
+    // Streaming schema inference: the lattice-merge aggregate (fused to
+    // the token-walk form by the optimizer rule, which applies to
+    // micro-batch plans too) runs over the stream with its SType buffer
+    // carried through the state store's serialize/deserialize.
+    QueryDef("s_schema_agg",
+      (s, d) => {
+        import graft.functions.{VariantFunctions => vf}
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .agg(vf.schema_of_variant_agg(vf.variant_from_json(col("props"))).as("sch"))
+        val qname = s"s_schema_agg_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8, noDataBatches = false) {
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(qname)
+      },
+      Some("SELECT 'object<k: bigint>' AS sch")),
+
     // Stream-static enrichment join — the most common production
     // streaming shape: the event stream joins a slowly-changing
     // dimension read as a plain static table, broadcast so each
