@@ -65,6 +65,33 @@ object Queries {
              |       '{"k":' || json_extract_string(props, '$.k') || '}' AS j
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Nested-path extraction through the driver gate: the events corpus
+    // carries flat single-key JSON, so build DEEP documents (object →
+    // object → array) deterministically from lineitem integers, parse,
+    // and extract by nested key and array index. Both engines construct
+    // the identical text (integer formatting only), so the oracle
+    // replays byte-for-byte.
+    QueryDef("v_nested_paths",
+      (s, d) => {
+        val json = concat(
+          lit("""{"o": {"id": """), col("l_orderkey"),
+          lit(""", "ln": ["""), col("l_linenumber"), lit(", "), col("l_suppkey"),
+          lit("""]}, "flag": """"), col("l_returnflag"), lit("\"}"))
+        lineitem(s, d)
+          .withColumn("v", vf.variant_from_json(json))
+          .groupBy(vf.variant_get(col("v"), "$.flag", StringType).as("flag"))
+          .agg(
+            sum(vf.variant_get(col("v"), "$.o.id", LongType)).as("id_sum"),
+            sum(vf.variant_get(col("v"), "$.o.ln[1]", LongType)).as("sk_sum"),
+            count(lit(1)).as("n"))
+          .orderBy(col("flag"))
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |       CAST(SUM(l_orderkey) AS BIGINT) AS id_sum,
+             |       CAST(SUM(l_suppkey) AS BIGINT) AS sk_sum,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin)),
+
     QueryDef("v_sum_by_type",
       (s, d) => parsedEvents(s, d)
         .groupBy(col("event_type"))
