@@ -113,6 +113,53 @@ private[functions] object JsonFused {
   }
 }
 
+/** `schema_of_variant(variant_from_json(s))` fused: render the inferred
+  * type straight off the token stream — no metadata build, no encode.
+  * Same walker as the fused aggregate, so lattice semantics are shared.
+  */
+case class JsonSchemaOf(child: Expression, parseFailOnError: Boolean)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_schema_of_fused"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"json_schema_of expects string/binary, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = JsonFused.toBytes(input)
+    try {
+      val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
+      try {
+        val tok = p.nextToken()
+        if (tok == null)
+          throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: empty input", null)
+        if (tok == JsonToken.VALUE_NULL) {
+          JsonFused.finishDocument(p)
+          null // top-level JSON null → SQL-null variant → null schema
+        } else {
+          val t = JsonFused.inferSchema(p)
+          JsonFused.finishDocument(p)
+          UTF8String.fromString(t.render)
+        }
+      } finally p.close()
+    } catch {
+      case e: VariantJsonCodec.JsonParseException =>
+        if (parseFailOnError) throw e else null
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        if (parseFailOnError)
+          throw new VariantJsonCodec.JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+        else null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `schema_of_variant_agg(variant_from_json(s))` fused: the lattice
   * merge runs directly on each row's token stream — no metadata build,
   * no variant encode, no decode walk. Buffer, merge, and wire form are

@@ -278,6 +278,7 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
     case VariantKeys(VariantFromJson(src, parseFail)) => JsonKeys(src, parseFail)
     case VariantSize(VariantFromJson(src, parseFail)) => JsonSize(src, parseFail)
     case VariantTypeOf(VariantFromJson(src, parseFail)) => JsonTypeOf(src, parseFail)
+    case SchemaOfVariant(VariantFromJson(src, parseFail)) => JsonSchemaOf(src, parseFail)
     // reaches generators too: Generate.generator is an expression field
     case VariantExplode(VariantFromJson(src, parseFail)) => JsonExplodeKV(src, parseFail)
     // reaches aggregate functions: AggregateExpression.aggregateFunction
@@ -350,6 +351,30 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
           case VariantTypeOf(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
             changed = true
             JsonTypeOf(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+          case SchemaOfVariant(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonSchemaOf(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+        }
+        // Rewrite (a) inside aggregate functions, and (b) GROUPING
+        // expressions together with their result-side occurrences — in
+        // LOCKSTEP. Result expressions evaluate against grouping keys
+        // and aggregate results only, so a fusable pattern there may be
+        // replaced ONLY when it (or its enclosing subtree) semantically
+        // equals a WHOLE grouping expression that was itself rewritten —
+        // then both sides become the identical fused form and the plan
+        // stays resolvable. Rewriting a pattern applied ON TOP of a bare
+        // grouping attribute (e.g. `variant_get(v)` in the result list
+        // with `group by v`) would reference the appended child column
+        // from a position that cannot see it — the round-2 crash, and
+        // again via CollapseProject merging a parent Project into the
+        // aggregate list.
+        val groupRewrites: Seq[(Expression, Expression)] =
+          agg.groupingExpressions.flatMap { g =>
+            val r = g.transform(fuseInFunction)
+            if (r eq g) None else Some(g -> r)
+          }
+        val newGrouping = agg.groupingExpressions.map { g =>
+          groupRewrites.collectFirst { case (orig, r) if orig eq g => r }.getOrElse(g)
         }
         val newAggList = agg.aggregateExpressions.map { ne =>
           ne.transform {
@@ -358,10 +383,13 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
                 .asInstanceOf[AggregateFunction]
               if (newFn eq ae.aggregateFunction) ae
               else ae.copy(aggregateFunction = newFn)
+            case e if groupRewrites.exists(_._1.semanticEquals(e)) =>
+              groupRewrites.find(_._1.semanticEquals(e)).get._2
           }.asInstanceOf[NamedExpression]
         }
         if (!changed) agg
         else agg.copy(
+          groupingExpressions = newGrouping,
           aggregateExpressions = newAggList,
           child = proj.copy(projectList = proj.projectList ++ rawAliases.values))
       }
@@ -396,6 +424,9 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
           case VariantTypeOf(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
             changed = true
             JsonTypeOf(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
+          case SchemaOfVariant(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
+            changed = true
+            JsonSchemaOf(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)
           case VariantExplode(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
             changed = true
             JsonExplodeKV(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)

@@ -68,11 +68,14 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(fusedAgg.contains("schema_of_json_agg"), fusedAgg)
     assert(!fusedAgg.contains("variant_from_json"), fusedAgg)
-    // grouping on a DIFFERENT variant-derived key must not be disturbed:
-    // v_schema_of groups on schema_of_variant(v) — stays unfused (scalar
-    // schema_of is not an aggregate) and must still resolve
-    val unfusedScalar = Queries.queryMap("v_schema_of")(spark, TestSpark.SF)
-    assert(unfusedScalar.collect().nonEmpty)
+    // v_schema_of groups ON schema_of_variant(v): the Aggregate path
+    // rewrites grouping expressions and their result-side occurrences in
+    // lockstep, so the scalar fused form appears and the plan resolves
+    val fusedGrouping = Queries.queryMap("v_schema_of")(spark, TestSpark.SF)
+    val gPlan = fusedGrouping.queryExecution.optimizedPlan.toString
+    assert(gPlan.contains("json_schema_of_fused"), gPlan)
+    assert(!gPlan.contains("variant_from_json"), gPlan)
+    assert(fusedGrouping.collect().nonEmpty)
   }
 
   test("auto-shred inference reads a bounded, column-pruned sample") {

@@ -13,7 +13,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   Queries.all.foreach { q =>
     test(s"query ${q.name} runs on sf0.001") {
-      val n = q.build(spark, TestSpark.SF).count()
+      // Execute the query's OWN plan (toRdd), not count(): a count() on
+      // top lets column pruning drop the output projections, hiding
+      // binding/codegen crashes in expressions the driver's noop write
+      // WOULD materialize (caught live: an aggregate-fusion rewrite that
+      // only crashed when the projected column was materialized).
+      val n = q.build(spark, TestSpark.SF).queryExecution.toRdd.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
     }
   }

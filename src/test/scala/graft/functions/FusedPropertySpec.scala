@@ -100,6 +100,19 @@ class FusedPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused scalar schema_of equals unfused over random trees and malformed docs") {
+    forAllSamples(genNode(3)) { node =>
+      val json = mapper.writeValueAsString(node)
+      val u = SchemaOfVariant(VariantFromJson(Literal(json))).eval(null)
+      val f = JsonSchemaOf(Literal(json), parseFailOnError = true).eval(null)
+      assert(u == f, s"schema_of json=$json unfused=$u fused=$f")
+    }
+    Seq("1 2", """{"a":1} x""", "[1,2,", "").foreach { bad =>
+      intercept[Exception](JsonSchemaOf(Literal(bad), parseFailOnError = true).eval(null))
+      assert(JsonSchemaOf(Literal(bad), parseFailOnError = false).eval(null) == null, bad)
+    }
+  }
+
   test("fused schema agg equals unfused agg over row batches (nulls and bad rows skipped)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
