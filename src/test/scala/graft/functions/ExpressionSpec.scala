@@ -15,6 +15,33 @@ class ExpressionSpec extends AnyFunSuite {
 
   private def sql1(q: String): Row = spark.sql(q).collect()(0)
 
+  test("aggregate fusion edge shapes: grouped schema agg, DISTINCT args, Filter-blocked") {
+    import graft.functions.{VariantFunctions => vf}
+    import org.apache.spark.sql.types.LongType
+    val df = Seq(
+      ("a", """{"k": 1}"""), ("a", """{"k": 1}"""), ("a", """{"k": 2, "s": "x"}"""),
+      ("b", """{"k": 300}""")).toDF("g", "j")
+      .select(col("g"), col("j"), vf.variant_from_json(col("j")).as("v"))
+    // grouped schema agg (fusion rewrites inside the agg function)
+    val grouped = df.groupBy(col("g"))
+      .agg(vf.schema_of_variant_agg(col("v")).as("sch"))
+      .orderBy(col("g")).collect()
+    assert(grouped.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("a", "object<k: bigint, s: string>"), ("b", "object<k: bigint>")))
+    // DISTINCT aggregate argument survives the rewrite (isDistinct preserved)
+    val dist = df.groupBy(col("g"))
+      .agg(sum_distinct(vf.variant_get(col("v"), "$.k", LongType)).as("ks"))
+      .orderBy(col("g")).collect()
+    assert(dist.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 300L)))
+    // a Filter between the Aggregate and the variant-defining Project
+    // blocks the through-Project rewrite — results must still be right
+    val filtered = df.filter(rand() >= 0) // non-pushable barrier
+      .groupBy(col("g"))
+      .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("ks"))
+      .orderBy(col("g")).collect()
+    assert(filtered.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 4L), ("b", 300L)))
+  }
+
   test("heterogeneous JSON shapes shuffled across partitions stay canonical (speculative encoder)") {
     import graft.variant.VariantJsonCodec
     // 7 interleaved shapes over 8 partitions: every executor thread sees

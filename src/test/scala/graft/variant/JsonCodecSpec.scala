@@ -19,6 +19,37 @@ class JsonCodecSpec extends AnyFunSuite {
     VariantJsonCodec.toJsonString(pair._1, pair._2)
   }
 
+  test("speculative encoder: randomized document sequences (partial key-prefix matches) stay canonical") {
+    // Random key subsets in random order from a small pool → frequent
+    // PARTIAL prediction matches (the dangerous zone: same first keys,
+    // then a deviation mid-walk, or a clean prefix that must still miss
+    // on the exactness check). Objects avoid duplicate keys (tree
+    // encoder keeps last, streaming keeps both — documented divergence).
+    val rnd = new scala.util.Random(20260812)
+    val pool = Array("a", "b", "c", "dd", "é", "k😀")
+    def randVal(depth: Int): String =
+      if (depth > 0 && rnd.nextInt(4) == 0) randDoc(depth - 1)
+      else rnd.nextInt(5) match {
+        case 0 => rnd.nextLong().toString
+        case 1 => s""""s${rnd.nextInt(100)}""""
+        case 2 => "null"
+        case 3 => (rnd.nextInt(1000) / 7.5).toString
+        case 4 => s"[${rnd.nextInt(100)}, ${rnd.nextInt(100)}]"
+      }
+    def randDoc(depth: Int): String = {
+      val keys = rnd.shuffle(pool.toList).take(1 + rnd.nextInt(pool.length))
+      keys.map(k => s""""$k": ${randVal(depth)}""").mkString("{", ", ", "}")
+    }
+    (1 to 1500).foreach { _ =>
+      val json = randDoc(2)
+      val fast = VariantJsonCodec.fromJson(json)
+      val b = json.getBytes("UTF-8")
+      val ref = VariantJsonCodec.fromTree(VariantJsonCodec.parseTree(b, 0, b.length))
+      assert(java.util.Arrays.equals(fast._1, ref._1), s"metadata diverged for: $json")
+      assert(java.util.Arrays.equals(fast._2, ref._2), s"value diverged for: $json")
+    }
+  }
+
   test("speculative encoder: any document SEQUENCE yields the two-pass canonical bytes") {
     // The single-pass encoder predicts each row's key arrival from the
     // previous row (thread-local), so correctness is SEQUENCE-sensitive:
