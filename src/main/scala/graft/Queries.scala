@@ -1004,6 +1004,62 @@ object Queries {
              |FROM lineitem WHERE l_quantity > 10.0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // FILTER-clause aggregates (conditional aggregation without CASE
+    // gymnastics) — identical syntax both engines
+    QueryDef("q_filter_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("COUNT(*) FILTER (WHERE l_discount > 0.05)").as("n_disc"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS DOUBLE)")
+            .as("q_taxed"),
+          count(lit(1)).as("n_all"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS q_taxed,
+             |       COUNT(*) AS n_all
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // correlated EXISTS, planned as a semi join (no per-row subquery)
+    QueryDef("q_exists_subquery",
+      (s, d) => {
+        val heavy = lineitem(s, d).filter(col("l_quantity") > 49)
+          .select(col("l_orderkey").as("o_orderkey"))
+        orders(s, d).join(heavy, Seq("o_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // first_value/last_value over an explicit full frame; the ordering
+    // key (linenumber, quantity, price) is unique per order (duplicate
+    // (orderkey, linenumber) rows exist in the synthetic data)
+    QueryDef("q_window_first_last",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        lineitem(s, d)
+          .withColumn("first_q", first(col("l_quantity")).over(w))
+          .withColumn("last_q", last(col("l_quantity")).over(w))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("first_q"), col("last_q"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |       FIRST_VALUE(l_quantity) OVER w AS first_q,
+             |       LAST_VALUE(l_quantity) OVER w AS last_q
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_orderkey
+             |             ORDER BY l_linenumber, l_quantity, l_extendedprice
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
+
     // generator/lateral over a computed array (explode ↔ unnest)
     QueryDef("q_explode_lateral",
       (s, d) => orders(s, d)
