@@ -62,11 +62,54 @@ private[functions] object JsonFused {
           open += 1
         case JsonToken.END_OBJECT | JsonToken.END_ARRAY =>
           open -= 1
+        case JsonToken.VALUE_NUMBER_INT =>
+          if (open == 0)
+            throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: trailing tokens", null)
+          checkIntFits(p)
         case _ =>
           if (open == 0)
             throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: trailing tokens", null)
       }
       t = p.nextToken()
+    }
+  }
+
+  /** The unfused pipeline rejects a document containing an integer past
+    * i128 ANYWHERE (encoding fails on it) — so fused walks must apply
+    * the same bound to values they merely SKIP. Cheap pre-filter: ≤18
+    * digits always fit i64, so the real numeric parse only runs on long
+    * literals.
+    */
+  def checkIntFits(p: com.fasterxml.jackson.core.JsonParser): Unit = {
+    if (p.getTextLength > 18 &&
+        p.getNumberType == com.fasterxml.jackson.core.JsonParser.NumberType.BIG_INTEGER) {
+      val bi = p.getBigIntegerValue
+      if (bi.bitLength() >= 128)
+        throw new VariantJsonCodec.JsonParseException(
+          s"Could not fit value $bi into an i128", null)
+    }
+  }
+
+  /** Skip the value the parser is positioned ON (scalar or container),
+    * applying [[checkIntFits]] to every integer inside — the checked
+    * replacement for Jackson's `skipChildren`, whose lazy number
+    * handling would let a beyond-i128 literal slide through a skipped
+    * subtree.
+    */
+  def skipValue(p: com.fasterxml.jackson.core.JsonParser): Unit = {
+    p.currentToken() match {
+      case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+        var depth = 1
+        while (depth > 0) {
+          p.nextToken() match {
+            case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
+            case JsonToken.END_OBJECT | JsonToken.END_ARRAY => depth -= 1
+            case JsonToken.VALUE_NUMBER_INT => checkIntFits(p)
+            case _ => ()
+          }
+        }
+      case JsonToken.VALUE_NUMBER_INT => checkIntFits(p)
+      case _ => ()
     }
   }
 
@@ -342,7 +385,7 @@ case class JsonKeys(child: Expression, parseFailOnError: Boolean)
         while (t == JsonToken.FIELD_NAME) {
           names += p.currentName()
           p.nextToken()
-          p.skipChildren()
+          JsonFused.skipValue(p)
           t = p.nextToken()
         }
         JsonFused.finishDocument(p)
@@ -395,14 +438,14 @@ case class JsonSize(child: Expression, parseFailOnError: Boolean)
             var n = 0
             var t = p.nextToken()
             while (t == JsonToken.FIELD_NAME) {
-              p.nextToken(); p.skipChildren(); n += 1; t = p.nextToken()
+              p.nextToken(); JsonFused.skipValue(p); n += 1; t = p.nextToken()
             }
             n
           case JsonToken.START_ARRAY =>
             var n = 0
             var t = p.nextToken()
             while (t != JsonToken.END_ARRAY) {
-              p.skipChildren(); n += 1; t = p.nextToken()
+              JsonFused.skipValue(p); n += 1; t = p.nextToken()
             }
             n
           case _ => null

@@ -96,7 +96,7 @@ case class JsonPathExtract(
                   val name = p.currentName()
                   t = p.nextToken() // value token
                   if (name == k.name) hit = true
-                  else { p.skipChildren(); t = p.nextToken() }
+                  else { JsonFused.skipValue(p); t = p.nextToken() }
                 }
                 if (hit) tok = p.currentToken()
                 else found = false
@@ -107,7 +107,7 @@ case class JsonPathExtract(
                 var i = 0
                 var t = p.nextToken()
                 while (i < idx && t != JsonToken.END_ARRAY) {
-                  p.skipChildren(); t = p.nextToken(); i += 1
+                  JsonFused.skipValue(p); t = p.nextToken(); i += 1
                 }
                 if (t == JsonToken.END_ARRAY) found = false
                 else tok = t

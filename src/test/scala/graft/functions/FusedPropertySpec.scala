@@ -135,6 +135,38 @@ class FusedPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("big-integer boundaries: i128-fitting ints agree everywhere; beyond-i128 is a parse error") {
+    import graft.variant.VariantJsonCodec
+    val fits = Seq(
+      BigInt(Long.MaxValue) + 1, // just past i64 → decimal16 scale 0
+      (BigInt(1) << 127) - 1, // i128 max
+      -(BigInt(1) << 127), // i128 min
+      BigInt(Long.MinValue) - 1)
+    fits.foreach { bi =>
+      val json = s"""{"x": $bi}"""
+      // string-target extraction prints the big int identically
+      val u = unfused(json, "$.x", StringType)
+      val f = fused(json, "$.x", StringType)
+      assert(u == f && u.toString == bi.toString, s"$bi: unfused=$u fused=$f")
+      // schema inference sees decimal(38,0) on both paths
+      val us = SchemaOfVariant(VariantFromJson(Literal(json))).eval(null)
+      val fs = JsonSchemaOf(Literal(json), parseFailOnError = true).eval(null)
+      assert(us == fs && us.toString == "object<x: decimal(38,0)>", s"$bi: $us vs $fs")
+    }
+    val beyond = Seq((BigInt(1) << 127).toString, ((BigInt(1) << 200) * -1).toString)
+    beyond.foreach { big =>
+      val json = s"""{"x": $big}"""
+      intercept[Exception](VariantFromJson(Literal(json)).eval(null))
+      val e = intercept[Exception](fused(json, "$.x", StringType))
+      assert(e.isInstanceOf[VariantJsonCodec.JsonParseException], e.toString)
+      intercept[Exception](JsonSchemaOf(Literal(json), parseFailOnError = true).eval(null))
+      intercept[Exception](JsonTypeOf(Literal(json), parseFailOnError = true).eval(null))
+      // lenient: null everywhere, no crash
+      assert(JsonPathExtract(Literal(json), "$.x", StringType,
+        parseFailOnError = false, castFailOnError = false).eval(null) == null)
+    }
+  }
+
   test("fused forms reject exactly the malformed documents the unfused parse rejects") {
     import graft.variant.VariantJsonCodec
     val bad = Seq("1 2", """{"a":1} x""", "[1,2,", """{"a":1""", "", "tru",
