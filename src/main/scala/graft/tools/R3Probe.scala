@@ -17,7 +17,7 @@ object R3Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val targets = Seq("v_schema_agg", "v_auto_shred", "v_filter_high",
+    val targets = Seq("v_schema_agg", "v_auto_shred", "v_filter_high", "v_keys_size",
       "v_explode_kv", "v_schema_of", "v_group_by_variant", "d_dup_clusters",
       "s_window_counts", "s_minhash_dedup")
     // warm
