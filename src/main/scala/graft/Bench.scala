@@ -22,9 +22,13 @@ object Bench {
     // query, not first-touch class loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // two timed runs, report the min: first touch pays JIT/classload
-      // noise that says nothing about the plan
-      val times = (1 to 2).map { _ =>
+      // timed runs, report the min: first touch pays JIT/classload noise
+      // that says nothing about the plan. Streaming queries get a third
+      // run — micro-batch checkpoint and state-store churn dominate
+      // their run-to-run variance and two samples leave outliers in the
+      // min.
+      val runs = if (name.startsWith("s_")) 3 else 2
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink fully materializes every output row (count() would
         // let Spark skip projections).
