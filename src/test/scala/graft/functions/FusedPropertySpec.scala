@@ -135,6 +135,29 @@ class FusedPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cast corners: numeric strings, whitespace, root-path extraction agree fused vs unfused") {
+    val docs = Seq(
+      """{"x": "42"}""", """{"x": " 42 "}""", """{"x": "4.5"}""",
+      """{"x": "1e3"}""", """{"x": "true"}""", """{"x": "abc"}""",
+      """{"x": ""}""", """{"x": "-0"}""", """{"x": "9223372036854775807"}""")
+    val targets = Seq(LongType, IntegerType, DoubleType, BooleanType,
+      DecimalType(38, 2), StringType)
+    docs.foreach { json =>
+      targets.foreach { t =>
+        // lenient cast: both null on failure, equal value on success
+        val u = unfused(json, "$.x", t)
+        val f = fused(json, "$.x", t)
+        assert(u == f, s"target ${t.simpleString} json=$json unfused=$u fused=$f")
+      }
+    }
+    // '$' root path: cast the whole document
+    Seq("""{"a": 1, "b": [2, 3]}""", """[1, "s"]""", "42", """"str"""").foreach { json =>
+      val u = unfused(json, "$", StringType)
+      val f = fused(json, "$", StringType)
+      assert(u == f, s"root json=$json unfused=$u fused=$f")
+    }
+  }
+
   test("big-integer boundaries: i128-fitting ints agree everywhere; beyond-i128 is a parse error") {
     import graft.variant.VariantJsonCodec
     val fits = Seq(
