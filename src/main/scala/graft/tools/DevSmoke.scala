@@ -92,6 +92,17 @@ object DevSmoke {
     println("dedup survivors: " + graft.Queries.queryMap("d_dedup_keep")(spark, sf).count())
     println("packed bins: " + graft.Queries.queryMap("d_pack")(spark, sf).count())
 
+    println("=== round-3 surface: curation pipeline / clusters / SQL / typed / streaming ===")
+    graft.Queries.queryMap("d_curate_pipeline")(spark, sf).show(5, truncate = false)
+    println("dup clusters: " + graft.Queries.queryMap("d_dup_clusters")(spark, sf).count())
+    println("decontaminated: " + graft.Queries.queryMap("d_decontaminate")(spark, sf).count())
+    println("sql surface rows: " + graft.Queries.queryMap("v_sql_surface")(spark, sf).count())
+    println("typed dataset rows: " + graft.Queries.queryMap("q_typed_dataset")(spark, sf).count())
+    println("nested paths rows: " + graft.Queries.queryMap("v_nested_paths")(spark, sf).count())
+    println("stream enrich rows: " + graft.Queries.queryMap("s_enrich_join")(spark, sf).count())
+    println("stream schema: " +
+      graft.Queries.queryMap("s_schema_agg")(spark, sf).collect().mkString(","))
+
     spark.stop()
   }
 }
