@@ -151,6 +151,10 @@ object VariantFunctions {
       (es: Seq[Expression]) => BottomKByHash(es.head, litInt(es(1), "bottomk_by_hash k"))
         .toAggregateExpression(),
       "bottomk_by_hash(s, k) - Deterministic uniform sample: the k values with smallest md5 digests."),
+    ("misra_gries",
+      (es: Seq[Expression]) => MisraGries(es.head, litInt(es(1), "misra_gries k"))
+        .toAggregateExpression(),
+      "misra_gries(s, k) - Mergeable frequent-items candidate sketch (k counters); items with frequency > n/(k+1) are guaranteed present."),
     ("minhash_signature",
       (es: Seq[Expression]) => {
         val k = es(1) match {

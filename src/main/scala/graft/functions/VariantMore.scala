@@ -353,3 +353,128 @@ case class SchemaOfVariantAgg(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `misra_gries(s, k)`: mergeable frequent-items sketch with k counters
+  * (Misra-Gries; merge rule per Agarwal et al., "Mergeable Summaries":
+  * sum counters, subtract the (k+1)-largest count, drop non-positive).
+  * Guarantee: every item with true frequency > n/(k+1) survives with a
+  * positive (under)count, independent of row order and partitioning —
+  * so a second EXACT pass over the (≤k) candidates yields the exact,
+  * deterministic heavy-hitter set: the standard two-pass pattern that
+  * turns an approximate sketch into an oracle-checkable operator at
+  * 100 TB (candidate generation reads everything once; verification
+  * touches only candidate rows).
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k > 0 && k <= 100000, s"counter count out of range: $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries expects string, got: ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+    new java.util.HashMap[String, java.lang.Long]()
+
+  override def update(buf: java.util.HashMap[String, java.lang.Long],
+                      input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val s = v.asInstanceOf[UTF8String].toString
+    val cur = buf.get(s)
+    if (cur != null) buf.put(s, cur + 1L)
+    else if (buf.size() < k) buf.put(s, 1L)
+    else {
+      // decrement-all eviction: drop zeros, the arriving item is absorbed
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, java.lang.Long],
+                     b: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+    }
+    if (a.size() > k) {
+      // subtract the (k+1)-largest count, drop non-positive
+      val counts = new Array[Long](a.size())
+      var i = 0
+      val vit = a.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - k - 1)
+      val eit = a.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue <= sub) eit.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    a
+  }
+
+  /** Candidate ITEMS only (sorted for determinism of the array shape);
+    * counts are undercounts and stay internal — consumers re-count
+    * candidates exactly.
+    */
+  override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+    val keys = new java.util.ArrayList[String](buf.keySet())
+    java.util.Collections.sort(keys)
+    val out = new Array[Any](keys.size())
+    var i = 0
+    while (i < out.length) { out(i) = UTF8String.fromString(keys.get(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder()
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      sb.append(e.getKey.length).append(':').append(e.getKey).append('=')
+        .append(e.getValue.longValue()).append(';')
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < s.length) {
+      val colon = s.indexOf(':', i)
+      val len = s.substring(i, colon).toInt
+      val key = s.substring(colon + 1, colon + 1 + len)
+      val eq = colon + 1 + len
+      val semi = s.indexOf(';', eq)
+      buf.put(key, java.lang.Long.parseLong(s.substring(eq + 1, semi)))
+      i = semi + 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

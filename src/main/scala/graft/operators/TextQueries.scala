@@ -471,6 +471,37 @@ object TextQueries {
              |WHERE s.n_tok < c.p10
              |GROUP BY s.source ORDER BY s.source""".stripMargin)),
 
+    // Exact heavy hitters via the two-pass sketch pattern: one pass
+    // builds a Misra-Gries candidate set (63 counters → every term with
+    // frequency > n/64 is guaranteed present, independent of partitioning
+    // — Agarwal et al., Mergeable Summaries) alongside the exact total;
+    // a second pass counts ONLY the ≤63 candidates exactly and applies
+    // the threshold. The sketch's approximation disappears from the
+    // output, so the result is deterministic and oracle-checkable — at
+    // 100 TB the verification pass touches candidate rows only.
+    QueryDef("d_heavy_hitters",
+      (s, d) => {
+        import org.apache.spark.sql.graftbridge.Bridge
+        val terms = documents(s, d).select(explode(tokens("text")).as("term"))
+        val row = terms.agg(
+          Bridge.column(graft.functions.MisraGries(
+            Bridge.expression(col("term")), 63).toAggregateExpression()).as("cands"),
+          count(lit(1)).as("n")).collect()(0)
+        val cands = row.getSeq[String](0)
+        val n = row.getLong(1)
+        terms.filter(col("term").isin(cands: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > n / 64.0)
+          .orderBy(col("cnt").desc, col("term"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+             |tot AS (SELECT COUNT(*) AS n FROM terms)
+             |SELECT term, COUNT(*) AS cnt
+             |FROM terms, tot GROUP BY term, tot.n
+             |HAVING COUNT(*) > n / 64.0
+             |ORDER BY cnt DESC, term""".stripMargin)),
+
     // The full curation pipeline in one call — what a user of this
     // library actually runs over a raw corpus: (1) per-source length
     // floor (P10), (2) drop the held-out benchmark docs AND anything

@@ -192,6 +192,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries: heavy items always survive the sketch; two-pass output is partition-invariant") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.MisraGries
+    // skew: h0..h5 with geometric frequencies over 5000 distinct noise items
+    val data = (0 until 6).flatMap(i => Seq.fill(1 << (10 - i))(s"h$i")) ++
+      (0 until 5000).map(i => s"noise$i")
+    val n = data.length.toLong
+    val k = 15
+    def candidates(parts: Int): Set[String] = {
+      val df = spark.sparkContext.parallelize(data, parts).toDF("term")
+      df.agg(Bridge.column(MisraGries(Bridge.expression(col("term")), k)
+          .toAggregateExpression()).as("c"))
+        .collect()(0).getSeq[String](0).toSet
+    }
+    val exact = data.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val guaranteed = exact.filter(_._2 > n / (k + 1)).keySet
+    assert(guaranteed.nonEmpty)
+    def twoPass(parts: Int): Seq[(String, Long)] = {
+      val c = candidates(parts)
+      assert(guaranteed.subsetOf(c), s"parts=$parts lost ${guaranteed -- c}")
+      assert(c.size <= k)
+      val df = spark.sparkContext.parallelize(data, parts).toDF("term")
+      df.filter(col("term").isin(c.toSeq: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > n.toDouble / (k + 1))
+        .orderBy(col("cnt").desc, col("term"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val ref = twoPass(1)
+    assert(ref.toMap == exact.filter(_._2 > n.toDouble / (k + 1)))
+    assert(twoPass(13) == ref) // candidates may differ; verified output may not
+  }
+
   test("multimodal feature extraction: entropy/moments are real and deterministic") {
     val uniform = Multimodal.extractFeatures(1L, Array.tabulate[Byte](256)(_.toByte))
     assert(math.abs(uniform.entropy - 8.0) < 1e-9) // 256 distinct bytes = 8 bits
