@@ -1060,6 +1060,33 @@ object Queries {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
 
+    // LATERAL correlated subquery (SQL surface): Catalyst decorrelates
+    // the per-order aggregate into an aggregate + join — no per-row
+    // subquery execution survives in the plan. Childless orders are
+    // filtered explicitly: engines DISAGREE on whether a comma-LATERAL
+    // over an empty aggregate keeps a NULL row (Spark does, DuckDB
+    // drops it), so the query pins the unambiguous inner semantics.
+    QueryDef("q_lateral_subquery",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_lat")
+        orders(s, d).createOrReplaceTempView("orders_lat")
+        s.sql("""
+          SELECT o.o_orderkey, t.max_qty
+          FROM orders_lat o,
+               LATERAL (SELECT MAX(l.l_quantity) AS max_qty
+                        FROM lineitem_lat l
+                        WHERE l.l_orderkey = o.o_orderkey) t
+          WHERE o.o_orderkey % 50 = 0 AND t.max_qty IS NOT NULL
+          ORDER BY o.o_orderkey""")
+      },
+      Some("""SELECT o.o_orderkey, t.max_qty
+             |FROM orders o,
+             |     LATERAL (SELECT MAX(l.l_quantity) AS max_qty
+             |              FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey) t
+             |WHERE o.o_orderkey % 50 = 0 AND t.max_qty IS NOT NULL
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
     // generator/lateral over a computed array (explode ↔ unnest)
     QueryDef("q_explode_lateral",
       (s, d) => orders(s, d)
