@@ -1060,6 +1060,50 @@ object Queries {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
 
+    // Time-series gap filling with forward fill: per-user 6-hour bucket
+    // grid (sequence + explode — generated, not stored), left-join
+    // observed counts, carry the last observation forward via
+    // last(..., ignoreNulls) over a running frame, then report per-user
+    // fill statistics (the grid itself would be millions of rows at
+    // sf0.1 — the operator runs at full size, the gate compares the
+    // per-user summary).
+    QueryDef("q_gap_fill",
+      (s, d) => {
+        val bucket = expr("unix_micros(ts) DIV 21600000000")
+        val ev = events(s, d).select(col("user_id"), bucket.as("bucket"))
+        val counts = ev.groupBy(col("user_id"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val grid = ev.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(counts, Seq("user_id", "bucket"), "left")
+          .withColumn("f", coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_buckets"),
+            count(when(col("n").isNull, 1)).as("n_gaps"),
+            sum(col("f")).as("sum_filled"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bucket
+             |  FROM events),
+             |counts AS (SELECT user_id, bucket, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+             |bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM ev GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM bounds),
+             |filled AS (
+             |  SELECT g.user_id, c.n,
+             |         COALESCE(LAST_VALUE(c.n IGNORE NULLS) OVER (
+             |           PARTITION BY g.user_id ORDER BY g.bucket
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS f
+             |  FROM grid g LEFT JOIN counts c USING (user_id, bucket))
+             |SELECT user_id, COUNT(*) AS n_buckets,
+             |       COUNT(CASE WHEN n IS NULL THEN 1 END) AS n_gaps,
+             |       CAST(SUM(f) AS BIGINT) AS sum_filled
+             |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // LATERAL correlated subquery (SQL surface): Catalyst decorrelates
     // the per-order aggregate into an aggregate + join — no per-row
     // subquery execution survives in the plan. Childless orders are
