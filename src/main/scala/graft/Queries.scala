@@ -1060,6 +1060,62 @@ object Queries {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
 
+    // Sequential funnel (view → click → purchase, strictly ordered per
+    // user): each stage's threshold is the previous stage's first
+    // qualifying time. Three narrow user-level aggregates chained by
+    // joins — events shuffle once per stage on user_id, stage tables are
+    // user-count-sized. (user_id, ts) pairs are duplicate-free in this
+    // corpus, so strict > comparisons are unambiguous.
+    QueryDef("q_funnel",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_v"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("ts") > col("t_v"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_c"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") > col("t_c"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |v AS (SELECT user_id, MIN(ts) AS t_v FROM e WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS t_c FROM e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_v GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS t_p FROM e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_c GROUP BY 1)
+             |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             |       (SELECT COUNT(*) FROM c) AS n_click,
+             |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin)),
+
+    // Day-over-day retention: distinct (user, day) pairs self-joined on
+    // the next day — the cohort-retention shape, on a user×day-sized
+    // frame (never the raw event table twice).
+    QueryDef("q_retention",
+      (s, d) => {
+        val days = events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .distinct()
+        val next = days.select(col("user_id"), (col("day") - 1).as("day"),
+          lit(1).as("ret"))
+        days.join(next, Seq("user_id", "day"), "left")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_active"), count(col("ret")).as("n_retained"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events)
+             |SELECT CAST(a.day AS BIGINT) AS day, COUNT(*) AS n_active,
+             |       COUNT(b.user_id) AS n_retained
+             |FROM days a LEFT JOIN days b
+             |  ON a.user_id = b.user_id AND b.day = a.day + 1
+             |GROUP BY a.day ORDER BY day""".stripMargin)),
+
     // Time-series gap filling with forward fill: per-user 6-hour bucket
     // grid (sequence + explode — generated, not stored), left-join
     // observed counts, carry the last observation forward via
