@@ -39,6 +39,39 @@ class DifferentialSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("escape sequences and exotic strings: extraction equals Spark built-in") {
+    // JSON escapes (\n \t \" \\ \uXXXX, escaped surrogate pairs, NUL),
+    // escaped characters inside KEYS, and deep unicode — Jackson decodes
+    // them on both sides, but the value must survive OUR encode/decode
+    // round trip identically to the builtin's.
+    // \u escapes assembled by concatenation so Scala's lexer cannot
+    // pre-process them; the JSON parser must see the escape itself
+    val u = "\\" + "u"
+    val docs = Seq(
+      """{"k": "a\nb"}""",
+      """{"k": "q\"uote"}""",
+      """{"k": "tab\tx"}""",
+      """{"k": "back\\slash"}""",
+      """{"k": "\u00e9\u0436\u4e2d"}""",
+      s"""{"k": "${u}00e9 escaped"}""",
+      s"""{"k": "${u}d83d${u}de00"}""", // escaped surrogate pair
+      s"""{"k": "raw emoji ${u}2764"}""",
+      """{"k": ""}""").toDF("j")
+    val diff = docs.select(
+        oursGet("j", "$.k", StringType).as("ours"),
+        builtinGet("j", "$.k", StringType).as("theirs"))
+      .filter(!(col("ours") <=> col("theirs")))
+      .count()
+    assert(diff == 0)
+    // escaped space inside a KEY, addressed with bracket path syntax
+    val keyed = Seq("""{"k x": 7}""").toDF("j")
+    val r = keyed.select(
+        oursGet("j", "$['k x']", LongType).as("ours"),
+        builtinGet("j", "$['k x']", LongType).as("theirs"))
+      .collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 7L, r.toString)
+  }
+
   test("interop: Spark's builtin reader consumes OUR encoded bytes (writer spec compat)") {
     // our codec encodes, to_spark_variant passes the buffers verbatim,
     // and Spark's builtin variant_get + cast-to-string read them — if
