@@ -19,6 +19,18 @@ class JsonCodecSpec extends AnyFunSuite {
     VariantJsonCodec.toJsonString(pair._1, pair._2)
   }
 
+  test("deep nesting: sub-limit documents round-trip; past Jackson's depth limit both paths reject") {
+    // 500-deep nested arrays encode and match the two-pass reference
+    val deep = "[" * 500 + "1" + "]" * 500
+    val fast = VariantJsonCodec.fromJson(deep)
+    val b = deep.getBytes("UTF-8")
+    val ref = VariantJsonCodec.fromTree(VariantJsonCodec.parseTree(b, 0, b.length))
+    assert(java.util.Arrays.equals(fast._2, ref._2))
+    // past the stream-read depth limit: a parse error, not a crash
+    val tooDeep = "[" * 1500 + "1" + "]" * 1500
+    intercept[VariantJsonCodec.JsonParseException](VariantJsonCodec.fromJson(tooDeep))
+  }
+
   test("speculative encoder: randomized document sequences (partial key-prefix matches) stay canonical") {
     // Random key subsets in random order from a small pool → frequent
     // PARTIAL prediction matches (the dangerous zone: same first keys,
