@@ -1060,6 +1060,25 @@ object Queries {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
 
+    // Share-of-total: a windowed sum over the WHOLE partition turns each
+    // group row into its fraction of the total without a second scan or
+    // a driver round trip — ppm integer arithmetic keeps it exact.
+    QueryDef("q_share_of_total",
+      (s, d) => {
+        val w = Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("total", sum(col("n")).over(w))
+          .select(col("o_orderpriority"), col("n"),
+            expr("n * CAST(1000000 AS BIGINT) DIV total").as("share_ppm"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |       CAST(COUNT(*) * 1000000 // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS BIGINT) AS share_ppm
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Sequential funnel (view → click → purchase, strictly ordered per
     // user): each stage's threshold is the previous stage's first
     // qualifying time. Three narrow user-level aggregates chained by
