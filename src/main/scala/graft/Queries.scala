@@ -1079,6 +1079,109 @@ object Queries {
              |       CAST(COUNT(*) * 1000000 // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS BIGINT) AS share_ppm
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Bloom-filter semi-join reduction: the build side's KEY SIGNATURE
+    // (a 128 KiB bitset here; a few MB at 100 TB) is aggregated with a
+    // mergeable bloom_agg — partial aggregation ORs per-partition
+    // bitsets, so building it never shuffles rows — then broadcast to
+    // prune the probe side BEFORE the join shuffle. No false negatives,
+    // so pruned-join ≡ exact join (the oracle is the plain join); false
+    // positives only ride along until the exact join drops them. At
+    // 100 TB this is the difference between shuffling the full probe
+    // table and shuffling the ~matching fraction of it.
+    QueryDef("q_bloom_join",
+      (s, d) => {
+        val sel = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        val bf = sel.agg(vf.bloom_agg(col("o_orderkey"), 1 << 20, 5).as("bf"))
+        val pruned = lineitem(s, d)
+          .crossJoin(broadcast(bf))
+          .filter(vf.bloom_might_contain(col("bf"), col("l_orderkey")))
+          .drop("bf")
+        pruned.join(sel.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Sessionization in batch: a new session opens after a >30-min gap
+    // (lag + conditional flag + running sum — the standard two-window
+    // construction). All three windows share ONE partitioning
+    // (user_id), so the whole query is a single shuffle however large
+    // the event log; epoch-microsecond integers keep durations exact.
+    // (user_id, ts) pairs are duplicate-free in this corpus, so the
+    // within-user ordering is total and the oracle replays it.
+    QueryDef("q_sessionize",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = ev
+          .withColumn("prev", lag(col("t"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("t") - col("prev") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(run))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_ev"), (max(col("t")) - min(col("t"))).as("dur"))
+        sess.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"),
+            max(col("dur")).as("max_dur_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+             |flagged AS (
+             |  SELECT user_id, t,
+             |         CASE WHEN LAG(t) OVER w IS NULL
+             |                   OR t - LAG(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |sids AS (
+             |  SELECT user_id, t,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged),
+             |sess AS (
+             |  SELECT user_id, sid, COUNT(*) AS n_ev, MAX(t) - MIN(t) AS dur
+             |  FROM sids GROUP BY user_id, sid)
+             |SELECT user_id, COUNT(*) AS n_sessions,
+             |       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+             |       CAST(MAX(dur) AS BIGINT) AS max_dur_us
+             |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // CDC latest-by-key compaction (SCD-1 upsert): a base snapshot and a
+    // changelog union by name, then one row_number window keeps the
+    // newest version per key — the merge never materializes a
+    // key-matched join, so it scales as one shuffle on the key. The
+    // date alone can tie per customer; o_orderkey breaks the tie
+    // deterministically on both engines.
+    QueryDef("q_upsert_latest",
+      (s, d) => {
+        val o = orders(s, d)
+        val base = o.filter(col("o_orderkey") % 3 =!= 0)
+        val changes = o.filter(col("o_orderkey") % 3 === 0)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        base.unionByName(changes)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY o_custkey
+             |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |      FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
     // Sequential funnel (view → click → purchase, strictly ordered per
     // user): each stage's threshold is the previous stage's first
     // qualifying time. Three narrow user-level aggregates chained by

@@ -53,6 +53,10 @@ object VariantFunctions {
   def hyperplane_bucket(c: Column, bits: Int): Column = col(HyperplaneBucket(expr(c), bits))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
     col(WinnowFingerprints(expr(c), k, w))
+  def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =
+    col(BloomAgg(expr(c), numBits, numHashes).toAggregateExpression())
+  def bloom_might_contain(bf: Column, key: Column): Column =
+    col(BloomMightContain(expr(bf), expr(key)))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -147,6 +151,14 @@ object VariantFunctions {
     ("hyperplane_bucket",
       (es: Seq[Expression]) => HyperplaneBucket(es.head, litInt(es(1), "hyperplane_bucket bits")),
       "hyperplane_bucket(vec, bits) - Sign-hash LSH bucket of an embedding vector."),
+    ("bloom_agg",
+      (es: Seq[Expression]) => BloomAgg(es.head,
+        litInt(es(1), "bloom_agg numBits"), litInt(es(2), "bloom_agg numHashes"))
+        .toAggregateExpression(),
+      "bloom_agg(key, numBits, numHashes) - Mergeable Bloom bitset over a join key (no false negatives)."),
+    ("bloom_might_contain",
+      (es: Seq[Expression]) => BloomMightContain(es.head, es(1)),
+      "bloom_might_contain(bf, key) - Probe a bloom_agg bitset; false for NULL keys."),
     ("bottomk_by_hash",
       (es: Seq[Expression]) => BottomKByHash(es.head, litInt(es(1), "bottomk_by_hash k"))
         .toAggregateExpression(),

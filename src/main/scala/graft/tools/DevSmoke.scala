@@ -103,6 +103,11 @@ object DevSmoke {
     println("stream schema: " +
       graft.Queries.queryMap("s_schema_agg")(spark, sf).collect().mkString(","))
 
+    println("=== round-4 surface: bloom join / sessionize / upsert ===")
+    graft.Queries.queryMap("q_bloom_join")(spark, sf).show(5, truncate = false)
+    println("sessions: " + graft.Queries.queryMap("q_sessionize")(spark, sf).count())
+    println("upsert survivors: " + graft.Queries.queryMap("q_upsert_latest")(spark, sf).count())
+
     spark.stop()
   }
 }
