@@ -33,6 +33,10 @@ object Queries {
   private def dsum(c: String): Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** One-time CSV/JSON staging dirs for the source-format queries (the
+    * bench runs each query repeatedly — stage once per sf dir). */
+  private val srcStage = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def parsedEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).withColumn("v", vf.variant_from_json(col("props")))
 
@@ -1181,6 +1185,55 @@ object Queries {
              |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              |      FROM orders)
              |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // CSV source: stage customer to CSV once per sf dir, read it back
+    // through Spark's CSV reader with an EXPLICIT schema (schema
+    // inference at 100 TB means scanning the data twice), and aggregate.
+    // Doubles survive the text round trip exactly (shortest-repr
+    // formatting), so the decimal-sum oracle still hash-matches the
+    // parquet originals.
+    QueryDef("q_csv_source",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"csv#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+          customer(s, d).coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(sd)
+          sd
+        })
+        s.read.schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+          .option("header", "true").csv(dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"),
+            dsum("c_acctbal").as("bal_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // JSON-lines source: events staged as JSONL (the props JSON string
+    // nests inside the line, escaping round-trips), read back with an
+    // explicit schema, then fed through the variant kernel — the
+    // ingest-raw-JSON-logs shape end to end.
+    QueryDef("q_json_source",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"json#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_json_").toString
+          events(s, d).select(col("event_id"), col("event_type"), col("props"))
+            .coalesce(1).write.mode("overwrite").json(sd)
+          sd
+        })
+        s.read.schema("event_id BIGINT, event_type STRING, props STRING").json(dir)
+          .withColumn("v", vf.variant_from_json(col("props")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Sequential funnel (view → click → purchase, strictly ordered per
     // user): each stage's threshold is the previous stage's first

@@ -511,5 +511,71 @@ object StreamingQueries {
              |  FROM marked)
              |SELECT user_id, epoch_us(MIN(ts)) AS sess_start, COUNT(*) AS n_events
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, sess_start""".stripMargin)))
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
+    // Stream-stream interval join: views joined to purchases by the same
+    // user within 30 minutes — both sides watermarked and the join
+    // condition event-time-bounded, which is exactly what lets Spark
+    // evict join state as the watermark advances (unbounded state is the
+    // stream-stream-join failure mode at scale). The per-user summary
+    // runs as a batch query over the sink, so the oracle compares an
+    // arrival-order-independent aggregate.
+    QueryDef("s_stream_join",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val joined = StreamingJoins.viewPurchaseJoin(stream)
+        val qname = s"s_stream_join_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8, noDataBatches = false) {
+          val q = joined.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(qname)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("sum_gap_us"),
+            max(unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("max_gap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vt
+             |          FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT v.user_id, COUNT(*) AS n_pairs,
+             |       CAST(SUM(pt - vt) AS BIGINT) AS sum_gap_us,
+             |       CAST(MAX(pt - vt) AS BIGINT) AS max_gap_us
+             |FROM v JOIN p ON v.user_id = p.user_id
+             |  AND pt >= vt AND pt <= vt + 1800000000
+             |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)))
+}
+
+/** Stream-stream join shapes shared by the driver query and the
+  * multi-batch equivalence test (`StreamingSpec`). */
+object StreamingJoins {
+  /** Views ⋈ purchases by user within 30 minutes, both sides
+    * watermarked 30 min so join state evicts as event time advances.
+    * `stream` must carry (user_id, event_type, ts: timestamp).
+    */
+  def viewPurchaseJoin(stream: DataFrame): DataFrame = {
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+  }
 }

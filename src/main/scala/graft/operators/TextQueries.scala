@@ -575,6 +575,91 @@ object TextQueries {
              |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
              |FROM s3 GROUP BY source ORDER BY source""".stripMargin)),
 
+    // PII scrubbing: inject deterministic synthetic PII (the corpus has
+    // none), then count and redact emails/phones with a regex dialect
+    // that Java and RE2 read identically (character classes and +,
+    // no lookaround). Map-only — redaction at 100 TB is a pure scan,
+    // and the md5 of the redacted text gives the oracle a full-content
+    // check without shipping the text.
+    QueryDef("d_pii_redact",
+      (s, d) => {
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example or call 555-0"),
+          (col("doc_id") % 10000).cast("string"))
+        val emailRe = "[a-z0-9.]+@[a-z.]+[a-z]"
+        val phoneRe = "555-[0-9]+"
+        documents(s, d)
+          .withColumn("aug", aug)
+          .select(col("doc_id"),
+            size(expr(s"regexp_extract_all(aug, '$emailRe', 0)")).cast("long").as("n_email"),
+            size(expr(s"regexp_extract_all(aug, '$phoneRe', 0)")).cast("long").as("n_phone"),
+            md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("red_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |              || '@mail.example or call 555-0'
+             |              || CAST(doc_id % 10000 AS VARCHAR) AS a
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(a, '[a-z0-9.]+@[a-z.]+[a-z]')) AS BIGINT) AS n_email,
+             |       CAST(len(regexp_extract_all(a, '555-[0-9]+')) AS BIGINT) AS n_phone,
+             |       md5(regexp_replace(regexp_replace(a, '[a-z0-9.]+@[a-z.]+[a-z]', '<EMAIL>', 'g'),
+             |                          '555-[0-9]+', '<PHONE>', 'g')) AS red_hash
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // Training-sequence chunking: overlapping token windows (size 50,
+    // stride 40) via sequence + posexplode — map-only row explosion, no
+    // shuffle, so it scales as a pure scan; each chunk row carries an
+    // md5 of its joined tokens so the oracle checks full chunk CONTENT,
+    // not just boundaries.
+    QueryDef("d_chunk",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(expr("sequence(0, n - 1, 40)")).as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          least(lit(50), col("n") - col("start")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", expr("slice(toks, start + 1, least(50, n - start))")))
+            .as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks, u.s AS start
+             |  FROM t, LATERAL unnest(range(0, len(toks), 40)) AS u(s))
+             |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+             |       CAST(least(50, len(toks) - start) AS BIGINT) AS n_tok,
+             |       md5(array_to_string(
+             |         list_slice(toks, start + 1, start + least(50, len(toks) - start)), ' ')) AS chunk_hash
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Stratified (per-source) reproducible sampling: k docs per stratum
+    // by smallest md5 — the same content-keyed selection as
+    // `bottomk_by_hash`, expressed as a rank so strata of any size pay
+    // one shuffle on the stratum key and an in-partition top-k.
+    QueryDef("d_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(col("doc_id").cast("string"), lit("#"), col("source"))),
+            col("doc_id"))
+        documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("doc_id"), col("rn").cast("long").as("rank"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""SELECT source, doc_id, CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT source, doc_id, ROW_NUMBER() OVER (
+             |        PARTITION BY source
+             |        ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || source), doc_id) AS rn
+             |      FROM documents)
+             |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
+
     // Multimodal: byte-histogram features are REAL computation (entropy,
     // moments); rows-only check (per-byte loops are not SQL-expressible
     // in the oracle), unit-tested instead.

@@ -195,4 +195,56 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == expected)
   }
+
+  test("stream-stream join: multi-batch pairs equal the batch join, incl. cross-batch") {
+    // Time-ordered quartile files, one per micro-batch: a purchase in
+    // batch N+1 must still find its view from batch N in the join state
+    // (the watermark is 30 min behind, so that state is retained).
+    // Random splits would instead make late data and drop rows — the
+    // point of the ordering is that equality with the batch join is the
+    // CORRECT expectation, not a lucky one.
+    val stage = Files.createTempDirectory("graft_ss_join_").toString
+    val ev = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    val quarts = ev.withColumn("q", ntile(4).over(w))
+    (1 to 4).foreach { i =>
+      val part = Files.createTempDirectory(s"graft_ss_part$i").toString
+      quarts.filter(col("q") === i).drop("q")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(stage, f"batch_$i%02d.parquet")
+      Files.move(src, dst)
+      // FileStreamSource orders by modification time; make it explicit
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val joined = graft.operators.StreamingJoins.viewPurchaseJoin(stream)
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_join").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.length
+    q.stop()
+    assert(batches >= 4, s"expected >=4 micro-batches, saw $batches")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), unix_micros(col("v_ts")).as("vt"),
+        unix_micros(col("p_ts")).as("pt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = pairSet(spark.table("ss_join"))
+    val evTs = Tables.events(spark, TestSpark.SF)
+    val views = evTs.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val purchases = evTs.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batchJoin = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    val expected = pairSet(batchJoin)
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+  }
 }
