@@ -96,6 +96,47 @@ object Queries {
              |       COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin)),
 
+    // RFC 7386 merge patch through the driver gate: per-row target and
+    // patch documents built from lineitem integers, merged (nested
+    // object merge + null deletion + field add), then verified by
+    // extraction — pk_sum proves the nested ADD, n_drop = 0 proves the
+    // nested DELETE, extra_sum proves the top-level add, ln survives
+    // from the target. DuckDB's native json_merge_patch is the oracle.
+    QueryDef("v_merge_patch",
+      (s, d) => {
+        val target = concat(
+          lit("""{"ln": """), col("l_linenumber"),
+          lit(""", "meta": {"sk": """), col("l_suppkey"),
+          lit(""", "drop": """), col("l_orderkey"), lit("}}"))
+        val patch = concat(
+          lit("""{"meta": {"drop": null, "pk": """), col("l_partkey"),
+          lit("""}, "extra": """), col("l_orderkey"), lit("}"))
+        lineitem(s, d)
+          .withColumn("m", vf.variant_merge_patch(
+            vf.variant_from_json(target), vf.variant_from_json(patch)))
+          .groupBy(vf.variant_get(col("m"), "$.ln", LongType).as("ln"))
+          .agg(
+            sum(vf.variant_get(col("m"), "$.meta.pk", LongType)).as("pk_sum"),
+            sum(vf.variant_get(col("m"), "$.extra", LongType)).as("extra_sum"),
+            count(vf.variant_get(col("m"), "$.meta.drop", LongType)).as("n_drop"),
+            count(lit(1)).as("n"))
+          .orderBy(col("ln"))
+      },
+      Some("""WITH m AS (
+             |  SELECT json_merge_patch(
+             |    '{"ln": ' || CAST(l_linenumber AS VARCHAR) || ', "meta": {"sk": '
+             |      || CAST(l_suppkey AS VARCHAR) || ', "drop": '
+             |      || CAST(l_orderkey AS VARCHAR) || '}}',
+             |    '{"meta": {"drop": null, "pk": ' || CAST(l_partkey AS VARCHAR)
+             |      || '}, "extra": ' || CAST(l_orderkey AS VARCHAR) || '}') AS j
+             |  FROM lineitem)
+             |SELECT CAST(json_extract_string(j, '$.ln') AS BIGINT) AS ln,
+             |       CAST(SUM(CAST(json_extract_string(j, '$.meta.pk') AS BIGINT)) AS BIGINT) AS pk_sum,
+             |       CAST(SUM(CAST(json_extract_string(j, '$.extra') AS BIGINT)) AS BIGINT) AS extra_sum,
+             |       COUNT(json_extract(j, '$.meta.drop')) AS n_drop,
+             |       COUNT(*) AS n
+             |FROM m GROUP BY 1 ORDER BY ln""".stripMargin)),
+
     QueryDef("v_sum_by_type",
       (s, d) => parsedEvents(s, d)
         .groupBy(col("event_type"))
@@ -1211,6 +1252,34 @@ object Queries {
              |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
              |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Partitioned sink + partition-pruned scan: events written
+    // partitionBy(event_type) — the layout that turns a predicate on the
+    // partition column into DIRECTORY pruning (PartitionFilters in the
+    // scan, pinned by PlanSpec), so a one-type query over a 100 TB log
+    // reads exactly one branch of the tree and zero data files from the
+    // rest.
+    QueryDef("q_part_prune",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"part#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_part_").toString
+          events(s, d).withColumn("t_us", expr("unix_micros(ts)")).drop("ts")
+            .write.mode("overwrite").partitionBy("event_type").parquet(sd)
+          sd
+        })
+        s.read.parquet(dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum("value").as("value_sum"),
+            min(col("t_us")).as("first_us"), max(col("t_us")).as("last_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+             |       CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_us,
+             |       CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // JSON-lines source: events staged as JSONL (the props JSON string
     // nests inside the line, escaping round-trips), read back with an

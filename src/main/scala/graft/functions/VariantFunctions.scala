@@ -31,6 +31,8 @@ object VariantFunctions {
   def variant_typeof(c: Column): Column = col(VariantTypeOf(expr(c)))
   def is_variant_null(c: Column): Column = col(IsVariantNull(expr(c)))
   def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
+  def variant_merge_patch(target: Column, patch: Column): Column =
+    col(VariantMergePatch(expr(target), expr(patch)))
   def to_variant(c: Column): Column = col(ToVariant(expr(c)))
   def to_spark_variant(c: Column): Column = col(ToSparkVariant(expr(c)))
   def from_spark_variant(c: Column): Column = col(FromSparkVariant(expr(c)))
@@ -53,6 +55,14 @@ object VariantFunctions {
   def hyperplane_bucket(c: Column, bits: Int): Column = col(HyperplaneBucket(expr(c), bits))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
     col(WinnowFingerprints(expr(c), k, w))
+  // PQ kernels are DSL-only: the codebook is a trained float array, not
+  // something a SQL literal can carry.
+  def pq_encode(c: Column, codebook: Array[Float], m: Int, ksub: Int): Column =
+    col(PqEncode(expr(c), codebook, m, ksub))
+  def pq_query_table(c: Column, codebook: Array[Float], m: Int, ksub: Int): Column =
+    col(PqQueryTable(expr(c), codebook, m, ksub))
+  def pq_adc_lookup(codes: Column, table: Column, codebook: Array[Float], m: Int, ksub: Int): Column =
+    col(PqAdcLookup(expr(codes), expr(table), codebook, m, ksub))
   def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =
     col(BloomAgg(expr(c), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(bf: Column, key: Column): Column =
@@ -111,6 +121,9 @@ object VariantFunctions {
     ("variant_to_json",
       (es: Seq[Expression]) => VariantToJson(es.head),
       "variant_to_json(v) - Render a variant as compact JSON text."),
+    ("variant_merge_patch",
+      (es: Seq[Expression]) => VariantMergePatch(es.head, es(1)),
+      "variant_merge_patch(target, patch) - RFC 7386 merge: objects merge recursively, patch nulls delete keys, non-objects replace."),
     ("to_variant",
       (es: Seq[Expression]) => ToVariant(es.head),
       "to_variant(col) - Encode a typed value (scalar/struct/array/map) as a variant."),

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.types.DataType
+import graft.variant._
+
+/** `variant_merge_patch(target, patch)` — RFC 7386 JSON merge patch over
+  * two variants, a structural editing operator the text-JSON world gets
+  * from `json_merge_patch` (DuckDB/MySQL/SQLite): object fields merge
+  * recursively, a `null` in the patch DELETES the key, and any
+  * non-object patch value (scalars, arrays, JSON null at the root)
+  * replaces the target wholesale.
+  *
+  * Works directly on the decoded value trees (no JSON text round trip):
+  * both inputs decode through the View layer — including foreign
+  * encodings with dictionary-reference scalars (ids 17/18), which
+  * materialize on decode — then the merged tree re-encodes through the
+  * canonical writer, so output bytes are canonical regardless of input
+  * encoding (same guarantee as `variant_from_json`).
+  *
+  * Reference anchor: the codec surface this builds on is
+  * arrow-open-variant's read/write layer (read.rs:113-279,
+  * write.rs:197-279); the reference has no merge operator — parity
+  * extension, like `variant_to_json`.
+  */
+case class VariantMergePatch(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  import VariantMergePatch._
+
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_merge_patch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(left.dataType) &&
+        VariantSchema.isVariantStruct(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_merge_patch expects two variant structs, got: " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lr = l.asInstanceOf[InternalRow]
+    val rr = r.asInstanceOf[InternalRow]
+    val target = decode(lr.getBinary(0), lr.getBinary(1))
+    val patch = decode(rr.getBinary(0), rr.getBinary(1))
+    val merged = merge(target, patch)
+    encode(merged)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VariantMergePatch {
+  import VariantConst._
+
+  /** Decoded variant value tree. Scalars materialize fully (dictionary
+    * references resolve on decode), so re-encoding never needs the
+    * source metadata.
+    */
+  sealed trait VNode
+  case object VNull extends VNode
+  final case class VBool(b: Boolean) extends VNode
+  final case class VLong(l: Long) extends VNode
+  final case class VDouble(d: Double) extends VNode
+  final case class VFloat(f: Float) extends VNode
+  final case class VDecimal(unscaled: java.math.BigInteger, scale: Int) extends VNode
+  final case class VStr(s: String) extends VNode
+  final case class VBin(b: Array[Byte]) extends VNode
+  final case class VDate(days: Int) extends VNode
+  final case class VTs(micros: Long) extends VNode
+  final case class VTsNtz(micros: Long) extends VNode
+  final case class VArr(items: Vector[VNode]) extends VNode
+  // insertion-ordered; canonical encoding sorts by key at write time
+  final case class VObj(fields: scala.collection.mutable.LinkedHashMap[String, VNode]) extends VNode
+
+  def decode(metaBytes: Array[Byte], valueBytes: Array[Byte]): VNode = {
+    val meta = new MetadataView(metaBytes, 0)
+    decodeValue(new VariantView(valueBytes, 0), meta)
+  }
+
+  private def decodeValue(v: VariantView, meta: MetadataView): VNode = {
+    if (v.isObject) {
+      val ov = v.getObject
+      val out = new scala.collection.mutable.LinkedHashMap[String, VNode]
+      var i = 0
+      while (i < ov.numElements) {
+        out.put(meta.getKey(ov.fieldIdAt(i)), decodeValue(ov.valueAt(i), meta))
+        i += 1
+      }
+      VObj(out)
+    } else if (v.isArray) {
+      val av = v.getArray
+      val b = Vector.newBuilder[VNode]
+      var i = 0
+      while (i < av.numElements) { b += decodeValue(av.elementAt(i), meta); i += 1 }
+      VArr(b.result())
+    } else if (v.isNull) VNull
+    else if (v.isBoolean) VBool(v.getBoolean)
+    else if (v.isLong) VLong(v.getLong)
+    else if (v.isDictString) VStr(v.getDictKey(meta))
+    else if (v.isDictBinary)
+      // dictionary-referenced binary round-trips through the metadata
+      // string table (UTF-8) — same fidelity as the table itself
+      VBin(v.getDictKey(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else if (v.isString) VStr(v.getString)
+    else if (v.isBinary) VBin(v.getBinary)
+    else if (v.isDecimal) { val d = v.getDecimal; VDecimal(d.unscaledValue(), d.scale()) }
+    else v.typeInfo match {
+      case P_DOUBLE => VDouble(v.getDouble)
+      case P_FLOAT => VFloat(v.getDouble.toFloat)
+      case P_DATE => VDate(v.getDateDays)
+      case P_TIMESTAMP => VTs(v.getTimestampMicros)
+      case P_TIMESTAMP_NTZ => VTsNtz(v.getTimestampMicros)
+      case t => throw new IllegalArgumentException(s"variant_merge_patch: unsupported type id $t")
+    }
+  }
+
+  /** RFC 7386 §2: recursive object merge; patch null deletes; non-object
+    * patch replaces. */
+  def merge(target: VNode, patch: VNode): VNode = patch match {
+    case VObj(pf) =>
+      val base = target match {
+        case VObj(tf) => tf.clone()
+        case _ => new scala.collection.mutable.LinkedHashMap[String, VNode]
+      }
+      pf.foreach { case (k, pv) =>
+        if (pv == VNull) base.remove(k)
+        else base.put(k, merge(base.getOrElse(k, VNull), pv))
+      }
+      VObj(base)
+    case other => other
+  }
+
+  private def collectKeys(n: VNode, out: java.util.ArrayList[String]): Unit = n match {
+    case VObj(fields) =>
+      fields.foreach { case (k, v) => out.add(k); collectKeys(v, out) }
+    case VArr(items) => items.foreach(collectKeys(_, out))
+    case _ => ()
+  }
+
+  def encode(n: VNode): InternalRow = {
+    val keys = new java.util.ArrayList[String]()
+    collectKeys(n, keys)
+    val (metaBytes, ids) = VariantMetadata.build(keys)
+    val buf = new ByteBuf(64)
+    write(n, buf, ids)
+    new GenericInternalRow(Array[Any](metaBytes, buf.result()))
+  }
+
+  private def write(n: VNode, buf: ByteBuf,
+                    ids: java.util.HashMap[String, Integer]): Unit = n match {
+    case VNull => VariantWriter.writeNull(buf)
+    case VBool(b) => VariantWriter.writeBoolean(buf, b)
+    case VLong(l) => VariantWriter.writeLong(buf, l)
+    case VDouble(d) => VariantWriter.writeDouble(buf, d)
+    case VFloat(f) => VariantWriter.writeFloat(buf, f)
+    case VDecimal(u, s) => VariantWriter.writeDecimal(buf, u, s)
+    case VStr(s) => VariantWriter.writeString(buf, s)
+    case VBin(b) => VariantWriter.writeBinary(buf, b)
+    case VDate(d) => VariantWriter.writeDate(buf, d)
+    case VTs(m) => VariantWriter.writeTimestamp(buf, m)
+    case VTsNtz(m) => VariantWriter.writeTimestampNtz(buf, m)
+    case VArr(items) =>
+      val ab = new VariantArrayBuilder(buf)
+      items.foreach(it => write(it, ab.elementBuffer(), ids))
+      ab.finish()
+    case VObj(fields) =>
+      val ob = new VariantObjectBuilder(buf)
+      fields.foreach { case (k, v) => write(v, ob.fieldBuffer(ids.get(k)), ids) }
+      ob.finish()
+  }
+}

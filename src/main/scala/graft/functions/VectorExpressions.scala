@@ -156,3 +156,158 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Product-quantization encode: split a d-dim vector into `m` subspaces
+  * of d/m dims and store, per subspace, the index of the nearest of
+  * `ksub` codebook centroids — an m-byte code replacing 4·d bytes of
+  * floats (32× at d=64, m=8). The codebook rides inside the expression
+  * (a few KB — task-closure-sized, like a broadcast literal); training
+  * it is index build (`Similarity.trainPq`).
+  */
+case class PqEncode(child: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(m > 0 && ksub > 1 && ksub <= 256, s"bad PQ shape: m=$m ksub=$ksub")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val dsub = codebook.length / (m * ksub)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getFloat(j * dsub + i) - codebook(base + i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    codes
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC query table: per-subspace ⟨q_j, c_{j,k}⟩ dot products for every
+  * codebook centroid, plus the query norm in the last slot — computed on
+  * the PROBE side (a handful of rows) before the broadcast join, so the
+  * per-corpus-row ADC cost is `m` table reads (PqAdcLookup), never a
+  * d-dim multiply. Layout: [m·ksub dots, |q|].
+  */
+case class PqQueryTable(child: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_query_table"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_query_table expects array<float>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val dsub = codebook.length / (m * ksub)
+
+  override def nullSafeEval(input: Any): Any = {
+    val qv = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * ksub + 1)
+    var qn2 = 0.0
+    var i = 0
+    val d = m * dsub
+    while (i < d) { val x = qv.getFloat(i).toDouble; qn2 += x * x; i += 1 }
+    var jc = 0
+    while (jc < m * ksub) {
+      val j = jc / ksub
+      var dot = 0.0
+      var t = 0
+      while (t < dsub) {
+        dot += qv.getFloat(j * dsub + t).toDouble * codebook(jc * dsub + t)
+        t += 1
+      }
+      out(jc) = dot
+      jc += 1
+    }
+    out(m * ksub) = math.sqrt(qn2)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC cosine from an m-byte code and a PqQueryTable: approximates
+  * cosine(q, x) with x replaced by its reconstruction from the codebook
+  * — dot and ‖x̂‖ both come from per-subspace lookups (centroid norms
+  * are static per codebook), so scanning a 100 TB coded corpus touches
+  * m bytes + m table slots per row.
+  */
+case class PqAdcLookup(left: Expression, right: Expression,
+                       codebook: Array[Float], m: Int, ksub: Int)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_lookup"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_lookup expects (binary, array<double>), got: $other")
+  }
+
+  @transient private lazy val dsub = codebook.length / (m * ksub)
+
+  // |c_{j,k}|² once per expression instance
+  @transient private lazy val centNorm2: Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var jc = 0
+    while (jc < m * ksub) {
+      var s = 0.0
+      var i = 0
+      while (i < dsub) { val x = codebook(jc * dsub + i); s += x * x; i += 1 }
+      out(jc) = s
+      jc += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val table = r.asInstanceOf[ArrayData]
+    var dot = 0.0
+    var cn2 = 0.0
+    var j = 0
+    while (j < m) {
+      val jc = j * ksub + (codes(j) & 0xff)
+      dot += table.getDouble(jc)
+      cn2 += centNorm2(jc)
+      j += 1
+    }
+    val denom = table.getDouble(m * ksub) * math.sqrt(cn2)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -87,6 +87,118 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
+  /** PQ codebook cache: like `ivfModelCache`, training is index BUILD,
+    * amortized across queries over the same corpus. */
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Float]]()
+
+  /** Train product-quantization codebooks: per subspace, Lloyd's k-means
+    * over a BOUNDED sample (first 2048 corpus vectors — deterministic on
+    * the single-file testdata; a production run substitutes a seeded
+    * reservoir sample). Driver-side by design: the sample is fixed-size
+    * however large the corpus, and the result is a few-KB codebook that
+    * ships in the encode expression — same index-build economics as IVF
+    * centroid training, without m separate ML fits.
+    * Returns flat [m][ksub][dsub] row-major floats.
+    */
+  def trainPq(corpus: DataFrame, m: Int, ksub: Int, sampleRows: Int = 2048): Array[Float] = {
+    val sample: Array[Array[Float]] = corpus.select(col("embedding"))
+      .limit(sampleRows).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val codebook = new Array[Float](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      // init: evenly spaced sample sub-vectors (deterministic)
+      val cents = Array.tabulate(ksub) { c =>
+        val src = sample((c * sample.length / ksub) min (sample.length - 1))
+        java.util.Arrays.copyOfRange(src, j * dsub, (j + 1) * dsub)
+      }
+      var iter = 0
+      while (iter < 10) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        sample.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d2 = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = v(j * dsub + i) - cents(c)(i)
+              d2 += diff * diff
+              i += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(j * dsub + i); i += 1 }
+        }
+        var c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) { cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          } // empty cell: keep the previous centroid (deterministic)
+          c += 1
+        }
+        iter += 1
+      }
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(cents(c), 0, codebook, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    codebook
+  }
+
+  /** PQ ANN: encode the corpus to m-byte codes (32× smaller than the
+    * raw floats at d=64/m=8 — at 100 TB the coded corpus is the only
+    * thing the approximate scan reads), build each probe's ADC lookup
+    * table BEFORE the broadcast, rank candidates by table lookups, then
+    * re-rank the top `rerank·k` against the true vectors. Exactness is
+    * traded only inside the candidate pool; the rerank join touches
+    * `rerank·k·|probes|` rows.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+             m: Int = 16, ksub: Int = 32, rerank: Int = 8,
+             indexKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fn = graft.functions.VariantFunctions
+    def train() = trainPq(corpus, m, ksub)
+    val cb = indexKey match {
+      case Some(key) => pqModelCache.computeIfAbsent((key, m, ksub), _ => train())
+      case None => train()
+    }
+    val coded = corpus.select(col("vec_id"),
+      fn.pq_encode(col("embedding"), cb, m, ksub).as("codes"))
+    val tabled = probes.select(col("qid"),
+      fn.pq_query_table(col("qv"), cb, m, ksub).as("qtab"))
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("vec_id"))
+    val candidates = coded.crossJoin(broadcast(tabled))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("asim", fn.pq_adc_lookup(col("codes"), col("qtab"), cb, m, ksub))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * rerank)
+      .select(col("qid"), col("vec_id"))
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid"))
+      .withColumn("sim", cosine("embedding", "qv"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multiprobe: the
     * corpus is bucketed ONCE (a map + one shuffle on bucket id); each
     * probe visits its own bucket plus all buckets within Hamming
@@ -166,6 +278,20 @@ object SimilarityQueries {
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         ivfTopK(emb, probes, 5, indexKey = Some(d))
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    // PQ ANN (8 subspaces × 16 centroids → 8-byte codes, ADC scan +
+    // exact rerank): approximate, so rows-only; recall asserted against
+    // planted duplicates in OperatorSpec.
+    QueryDef("e_ann_pq",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        pqTopK(emb, probes, 5, indexKey = Some(d))
           .select(col("qid"), col("rank"), col("neighbor_id"))
           .orderBy(col("qid"), col("rank"))
       },

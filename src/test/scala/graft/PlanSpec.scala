@@ -155,6 +155,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!lf.contains("SortMergeJoin"), lf)
   }
 
+  test("q_part_prune: the partition predicate prunes directories, not rows") {
+    val p = physical("q_part_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(p.contains("event_type#") && p.contains("= purchase"), p)
+    // pruned scan must NOT carry the predicate as a data filter — the
+    // directory layout already answered it
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p)
+  }
+
   test("q_topk plans TakeOrderedAndProject (no global sort of the full table)") {
     val p = physical("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -102,6 +102,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
   }
 
+  test("PQ ANN finds a planted near-duplicate; ADC ranking agrees with exact on top-1") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val planted = v0.map(x => x * 1.0001f)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, planted)).toDF("vec_id", "embedding"))
+    val probes = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.pqTopK(corpus, probes, 1).collect()
+    assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
+  }
+
+  test("PQ recall@5 over real probes stays high (rerank pool absorbs quantization error)") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 5))
+    val approx = pairs(Similarity.pqTopK(emb, probes, 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@5 = $recall")
+  }
+
   test("winnowing: shared text runs guarantee shared fingerprints; disjoint texts share none") {
     val sql1 = spark.sql(
       """SELECT winnow_fingerprints('The quick brown fox jumps over the lazy dog near the river bank today') AS a""")
