@@ -1136,11 +1136,15 @@ object Queries {
     QueryDef("q_bloom_join",
       (s, d) => {
         val sel = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-        val bf = sel.agg(vf.bloom_agg(col("o_orderkey"), 1 << 20, 5).as("bf"))
+        // the bitset returns to the driver as ONE 128 KiB scalar and
+        // re-ships as a literal — flowing it as a join column would
+        // re-materialize (copy) it out of the joined row for every
+        // probe row, which at 600k rows is gigabytes of memcpy for a
+        // constant. Same scalar-fetch economics as a broadcast variable.
+        val bfBytes = sel.agg(vf.bloom_agg(col("o_orderkey"), 1 << 20, 5))
+          .head.getAs[Array[Byte]](0)
         val pruned = lineitem(s, d)
-          .crossJoin(broadcast(bf))
-          .filter(vf.bloom_might_contain(col("bf"), col("l_orderkey")))
-          .drop("bf")
+          .filter(vf.bloom_might_contain(lit(bfBytes), col("l_orderkey")))
         pruned.join(sel.select(col("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_returnflag"))
@@ -1226,6 +1230,32 @@ object Queries {
              |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              |      FROM orders)
              |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // Custom whole-operator extension through the driver gate: grouped
+    // top-k via graft.plans.GroupedTopK (bounded per-group heaps BEFORE
+    // the exchange — the shuffle carries the answer, not the table; see
+    // the plan node's doc). The order list is a total order within each
+    // group (the 6-column key is unique in this corpus), so the row SET
+    // is deterministic and the window-formulation oracle reproduces it.
+    QueryDef("q_grouped_topk",
+      (s, d) => {
+        val l = lineitem(s, d)
+        graft.operators.TopK.groupedTopK(l, Seq("l_orderkey"),
+          Seq(l("l_quantity").desc, l("l_extendedprice").desc,
+            l("l_suppkey"), l("l_partkey"), l("l_linenumber")), 2)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_quantity").desc,
+            col("l_extendedprice").desc, col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY l_orderkey
+             |        ORDER BY l_quantity DESC, l_extendedprice DESC,
+             |                 l_suppkey, l_partkey, l_linenumber) AS rn
+             |      FROM lineitem)
+             |WHERE rn <= 2
+             |ORDER BY l_orderkey, l_quantity DESC, l_extendedprice DESC, l_linenumber""".stripMargin)),
 
     // CSV source: stage customer to CSV once per sf dir, read it back
     // through Spark's CSV reader with an EXPLICIT schema (schema

@@ -231,5 +231,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // variant_get over a shredded table → direct column ref (Dremel
     // pushdown: parquet min/max pruning on the shredded column)
     ext.injectOptimizerRule(_ => ShreddedPushdownRule)
+    // custom whole-operator extension: grouped top-k with map-side
+    // bounded heaps (graft.plans.GroupedTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -42,13 +42,31 @@ case class VariantMergePatch(left: Expression, right: Expression)
       s"variant_merge_patch expects two variant structs, got: " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
+  // Catalyst duplicates a merge referenced by several aggregate/group
+  // expressions into each of them (the same duplication the parse memo
+  // absorbs for variant_from_json, JsonPathExtract.scala) — a content-
+  // keyed last-input memo collapses the copies to one merge per row.
+  @transient private lazy val lastMerge: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](5))
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lr = l.asInstanceOf[InternalRow]
     val rr = r.asInstanceOf[InternalRow]
-    val target = decode(lr.getBinary(0), lr.getBinary(1))
-    val patch = decode(rr.getBinary(0), rr.getBinary(1))
-    val merged = merge(target, patch)
-    encode(merged)
+    val tm = lr.getBinary(0); val tv = lr.getBinary(1)
+    val pm = rr.getBinary(0); val pv = rr.getBinary(1)
+    val memo = lastMerge.get()
+    if (memo(0) != null &&
+        java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], tm) &&
+        java.util.Arrays.equals(memo(1).asInstanceOf[Array[Byte]], tv) &&
+        java.util.Arrays.equals(memo(2).asInstanceOf[Array[Byte]], pm) &&
+        java.util.Arrays.equals(memo(3).asInstanceOf[Array[Byte]], pv)) {
+      return memo(4)
+    }
+    val merged = encode(merge(decode(tm, tv), decode(pm, pv)))
+    memo(0) = tm.clone(); memo(1) = tv.clone()
+    memo(2) = pm.clone(); memo(3) = pv.clone()
+    memo(4) = merged
+    merged
   }
 
   override protected def withNewChildrenInternal(

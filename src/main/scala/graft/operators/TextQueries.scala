@@ -637,6 +637,35 @@ object TextQueries {
              |         list_slice(toks, start + 1, start + least(50, len(toks) - start)), ' ')) AS chunk_hash
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Cross-document chunk dedup: the same content-hashed chunk grid as
+    // `d_chunk`, grouped by hash — chunks shared by >1 doc are
+    // copy-paste repetition a curation pipeline drops or down-weights.
+    // One map-only explode + one shuffle on the 16-byte hash (never the
+    // text), the exact-dedup economics at chunk granularity.
+    QueryDef("d_chunk_dedup",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), tokens("text").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, n - 1, 40), " +
+            "s -> md5(concat_ws(' ', slice(toks, s + 1, least(50, n - s)))))")).as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occur"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("chunk_hash")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |         md5(array_to_string(
+             |           list_slice(toks, u.s + 1, u.s + least(50, len(toks) - u.s)), ' ')) AS chunk_hash
+             |  FROM t, LATERAL unnest(range(0, len(toks), 40)) AS u(s))
+             |SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs,
+             |       COUNT(*) AS n_occur, CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+             |FROM c GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) > 1
+             |ORDER BY chunk_hash""".stripMargin)),
+
     // Stratified (per-source) reproducible sampling: k docs per stratum
     // by smallest md5 — the same content-keyed selection as
     // `bottomk_by_hash`, expressed as a rank so strata of any size pay
