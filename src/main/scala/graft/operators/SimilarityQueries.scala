@@ -639,6 +639,58 @@ object StreamingQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, sess_start""".stripMargin)),
 
+    // foreachBatch incremental-upsert sink: each micro-batch MERGEs into
+    // a keyed table (latest row per user), the pattern behind every
+    // streaming-into-warehouse pipeline that lacks a transactional sink
+    // format. Latest-by-(ts, event_id) is associative across any
+    // batching, so the final table is independent of how the stream was
+    // micro-batched — which is exactly what makes the exact oracle
+    // (batch window over the whole log) legitimate. Versioned dirs stand
+    // in for a table format's atomic commit.
+    QueryDef("s_upsert_sink",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#multi", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_multi_")
+          s.read.parquet(s"$d/events.parquet").repartition(4)
+            .write.mode("overwrite").parquet(sd.toString)
+          sd.toString
+        })
+        val base = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+        var version = 0
+        val stream = s.readStream.schema(staticSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val cur =
+              if (version == 0) batch
+              else batch.sparkSession.read.parquet(s"$base/v$version").unionByName(batch)
+            cur.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+              .drop("rn")
+              .write.mode("overwrite").parquet(s"$base/v${version + 1}")
+            version += 1
+            ()
+        }.start()
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(s"$base/v$version")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             |       event_type, value
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Stream-stream interval join: views joined to purchases by the same
     // user within 30 minutes — both sides watermarked and the join
     // condition event-time-bounded, which is exactly what lets Spark

@@ -702,6 +702,27 @@ object TextQueries {
       (s, d) => Multimodal.pipeline(s, documents(s, d)),
       None),
 
+    // Multimodal decode→resize with EXACT oracle: the resize stage uses
+    // integer half-up arithmetic (resizeMetaInt), so the whole typed
+    // mapPartitions pipeline is reproducible in SQL — the multimodal
+    // plumbing goes through the hash gate, not just a rows-only check.
+    QueryDef("mm_resize",
+      (s, d) => Multimodal.resizePlan(s, documents(s, d)),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |         64 + octet_length(encode(text)) % 512 AS w,
+             |         64 + (octet_length(encode(text)) * 7) % 512 AS h
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+             |       CAST(CASE WHEN greatest(w, h) <= 128 THEN w
+             |            ELSE greatest(1, (w * 128 + greatest(w, h) // 2) // greatest(w, h)) END AS BIGINT) AS dst_w,
+             |       CAST(CASE WHEN greatest(w, h) <= 128 THEN h
+             |            ELSE greatest(1, (h * 128 + greatest(w, h) // 2) // greatest(w, h)) END AS BIGINT) AS dst_h,
+             |       CAST(CASE WHEN greatest(w, h) <= 128 THEN 1000000
+             |            ELSE 128 * 1000000 // greatest(w, h) END AS BIGINT) AS scale_ppm
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Multimodal plumbing: opaque binary column + typed metadata via a
     // stubbed decoder (real image/audio libs absent in this container —
     // the Spark-side schema/partitioning/batch shape is the real part).
@@ -729,6 +750,8 @@ object Multimodal {
                           distinct_bytes: Int, histogram_top: Int)
   case class ResizedMeta(doc_id: Long, src_w: Long, src_h: Long,
                          dst_w: Long, dst_h: Long, scale: Double)
+  case class ResizedInt(doc_id: Long, src_w: Long, src_h: Long,
+                        dst_w: Long, dst_h: Long, scale_ppm: Long)
   case class FrameSample(doc_id: Long, n_frames: Int, sampled: Seq[Array[Byte]])
 
   /** STUB decoder: in production this would call an image codec per
@@ -785,6 +808,23 @@ object Multimodal {
       math.max(1L, math.round(meta.height * scale)), scale)
   }
 
+  /** Fit-into-a-box resize bookkeeping in pure integer arithmetic
+    * (half-up rounding via `(x·128 + m/2) / m`): bit-identical across
+    * engines, so unlike the double-precision [[resizeMeta]] this stage
+    * is exact-oracle-able — the same integer-scaling trick as the
+    * quality/TF-IDF scores.
+    */
+  def resizeMetaInt(meta: BlobMeta, maxDim: Long = 128L): ResizedInt = {
+    val m = math.max(meta.width, meta.height)
+    if (m <= maxDim)
+      ResizedInt(meta.doc_id, meta.width, meta.height, meta.width, meta.height, 1000000L)
+    else
+      ResizedInt(meta.doc_id, meta.width, meta.height,
+        math.max(1L, (meta.width * maxDim + m / 2) / m),
+        math.max(1L, (meta.height * maxDim + m / 2) / m),
+        maxDim * 1000000L / m)
+  }
+
   /** Frame sampling for "video" blobs: fixed-size frames, every k-th
     * kept — array<binary> output, the batch shape a downstream encoder
     * consumes.
@@ -805,6 +845,16 @@ object Multimodal {
     import spark.implicits._
     blobs(docs).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** decode (stub) → integer resize, the typed mapPartitions pipeline
+    * shape with an exactly-reproducible output. */
+  def resizePlan(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs(docs).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resizeMetaInt(decodeStub(id, bytes)) })
       .toDF()
       .orderBy(col("doc_id"))
   }
