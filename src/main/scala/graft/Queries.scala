@@ -81,7 +81,12 @@ object Queries {
           lit("""{"o": {"id": """), col("l_orderkey"),
           lit(""", "ln": ["""), col("l_linenumber"), lit(", "), col("l_suppkey"),
           lit("""]}, "flag": """"), col("l_returnflag"), lit("\"}"))
+        // single-file fixture = one scan partition; respread the narrow
+        // input so the per-row encode+walk runs on every core (a real
+        // table arrives in many splits — the repartition stands in for
+        // that, same as the streaming queries)
         lineitem(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("v", vf.variant_from_json(json))
           .groupBy(vf.variant_get(col("v"), "$.flag", StringType).as("flag"))
           .agg(
@@ -111,7 +116,11 @@ object Queries {
         val patch = concat(
           lit("""{"meta": {"drop": null, "pk": """), col("l_partkey"),
           lit("""}, "extra": """), col("l_orderkey"), lit("}"))
+        // one scan partition in the fixture (single file) would run the
+        // per-row parse+merge serially — respread first (see
+        // v_nested_paths)
         lineitem(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("m", vf.variant_merge_patch(
             vf.variant_from_json(target), vf.variant_from_json(patch)))
           .groupBy(vf.variant_get(col("m"), "$.ln", LongType).as("ln"))
