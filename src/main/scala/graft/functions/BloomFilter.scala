@@ -76,12 +76,21 @@ private[functions] object BloomUtil {
     bb.array()
   }
 
-  /** (numBits, numHashes, words) from the serialized form. */
+  /** (numBits, numHashes, words) from the serialized form. A clear
+    * error on non-bloom bytes (user SQL can pass anything) beats an
+    * index crash mid-probe. */
   def fromBytes(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    if (bytes.length < 8 || (bytes.length - 8) % 8 != 0)
+      throw new IllegalArgumentException(
+        s"not a bloom_agg bitset: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val numBits = bb.getInt()
     val numHashes = bb.getInt()
     val words = new Array[Long]((bytes.length - 8) / 8)
+    if (numBits <= 0 || numHashes <= 0 || numHashes > 16 || words.length.toLong * 64 != numBits)
+      throw new IllegalArgumentException(
+        s"not a bloom_agg bitset: header ($numBits bits, $numHashes hashes) " +
+          s"does not match ${words.length} words")
     var i = 0
     while (i < words.length) { words(i) = bb.getLong(); i += 1 }
     (numBits, numHashes, words)

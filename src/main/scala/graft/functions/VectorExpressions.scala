@@ -295,6 +295,10 @@ case class PqAdcLookup(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[Array[Byte]]
     val table = r.asInstanceOf[ArrayData]
+    if (codes.length != m || table.numElements() != m * ksub + 1)
+      throw new IllegalArgumentException(
+        s"pq_adc_lookup: expected $m codes and ${m * ksub + 1} table slots, " +
+          s"got ${codes.length} and ${table.numElements()}")
     var dot = 0.0
     var cn2 = 0.0
     var j = 0

@@ -69,6 +69,16 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(out === 500L)
   }
 
+  test("malformed bitset bytes raise a clear error, not an index crash") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain(CAST('garbage' AS BINARY), 1L)").head
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("not a bloom_agg bitset")),
+      msgs(e).mkString(" | "))
+  }
+
   test("serialized form round-trips through the header") {
     val bytes = (1L to 10L).toDF("k")
       .agg(vf.bloom_agg($"k", 64 * 4, 3)).head.getAs[Array[Byte]](0)
