@@ -196,6 +196,105 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("flatMapGroupsWithState + EventTimeTimeout: sessions close by gap OR by watermark timeout") {
+    import spark.implicits._
+    // Time-ordered quartile files so the watermark advances across
+    // micro-batches and timeouts actually fire mid-stream.
+    val stage = Files.createTempDirectory("graft_ett_").toString
+    val ev = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    val quarts = ev.withColumn("q", ntile(4).over(w))
+    (1 to 4).foreach { i =>
+      val part = Files.createTempDirectory(s"graft_ett_part$i").toString
+      quarts.filter(col("q") === i).drop("q")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(stage, f"b_$i%02d.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 10000L))
+    }
+    val gapUs = 10L * 60 * 1000000 // 10-min inactivity gap
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+      // keep the ts column (the watermark rides on it — projecting it
+      // away disables event-time timeout) and carry full microseconds
+      // beside it (Timestamp.getTime truncates to millis and would
+      // diverge from the batch reference in the last three digits)
+      .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("t_us"))
+      .as[(Long, Timestamp, Long)]
+    // state = open session (start, last, n); a new event either extends
+    // it or closes it (gap) and opens another; the timeout closes it
+    // when the watermark passes last + gap with no successor
+    val sessions = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long)], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, _, n) = state.get
+            state.remove()
+            Iterator((user, start, n))
+          } else {
+            val ts = rows.map(_._3).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+            var st = state.getOption
+            ts.foreach { t =>
+              st match {
+                case Some((start, last, n)) =>
+                  if (t - last > gapUs) { out += ((user, start, n)); st = Some((t, t, 1L)) }
+                  else st = Some((start, math.max(last, t), n + 1))
+                case None => st = Some((t, t, 1L))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 / 1000 + gapUs / 1000)
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "sess_start_us", "n_events")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ett_sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ett_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // batch reference: gaps-and-islands sessions; EMITTED = sessions
+    // closed by a successor (every session but each user's last) plus
+    // last sessions whose timeout (last + gap) is at or before the
+    // final watermark (max ts - 10 min)
+    val evb = Tables.events(spark, TestSpark.SF)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+    val uw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"))
+    val run = uw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val sess = evb
+      .withColumn("prev", lag(col("t"), 1).over(uw))
+      .withColumn("new_s", when(col("prev").isNull || col("t") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("start"), max(col("t")).as("last"), count(lit(1)).as("n"))
+    val maxT = evb.agg(max(col("t"))).head.getLong(0)
+    val watermarkUs = maxT - 10L * 60 * 1000000
+    val lastSid = sess.groupBy(col("user_id")).agg(max(col("sid")).as("last_sid"))
+    val expected = sess.join(lastSid, Seq("user_id"))
+      .filter(col("sid") < col("last_sid") ||
+        (col("last") + gapUs) <= watermarkUs)
+      .select(col("user_id"), col("start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"got ${got.size} expected ${expected.size} " +
+        s"extra=${(got -- expected).toSeq.sortBy(_._2).take(5)} " +
+        s"missing=${(expected -- got).toSeq.sortBy(_._2).take(5)}")
+    assert(expected.nonEmpty)
+  }
+
   test("stream-stream join: multi-batch pairs equal the batch join, incl. cross-batch") {
     // Time-ordered quartile files, one per micro-batch: a purchase in
     // batch N+1 must still find its view from batch N in the join state
