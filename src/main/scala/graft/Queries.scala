@@ -1240,6 +1240,68 @@ object Queries {
              |      FROM orders)
              |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
 
+    // Array higher-order/function surface parity sweep: set algebra,
+    // sort, slice, element math over per-row generated arrays —
+    // map-only, and every function pinned against DuckDB's list_*
+    // equivalents through the hash gate.
+    QueryDef("q_array_funcs",
+      (s, d) => orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0) // bound the compare payload
+        .withColumn("a", expr("sequence(o_orderkey % 5, o_orderkey % 5 + 4)"))
+        .withColumn("b", expr("sequence(o_orderkey % 3, o_orderkey % 3 + 4)"))
+        .select(col("o_orderkey"),
+          expr("array_join(array_intersect(a, b), ',')").as("inter"),
+          expr("array_join(array_except(a, b), ',')").as("minus"),
+          expr("array_join(array_sort(array_distinct(concat(a, b))), ',')").as("uni"),
+          expr("array_join(slice(reverse(a), 2, 3), ',')").as("rev_slice"),
+          expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+          expr("array_max(a) - array_min(b)").as("spread"),
+          size(expr("filter(a, x -> x % 2 = 0)")).cast("long").as("n_even"))
+        .orderBy(col("o_orderkey")),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |         range(o_orderkey % 5, o_orderkey % 5 + 5) AS a,
+             |         range(o_orderkey % 3, o_orderkey % 3 + 5) AS b
+             |  FROM orders WHERE o_orderkey % 10 = 0)
+             |SELECT o_orderkey,
+             |       array_to_string(list_filter(a, x -> list_contains(b, x)), ',') AS inter,
+             |       COALESCE(array_to_string(list_filter(a, x -> NOT list_contains(b, x)), ','), '') AS minus,
+             |       array_to_string(list_sort(list_distinct(a || b)), ',') AS uni,
+             |       array_to_string(list_reverse(a)[2:4], ',') AS rev_slice,
+             |       CAST(list_sum(list_transform(list_zip(a, b), z -> z[1] * z[2])) AS BIGINT) AS dot,
+             |       CAST(list_max(a) - list_min(b) AS BIGINT) AS spread,
+             |       CAST(len(list_filter(a, x -> x % 2 = 0)) AS BIGINT) AS n_even
+             |FROM t ORDER BY o_orderkey""".stripMargin)),
+
+    // NULL-semantics parity sweep: three-valued logic, null-safe
+    // equality, NULL grouping/ordering and coalescing — the corners
+    // engines disagree on most; both sides pinned to identical output.
+    QueryDef("q_null_semantics",
+      (s, d) => {
+        val l = lineitem(s, d)
+          .withColumn("nv", when(col("l_linenumber") % 3 === 0, col("l_quantity")))
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            count(col("nv")).as("n_nonnull"),
+            count(when(col("nv").isNull, 1)).as("n_null"),
+            dsum("nv").as("sum_nonnull"),
+            count(when(col("nv") <=> lit(null), 1)).as("n_nullsafe_eq_null"),
+            sum(coalesce(col("nv"), lit(0d)).cast("decimal(18,2)")).cast("double")
+              .as("sum_coalesced"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH l AS (
+             |  SELECT l_returnflag,
+             |         CASE WHEN l_linenumber % 3 = 0 THEN l_quantity END AS nv
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |       COUNT(nv) AS n_nonnull,
+             |       COUNT(CASE WHEN nv IS NULL THEN 1 END) AS n_null,
+             |       CAST(SUM(CAST(nv AS DECIMAL(18,2))) AS DOUBLE) AS sum_nonnull,
+             |       COUNT(CASE WHEN nv IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq_null,
+             |       CAST(SUM(CAST(COALESCE(nv, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_coalesced
+             |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Custom whole-operator extension through the driver gate: grouped
     // top-k via graft.plans.GroupedTopK (bounded per-group heaps BEFORE
     // the exchange — the shuffle carries the answer, not the table; see

@@ -12,6 +12,14 @@ import org.apache.spark.sql.graftbridge.Bridge
 object TopK {
   def groupedTopK(df: DataFrame, groupCols: Seq[String],
                   orderCols: Seq[Column], k: Int): DataFrame = {
+    // sessions built without GraftExtensions (a library user's plain
+    // session) still need the strategy or the planner cannot place the
+    // node — experimental.extraStrategies is runtime-mutable and additive
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GroupedTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GroupedTopKStrategy
+    }
     val group = groupCols.map(c => Bridge.expression(df(c)))
     val order = orderCols.map { c =>
       Bridge.convertedExpression(c) match {
