@@ -1240,6 +1240,43 @@ object Queries {
              |      FROM orders)
              |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
 
+    // Bucketed (co-located) join through the driver gate: both tables
+    // bucketed 8-way on the join key at write time, so the join needs
+    // no exchange at all — at 100 TB this is the difference between
+    // re-shuffling two tables per join and paying the layout cost ONCE
+    // at ingest (PlanSpec pins the zero-exchange property; this query
+    // pins the results). External-table paths keep the warehouse in
+    // temp space; the bucket layout is rebuilt once per JVM+sf.
+    QueryDef("q_bucket_join",
+      (s, d) => {
+        srcStage.computeIfAbsent(s"bucket#$d", { _ =>
+          val wd = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+          orders(s, d)
+            .write.mode("overwrite").format("parquet")
+            .option("path", s"$wd/orders_b")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(s"graft_buckets.orders_b_${math.abs(d.hashCode)}")
+          lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+            .write.mode("overwrite").format("parquet")
+            .option("path", s"$wd/lineitem_b")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(s"graft_buckets.lineitem_b_${math.abs(d.hashCode)}")
+          wd
+        })
+        val h = math.abs(d.hashCode)
+        s.table(s"graft_buckets.lineitem_b_$h")
+          .join(s.table(s"graft_buckets.orders_b_$h"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Array higher-order/function surface parity sweep: set algebra,
     // sort, slice, element math over per-row generated arrays —
     // map-only, and every function pinned against DuckDB's list_*
