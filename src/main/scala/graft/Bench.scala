@@ -21,6 +21,18 @@ object Bench {
     // Warm the JVM + file listing once so per-query numbers measure the
     // query, not first-touch class loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // One smallest-SF pass over every query before timing: each query's
+    // kernels/codegen JIT on toy data so min-of-2 at the bench SF
+    // measures the PLAN, not whichever query happened to touch a cold
+    // code path first (v_merge_patch's tree-merge path was 3× its
+    // steady state on a cold JVM).
+    val warmDir = sfDir.replaceAll("sf0\\.1$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // timed runs, report the min: first touch pays JIT/classload noise
       // that says nothing about the plan. Streaming queries get a third
