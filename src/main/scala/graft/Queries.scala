@@ -1240,6 +1240,44 @@ object Queries {
              |      FROM orders)
              |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
 
+    // Time-weighted average building blocks (TWAP): each observation
+    // holds until the next one (lead window), weight = hold duration.
+    // One shuffle on user_id; the exact decimal numerator and integer
+    // denominator are emitted separately — their double ratio would
+    // round differently across engines, the components cannot.
+    QueryDef("q_twap",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("t"), col("value"))
+          .withColumn("t_next", lead(col("t"), 1).over(w))
+          .filter(col("t_next").isNotNull)
+          .withColumn("dur", col("t_next") - col("t"))
+          // whole-second weights: a microsecond weight pushes the exact
+          // decimal sum past 2^53 unscaled, where the decimal→double
+          // emission rounds differently across engines (1-ulp)
+          .withColumn("dur_s", expr("dur DIV 1000000"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(col("value").cast("decimal(18,2)") * col("dur_s").cast("decimal(18,0)"))
+              .cast("double").as("weighted_sum"),
+            sum(col("dur")).as("total_dur_us"),
+            count(lit(1)).as("n_holds"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value FROM events),
+             |holds AS (
+             |  SELECT user_id, value,
+             |         LEAD(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dur
+             |  FROM e)
+             |SELECT user_id,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur // 1000000 AS DECIMAL(18,0))) AS DOUBLE) AS weighted_sum,
+             |       CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+             |       COUNT(*) AS n_holds
+             |FROM holds WHERE dur IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Bucketed (co-located) join through the driver gate: both tables
     // bucketed 8-way on the join key at write time, so the join needs
     // no exchange at all — at 100 TB this is the difference between
