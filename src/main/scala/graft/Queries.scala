@@ -26,6 +26,24 @@ final case class QueryDef(
 final case class LineitemSlice(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
 final case class FlagStats(l_returnflag: String, n_items: Long, max_qty: Double)
 
+/** Z-order (Morton) interleave arithmetic — plain integer ops so the
+  * whole key computation stays inside whole-stage codegen and the
+  * DuckDB oracle can reproduce it with `<<`/`&`/`|` exactly.
+  */
+object Zorder {
+  /** Spread the low 8 bits of `c` to the even bit positions of a
+    * 16-bit value (…b3_b2_b1_b0 → …0b3 0b2 0b1 0b0). */
+  def spread8(c: Column): Column = {
+    val x1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 2)).bitwiseAND(lit(0x3333))
+    x2.bitwiseOR(shiftleft(x2, 1)).bitwiseAND(lit(0x5555))
+  }
+
+  /** 16-bit z-value of two 8-bit coordinates. */
+  def zval8(a: Column, b: Column): Column =
+    spread8(a).bitwiseOR(shiftleft(spread8(b), 1))
+}
+
 object Queries {
   import Tables._
 
@@ -1402,6 +1420,45 @@ object Queries {
              |      FROM lineitem)
              |WHERE rn <= 2
              |ORDER BY l_orderkey, l_quantity DESC, l_extendedprice DESC, l_linenumber""".stripMargin)),
+
+    // Z-order (Morton) clustering key: interleave the bits of two join/
+    // filter dimensions so rows close in BOTH dimensions get close
+    // z-values — the data-layout trick behind multi-dimension data
+    // skipping (Delta/Iceberg OPTIMIZE ZORDER). Here: compute the
+    // 16-bit z-value from two 8-bit coordinates with the classic
+    // spread-bits arithmetic (pure codegen'd integer ops, map-only),
+    // then show the locality it buys: every 1024-wide z-range is a
+    // 32x32 tile in (custkey%256, orderkey%256) space, so per-bucket
+    // min/max of BOTH coordinates stay tile-bounded — exactly the
+    // min/max file statistics a 100 TB scan prunes on after writing
+    // with repartitionByRange(zval) (layout pinned in PlanSpec).
+    QueryDef("q_zorder",
+      (s, d) => {
+        orders(s, d)
+          .withColumn("za", col("o_custkey") % 256)
+          .withColumn("zb", col("o_orderkey") % 256)
+          .withColumn("sa", Zorder.spread8(col("za")))
+          .withColumn("sb", Zorder.spread8(col("zb")))
+          .withColumn("zval", col("sa").bitwiseOR(shiftleft(col("sb"), 1)))
+          .groupBy(expr("zval div 1024").as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("za")).as("a_min"), max(col("za")).as("a_max"),
+            min(col("zb")).as("b_min"), max(col("zb")).as("b_max"))
+          .orderBy(col("zbucket"))
+      },
+      Some("""WITH z0 AS (
+             |  SELECT o_custkey % 256 AS za, o_orderkey % 256 AS zb FROM orders),
+             |z1 AS (SELECT za, zb, (za | (za << 4)) & 3855 AS a1,
+             |                      (zb | (zb << 4)) & 3855 AS b1 FROM z0),
+             |z2 AS (SELECT za, zb, (a1 | (a1 << 2)) & 13107 AS a2,
+             |                      (b1 | (b1 << 2)) & 13107 AS b2 FROM z1),
+             |z3 AS (SELECT za, zb, ((a2 | (a2 << 1)) & 21845) AS sa,
+             |                      ((b2 | (b2 << 1)) & 21845) AS sb FROM z2),
+             |z AS (SELECT za, zb, sa | (sb << 1) AS zval FROM z3)
+             |SELECT zval // 1024 AS zbucket, COUNT(*) AS n,
+             |       MIN(za) AS a_min, MAX(za) AS a_max,
+             |       MIN(zb) AS b_min, MAX(zb) AS b_max
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // CSV source: stage customer to CSV once per sf dir, read it back
     // through Spark's CSV reader with an EXPLICIT schema (schema

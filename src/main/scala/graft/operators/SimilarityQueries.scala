@@ -206,6 +206,39 @@ object Similarity {
     * per probe instead of the full scan — the 100 TB path, where
     * brute-force cosine against every probe is impossible.
     */
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    * k-means-cluster the embedding space, then find cosine-near-dup
+    * pairs WITHIN each cluster only and drop the higher id of every
+    * pair — one representative per semantic neighborhood survives.
+    * The cluster step is what makes it a 100 TB operator: candidate
+    * generation is per-cell (corpus shuffles once on cell id, cells
+    * are corpus/k sized), never all-pairs. Shares the IVF centroid
+    * cache — clustering is index BUILD, amortized across runs.
+    * Returns the REMOVED vec_ids.
+    */
+  def semanticDedup(corpus: DataFrame, nClusters: Int, thr: Double,
+                    indexKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    def train() = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    val model = indexKey match {
+      case Some(key) => ivfModelCache.computeIfAbsent((key, nClusters), _ => train())
+      case None => train()
+    }
+    val assigned = model.transform(featured)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine("va", "vb"))
+      .filter(col("sim") >= thr)
+      .select(col("id_b").as("vec_id")).distinct()
+  }
+
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fn = graft.functions.VariantFunctions
@@ -332,7 +365,16 @@ object SimilarityQueries {
              |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
              |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Semantic dedup (SemDeDup): k-means cells bound the pair search;
+    // within-cell cosine >= 0.4 pairs drop their higher id. Cluster
+    // assignment is data-dependent (k-means), so rows-only here; the
+    // planted-duplicate removal guarantee is asserted in OperatorSpec.
+    QueryDef("e_semantic_dedup",
+      (s, d) => semanticDedup(embeddings(s, d), nClusters = 16, thr = 0.4,
+        indexKey = Some(d)).orderBy(col("vec_id")),
+      None))
 }
 
 /** Structured Streaming coverage: the variant expressions and windowed
@@ -734,7 +776,42 @@ object StreamingQueries {
              |       CAST(MAX(pt - vt) AS BIGINT) AS max_gap_us
              |FROM v JOIN p ON v.user_id = p.user_id
              |  AND pt >= vt AND pt <= vt + 1800000000
-             |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)))
+             |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)),
+
+    // Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark
+    // keeps state only until the key's event time falls behind the
+    // watermark — the production answer to s_dedup_exact's unbounded
+    // state (a 100 TB/day stream cannot hold every fingerprint ever
+    // seen; 10 minutes of keys fits). Emitting just the key columns
+    // keeps the result the arrival-order-independent distinct SET, so
+    // the exact oracle applies; the cross-batch suppression behavior is
+    // pinned in StreamingSpec.
+    QueryDef("s_dedup_watermark",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+        val qname = s"s_dedup_watermark_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = stream.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(qname).orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)))
 }
 
 /** Stream-stream join shapes shared by the driver query and the

@@ -689,6 +689,43 @@ object TextQueries {
              |      FROM documents)
              |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
 
+    // Unigram-LM document scoring (the CCNet/perplexity-filter shape):
+    // fit a unigram model over the corpus (token -> count, one shuffle on
+    // the token), then score each document by its mean inverse unigram
+    // probability. Rare-token-heavy docs score high, boilerplate scores
+    // low — the cheap stand-in for KenLM perplexity filtering. The model
+    // is vocabulary-sized (tiny vs the corpus), so the score join is a
+    // BROADCAST — per-doc scoring never shuffles the corpus. Scores are
+    // integer-scaled ppm (total*1e6 div count) so the oracle matches
+    // bit-for-bit with no libm/summation-order drift; a 100 TB run
+    // swaps the integer ratio for a log-prob double (the n*1e6 product
+    // overflows i64 past ~9e12 corpus tokens) — same plan shape.
+    QueryDef("d_unigram_score",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens("text")).as("tok"))
+        val model = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = model.agg(sum(col("c")).as("n"))
+        toks.join(broadcast(model.crossJoin(broadcast(total))), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(sum(expr("(n * 1000000) div c")).as("score_sum_ppm"),
+            count(lit(1)).as("n_tok"))
+          .select(col("doc_id"), col("score_sum_ppm"),
+            expr("score_sum_ppm div n_tok").as("mean_ip_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+             |  FROM documents),
+             |model AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+             |tot AS (SELECT COUNT(*) AS n FROM toks)
+             |SELECT t.doc_id,
+             |       CAST(SUM((SELECT n FROM tot) * 1000000 // m.c) AS BIGINT) AS score_sum_ppm,
+             |       CAST(SUM((SELECT n FROM tot) * 1000000 // m.c)
+             |              // COUNT(*) AS BIGINT) AS mean_ip_ppm
+             |FROM toks t JOIN model m USING (tok)
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // Multimodal: byte-histogram features are REAL computation (entropy,
     // moments); rows-only check (per-byte loops are not SQL-expressible
     // in the oracle), unit-tested instead.

@@ -116,6 +116,13 @@ object DevSmoke {
     println("part prune rows: " + graft.Queries.queryMap("q_part_prune")(spark, sf).count())
     println("stream-stream join rows: " + graft.Queries.queryMap("s_stream_join")(spark, sf).count())
 
+    println("=== round-4 late surface: unigram / zorder / wm-dedup / semdedup ===")
+    graft.Queries.queryMap("d_unigram_score")(spark, sf).show(3, truncate = false)
+    println("zorder buckets: " + graft.Queries.queryMap("q_zorder")(spark, sf).count())
+    println("wm-dedup keys: " + graft.Queries.queryMap("s_dedup_watermark")(spark, sf).count())
+    println("semantic dedup removed: " +
+      graft.Queries.queryMap("e_semantic_dedup")(spark, sf).count())
+
     spark.stop()
   }
 }

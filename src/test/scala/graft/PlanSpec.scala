@@ -206,6 +206,51 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order: interleave is exact and range layout bounds both dimensions per partition") {
+    val s = spark
+    import s.implicits._
+    // exactness: decoding the even/odd bits of zval8 recovers (a, b)
+    val grid = (for (a <- 0 until 256 by 17; b <- 0 until 256 by 13) yield (a, b)).toDF("a", "b")
+    val z = grid.withColumn("z", Zorder.zval8(col("a"), col("b"))).collect()
+    z.foreach { r =>
+      val (a, b, zv) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      var (da, db, i) = (0, 0, 0)
+      while (i < 8) {
+        da |= (((zv >> (2 * i)) & 1) << i); db |= (((zv >> (2 * i + 1)) & 1) << i); i += 1
+      }
+      assert(da == a && db == b, s"zval8($a,$b)=$zv decoded to ($da,$db)")
+    }
+    // layout: repartitionByRange on zval → each partition covers a
+    // bounded tile in BOTH dimensions (the min/max stats a scan prunes
+    // on), unlike a single-column sort where the second dim spans full
+    // range in every file
+    val orders = Tables.orders(spark, TestSpark.SF)
+      .withColumn("za", col("o_custkey") % 256)
+      .withColumn("zb", col("o_orderkey") % 256)
+      .withColumn("zval", Zorder.zval8(col("za"), col("zb")))
+    def avgSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = df
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+          col("za"), col("zb"))
+        .groupBy(col("pid"))
+        .agg((max(col("za")) - min(col("za"))).as("sa"),
+          (max(col("zb")) - min(col("zb"))).as("sb"))
+        .collect()
+      (rows.map(_.getAs[Long]("sa")).sum.toDouble / rows.length,
+        rows.map(_.getAs[Long]("sb")).sum.toDouble / rows.length)
+    }
+    // z-layout: most partitions are ~64x64 tiles (a few straddle major
+    // bit boundaries and span wide — that's inherent to z-order), so
+    // BOTH average spans sit far below the full 255
+    val (zA, zB) = avgSpans(orders.repartitionByRange(16, col("zval")))
+    assert(zA <= 128 && zB <= 128, s"z-order avg spans ($zA, $zB)")
+    // single-dimension sort: the unsorted dimension spans ~full range in
+    // EVERY partition — that's the layout z-order beats for 2-dim pruning
+    val (_, sB) = avgSpans(orders.repartitionByRange(16, col("za")))
+    assert(sB >= 200, s"expected near-full zb span under za-only sort, got $sB")
+    assert(zB < sB / 2, s"z-order zb span $zB not clearly tighter than $sB")
+  }
+
   test("salted join equals plain join under skew") {
     val s = spark
     import s.implicits._

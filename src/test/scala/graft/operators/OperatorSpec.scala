@@ -114,6 +114,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
   }
 
+  test("semantic dedup removes a planted duplicate and keeps distinct vectors") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    // exact copy of vec 0 → lands in the same k-means cell → cosine 1.0
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, v0)).toDF("vec_id", "embedding"))
+    val removed = Similarity.semanticDedup(corpus, nClusters = 8, thr = 0.95)
+      .as[Long].collect().toSet
+    assert(removed.contains(99999L), "planted duplicate survived semantic dedup")
+    // a removal implies an in-cell near-dup partner with a smaller id;
+    // vec 0 (the pair's lower id, the kept representative) must survive
+    assert(!removed.contains(0L), "kept representative was removed")
+  }
+
   test("PQ recall@5 over real probes stays high (rerank pool absorbs quantization error)") {
     val emb = Tables.embeddings(spark, TestSpark.SF)
     val probes = emb.filter(col("vec_id") < 10)

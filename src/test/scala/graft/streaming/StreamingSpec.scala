@@ -128,6 +128,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected, s"streamed $n vs $expected unique events")
   }
 
+  test("dropDuplicatesWithinWatermark: cross-batch duplicates within the horizon are suppressed") {
+    // same file twice across two micro-batches: every key in batch 2 is
+    // a duplicate of batch 1 at the SAME event time, so it falls inside
+    // the watermark horizon and must be suppressed — the emitted rows
+    // are exactly the distinct keys
+    val stage = Files.createTempDirectory("graft_stream_wmdedup_").toString
+    val src = java.nio.file.Paths.get(s"${TestSpark.SF}/events.parquet")
+    Files.copy(src, java.nio.file.Paths.get(s"$stage/copy1.parquet"))
+    Files.copy(src, java.nio.file.Paths.get(s"$stage/copy2.parquet"))
+    val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_wmdedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_wmdedup")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.length == got.toSet.size, "a key was emitted more than once")
+    assert(got.toSet == expected, "emitted key set differs from distinct keys")
+  }
+
   test("streaming LSH dedup: multi-batch pairs equal the batch pipeline, incl. cross-batch pairs") {
     import graft.operators.StreamingDedup
     val docs = spark.read.parquet(s"${TestSpark.SF}/documents.parquet")
