@@ -39,7 +39,14 @@ object Bench {
       // run — micro-batch checkpoint and state-store churn dominate
       // their run-to-run variance and two samples leave outliers in the
       // min.
-      val runs = if (name.startsWith("s_")) 3 else 2
+      // Three samples for EVERY query, not just streaming: mid-bench a
+      // query can catch its neighbors' GC/cleaner debt on one run (a
+      // 0.85 s window query was observed at 5.4 s when both of two
+      // samples landed badly), and a forced System.gc() between queries
+      // is worse — it evicts soft-referenced codegen/relation caches and
+      // inflated the whole bench ~40%. A third sample makes the min
+      // robust to one polluted run at ~40% more (untimed) wall clock.
+      val runs = 3
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink fully materializes every output row (count() would

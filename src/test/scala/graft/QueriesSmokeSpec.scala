@@ -46,7 +46,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // only the approximate (non-SQL-expressible) operators may omit oracles
     assert(noOracle.subsetOf(Set(
       "d_minhash_lsh", "d_simhash", "d_winnow",
-      "e_ann_lsh", "e_ann_ivf", "e_ann_pq", "q_approx_distinct",
+      "e_ann_lsh", "e_ann_ivf", "e_ann_pq", "e_semantic_dedup",
+      "q_approx_distinct",
       "mm_features", "mm_pipeline", "s_minhash_dedup")))
   }
 }
