@@ -811,7 +811,45 @@ object StreamingQueries {
         s.table(qname).orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-             |ORDER BY user_id, event_type""".stripMargin)))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Streaming ANN serving: probe vectors arrive as a stream and are
+    // answered per micro-batch against the STATIC corpus through the
+    // cached IVF index — index build happens once (the `ivfModelCache`
+    // amortization), each batch pays only cell assignment for its own
+    // probes plus the bounded candidate join. foreachBatch is the right
+    // tool: top-k ranking needs a window function, which append-mode
+    // streaming can't express, but each micro-batch is a closed batch
+    // query. Approximate (k-means cells) → rows-only; equality with the
+    // batch IVF path is pinned in StreamingSpec.
+    QueryDef("s_ann_serve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val staticSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#emb", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_emb_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/embeddings.parquet"),
+            sd.resolve("embeddings.parquet"))
+          sd.toString
+        })
+        val outDir = java.nio.file.Files.createTempDirectory("graft_ann_serve_").toString
+        val probeStream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val q = probeStream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Similarity.ivfTopK(emb, batch, 5, indexKey = Some(d))
+              .write.mode("append").parquet(outDir)
+            ()
+        }.start()
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(outDir)
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None))
 }
 
 /** Stream-stream join shapes shared by the driver query and the

@@ -726,6 +726,44 @@ object TextQueries {
              |FROM toks t JOIN model m USING (tok)
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // Bigram-LM scoring: the conditional-probability upgrade of
+    // `d_unigram_score` — P(w2|w1) = c(w1,w2)/c(w1·), scored as mean
+    // inverse conditional probability in integer ppm. The model is
+    // distinct-bigram-sized: broadcast here (tiny vocab); at a 100 TB
+    // vocabulary the same plan swaps the broadcast for a shuffle join
+    // on (w1, w2) — the score-side corpus shuffles once either way.
+    // Bigram extraction is a map-only transform+explode (no shuffle).
+    QueryDef("d_bigram_score",
+      (s, d) => {
+        val bigrams = documents(s, d)
+          .select(col("doc_id"), tokens("text").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, n - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+        bigrams.join(broadcast(c12.join(c1, Seq("w1"))), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(sum(expr("(c1 * 1000000) div c")).as("score_sum_ppm"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+             |bg AS (
+             |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             |  FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
+             |  WHERE len(toks) >= 2),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, SUM(c) AS c1 FROM c12 GROUP BY w1)
+             |SELECT bg.doc_id,
+             |       CAST(SUM(c1.c1 * 1000000 // c12.c) AS BIGINT) AS score_sum_ppm,
+             |       COUNT(*) AS n_bigrams
+             |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
+
     // Multimodal: byte-histogram features are REAL computation (entropy,
     // moments); rows-only check (per-byte loops are not SQL-expressible
     // in the oracle), unit-tested instead.

@@ -122,6 +122,9 @@ object DevSmoke {
     println("wm-dedup keys: " + graft.Queries.queryMap("s_dedup_watermark")(spark, sf).count())
     println("semantic dedup removed: " +
       graft.Queries.queryMap("e_semantic_dedup")(spark, sf).count())
+    println("bigram score rows: " +
+      graft.Queries.queryMap("d_bigram_score")(spark, sf).count())
+    println("ann serve rows: " + graft.Queries.queryMap("s_ann_serve")(spark, sf).count())
 
     spark.stop()
   }

@@ -48,6 +48,6 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "d_minhash_lsh", "d_simhash", "d_winnow",
       "e_ann_lsh", "e_ann_ivf", "e_ann_pq", "e_semantic_dedup",
       "q_approx_distinct",
-      "mm_features", "mm_pipeline", "s_minhash_dedup")))
+      "mm_features", "mm_pipeline", "s_minhash_dedup", "s_ann_serve")))
   }
 }

@@ -157,6 +157,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == expected, "emitted key set differs from distinct keys")
   }
 
+  test("streaming ANN serving equals the batch IVF result") {
+    // same probes, same corpus, same cached index → the per-micro-batch
+    // foreachBatch serve must reproduce the batch IVF answer exactly
+    val served = graft.Queries.queryMap("s_ann_serve")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = graft.operators.Similarity
+      .ivfTopK(emb, probes, 5, indexKey = Some(TestSpark.SF))
+      .orderBy(col("qid"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(served == batch)
+  }
+
   test("streaming LSH dedup: multi-batch pairs equal the batch pipeline, incl. cross-batch pairs") {
     import graft.operators.StreamingDedup
     val docs = spark.read.parquet(s"${TestSpark.SF}/documents.parquet")
