@@ -1460,6 +1460,61 @@ object Queries {
              |       MIN(zb) AS b_min, MAX(zb) AS b_max
              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Schema-evolution read: two parquet batches written with DIFFERENT
+    // column sets (an evolving log — old files lack the new column),
+    // read as one table with mergeSchema + a partition column from the
+    // directory layout. Missing columns surface as NULLs; the aggregate
+    // proves both content (sums) and the null pattern. At 100 TB,
+    // schema merge happens on file FOOTERS, not data — the scan cost is
+    // unchanged, which is why evolving a column beats rewriting the
+    // corpus.
+    QueryDef("q_schema_merge",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"merge#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+          orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+            .write.mode("overwrite").parquet(s"$sd/b=1")
+          orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+            .write.mode("overwrite").parquet(s"$sd/b=2")
+          sd
+        })
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            count(col("o_custkey")).as("n_cust"),
+            count(col("o_totalprice")).as("n_price"),
+            dsum("o_totalprice").as("price_sum"))
+          .orderBy(col("b"))
+      },
+      Some("""SELECT 1 AS b, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             |       COUNT(*) AS n_cust, CAST(0 AS BIGINT) AS n_price,
+             |       CAST(NULL AS DOUBLE) AS price_sum
+             |FROM orders
+             |UNION ALL
+             |SELECT 2 AS b, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             |       CAST(0 AS BIGINT) AS n_cust, COUNT(*) AS n_price,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+             |FROM orders
+             |ORDER BY b""".stripMargin)),
+
+    // Two-phase exact COUNT(DISTINCT): expand to (key, value) groups
+    // first, then count groups per key — the manual rewrite that
+    // survives key skew at scale (the single hottest key's distinct set
+    // spreads over ALL partitions in phase 1 instead of landing on one
+    // reducer; phase 2 merges small per-key counts). Spark's builtin
+    // count_distinct plans the same expansion; pinning the explicit
+    // form keeps the pattern available for multi-agg cases the planner
+    // won't rewrite.
+    QueryDef("q_twophase_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // CSV source: stage customer to CSV once per sf dir, read it back
     // through Spark's CSV reader with an EXPLICIT schema (schema
     // inference at 100 TB means scanning the data twice), and aggregate.

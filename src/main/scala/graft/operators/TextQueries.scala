@@ -52,6 +52,12 @@ object TextQueries {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** One-time blob staging dir for `mm_binary_source` (writing the loose
+    * files simulates the external landing directory — setup, not query
+    * work; reused per JVM and sf dir like the CSV/JSON staging). */
+  private val binStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d",
       _ => computeJaccardPairs(s, d).localCheckpoint())
@@ -763,6 +769,35 @@ object TextQueries {
              |       COUNT(*) AS n_bigrams
              |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
              |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin)),
+
+    // Multimodal INGESTION source: blobs land as loose files (the way
+    // image/audio corpora actually arrive) and are read through Spark's
+    // binaryFile source — (path, length, content) rows, many files per
+    // scan partition. Identity is content-addressed (md5 + byte length),
+    // never path-addressed, so the oracle checks full content against
+    // the originating table without seeing the staging paths. A 100 TB
+    // ingest runs exactly this shape: binaryFile scan → content hash →
+    // dedup/meta extraction, with maxPartitionBytes packing small files
+    // into scan tasks.
+    QueryDef("mm_binary_source",
+      (s, d) => {
+        val dir = binStage.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_bin_")
+          documents(s, d).filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("text")).collect().foreach { r =>
+              java.nio.file.Files.write(
+                sd.resolve(s"doc_${r.getLong(0)}.bin"),
+                r.getString(1).getBytes("UTF-8"))
+            }
+          sd.toString
+        })
+        s.read.format("binaryFile").load(dir)
+          .select(length(col("content")).cast("long").as("n_bytes"),
+            md5(col("content")).as("h"))
+          .orderBy(col("h"))
+      },
+      Some("""SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS h
+             |FROM documents WHERE doc_id < 100 ORDER BY h""".stripMargin)),
 
     // Multimodal: byte-histogram features are REAL computation (entropy,
     // moments); rows-only check (per-byte loops are not SQL-expressible

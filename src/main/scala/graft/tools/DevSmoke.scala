@@ -125,6 +125,12 @@ object DevSmoke {
     println("bigram score rows: " +
       graft.Queries.queryMap("d_bigram_score")(spark, sf).count())
     println("ann serve rows: " + graft.Queries.queryMap("s_ann_serve")(spark, sf).count())
+    println("binary source rows: " +
+      graft.Queries.queryMap("mm_binary_source")(spark, sf).count())
+    println("schema merge rows: " +
+      graft.Queries.queryMap("q_schema_merge")(spark, sf).count())
+    println("two-phase distinct rows: " +
+      graft.Queries.queryMap("q_twophase_distinct")(spark, sf).count())
 
     spark.stop()
   }

@@ -41,6 +41,29 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("results are shuffle-partition-count invariant (representative subset)") {
+    // At 1000 executors the shuffle partition count is whatever the
+    // cluster sizes it to — results must not depend on it. Covers the
+    // operators where invariance is EARNED, not free: mergeable sketches
+    // (bottom-k sample, Misra-Gries heavy hitters), the schema-lattice
+    // aggregate, the content-keyed split, the LM scorers, z-order
+    // locality stats, ANN ranking.
+    val names = Seq("q1_pricing_summary", "d_sample", "d_heavy_hitters",
+      "d_train_split", "v_schema_agg", "d_unigram_score", "d_bigram_score",
+      "q_zorder", "e_ann_topk")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def results(n: String): Seq[String] =
+      Queries.queryMap(n)(spark, TestSpark.SF).collect().map(_.toString).toSeq
+    try {
+      val base = names.map(n => n -> results(n)).toMap
+      spark.conf.set(key, "5")
+      names.foreach { n =>
+        assert(results(n) == base(n), s"$n result depends on partition count")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("every query name has either an oracle or a documented omission") {
     val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // only the approximate (non-SQL-expressible) operators may omit oracles
