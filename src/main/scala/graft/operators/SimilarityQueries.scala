@@ -270,7 +270,9 @@ object SimilarityQueries {
         val emb = embeddings(s, d)
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        bruteForceTopK(emb, probes, 5).orderBy(col("qid"), col("rank"))
+        bruteForceTopK(emb, probes, 5)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("qid"), col("rank"))
       },
       Some("""WITH probes AS (
              |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
