@@ -1460,6 +1460,27 @@ object Queries {
              |       MIN(zb) AS b_min, MAX(zb) AS b_max
              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Top-k as an AGGREGATE (topk_pairs, custom TypedImperativeAggregate):
+    // O(k) mergeable state per group vs the window formulation's full
+    // per-group sort — k rows per partition per group cross the shuffle,
+    // nothing spills, and map-side combine applies. The same bounded
+    // buffer is what licenses the operator inside streaming windows
+    // (s_window_topk). Ties break (value DESC, event_id ASC) so the
+    // result is partition-invariant and exactly oracle-checkable.
+    QueryDef("q_topk_agg",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(vf.topk_pairs(col("value"), col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("p.id").as("event_id"), col("p.score").as("value"))
+        .orderBy(col("event_type"), col("rank")),
+      Some("""SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
+             |FROM (SELECT event_type, event_id, value, ROW_NUMBER() OVER (
+             |        PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+             |      FROM events)
+             |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin)),
+
     // Schema-evolution read: two parquet batches written with DIFFERENT
     // column sets (an evolving log — old files lack the new column),
     // read as one table with mergeSchema + a partition column from the

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `topk_pairs(score, id, k)`: exact top-k (score desc, id asc) as a
+  * MERGEABLE aggregate with O(k) state — the aggregate form of top-k.
+  *
+  * Versus the window formulation (`row_number() <= k`), which sorts
+  * every group member: the aggregate keeps a k-bounded ordered buffer
+  * per group, combines map-side, and ships k rows per partition per
+  * group across the shuffle. That bound is also exactly what makes it
+  * legal inside a STREAMING windowed aggregation — state per (window,
+  * key) is k entries, not the member list (`s_window_topk`).
+  *
+  * Determinism: ties on score break by id ascending, so the result is
+  * input-order- and partition-count-invariant (pinned by the
+  * partition-invariance gate in QueriesSmokeSpec).
+  */
+case class TopKPairs(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[(Double, Long), Unit]]
+    with BinaryLike[Expression] {
+  require(k > 0 && k <= 100000, s"topk_pairs k out of range: $k")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs expects (double, bigint), got: (${s.simpleString}, ${i.simpleString})")
+    }
+
+  override def createAggregationBuffer(): java.util.TreeMap[(Double, Long), Unit] =
+    new java.util.TreeMap[(Double, Long), Unit](TopKPairs.BestFirst)
+
+  private def trim(buf: java.util.TreeMap[(Double, Long), Unit]): Unit =
+    while (buf.size() > k) buf.remove(buf.lastKey())
+
+  override def update(buf: java.util.TreeMap[(Double, Long), Unit],
+                      input: InternalRow): java.util.TreeMap[(Double, Long), Unit] = {
+    val s = left.eval(input)
+    val i = right.eval(input)
+    if (s != null && i != null) {
+      buf.put((s.asInstanceOf[Double], i.asInstanceOf[Long]), ())
+      trim(buf)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeMap[(Double, Long), Unit],
+                     b: java.util.TreeMap[(Double, Long), Unit]): java.util.TreeMap[(Double, Long), Unit] = {
+    a.putAll(b)
+    trim(a)
+    a
+  }
+
+  override def eval(buf: java.util.TreeMap[(Double, Long), Unit]): Any = {
+    val out = new Array[Any](buf.size())
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (s, id) = it.next()
+      out(i) = InternalRow(s, id)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[(Double, Long), Unit]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 16)
+    bb.putInt(buf.size())
+    val it = buf.keySet().iterator()
+    while (it.hasNext) {
+      val (s, id) = it.next()
+      bb.putDouble(s)
+      bb.putLong(id)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[(Double, Long), Unit] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      buf.put((bb.getDouble, bb.getLong), ())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKPairs {
+  /** Best-first ordering (score desc, id asc); serializable so the
+    * aggregate's buffer ships with the task closure. */
+  object BestFirst extends java.util.Comparator[(Double, Long)] with java.io.Serializable {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+}

@@ -67,6 +67,8 @@ object VariantFunctions {
     col(BloomAgg(expr(c), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(bf: Column, key: Column): Column =
     col(BloomMightContain(expr(bf), expr(key)))
+  def topk_pairs(score: Column, id: Column, k: Int): Column =
+    col(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -180,6 +182,10 @@ object VariantFunctions {
       (es: Seq[Expression]) => MisraGries(es.head, litInt(es(1), "misra_gries k"))
         .toAggregateExpression(),
       "misra_gries(s, k) - Mergeable frequent-items candidate sketch (k counters); items with frequency > n/(k+1) are guaranteed present."),
+    ("topk_pairs",
+      (es: Seq[Expression]) => TopKPairs(es.head, es(1), litInt(es(2), "topk_pairs k"))
+        .toAggregateExpression(),
+      "topk_pairs(score, id, k) - Exact top-k (score DESC, id ASC) with O(k) mergeable state."),
     ("minhash_signature",
       (es: Seq[Expression]) => {
         val k = es(1) match {

@@ -815,6 +815,60 @@ object StreamingQueries {
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
 
+    // Windowed streaming top-k: the bounded topk_pairs aggregate runs
+    // inside a watermarked 5-minute window — state per (window, type)
+    // is k entries carried through the state store, NOT the window's
+    // member rows (the unbounded-sort formulation is inexpressible in
+    // append mode, and rightly so at scale). Closed windows emit once;
+    // the post-filter mirrors s_append_counts so the exact oracle
+    // reproduces the emitted set.
+    QueryDef("s_window_topk",
+      (s, d) => {
+        import graft.functions.{VariantFunctions => vf}
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+          .agg(vf.topk_pairs(col("value"), col("event_id"), 3).as("top"))
+        val qname = s"s_window_topk_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8) {
+          val q = stream.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        val maxTs = Tables.events(s, d).agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        val watermark = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+        s.table(qname)
+          .filter(col("w.end") < lit(watermark))
+          .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+            posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("ws"), col("event_type"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("p.id").as("event_id"), col("p.score").as("value"))
+          .orderBy(col("ws"), col("event_type"), col("rank"))
+      },
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mt FROM events),
+             |e AS (SELECT event_type, event_id, value,
+             |             time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS wb
+             |      FROM events),
+             |closed AS (
+             |  SELECT e.* FROM e, m WHERE wb + INTERVAL 5 MINUTE < mt - INTERVAL 10 MINUTE),
+             |r AS (SELECT event_type, event_id, value, wb, ROW_NUMBER() OVER (
+             |        PARTITION BY wb, event_type ORDER BY value DESC, event_id) AS rn
+             |      FROM closed)
+             |SELECT CAST(epoch(wb) AS BIGINT) AS ws, event_type, CAST(rn AS BIGINT) AS rank,
+             |       event_id, value
+             |FROM r WHERE rn <= 3 ORDER BY ws, event_type, rank""".stripMargin)),
+
     // Streaming ANN serving: probe vectors arrive as a stream and are
     // answered per micro-batch against the STATIC corpus through the
     // cached IVF index — index build happens once (the `ivfModelCache`

@@ -131,6 +131,9 @@ object DevSmoke {
       graft.Queries.queryMap("q_schema_merge")(spark, sf).count())
     println("two-phase distinct rows: " +
       graft.Queries.queryMap("q_twophase_distinct")(spark, sf).count())
+    println("topk agg rows: " + graft.Queries.queryMap("q_topk_agg")(spark, sf).count())
+    println("stream window topk rows: " +
+      graft.Queries.queryMap("s_window_topk")(spark, sf).count())
 
     spark.stop()
   }

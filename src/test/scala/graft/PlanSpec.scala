@@ -251,6 +251,34 @@ class PlanSpec extends AnyFunSuite {
     assert(zB < sB / 2, s"z-order zb span $zB not clearly tighter than $sB")
   }
 
+  test("z-order layout skips data on a two-dimension filter; a shuffled layout cannot") {
+    // The point of the layout: after writing range-partitioned by zval,
+    // parquet footer min/max stats on BOTH coordinates are tight per
+    // file, so a 2-dim box filter prunes whole files/row groups before
+    // any row is read. The same data written shuffled has full-range
+    // stats everywhere and the scan must surface every row group.
+    val orders = Tables.orders(spark, TestSpark.SF)
+      .withColumn("za", col("o_custkey") % 256)
+      .withColumn("zb", col("o_orderkey") % 256)
+      .withColumn("zval", Zorder.zval8(col("za"), col("zb")))
+    val base = java.nio.file.Files.createTempDirectory("graft_zskip_").toString
+    orders.repartitionByRange(16, col("zval")).sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    orders.repartition(16)
+      .write.mode("overwrite").parquet(s"$base/shuffled")
+    def rowsSurfacedByScan(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("za").between(10, 20) && col("zb").between(30, 40))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val zRows = rowsSurfacedByScan(s"$base/zorder")
+    val sRows = rowsSurfacedByScan(s"$base/shuffled")
+    assert(zRows < sRows / 2,
+      s"z-order scan surfaced $zRows rows vs $sRows from the shuffled layout")
+  }
+
   test("salted join equals plain join under skew") {
     val s = spark
     import s.implicits._

@@ -253,6 +253,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(sample(8, desc = true) == base)
   }
 
+  test("topk_pairs: exact top-k, tie-break by id, k-trim, partition invariance") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // scores collide in pairs (id div 2) → ties resolved by id asc
+    val df = spark.range(100).select(col("id"),
+      (col("id") / 2).cast("long").cast("double").as("score"))
+    def run(parts: Int) = df.repartition(parts)
+      .agg(graft.functions.VariantFunctions
+        .topk_pairs(col("score"), col("id"), 5).as("top"))
+      .select(expr("transform(top, p -> concat(p.score, '@', p.id))"))
+      .collect()(0).getSeq[String](0).mkString(",")
+    val base = run(1)
+    // ids 99,98 share score 49.0 (98 first by id); then 97,96 at 48.0; 95
+    assert(base == "49.0@98,49.0@99,48.0@96,48.0@97,47.0@94", base)
+    assert(run(32) == base)
+    // SQL registration works as an aggregate
+    spark.range(10).createOrReplaceTempView("tk")
+    val viaSql = spark.sql(
+      "SELECT topk_pairs(CAST(id AS DOUBLE), id, 3) FROM tk").collect()(0)
+    assert(viaSql.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(9L, 8L, 7L))
+  }
+
   test("minhash_bands_of a signature equals minhash_bands of the tokens") {
     val df = spark.range(50).selectExpr(
       "array(concat('a', id), concat('b', id % 7), concat('c', id % 3)) AS toks")
