@@ -157,6 +157,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == expected, "emitted key set differs from distinct keys")
   }
 
+  test("windowed streaming top-k merges state across micro-batches; duplicate delivery is idempotent") {
+    import graft.functions.{VariantFunctions => vf}
+    // the same events file lands twice across two micro-batches: every
+    // window's buffer is built in batch 1, re-merged with identical
+    // (score, id) pairs in batch 2 through the state store — the result
+    // must equal the batch computation over ONE copy
+    val stage = Files.createTempDirectory("graft_stream_topk_").toString
+    val src = java.nio.file.Paths.get(s"${TestSpark.SF}/events.parquet")
+    Files.copy(src, java.nio.file.Paths.get(s"$stage/copy1.parquet"))
+    Files.copy(src, java.nio.file.Paths.get(s"$stage/copy2.parquet"))
+    val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(vf.topk_pairs(col("value"), col("event_id"), 3).as("top"))
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_topk_dup").start()
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        expr("transform(top, p -> concat(p.score, '@', p.id))").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).mkString(",")))
+      .sortBy(x => (x._1, x._2))
+    val maxTs = Tables.events(spark, TestSpark.SF).agg(max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val streamed = rows(spark.table("stream_topk_dup").filter(col("w.end") < lit(watermark)))
+    val batch = rows(Tables.events(spark, TestSpark.SF)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(vf.topk_pairs(col("value"), col("event_id"), 3).as("top"))
+      .filter(col("w.end") < lit(watermark)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming ANN serving equals the batch IVF result") {
     // same probes, same corpus, same cached index → the per-micro-batch
     // foreachBatch serve must reproduce the batch IVF answer exactly
