@@ -21,17 +21,16 @@ object Bench {
     // Warm the JVM + file listing once so per-query numbers measure the
     // query, not first-touch class loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // One smallest-SF pass over every query before timing: each query's
-    // kernels/codegen JIT on toy data so min-of-2 at the bench SF
-    // measures the PLAN, not whichever query happened to touch a cold
-    // code path first (v_merge_patch's tree-merge path was 3× its
-    // steady state on a cold JVM).
-    val warmDir = sfDir.replaceAll("sf0\\.1$", "sf0.001")
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-      }
+    // One untimed pass over every query AT THE BENCH SF before timing.
+    // Warming at a smaller SF is not enough: AQE re-plans from actual
+    // sizes, so the sf0.1 physical plans (and their generated code)
+    // differ from the sf0.001 ones — the first timed run then paid
+    // first-touch codegen/JIT and read 2-11x its steady state on
+    // whichever queries landed in a cold or GC-heavy region. The warm
+    // pass moves ALL first-touch cost outside the timed region.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // timed runs, report the min: first touch pays JIT/classload noise
