@@ -1460,6 +1460,72 @@ object Queries {
              |       MIN(zb) AS b_min, MAX(zb) AS b_max
              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q9-shaped profit rollup (adapted to the available tables —
+    // no partsupp in the fixture): a fact table against THREE broadcast
+    // dimensions plus one fact-fact shuffle join, then a two-level
+    // rollup key. The join-order story at 100 TB: part/supplier/nation
+    // prune and annotate via broadcast (zero fact shuffles), and the
+    // single shuffle is lineitem⋈orders on the join key both sides
+    // already bucket naturally. Exact decimal amounts.
+    QueryDef("q9_profit",
+      (s, d) => {
+        val p = part(s, d).filter(col("p_size") >= 25).select(col("p_partkey"))
+        val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        val o = orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"))
+        lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(sum(expr(
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("sum_profit"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit,
+             |       COUNT(*) AS n_items
+             |FROM lineitem l
+             |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size >= 25
+             |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // Datetime-function parity sweep (the date/time analog of
+    // q_scalar_funcs / q_array_funcs): truncation, month arithmetic
+    // with end-of-month clamping, day diffs, last-day, day-of-week
+    // (dialects disagree on week start — normalized explicitly),
+    // quarter, ISO week, epoch seconds. Per-row map over the whole
+    // orders table so the oracle checks every row, not a sample.
+    QueryDef("q_datetime_funcs",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
+          add_months(col("o_orderdate"), 2).as("plus2mo"),
+          datediff(lit("1995-06-01").cast("date"), col("o_orderdate").cast("date")).as("dd"),
+          last_day(col("o_orderdate")).as("ld"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("q"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          unix_timestamp(col("o_orderdate")).as("es"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |       date_trunc('month', o_orderdate) AS mo,
+             |       CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+             |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1995-06-01') AS INTEGER) AS dd,
+             |       last_day(o_orderdate) AS ld,
+             |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |       CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+             |       CAST(epoch(o_orderdate) AS BIGINT) AS es
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Top-k as an AGGREGATE (topk_pairs, custom TypedImperativeAggregate):
     // O(k) mergeable state per group vs the window formulation's full
     // per-group sort — k rows per partition per group cross the shuffle,

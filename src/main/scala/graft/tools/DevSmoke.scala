@@ -134,6 +134,9 @@ object DevSmoke {
     println("topk agg rows: " + graft.Queries.queryMap("q_topk_agg")(spark, sf).count())
     println("stream window topk rows: " +
       graft.Queries.queryMap("s_window_topk")(spark, sf).count())
+    println("q9 profit rows: " + graft.Queries.queryMap("q9_profit")(spark, sf).count())
+    println("datetime sweep rows: " +
+      graft.Queries.queryMap("q_datetime_funcs")(spark, sf).count())
 
     spark.stop()
   }
