@@ -1497,6 +1497,48 @@ object Queries {
              |JOIN orders o ON l.l_orderkey = o.o_orderkey
              |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
 
+    // Map-type function sweep: per order, build linenumber->quantity and
+    // linenumber->suppkey maps (map_from_entries over a SORTED entry
+    // list — map key order is unspecified, so every digest below is
+    // key-order-independent), then drive map_values/map_filter/
+    // map_zip_with/element_at and emit SCALAR digests. The oracle
+    // computes the same digests map-free from the base table — an
+    // independent check of the map semantics, with no map column in the
+    // compared output (map key order would make row hashes unstable).
+    QueryDef("q_map_funcs",
+      (s, d) => lineitem(s, d)
+        // linenumbers repeat per order in this corpus: pre-aggregate to
+        // make the map key unique by construction (maps reject dup keys)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"),
+          min(col("l_suppkey")).as("sk"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          map_from_entries(sort_array(collect_list(struct(col("l_linenumber"), col("q")))))
+            .as("qm"),
+          map_from_entries(sort_array(collect_list(struct(col("l_linenumber"), col("sk")))))
+            .as("sm"))
+        .select(col("l_orderkey"),
+          size(col("qm")).as("n_items"),
+          expr("aggregate(map_values(qm), 0L, (a, x) -> a + x)").as("qty_sum"),
+          size(expr("map_filter(qm, (k, v) -> v > 25)")).as("n_big"),
+          expr("aggregate(map_values(map_zip_with(qm, sm, (k, a, b) -> a * b)), 0L, (a, x) -> a + x)")
+            .as("zip_sum"),
+          expr("element_at(qm, 1)").as("first_qty"))
+        .orderBy(col("l_orderkey")),
+      Some("""WITH g AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             |         MIN(l_suppkey) AS sk
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_orderkey,
+             |       CAST(COUNT(*) AS INTEGER) AS n_items,
+             |       CAST(SUM(q) AS BIGINT) AS qty_sum,
+             |       CAST(SUM(CASE WHEN q > 25 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
+             |       CAST(SUM(q * sk) AS BIGINT) AS zip_sum,
+             |       MAX(CASE WHEN l_linenumber = 1 THEN q END) AS first_qty
+             |FROM g GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
     // Datetime-function parity sweep (the date/time analog of
     // q_scalar_funcs / q_array_funcs): truncation, month arithmetic
     // with end-of-month clamping, day diffs, last-day, day-of-week

@@ -137,6 +137,7 @@ object DevSmoke {
     println("q9 profit rows: " + graft.Queries.queryMap("q9_profit")(spark, sf).count())
     println("datetime sweep rows: " +
       graft.Queries.queryMap("q_datetime_funcs")(spark, sf).count())
+    println("map sweep rows: " + graft.Queries.queryMap("q_map_funcs")(spark, sf).count())
 
     spark.stop()
   }
