@@ -1543,6 +1543,54 @@ object Queries {
              |       MAX(CASE WHEN l_linenumber = 1 THEN q END) AS first_qty
              |FROM g GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
+    // try_* error-safe function sweep: Spark 4 runs ANSI mode, where
+    // division by zero, overflow, and bad casts THROW — the try_ forms
+    // return NULL instead, which is what a 100 TB pipeline over dirty
+    // data needs (one malformed row must not kill a stage). Digests
+    // count the NULLs each failure mode produces and sum the surviving
+    // values exactly (half-integer quotients through DECIMAL).
+    QueryDef("q_try_funcs",
+      (s, d) => lineitem(s, d)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"),
+          (col("l_quantity").cast("long") % 3).as("m"),
+          when(col("l_quantity") > 25, lit("x"))
+            .otherwise(col("l_partkey").cast("string")).as("cs"))
+        .select(
+          expr("try_divide(l_suppkey, m)").as("td"),
+          expr("try_cast(cs AS BIGINT)").as("tc"),
+          expr("try_add(9223372036854775800L, l_suppkey)").as("ta"),
+          expr("try_multiply(l_partkey, 9223372036854775807L)").as("tm"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("td").isNull, 1L).otherwise(0L)).as("n_div_null"),
+          sum(col("td").cast("decimal(18,6)")).cast("double").as("div_sum"),
+          sum(when(col("tc").isNull, 1L).otherwise(0L)).as("n_cast_null"),
+          sum(col("tc")).as("cast_sum"),
+          sum(when(col("ta").isNull, 1L).otherwise(0L)).as("n_add_null"),
+          sum(when(col("tm").isNull, 1L).otherwise(0L)).as("n_mul_null")),
+      Some("""WITH t AS (
+             |  SELECT l_suppkey, l_partkey,
+             |         CAST(l_quantity AS BIGINT) % 3 AS m,
+             |         CASE WHEN l_quantity > 25 THEN 'x'
+             |              ELSE CAST(l_partkey AS VARCHAR) END AS cs
+             |  FROM lineitem),
+             |v AS (
+             |  SELECT CASE WHEN m = 0 THEN NULL
+             |              ELSE CAST(l_suppkey AS DOUBLE) / m END AS td,
+             |         TRY_CAST(cs AS BIGINT) AS tc,
+             |         CASE WHEN l_suppkey > 7 THEN NULL
+             |              ELSE 9223372036854775800 + l_suppkey END AS ta,
+             |         CASE WHEN l_partkey > 1 THEN NULL
+             |              ELSE l_partkey * 9223372036854775807 END AS tm
+             |  FROM t)
+             |SELECT COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN td IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+             |       CAST(SUM(CAST(td AS DECIMAL(18,6))) AS DOUBLE) AS div_sum,
+             |       CAST(SUM(CASE WHEN tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+             |       CAST(SUM(tc) AS BIGINT) AS cast_sum,
+             |       CAST(SUM(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_add_null,
+             |       CAST(SUM(CASE WHEN tm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_null
+             |FROM v""".stripMargin)),
+
     // Datetime-function parity sweep (the date/time analog of
     // q_scalar_funcs / q_array_funcs): truncation, month arithmetic
     // with end-of-month clamping, day diffs, last-day, day-of-week

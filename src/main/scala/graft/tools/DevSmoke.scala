@@ -138,6 +138,7 @@ object DevSmoke {
     println("datetime sweep rows: " +
       graft.Queries.queryMap("q_datetime_funcs")(spark, sf).count())
     println("map sweep rows: " + graft.Queries.queryMap("q_map_funcs")(spark, sf).count())
+    println("try sweep rows: " + graft.Queries.queryMap("q_try_funcs")(spark, sf).count())
 
     spark.stop()
   }

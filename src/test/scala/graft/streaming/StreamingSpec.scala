@@ -195,6 +195,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("checkpoint recovery: a restarted query resumes from the committed offset, exactly once") {
+    // run 1 sees two source files; the query stops; two more files land;
+    // run 2 restarts from the SAME checkpoint and must process only the
+    // new files — the union of both runs' sink output equals the batch
+    // result over all four files with no duplicates
+    val stage = Files.createTempDirectory("graft_stream_ckpt_src_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+    val sink = Files.createTempDirectory("graft_stream_ckpt_sink_").toString
+    val all = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val parts = all.randomSplit(Array(0.25, 0.25, 0.25, 0.25), seed = 42L)
+    def land(i: Int): Unit =
+      parts(i).coalesce(1).write.mode("overwrite").parquet(s"$stage/f$i")
+    def run(): Unit = {
+      val schema = all.schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/f*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink)
+          ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(0); land(1)
+    run()
+    val afterRun1 = spark.read.parquet(sink).count()
+    land(2); land(3)
+    run()
+    val out = spark.read.parquet(sink)
+    assert(afterRun1 > 0 && afterRun1 < all.count())
+    assert(out.count() == all.count(), "restart reprocessed or skipped files")
+    assert(out.select(col("event_id")).distinct().count() == all.count(),
+      "duplicate events after checkpoint resume")
+  }
+
   test("streaming ANN serving equals the batch IVF result") {
     // same probes, same corpus, same cached index → the per-micro-batch
     // foreachBatch serve must reproduce the batch IVF answer exactly
