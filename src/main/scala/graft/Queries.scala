@@ -1546,20 +1546,27 @@ object Queries {
     // try_* error-safe function sweep: Spark 4 runs ANSI mode, where
     // division by zero, overflow, and bad casts THROW — the try_ forms
     // return NULL instead, which is what a 100 TB pipeline over dirty
-    // data needs (one malformed row must not kill a stage). Digests
-    // count the NULLs each failure mode produces and sum the surviving
-    // values exactly (half-integer quotients through DECIMAL).
+    // data needs (one malformed row must not kill a stage). The error
+    // branches are RARE by design (~2% of rows, quantity-boundary
+    // triggered): each caught error is a thrown JVM exception, so a
+    // mostly-failing column costs ~13 microseconds PER ROW (a 90%-error
+    // first draft of this query ran 18 s at sf0.1; errors-are-
+    // exceptional runs in ~0.5 s). Digests count the NULLs each failure
+    // mode produces and sum the survivors exactly (divisors {1,2} keep
+    // quotients at half-integers, exact in DECIMAL).
     QueryDef("q_try_funcs",
       (s, d) => lineitem(s, d)
-        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"),
-          (col("l_quantity").cast("long") % 3).as("m"),
-          when(col("l_quantity") > 25, lit("x"))
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("q"))
+        .select(col("l_suppkey"), col("l_partkey"), col("q"),
+          when(col("q") === 49, 0L).otherwise(col("q") % 2 + 1).as("m"),
+          when(col("q") === 50, lit("x"))
             .otherwise(col("l_partkey").cast("string")).as("cs"))
         .select(
           expr("try_divide(l_suppkey, m)").as("td"),
           expr("try_cast(cs AS BIGINT)").as("tc"),
-          expr("try_add(9223372036854775800L, l_suppkey)").as("ta"),
-          expr("try_multiply(l_partkey, 9223372036854775807L)").as("tm"))
+          expr("try_add(9223372036854775758L, q)").as("ta"),
+          expr("try_multiply(q, 9223372036854775807L div 49)").as("tm"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("td").isNull, 1L).otherwise(0L)).as("n_div_null"),
           sum(col("td").cast("decimal(18,6)")).cast("double").as("div_sum"),
@@ -1568,19 +1575,20 @@ object Queries {
           sum(when(col("ta").isNull, 1L).otherwise(0L)).as("n_add_null"),
           sum(when(col("tm").isNull, 1L).otherwise(0L)).as("n_mul_null")),
       Some("""WITH t AS (
-             |  SELECT l_suppkey, l_partkey,
-             |         CAST(l_quantity AS BIGINT) % 3 AS m,
-             |         CASE WHEN l_quantity > 25 THEN 'x'
+             |  SELECT l_suppkey, l_partkey, CAST(l_quantity AS BIGINT) AS q,
+             |         CASE WHEN CAST(l_quantity AS BIGINT) = 49 THEN 0
+             |              ELSE CAST(l_quantity AS BIGINT) % 2 + 1 END AS m,
+             |         CASE WHEN CAST(l_quantity AS BIGINT) = 50 THEN 'x'
              |              ELSE CAST(l_partkey AS VARCHAR) END AS cs
              |  FROM lineitem),
              |v AS (
              |  SELECT CASE WHEN m = 0 THEN NULL
              |              ELSE CAST(l_suppkey AS DOUBLE) / m END AS td,
              |         TRY_CAST(cs AS BIGINT) AS tc,
-             |         CASE WHEN l_suppkey > 7 THEN NULL
-             |              ELSE 9223372036854775800 + l_suppkey END AS ta,
-             |         CASE WHEN l_partkey > 1 THEN NULL
-             |              ELSE l_partkey * 9223372036854775807 END AS tm
+             |         CASE WHEN q > 49 THEN NULL
+             |              ELSE 9223372036854775758 + q END AS ta,
+             |         CASE WHEN q > 49 THEN NULL
+             |              ELSE q * (9223372036854775807 // 49) END AS tm
              |  FROM t)
              |SELECT COUNT(*) AS n_rows,
              |       CAST(SUM(CASE WHEN td IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
