@@ -274,6 +274,30 @@ class ExpressionSpec extends AnyFunSuite {
     assert(viaSql.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(9L, 8L, 7L))
   }
 
+  test("topk_pairs buffer serialize/deserialize round-trips and merge stays trimmed") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKPairs(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k = 4)
+    val rnd = new scala.util.Random(11)
+    val buf = agg.createAggregationBuffer()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    (1 to 200).foreach { i =>
+      row.update(0, rnd.nextInt(20).toDouble)
+      row.update(1, i.toLong)
+      agg.update(buf, row)
+    }
+    assert(buf.size() == 4)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.keySet().asInstanceOf[java.util.Set[(Double, Long)]].toArray.toSeq ==
+      buf.keySet().asInstanceOf[java.util.Set[(Double, Long)]].toArray.toSeq)
+    // merging a buffer into itself (duplicate pairs) changes nothing
+    val merged = agg.merge(agg.deserialize(agg.serialize(buf)), back)
+    assert(merged.keySet().asInstanceOf[java.util.Set[(Double, Long)]].toArray.toSeq ==
+      buf.keySet().asInstanceOf[java.util.Set[(Double, Long)]].toArray.toSeq)
+  }
+
   test("minhash_bands_of a signature equals minhash_bands of the tokens") {
     val df = spark.range(50).selectExpr(
       "array(concat('a', id), concat('b', id % 7), concat('c', id % 3)) AS toks")
