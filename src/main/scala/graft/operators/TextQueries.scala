@@ -812,6 +812,38 @@ object TextQueries {
       (s, d) => Multimodal.pipeline(s, documents(s, d)),
       None),
 
+    // Frame sampling with EXACT oracle: fixed-size frames, every 4th
+    // kept — the "video" keyframe-extraction shape. The emitted digests
+    // (frame counts plus first/last sampled-frame byte lengths) are pure
+    // integer arithmetic over the blob length, so the typed
+    // mapPartitions path goes through the hash gate; the frame BYTES
+    // themselves are pinned by the coverage unit test (sampleFrames).
+    QueryDef("mm_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            val fs = Multimodal.sampleFrames(id, bytes)
+            (id, fs.n_frames.toLong, fs.sampled.length.toLong,
+              fs.sampled.head.length.toLong, fs.sampled.last.length.toLong)
+          })
+          .toDF("doc_id", "n_frames", "n_sampled", "first_len", "last_len")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, n, (n + 63) // 64 AS n_frames FROM b)
+             |SELECT doc_id,
+             |       CAST(n_frames AS BIGINT) AS n_frames,
+             |       CAST((n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+             |       CAST(least(64, n) AS BIGINT) AS first_len,
+             |       CAST(least(64, n - 4 * ((n_frames - 1) // 4) * 64) AS BIGINT) AS last_len
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // Multimodal decode→resize with EXACT oracle: the resize stage uses
     // integer half-up arithmetic (resizeMetaInt), so the whole typed
     // mapPartitions pipeline is reproducible in SQL — the multimodal

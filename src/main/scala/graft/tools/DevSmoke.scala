@@ -139,6 +139,8 @@ object DevSmoke {
       graft.Queries.queryMap("q_datetime_funcs")(spark, sf).count())
     println("map sweep rows: " + graft.Queries.queryMap("q_map_funcs")(spark, sf).count())
     println("try sweep rows: " + graft.Queries.queryMap("q_try_funcs")(spark, sf).count())
+    println("frame sample rows: " +
+      graft.Queries.queryMap("mm_frame_sample")(spark, sf).count())
 
     spark.stop()
   }
