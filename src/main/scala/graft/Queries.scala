@@ -1528,7 +1528,10 @@ object Queries {
           size(expr("map_filter(qm, (k, v) -> v > 25)")).as("n_big"),
           expr("aggregate(map_values(map_zip_with(qm, sm, (k, a, b) -> a * b)), 0L, (a, x) -> a + x)")
             .as("zip_sum"),
-          expr("element_at(qm, 1)").as("first_qty"))
+          // try_element_at, not element_at: under ANSI mode a group with
+          // no linenumber 1 would THROW from element_at, while the oracle's
+          // MAX(CASE WHEN ...) yields NULL — try_ matches the oracle.
+          expr("try_element_at(qm, 1)").as("first_qty"))
         .orderBy(col("l_orderkey")),
       Some("""WITH g AS (
              |  SELECT l_orderkey, l_linenumber,
@@ -1887,6 +1890,16 @@ object Queries {
     // filtered explicitly: engines DISAGREE on whether a comma-LATERAL
     // over an empty aggregate keeps a NULL row (Spark does, DuckDB
     // drops it), so the query pins the unambiguous inner semantics.
+    //
+    // Scale note: the textbook decorrelation aggregates MAX(l_quantity)
+    // over ALL of lineitem then joins to the 2% of orders surviving the
+    // `% 50` filter — at 100 TB that aggregates the full fact table to
+    // answer 1/50th of it, and Catalyst does NOT infer the modulo
+    // predicate through the correlation equality (constraint propagation
+    // stops at the decorrelated aggregate). So the inner query states
+    // `l.l_orderkey % 50 = 0` explicitly — implied by the correlation
+    // `l_orderkey = o_orderkey` and the outer filter, it prunes the
+    // aggregate's input 50x at the scan, ahead of any join.
     QueryDef("q_lateral_subquery",
       (s, d) => {
         lineitem(s, d).createOrReplaceTempView("lineitem_lat")
@@ -1896,7 +1909,8 @@ object Queries {
           FROM orders_lat o,
                LATERAL (SELECT MAX(l.l_quantity) AS max_qty
                         FROM lineitem_lat l
-                        WHERE l.l_orderkey = o.o_orderkey) t
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_orderkey % 50 = 0) t
           WHERE o.o_orderkey % 50 = 0 AND t.max_qty IS NOT NULL
           ORDER BY o.o_orderkey""")
       },
@@ -1904,7 +1918,8 @@ object Queries {
              |FROM orders o,
              |     LATERAL (SELECT MAX(l.l_quantity) AS max_qty
              |              FROM lineitem l
-             |              WHERE l.l_orderkey = o.o_orderkey) t
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_orderkey % 50 = 0) t
              |WHERE o.o_orderkey % 50 = 0 AND t.max_qty IS NOT NULL
              |ORDER BY o.o_orderkey""".stripMargin)),
 

@@ -285,6 +285,11 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
     // is an expression field of the Aggregate node
     case SchemaOfVariantAgg(VariantFromJson(src, parseFail), render, o1, o2) =>
       SchemaOfJsonAgg(src, parseFail, render, o1, o2)
+    // merge patch over two parses: single token walk per document into
+    // the value tree, merge, ONE canonical encode (no intermediate
+    // variant encode+decode round trips)
+    case VariantMergePatch(VariantFromJson(t, failT), VariantFromJson(p, failP)) =>
+      JsonMergePatchFused(t, p, failT, failP)
   }
 
   /** Fusion THROUGH a Project boundary. CollapseProject refuses to

@@ -57,8 +57,14 @@ case class TopKPairs(
     val s = left.eval(input)
     val i = right.eval(input)
     if (s != null && i != null) {
-      buf.put((s.asInstanceOf[Double], i.asInstanceOf[Long]), ())
-      trim(buf)
+      val score = s.asInstanceOf[Double]
+      // NaN would sort ABOVE every finite score under Double.compare,
+      // diverging from the SQL row_number ORDER BY ... DESC oracle
+      // (where NaN comparisons are false) — drop NaN scores like NULLs.
+      if (!java.lang.Double.isNaN(score)) {
+        buf.put((score, i.asInstanceOf[Long]), ())
+        trim(buf)
+      }
     }
     buf
   }

@@ -74,6 +74,81 @@ case class VariantMergePatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused `variant_merge_patch(variant_from_json(t), variant_from_json(p))`
+  * — both documents parse straight into the decoded value tree (one
+  * streaming Jackson walk each) and the merged tree encodes ONCE, so the
+  * unfused chain's per-row intermediate work (2 variant encodes + 2
+  * decodes) disappears. Installed by [[VariantGetFusionRule]]; the
+  * unfused pair stays the semantic reference and the fusion parity is
+  * pinned by VariantMergeFuzzSpec.
+  *
+  * Semantics match the unfused chain exactly:
+  *  - top-level JSON `null` parses to SQL NULL (JsonCodec's SQL-null
+  *    rule), and a NULL on either side makes the merge NULL;
+  *  - parse failure throws (variant_from_json) or nulls the result
+  *    (try_variant_from_json), each side per its own flag, left first —
+  *    the unfused children evaluate left-to-right;
+  *  - trailing tokens and >i128 integers are rejected like fromJsonBytes;
+  *  - duplicate keys inside one document collapse to the LAST value at
+  *    the FIRST position — byte-for-byte what decode()'s LinkedHashMap
+  *    does to the streaming encoder's kept-both fields.
+  */
+case class JsonMergePatchFused(left: Expression, right: Expression,
+                               failLeft: Boolean, failRight: Boolean)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  import VariantMergePatch._
+
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_merge_patch_fused"
+
+  // Same duplication-absorbing memo as the unfused expression: Catalyst
+  // copies the merge into every aggregate/group expression referencing
+  // it; content-keyed last-input memoization collapses the copies to one
+  // parse+merge+encode per row. Slot 2 holds the result; NULL_RESULT
+  // disambiguates a memoized SQL-null from a cold memo.
+  @transient private lazy val lastMerge: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](3))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val tb = JsonFused.toBytes(l)
+    val pb = JsonFused.toBytes(r)
+    val memo = lastMerge.get()
+    if (memo(0) != null &&
+        java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], tb) &&
+        java.util.Arrays.equals(memo(1).asInstanceOf[Array[Byte]], pb)) {
+      return if (memo(2) eq JsonMergePatchFused.NULL_RESULT) null else memo(2)
+    }
+    val t =
+      try docToVNode(tb)
+      catch { case e: VariantJsonCodec.JsonParseException =>
+        if (failLeft) throw e else JsonMergePatchFused.FAILED }
+    val p =
+      try docToVNode(pb)
+      catch { case e: VariantJsonCodec.JsonParseException =>
+        if (failRight) throw e else JsonMergePatchFused.FAILED }
+    val merged: AnyRef =
+      if ((t eq JsonMergePatchFused.FAILED) || (p eq JsonMergePatchFused.FAILED) ||
+          t == null || p == null) null
+      else encode(merge(t.asInstanceOf[VNode], p.asInstanceOf[VNode]))
+    memo(0) = tb.clone(); memo(1) = pb.clone()
+    memo(2) = if (merged == null) JsonMergePatchFused.NULL_RESULT else merged
+    merged
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JsonMergePatchFused {
+  /** Memoized-SQL-null marker (never escapes the memo). */
+  private[functions] val NULL_RESULT: AnyRef = new Object
+  /** try_-side parse-failure marker (never escapes nullSafeEval). */
+  private[functions] val FAILED: AnyRef = new Object
+}
+
 object VariantMergePatch {
   import VariantConst._
 
@@ -100,6 +175,70 @@ object VariantMergePatch {
   def decode(metaBytes: Array[Byte], valueBytes: Array[Byte]): VNode = {
     val meta = new MetadataView(metaBytes, 0)
     decodeValue(new VariantView(valueBytes, 0), meta)
+  }
+
+  /** Parse a whole JSON document straight into the value tree — the
+    * fused path's replacement for parse→encode→decode. Returns Scala
+    * null for a top-level JSON `null` (the SQL-null rule,
+    * JsonCodec fromJsonBytes); applies the SAME document validation as
+    * the unfused encoder: empty input, trailing tokens, and integers
+    * past i128 are JsonParseExceptions.
+    */
+  def docToVNode(utf8: Array[Byte]): VNode = {
+    import com.fasterxml.jackson.core.JsonToken
+    try {
+      val p = JsonPathExtract.factory.createParser(utf8, 0, utf8.length)
+      val tok = p.nextToken()
+      if (tok == null)
+        throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: empty input", null)
+      val v = if (tok == JsonToken.VALUE_NULL) null else vnodeFromParser(p)
+      if (p.nextToken() != null)
+        throw new VariantJsonCodec.JsonParseException("Failed to parse JSON: trailing tokens", null)
+      v
+    } catch {
+      case e: VariantJsonCodec.JsonParseException => throw e
+      case e: Exception =>
+        throw new VariantJsonCodec.JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
+    }
+  }
+
+  /** One JSON value (the token the parser is ON) → VNode. Number
+    * coercions mirror JsonCodec.convertStream exactly: int → long,
+    * big int → decimal scale 0 with the i128 bound, float → double.
+    */
+  private def vnodeFromParser(p: com.fasterxml.jackson.core.JsonParser): VNode = {
+    import com.fasterxml.jackson.core.{JsonParser => JP, JsonToken => T}
+    p.currentToken() match {
+      case T.VALUE_NULL => VNull
+      case T.VALUE_TRUE => VBool(true)
+      case T.VALUE_FALSE => VBool(false)
+      case T.VALUE_NUMBER_INT =>
+        p.getNumberType match {
+          case JP.NumberType.BIG_INTEGER =>
+            val bi = p.getBigIntegerValue
+            if (bi.bitLength() >= 128)
+              throw new VariantJsonCodec.JsonParseException(
+                s"Could not fit value $bi into an i128", null)
+            VDecimal(bi, 0)
+          case _ => VLong(p.getLongValue)
+        }
+      case T.VALUE_NUMBER_FLOAT => VDouble(p.getDoubleValue)
+      case T.VALUE_STRING => VStr(p.getText)
+      case T.START_ARRAY =>
+        val b = Vector.newBuilder[VNode]
+        while (p.nextToken() != T.END_ARRAY) b += vnodeFromParser(p)
+        VArr(b.result())
+      case T.START_OBJECT =>
+        val out = new scala.collection.mutable.LinkedHashMap[String, VNode]
+        while (p.nextToken() != T.END_OBJECT) {
+          val name = p.currentName()
+          p.nextToken()
+          out.put(name, vnodeFromParser(p))
+        }
+        VObj(out)
+      case other =>
+        throw new VariantJsonCodec.JsonParseException(s"Unsupported JSON token: $other", null)
+    }
   }
 
   private def decodeValue(v: VariantView, meta: MetadataView): VNode = {

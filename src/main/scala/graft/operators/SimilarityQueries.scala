@@ -49,22 +49,33 @@ object Similarity {
   private val ivfModelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), org.apache.spark.ml.clustering.KMeansModel]()
 
+  /** The ONE centroid trainer both ivfTopK and semanticDedup share.
+    * Cache reuse across the two operators is deliberate (same corpus +
+    * same k ⇒ same cells, whether used as an IVF index or SemDeDup
+    * neighborhoods) and is only sound because every caller goes through
+    * THIS function — identical seed/maxIter/featuresCol by construction.
+    */
+  private def trainCentroids(featured: DataFrame, k: Int,
+                             indexKey: Option[String]): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    def train() = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    indexKey match {
+      case Some(key) => ivfModelCache.computeIfAbsent((key, k), _ => train())
+      case None => train()
+    }
+  }
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               indexKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     val featured = corpus.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
-    def train() = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(featured)
-    val model = indexKey match {
-      case Some(key) => ivfModelCache.computeIfAbsent((key, nlist), _ => train())
-      case None => train()
-    }
+    val model = trainCentroids(featured, nlist, indexKey)
     val assigned = model.transform(featured)
       .withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -218,16 +229,10 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, nClusters: Int, thr: Double,
                     indexKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
-    def train() = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(featured)
-    val model = indexKey match {
-      case Some(key) => ivfModelCache.computeIfAbsent((key, nClusters), _ => train())
-      case None => train()
-    }
+    val model = trainCentroids(featured, nClusters, indexKey)
     val assigned = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"))

@@ -331,55 +331,27 @@ object TextQueries {
 
     // Duplicate-cluster assignment — the step that turns pairwise
     // near-dup hits into keep/drop decisions: connected components over
-    // the verified pair graph, label = min doc_id in the component.
-    // Iterative min-label propagation over the EDGE table only (edges ≈
-    // dup pairs, orders of magnitude smaller than the corpus); the
-    // driver loop tests convergence on an aggregate count, the data
-    // never leaves executors, and localCheckpoint truncates the
-    // per-iteration lineage. Iterations ≤ component diameter (tiny for
-    // dup clusters); at 100 TB the same loop runs with the
-    // large-star/small-star optimization (Kiveris et al., Connected
-    // Components in MapReduce), which this propagation is the simple
-    // case of.
+    // the verified pair graph, label = min doc_id in the component, by
+    // large-star/small-star alternation (ConnectedComponents.scala;
+    // Kiveris et al., Connected Components in MapReduce and Beyond).
+    // Rounds are O(log n) regardless of component DIAMETER — a chain of
+    // 10^4 near-dups converges in ~14 rounds where plain min-label
+    // propagation needs 10^4 — and every round shuffles only the EDGE
+    // table (dup pairs, orders of magnitude smaller than the corpus).
     QueryDef("d_dup_clusters",
       (s, d) => {
         val pairs = exactJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-        // The propagation loop operates on the EDGE table (≈ dup pairs,
-        // thousands of rows here) — at the default 32 shuffle partitions
-        // every iteration is pure task-scheduling overhead. Run the loop
-        // narrow and restore after; the localCheckpoints materialize
-        // inside the scope. At 100 TB the edge table is still tiny
-        // relative to the corpus, and this knob scales with IT.
+        // The alternation operates on the edge table (thousands of rows
+        // here) — at the default 32 shuffle partitions every round is
+        // pure task-scheduling overhead. Run it narrow and restore
+        // after; the localCheckpoints materialize inside the scope. At
+        // 100 TB the edge table is still tiny relative to the corpus,
+        // and this knob scales with IT.
         val partsKey = "spark.sql.shuffle.partitions"
         val prevParts = s.conf.get(partsKey)
         s.conf.set(partsKey, "4")
-        try {
-        val edges = pairs
-          .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").localCheckpoint()
-        var labels = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id")).localCheckpoint()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          val nbrMin = edges
-            .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
-            .groupBy(col("src").as("doc_id"))
-            .agg(min(col("nl")).as("nbr_min"))
-          // carry the previous label through the propagation join so the
-          // convergence check is a filter over the checkpointed result,
-          // not a second join per iteration
-          val next = labels.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("new_id"),
-              col("cluster_id").as("prev"))
-            .localCheckpoint()
-          changed = next.filter(col("new_id") < col("prev")).count()
-          labels = next.select(col("doc_id"), col("new_id").as("cluster_id"))
-          iter += 1
-        }
-        labels.orderBy(col("doc_id"))
-        } finally s.conf.set(partsKey, prevParts)
+        try ConnectedComponents.labelComponents(pairs)._1.orderBy(col("doc_id"))
+        finally s.conf.set(partsKey, prevParts)
       },
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, source, list_distinct(regexp_extract_all(text, '\S+')) AS t
@@ -826,7 +798,10 @@ object TextQueries {
           .as[(Long, Array[Byte])]
           .mapPartitions(_.map { case (id, bytes) =>
             val fs = Multimodal.sampleFrames(id, bytes)
-            (id, fs.n_frames.toLong, fs.sampled.length.toLong,
+            // A zero-length blob samples zero frames; emit zero digests
+            // instead of throwing on head/last of an empty seq.
+            if (fs.sampled.isEmpty) (id, 0L, 0L, 0L, 0L)
+            else (id, fs.n_frames.toLong, fs.sampled.length.toLong,
               fs.sampled.head.length.toLong, fs.sampled.last.length.toLong)
           })
           .toDF("doc_id", "n_frames", "n_sampled", "first_len", "last_len")

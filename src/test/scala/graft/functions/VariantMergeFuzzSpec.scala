@@ -82,4 +82,82 @@ class VariantMergeFuzzSpec extends AnyFunSuite {
       assert(got(i) === expected, s"pair $i: target=$t patch=$p")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Fusion parity: the optimizer rewrites the SQL surface to
+  // JsonMergePatchFused, so the suite above now exercises the FUSED
+  // plan; this block pins fused ≡ unfused byte-for-byte by direct
+  // expression eval (no optimizer), keeping the unfused path tested.
+  // -------------------------------------------------------------------
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.StringType
+
+  private def evalPair(t: String, p: String): (Any, Any) = {
+    val lt = Literal.create(t, StringType)
+    val lp = Literal.create(p, StringType)
+    val unfused = VariantMergePatch(VariantFromJson(lt), VariantFromJson(lp)).eval(InternalRow.empty)
+    val fused = JsonMergePatchFused(lt, lp, failLeft = true, failRight = true).eval(InternalRow.empty)
+    (unfused, fused)
+  }
+
+  private def assertSameBytes(t: String, p: String): Unit = {
+    val (u, f) = evalPair(t, p)
+    if (u == null || f == null) {
+      assert(u == null && f == null, s"null mismatch: target=$t patch=$p unfused=$u fused=$f")
+    } else {
+      val ur = u.asInstanceOf[InternalRow]; val fr = f.asInstanceOf[InternalRow]
+      assert(java.util.Arrays.equals(ur.getBinary(0), fr.getBinary(0)),
+        s"metadata bytes differ: target=$t patch=$p")
+      assert(java.util.Arrays.equals(ur.getBinary(1), fr.getBinary(1)),
+        s"value bytes differ: target=$t patch=$p")
+    }
+  }
+
+  test("fused and unfused merge agree byte-for-byte on 300 random pairs") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 300).foreach { _ =>
+      val t = gen(rnd, 0)
+      val p = gen(rnd, 0)
+      assertSameBytes(t, p)
+    }
+  }
+
+  test("fused parity on edge documents: top-level null, scalars, numbers, dup keys") {
+    // SQL-null rule: a top-level JSON null on either side nulls the merge
+    assertSameBytes("null", """{"a":1}""")
+    assertSameBytes("""{"a":1}""", "null")
+    // non-object patches replace wholesale
+    assertSameBytes("""{"a":1}""", "3.5")
+    assertSameBytes("42", """{"a":1}""")
+    // number coercions: big int → decimal scale 0, float → double
+    assertSameBytes("""{"a": 99999999999999999999999999}""", """{"b": 1e3}""")
+    assertSameBytes("""{"a": 1.25}""", """{"a": 170141183460469231731687303715884105727}""")
+    // duplicate keys collapse identically (last value, first position)
+    assertSameBytes("""{"a":1,"b":2,"a":3}""", """{"b":{"x":1,"x":2}}""")
+  }
+
+  test("fused parity on errors: malformed, trailing tokens, i128 overflow, try_ semantics") {
+    def unfusedFails(t: String, p: String): Boolean =
+      try { VariantMergePatch(VariantFromJson(Literal.create(t, StringType)),
+        VariantFromJson(Literal.create(p, StringType))).eval(InternalRow.empty); false }
+      catch { case _: graft.variant.VariantJsonCodec.JsonParseException => true }
+    def fusedFails(t: String, p: String): Boolean =
+      try { JsonMergePatchFused(Literal.create(t, StringType), Literal.create(p, StringType),
+        failLeft = true, failRight = true).eval(InternalRow.empty); false }
+      catch { case _: graft.variant.VariantJsonCodec.JsonParseException => true }
+    for ((t, p) <- Seq(
+        ("""{"a":}""", """{"b":1}"""),            // malformed target
+        ("""{"a":1}""", """{"b":"""),             // malformed patch
+        ("""{"a":1} 2""", """{"b":1}"""),         // trailing tokens
+        ("""{"a":1}""", "null null"),             // trailing after top null
+        ("""{"a": 340282366920938463463374607431768211456}""", "{}"))) { // ≥ i128
+      assert(unfusedFails(t, p) && fusedFails(t, p), s"error parity: target=$t patch=$p")
+    }
+    // try_ form: a failed side nulls the result instead of throwing
+    val tryFused = JsonMergePatchFused(
+      Literal.create("""{"a":}""", StringType), Literal.create("""{"b":1}""", StringType),
+      failLeft = false, failRight = true).eval(InternalRow.empty)
+    assert(tryFused == null)
+  }
 }
