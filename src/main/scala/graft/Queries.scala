@@ -1421,6 +1421,34 @@ object Queries {
              |WHERE rn <= 2
              |ORDER BY l_orderkey, l_quantity DESC, l_extendedprice DESC, l_linenumber""".stripMargin)),
 
+    // GroupedTopK composed with the fused variant pipeline: the ordering
+    // key is a variant extraction (`$.k` of the props JSON), so the
+    // optimizer must apply BOTH custom pieces in one plan — the fusion
+    // rule rewrites variant_get(variant_from_json(props)) to the
+    // single-pass JsonPathExtract inside the projection, and the
+    // strategy places GroupedTopKExec's partial per-partition heaps
+    // above it (composition pinned in PlanSpec). The per-group heap
+    // carries k=2 rows per group per partition into one shuffle — at
+    // 100 TB the alternative window-rank sorts every row of every
+    // partition.
+    QueryDef("v_grouped_topk",
+      (s, d) => {
+        import graft.functions.{VariantFunctions => vf}
+        val ev = events(s, d).withColumn("k",
+          vf.variant_get(vf.variant_from_json(col("props")), "$.k", LongType))
+        graft.operators.TopK.groupedTopK(ev, Seq("event_type"),
+          Seq(ev("k").desc, ev("event_id")), 2)
+          .select(col("event_type"), col("event_id"), col("k"))
+          .orderBy(col("event_type"), col("k").desc, col("event_id"))
+      },
+      Some("""SELECT event_type, event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY event_type
+             |        ORDER BY CAST(json_extract_string(props, '$.k') AS BIGINT) DESC, event_id) AS rn
+             |      FROM events)
+             |WHERE rn <= 2
+             |ORDER BY event_type, k DESC, event_id""".stripMargin)),
+
     // Z-order (Morton) clustering key: interleave the bits of two join/
     // filter dimensions so rows close in BOTH dimensions get close
     // z-values — the data-layout trick behind multi-dimension data

@@ -337,6 +337,47 @@ object SimilarityQueries {
       },
       None),
 
+    // ANN quality gate in the DRIVER lane: recall@5 of each approximate
+    // method against the exact brute-force result, reduced to a
+    // deterministic meets-floor digest the DuckDB oracle can state as
+    // constants. Everything on the Spark side is seeded/deterministic
+    // (fixed hyperplanes, seed-42 k-means, deterministic PQ training),
+    // so the hash compare pins the floors: if a bucketing or rerank
+    // change craters recall, CORRECTNESS flags it — not only ScalaTest.
+    // Floors sit under the measured recalls at every fixture SF
+    // (lsh .12-.20 ≥ .10, ivf .52-.64 ≥ .40, pq .80-.98 ≥ .70; the
+    // random uniform embeddings make LSH/IVF genuinely hard — no
+    // cluster structure to exploit — which is WHY the floors differ).
+    QueryDef("e_ann_recall",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        // 50 rows; checkpoint so three hit-joins don't re-scan the corpus
+        val exact = bruteForceTopK(emb, probes, 5)
+          .select(col("qid"), col("neighbor_id")).localCheckpoint()
+        val exactN = exact.agg(count(lit(1)).as("n_exact"))
+        Seq(
+          ("lsh", lshTopK(emb, probes, 5, bits = 8), 10),
+          ("ivf", ivfTopK(emb, probes, 5, indexKey = Some(d)), 40),
+          ("pq", pqTopK(emb, probes, 5, indexKey = Some(d)), 70))
+          .map { case (name, approx, floorPct) =>
+            approx.select(col("qid"), col("neighbor_id"))
+              .join(exact, Seq("qid", "neighbor_id"))
+              .agg(count(lit(1)).as("hits"))
+              .crossJoin(exactN)
+              .select(lit(name).as("method"),
+                lit(floorPct).as("floor_pct"),
+                // integer arithmetic: hits/n_exact ≥ floor_pct/100
+                (col("hits") * 100 >= col("n_exact") * floorPct).as("meets_floor"))
+          }
+          .reduce(_ unionAll _)
+          .orderBy(col("method"))
+      },
+      Some("""SELECT * FROM (VALUES ('ivf', 40, true), ('lsh', 10, true), ('pq', 70, true))
+             |  AS t(method, floor_pct, meets_floor)
+             |ORDER BY method""".stripMargin)),
+
     // Vector arithmetic via higher-order functions: per-row L2 norm as a
     // sequential left-to-right double fold (bit-identical to the
     // oracle's list reduction). Map-only — scales trivially.
@@ -405,6 +446,15 @@ object StreamingQueries {
     */
   private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession, n: Int,
                                      noDataBatches: Boolean = true)(f: => A): A = {
+    // State-store provider: measured both providers same-harness on the
+    // sf0.1 fixture (6 stateful queries, 8 state partitions, min-of-2):
+    // HDFS-backed 13.6 s total vs RocksDB 14.3 s — RocksDB never won a
+    // query (worst: s_minhash_dedup 2.44→3.12 s). At kilobyte state
+    // sizes the per-partition native DB open/commit outweighs the tiny
+    // delta-file commits of the map provider; RocksDB's point is LARGE
+    // state (constant-memory incremental checkpoints), the opposite
+    // regime — the default provider stays. Fewer state partitions was
+    // measured too (4 parts: 16.2 s) — 8 stays.
     val key = "spark.sql.shuffle.partitions"
     val nd = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
@@ -440,6 +490,10 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"))
         val qname = s"s_window_counts_${runCounter.incrementAndGet()}"
         withStatePartitions(s, 8, noDataBatches = false) {
+          // Trigger choice measured too: AvailableNow() + awaitTermination
+          // ran 1.74→2.0-2.2 s here (extra source file-index pass plus a
+          // finalization batch); the default trigger with
+          // processAllAvailable stays.
           val q = agg.writeStream.outputMode("complete")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()

@@ -142,6 +142,13 @@ object DevSmoke {
     println("frame sample rows: " +
       graft.Queries.queryMap("mm_frame_sample")(spark, sf).count())
 
+    println("=== round-5 surface: ann recall gate / variant grouped topk / CC ===")
+    graft.Queries.queryMap("e_ann_recall")(spark, sf).show(3, truncate = false)
+    println("variant grouped topk rows: " +
+      graft.Queries.queryMap("v_grouped_topk")(spark, sf).count())
+    println("dup clusters (large/small-star): " +
+      graft.Queries.queryMap("d_dup_clusters")(spark, sf).count())
+
     spark.stop()
   }
 }

@@ -67,6 +67,22 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(plan.indexOf("GroupedTopKPartial") > exchangeFirst, plan)
   }
 
+  test("composes with the variant fusion rule: fused extraction feeds the heap in one plan") {
+    // v_grouped_topk orders by variant_get(variant_from_json(props), '$.k'):
+    // the optimizer must BOTH fuse the extraction (json_path_extract, no
+    // intermediate variant bytes) AND place the two-phase heap exec —
+    // proving the custom Expression rewrite and the custom Strategy
+    // compose in a single plan.
+    val df = graft.Queries.queryMap("v_grouped_topk")(spark, graft.TestSpark.SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKPartial"), plan)
+    assert(plan.contains("GroupedTopKFinal"), plan)
+    assert(plan.contains("json_path_extract"), plan)
+    assert(!plan.contains("variant_from_json"), s"parse not fused:\n$plan")
+    // and it must actually produce rows
+    assert(df.limit(1).count() === 1)
+  }
+
   test("partial phase bounds shuffled rows to k per (group, partition)") {
     // drive the partial exec directly: per input partition no group may
     // contribute more than k rows
