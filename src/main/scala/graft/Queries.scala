@@ -1421,6 +1421,30 @@ object Queries {
              |WHERE rn <= 2
              |ORDER BY l_orderkey, l_quantity DESC, l_extendedprice DESC, l_linenumber""".stripMargin)),
 
+    // Exact distributed quantiles WITHOUT a global sort (two-pass
+    // histogram partition-select, operators/Quantiles.scala): pass 1 is
+    // two mergeable aggregations (bounds, fixed-width histogram — the
+    // driver sees ≤1024 numbers at ANY corpus size); pass 2 sorts only
+    // the bucket each rank lands in (~n/1024 rows). The exact-sort
+    // alternative shuffles the whole table; Spark's percentile_approx
+    // gives up exactness. P50/P90/P99/P99.9 of the rounded price, exact
+    // against DuckDB quantile_disc.
+    QueryDef("q_quantile_2pass",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(round(col("l_extendedprice")).cast("long").as("value"))
+        graft.operators.Quantiles.exactQuantiles(li, "value",
+          Seq(0.5, 0.9, 0.99, 0.999))
+          .orderBy(col("q"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(round(l_extendedprice) AS BIGINT) AS value FROM lineitem)
+             |SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM v
+             |UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM v
+             |UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM v
+             |UNION ALL SELECT 0.999, quantile_disc(value, 0.999) FROM v
+             |ORDER BY q""".stripMargin)),
+
     // GroupedTopK composed with the fused variant pipeline: the ordering
     // key is a variant extraction (`$.k` of the props JSON), so the
     // optimizer must apply BOTH custom pieces in one plan — the fusion

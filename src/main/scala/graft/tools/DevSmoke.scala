@@ -148,6 +148,7 @@ object DevSmoke {
       graft.Queries.queryMap("v_grouped_topk")(spark, sf).count())
     println("dup clusters (large/small-star): " +
       graft.Queries.queryMap("d_dup_clusters")(spark, sf).count())
+    graft.Queries.queryMap("q_quantile_2pass")(spark, sf).show(4, truncate = false)
 
     spark.stop()
   }
