@@ -51,6 +51,10 @@ object Queries {
   private def dsum(c: String): Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** Column-argument twin of [[dsum]] for computed inputs. */
+  private def dsum2(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
   /** One-time CSV/JSON staging dirs for the source-format queries (the
     * bench runs each query repeatedly — stage once per sf dir). */
   private val srcStage = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1784,6 +1788,45 @@ object Queries {
              |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
              |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Corrupt-record-tolerant ingestion: at 100 TB some input lines ARE
+    // malformed, and one bad line must neither kill the job (FAILFAST)
+    // nor silently vanish (DROPMALFORMED) — PERMISSIVE parses what it
+    // can and routes the raw line to _corrupt_record for a quarantine
+    // count/audit. Staged deterministically from customer (every
+    // custkey % 37 == 0 row gets a non-numeric balance field), so the
+    // DuckDB oracle reproduces the exact good/bad split from the
+    // parquet original. Good-row aggregates exclude corrupt rows
+    // explicitly: PERMISSIVE keeps partial results for fields that DID
+    // parse, so filtering on _corrupt_record is the contract.
+    QueryDef("q_csv_corrupt",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"csvbad#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_csvbad_").toString
+          customer(s, d).select(concat_ws(",",
+              col("c_custkey"), col("c_nationkey"),
+              when(col("c_custkey") % 37 === 0, concat(lit("X"), col("c_custkey")))
+                .otherwise(col("c_acctbal").cast("string"))).as("line"))
+            .coalesce(1).write.mode("overwrite").text(sd)
+          sd
+        })
+        s.read
+          .schema("c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(dir)
+          .agg(
+            count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+            count(col("_corrupt_record")).as("n_bad"),
+            sum(when(col("_corrupt_record").isNull, col("c_custkey"))).as("key_sum"),
+            dsum2(when(col("_corrupt_record").isNull, col("c_acctbal"))).as("bal_sum"))
+      },
+      Some("""SELECT COUNT(CASE WHEN c_custkey % 37 <> 0 THEN 1 END) AS n_good,
+             |       COUNT(CASE WHEN c_custkey % 37 = 0 THEN 1 END) AS n_bad,
+             |       CAST(SUM(CASE WHEN c_custkey % 37 <> 0 THEN c_custkey END) AS BIGINT) AS key_sum,
+             |       CAST(SUM(CASE WHEN c_custkey % 37 <> 0
+             |                     THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS bal_sum
+             |FROM customer""".stripMargin)),
 
     // Partitioned sink + partition-pruned scan: events written
     // partitionBy(event_type) — the layout that turns a predicate on the

@@ -149,6 +149,7 @@ object DevSmoke {
     println("dup clusters (large/small-star): " +
       graft.Queries.queryMap("d_dup_clusters")(spark, sf).count())
     graft.Queries.queryMap("q_quantile_2pass")(spark, sf).show(4, truncate = false)
+    graft.Queries.queryMap("q_csv_corrupt")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
