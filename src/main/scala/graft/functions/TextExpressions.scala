@@ -384,3 +384,73 @@ case class StringHash64(child: Expression, seed: Long) extends UnaryExpression w
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `cdc_chunks(text, minLen, maskBits, maxLen)`: content-defined
+  * chunking (the LBFS/FastCDC family): a gear rolling hash over the
+  * bytes declares a chunk boundary wherever its low `maskBits` bits are
+  * zero (expected chunk ≈ 2^maskBits bytes) once the chunk is at least
+  * `minLen` long, with a hard cut at `maxLen`. Unlike fixed-size
+  * chunking (`d_chunk`), boundaries follow CONTENT: inserting or
+  * deleting a prefix shifts every fixed-size chunk but leaves all CDC
+  * boundaries after the edit point intact — the property that makes
+  * cross-corpus dedup robust to boilerplate insertions (shift-invariance
+  * pinned in CdcSpec). Output: array<struct<hash, len>>, chunk content
+  * identified by its 64-bit content hash; map-only and codegen-bridged,
+  * so the 100 TB path is a pure scan.
+  */
+case class CdcChunks(child: Expression, minLen: Int, maskBits: Int, maxLen: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(minLen >= 1 && maxLen >= minLen && maskBits >= 1 && maskBits < 32,
+    s"cdc_chunks: bad params min=$minLen mask=$maskBits max=$maxLen")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("hash", LongType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks expects string or binary, got: ${other.simpleString}")
+  }
+
+  private val mask: Long = (1L << maskBits) - 1L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    val out = new java.util.ArrayList[InternalRow]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + CdcChunks.gear(bytes(i) & 0xff)
+      i += 1
+      val len = i - start
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen || i == bytes.length) {
+        out.add(InternalRow(Hash64.fnv1a(bytes, start, len, 0L), len))
+        start = i
+        h = 0L // boundaries restart the roll: chunk identity is content-only
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** Deterministic gear table: 256 seeded 64-bit values (the per-byte
+    * random constants every gear-hash CDC uses; fixed seed keeps chunk
+    * identity stable across JVMs and rounds).
+    */
+  private[functions] val gear: Array[Long] = {
+    val rnd = new java.util.Random(0x67454152L) // "gEAR"
+    Array.fill(256)(rnd.nextLong())
+  }
+}

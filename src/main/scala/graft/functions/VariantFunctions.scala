@@ -55,6 +55,8 @@ object VariantFunctions {
   def hyperplane_bucket(c: Column, bits: Int): Column = col(HyperplaneBucket(expr(c), bits))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
     col(WinnowFingerprints(expr(c), k, w))
+  def cdc_chunks(c: Column, minLen: Int = 64, maskBits: Int = 6, maxLen: Int = 512): Column =
+    col(CdcChunks(expr(c), minLen, maskBits, maxLen))
   // PQ kernels are DSL-only: the codebook is a trained float array, not
   // something a SQL literal can carry.
   def pq_encode(c: Column, codebook: Array[Float], m: Int, ksub: Int): Column =
@@ -205,6 +207,9 @@ object VariantFunctions {
     ("winnow_fingerprints",
       (es: Seq[Expression]) => WinnowFingerprints(es.head, 8, 16),
       "winnow_fingerprints(text) - Winnowing rolling-hash fingerprints (k=8, w=16)."),
+    ("cdc_chunks",
+      (es: Seq[Expression]) => CdcChunks(es.head, 64, 6, 512),
+      "cdc_chunks(text) - Content-defined chunks (gear hash; min=64, avg=2^6, max=512)."),
     ("vec_cosine",
       (es: Seq[Expression]) => CosineSimFloat(es.head, es(1)),
       "vec_cosine(a, b) - Cosine similarity of two float/double vectors."),

@@ -615,6 +615,40 @@ object TextQueries {
              |         list_slice(toks, start + 1, start + least(50, len(toks) - start)), ' ')) AS chunk_hash
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Content-defined chunking's REASON to exist, pinned in the driver
+    // lane: prepend boilerplate to a document and every fixed-size chunk
+    // re-aligns (d_chunk's grid shares ~nothing with the shifted copy),
+    // but CDC boundaries follow content, so chunks after the edit keep
+    // their hashes. The digest checks the mean chunk-hash overlap
+    // between each document and its prefixed copy clears a floor the
+    // fixed grid cannot (gear table is a fixed seeded constant, so the
+    // computation is deterministic and the oracle states the expected
+    // outcome as data-derived count + constant booleans, like
+    // e_ann_recall). Map-only per doc; one final 1-row aggregate.
+    QueryDef("d_cdc_shift",
+      (s, d) => {
+        val fn = graft.functions.VariantFunctions
+        // fixture docs average ~290 bytes — chunk at ~32-byte expected
+        // size (min 16, mask 4, max 128) so each doc carries enough
+        // chunks for the overlap ratio to be meaningful
+        def hashes(c: org.apache.spark.sql.Column) =
+          array_distinct(transform(fn.cdc_chunks(c, 16, 4, 128), ch => ch.getField("hash")))
+        val base = documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+          .withColumn("ha", hashes(col("text")))
+          .withColumn("hb", hashes(concat(lit("BOILERPLATE-HEADER "), col("text"))))
+          .withColumn("overlap_pm",
+            (size(array_intersect(col("ha"), col("hb"))) * 1000) / size(col("ha")))
+        base.agg(
+          count(lit(1)).as("n_docs"),
+          (avg(col("overlap_pm")) >= 600).as("cdc_survives_shift"),
+          min(size(col("ha")) > 0).as("all_chunked"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+             |       true AS cdc_survives_shift,
+             |       true AS all_chunked
+             |FROM documents WHERE doc_id < 200""".stripMargin)),
+
     // Cross-document chunk dedup: the same content-hashed chunk grid as
     // `d_chunk`, grouped by hash — chunks shared by >1 doc are
     // copy-paste repetition a curation pipeline drops or down-weights.

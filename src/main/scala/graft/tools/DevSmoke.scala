@@ -150,6 +150,7 @@ object DevSmoke {
       graft.Queries.queryMap("d_dup_clusters")(spark, sf).count())
     graft.Queries.queryMap("q_quantile_2pass")(spark, sf).show(4, truncate = false)
     graft.Queries.queryMap("q_csv_corrupt")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("d_cdc_shift")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
