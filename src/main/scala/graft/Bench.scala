@@ -32,21 +32,24 @@ object Bench {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // timed runs, report the min: first touch pays JIT/classload noise
-      // that says nothing about the plan. Streaming queries get a third
-      // run — micro-batch checkpoint and state-store churn dominate
-      // their run-to-run variance and two samples leave outliers in the
-      // min.
-      // Three samples for EVERY query, not just streaming: mid-bench a
-      // query can catch its neighbors' GC/cleaner debt on one run (a
-      // 0.85 s window query was observed at 5.4 s when both of two
-      // samples landed badly), and a forced System.gc() between queries
-      // is worse — it evicts soft-referenced codegen/relation caches and
-      // inflated the whole bench ~40%. A third sample makes the min
-      // robust to one polluted run at ~40% more (untimed) wall clock.
-      val runs = 3
-      val times = (1 to runs).map { _ =>
+    // Timed runs, report the min-of-3 per query: first touch pays
+    // JIT/classload noise that says nothing about the plan, and a forced
+    // System.gc() between queries is worse — it evicts soft-referenced
+    // codegen/relation caches (+40% measured).
+    //
+    // The 3 samples run as 3 FULL PASSES over the query set, not
+    // back-to-back: consecutive samples share any transient system
+    // pressure (round 4's driver run showed three queries 1.6-2.3x slow
+    // on UNCHANGED code, unreproducible afterwards — ambient load had
+    // covered all three adjacent samples at once). Spreading a query's
+    // samples minutes apart means a noise burst must recur at each pass
+    // to survive the min. Same total work; per-query JVM/cache state at
+    // each sample is the same warmed steady state either way.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = 3
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    (1 to passes).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink fully materializes every output row (count() would
         // let Spark skip projections).
@@ -54,10 +57,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        samples.updateWith(name)(s => Some(t :: s.getOrElse(Nil)))
       }
-      name -> times.min
     }
+    val results = ordered.map { case (name, _) => name -> samples(name).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -42,4 +42,10 @@ object Tables {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // The generated-code cache defaults to 100 entries — fewer than this
+    // library's query set compiles in one process, so any workload that
+    // revisits queries (the bench's interleaved passes, a notebook, a
+    // long-lived serving session) recompiles codegen units it just ran.
+    // Static conf: must be set before the first session is created.
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
 }

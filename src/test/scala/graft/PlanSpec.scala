@@ -279,6 +279,57 @@ class PlanSpec extends AnyFunSuite {
       s"z-order scan surfaced $zRows rows vs $sRows from the shuffled layout")
   }
 
+  test("table statistics drive the optimizer: ANALYZE feeds rowCount and CBO broadcasts on stats") {
+    // At 100 TB, join strategy must come from catalog STATISTICS, not
+    // hardcoded hints: a filtered dimension whose post-filter size the
+    // optimizer can estimate should broadcast without any hint. Pin the
+    // machinery end to end: saveAsTable → ANALYZE (table + columns) →
+    // rowCount/attribute stats visible in the optimized plan → the
+    // stats-estimated small side plans as BroadcastHashJoin under CBO.
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS stats_fact")
+    s.sql("DROP TABLE IF EXISTS stats_dim")
+    // a previously interrupted run can leave the managed location behind
+    // after the catalog entry is gone — clear it or CREATE refuses
+    Seq("stats_fact", "stats_dim").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    (1L to 50000L).map(i => (i % 1000, i)).toDF("k", "v")
+      .write.mode("overwrite").saveAsTable("stats_fact")
+    (0L until 1000L).map(k => (k, s"g${k % 7}")).toDF("k", "grp")
+      .write.mode("overwrite").saveAsTable("stats_dim")
+    s.sql("ANALYZE TABLE stats_fact COMPUTE STATISTICS")
+    s.sql("ANALYZE TABLE stats_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // rowCount propagates into plan stats only under CBO — size-only
+      // estimation ignores the ANALYZE row count
+      val factStats = s.table("stats_fact").queryExecution.optimizedPlan.stats
+      assert(factStats.rowCount.contains(BigInt(50000)),
+        s"ANALYZE row count not in plan stats: $factStats")
+      val joined = s.table("stats_fact")
+        .join(s.table("stats_dim").filter($"grp" === "g3"), "k")
+        .groupBy($"grp").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats-known small dimension did not broadcast:\n$plan")
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.sql("DROP TABLE IF EXISTS stats_fact")
+      s.sql("DROP TABLE IF EXISTS stats_dim")
+    }
+  }
+
   test("salted join equals plain join under skew") {
     val s = spark
     import s.implicits._
