@@ -847,6 +847,71 @@ object StreamingQueries {
     // keeps the result the arrival-order-independent distinct SET, so
     // the exact oracle applies; the cross-batch suppression behavior is
     // pinned in StreamingSpec.
+    // LEFT OUTER stream-stream join: unmatched views must be EMITTED
+    // null-padded when the watermark closes their join window —
+    // watermark-driven state eviction with emission, the append-only
+    // outer-join surface batch engines get for free. Unmatched rows are
+    // post-filtered to a 1-minute inner margin of the final watermark
+    // (mirrored in the oracle), so the digest is independent of Spark's
+    // exact eviction-boundary convention; matched rows are complete
+    // either way.
+    QueryDef("s_outer_join",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val joined = StreamingJoins.viewPurchaseLeftOuter(stream)
+        val qname = s"s_outer_join_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8) { // no-data batch ON: eviction IS the point
+          val q = joined.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        // The global watermark is the MIN over both sides' watermark
+        // nodes, each tracking the max event time of ITS OWN branch —
+        // views and purchases peak at different instants, so the overall
+        // max(ts) would overshoot and expect evictions Spark hasn't done.
+        val wmRow = Tables.events(s, d)
+          .agg(max(when(col("event_type") === "view", col("ts"))),
+            max(when(col("event_type") === "purchase", col("ts")))).collect()(0)
+        val wmBase = Seq(wmRow.getTimestamp(0), wmRow.getTimestamp(1)).min
+        // final watermark (wmBase - 30min) minus the join window (30min)
+        // minus a 1-minute safety margin, mirrored in the oracle
+        val cutoff = new java.sql.Timestamp(wmBase.getTime - (30 + 30 + 1) * 60 * 1000)
+        s.table(qname)
+          .filter(col("p_ts").isNotNull || col("v_ts") < lit(cutoff))
+          .groupBy(col("user_id"))
+          .agg(
+            count(col("p_ts")).as("n_pairs"),
+            count(when(col("p_ts").isNull, 1)).as("n_lonely"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vt
+             |          FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+             |      FROM events WHERE event_type = 'purchase'),
+             |wm AS (SELECT least((SELECT MAX(vt) FROM v), (SELECT MAX(pt) FROM p)) AS mx),
+             |m AS (SELECT v.user_id FROM v JOIN p ON v.user_id = p.user_id
+             |        AND pt >= vt AND pt <= vt + 1800000000),
+             |um AS (SELECT v.user_id FROM v, wm
+             |       WHERE vt < mx - 3660000000
+             |         AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+             |                           AND pt >= vt AND pt <= vt + 1800000000))
+             |SELECT user_id,
+             |       CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+             |       CAST(SUM(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT) AS n_lonely
+             |FROM (SELECT user_id, true AS matched FROM m
+             |      UNION ALL SELECT user_id, false FROM um)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     QueryDef("s_dedup_watermark",
       (s, d) => {
         val staticSchema = s.read.parquet(s"$d/events.parquet").schema
@@ -985,5 +1050,29 @@ object StreamingJoins {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
+  /** LEFT OUTER stream-stream join — same sides and interval condition
+    * as [[viewPurchaseJoin]], but views with no purchase in their
+    * window are EMITTED null-padded once the watermark passes the
+    * window: the state store must hold each view until its join window
+    * is provably closed, then evict-and-emit rather than evict-and-drop.
+    * The caller post-filters unmatched rows to those strictly inside
+    * the final watermark (a safety margin on both the query and the
+    * oracle), so the digest never depends on Spark's exact eviction
+    * boundary convention.
+    */
+  def viewPurchaseLeftOuter(stream: DataFrame): DataFrame = {
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
   }
 }

@@ -151,6 +151,8 @@ object DevSmoke {
     graft.Queries.queryMap("q_quantile_2pass")(spark, sf).show(4, truncate = false)
     graft.Queries.queryMap("q_csv_corrupt")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("d_cdc_shift")(spark, sf).show(truncate = false)
+    println("stream outer join rows: " +
+      graft.Queries.queryMap("s_outer_join")(spark, sf).count())
 
     spark.stop()
   }
