@@ -742,6 +742,63 @@ object StreamingQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, sess_start""".stripMargin)),
 
+    // Streaming sessionization with EVENT-TIME TIMEOUT emission
+    // (StreamingSession.scala): sessions close inline when a later event
+    // passes the 10-min gap, and by TIMER when the watermark passes an
+    // open session's deadline — the flatMapGroupsWithState timeout
+    // surface no other query exercises. The digest keeps only sessions
+    // whose deadline sits a margin inside the final watermark (mirrored
+    // in the oracle), so inline-vs-timer emission timing can't affect
+    // the hash.
+    QueryDef("s_session_timeout",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val sessions = StreamingSession.sessionize(stream)
+        val qname = s"s_session_timeout_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8) { // no-data batch ON: the timer IS the point
+          val q = sessions.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        // micro-exact max (Timestamp.getTime would floor to ms and shift
+        // the filter boundary off the oracle's by sub-millisecond)
+        val maxUs = Tables.events(s, d)
+          .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+        // final watermark (max - 30min) minus gap (10min) minus 1-min margin
+        val cutoffUs = maxUs - (30 + 10 + 1) * 60 * 1000000L
+        s.table(qname)
+          .filter(col("sess_last") < cutoffUs)
+          .select(col("user_id"), col("sess_start"), col("n_events"))
+          .orderBy(col("user_id"), col("sess_start"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |wm AS (SELECT MAX(us) AS mx FROM e),
+             |marked AS (
+             |  SELECT user_id, us,
+             |         CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |                OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id, us,
+             |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, MIN(us) AS sess_start, COUNT(*) AS n_events
+             |FROM sess, wm GROUP BY user_id, sid, mx
+             |HAVING MAX(us) < mx - 2460000000
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
     // foreachBatch incremental-upsert sink: each micro-batch MERGEs into
     // a keyed table (latest row per user), the pattern behind every
     // streaming-into-warehouse pipeline that lacks a transactional sink

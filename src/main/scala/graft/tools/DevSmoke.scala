@@ -153,6 +153,8 @@ object DevSmoke {
     graft.Queries.queryMap("d_cdc_shift")(spark, sf).show(truncate = false)
     println("stream outer join rows: " +
       graft.Queries.queryMap("s_outer_join")(spark, sf).count())
+    println("stream timeout sessions: " +
+      graft.Queries.queryMap("s_session_timeout")(spark, sf).count())
 
     spark.stop()
   }

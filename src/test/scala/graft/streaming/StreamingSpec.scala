@@ -466,4 +466,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
     assert(expected.nonEmpty)
   }
+
+  test("event-time timeout: sessions of silent users emit when LATER batches advance the watermark") {
+    // batch 1: users 1 and 2 produce events, then go silent forever.
+    // batch 2: only user 3 speaks, 3 hours later — its events push the
+    // watermark past users 1/2's gap deadlines, so their sessions can
+    // ONLY reach the sink through the EventTimeTimeout timer firing in
+    // a later batch. This is the cross-batch timer path the single-file
+    // driver query cannot exercise.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000L)
+    val stage = Files.createTempDirectory("graft_stream_timer_").toString
+    Seq((1L, ts(0)), (1L, ts(1)), (1L, ts(2)), (2L, ts(5)))
+      .toDF("user_id", "ts").coalesce(1)
+      .write.parquet(s"$stage/b1")
+    Seq((3L, ts(180)), (3L, ts(181)))
+      .toDF("user_id", "ts").coalesce(1)
+      .write.parquet(s"$stage/b2")
+    // force source pick order: batch 1's file strictly older
+    new java.io.File(s"$stage/b1").listFiles().foreach(_.setLastModified(t0))
+    val schema = spark.read.parquet(s"$stage/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/*")
+    val sessions = graft.operators.StreamingSession.sessionize(stream)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_timer").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_timer")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val usec = (m: Long) => (t0 + m * 60000L) * 1000L
+    // users 1 and 2: emitted by TIMER (no later event of theirs exists)
+    assert(got.contains((1L, usec(0), 3L)), s"user 1 session missing from $got")
+    assert(got.contains((2L, usec(5), 1L)), s"user 2 session missing from $got")
+    // user 3's session stays OPEN (nothing advanced the watermark past
+    // its deadline) — it must NOT appear
+    assert(!got.exists(_._1 == 3L), s"user 3's open session leaked: $got")
+  }
 }
