@@ -2025,7 +2025,155 @@ object Queries {
           explode(split(col("o_orderpriority"), "-")).as("part"))
         .orderBy(col("o_orderkey"), col("part")),
       Some("""SELECT o_orderkey, unnest(str_split(o_orderpriority, '-')) AS part
-             |FROM orders ORDER BY o_orderkey, part""".stripMargin)))
+             |FROM orders ORDER BY o_orderkey, part""".stripMargin)),
+
+    // TPC-H Q13 shape: how many orders does each customer have, counting
+    // customers with ZERO orders — the distribution query behind "how
+    // active is the customer base". Scale plan: aggregate orders down to
+    // (custkey, n) BEFORE the outer join, so the join input is
+    // |customers| + |customers-with-orders| rows instead of |orders|
+    // wide rows; the classic LEFT JOIN-then-GROUP BY shuffles the whole
+    // fact table on custkey first. Same result (COUNT over the
+    // ON-filtered right side ≡ COALESCE over the pre-aggregate).
+    QueryDef("q13_custdist",
+      (s, d) => {
+        val oc = orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        customer(s, d)
+          .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+          .orderBy(col("c_count"))
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+             |FROM (SELECT c_custkey,
+             |             CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+             |      FROM customer LEFT JOIN orders
+             |        ON c_custkey = o_custkey
+             |       AND o_orderpriority <> '1-URGENT'
+             |      GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY c_count""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume orders): IN-subquery with a HAVING
+    // over the full fact table, then a 3-way join on the survivors. The
+    // HAVING aggregate groups lineitem on its natural key (one shuffle),
+    // the >300 filter leaves a tiny key set, and AQE turns both
+    // downstream joins into broadcasts — the plan prunes the fact table
+    // to the interesting 0.1% before any wide row moves.
+    QueryDef("q18_large_orders",
+      (s, d) => {
+        val big = lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice, sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey,
+             |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
+             |  ON o_orderkey = b.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // TPC-H Q22 shape (the "idle rich"): customers above the average
+    // positive balance who never placed an order, grouped by a country
+    // bucket. The global-average scalar subquery is computed as exact
+    // (decimal_sum, count) and compared cross-multiplied —
+    // `bal·n > sum` — so no engine-specific double division can flip a
+    // boundary row; the 1-row stats side broadcasts, and the no-orders
+    // test is a LEFT ANTI join (never a per-row NOT EXISTS probe).
+    QueryDef("q22_idle_rich",
+      (s, d) => {
+        val c = customer(s, d)
+        val st = c.filter(col("c_acctbal") > 0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("s"),
+            count(lit(1)).as("n"))
+        val rich = c.crossJoin(broadcast(st))
+          .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("s"))
+        // anti-join on FINISHED orders (the fixture has no fully
+        // order-less customers at small SFs — an empty result tests
+        // nothing)
+        rich.join(orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy((col("c_nationkey") % 5).as("cntry"))
+          .agg(count(lit(1)).as("numcust"), dsum("c_acctbal").as("bal_sum"))
+          .orderBy(col("cntry"))
+      },
+      Some("""WITH st AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+             |                   COUNT(*) AS n
+             |            FROM customer WHERE c_acctbal > 0)
+             |SELECT c_nationkey % 5 AS cntry,
+             |       CAST(COUNT(*) AS BIGINT) AS numcust,
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+             |FROM customer, st
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCD2 dimension build from a changelog (gaps-and-islands): collapse
+    // each user's event stream into attribute VERSIONS — a new version
+    // starts when event_type changes, each version carries
+    // [valid_from, valid_to) micros and the open version has NULL
+    // valid_to. This is the merge-free way to maintain a slowly-changing
+    // dimension from an append-only log: one shuffle on user_id, two
+    // window passes, no MERGE INTO target scan. Ties broken by event_id
+    // so the run assignment is total-ordered on both engines.
+    QueryDef("q_scd2",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("unix_micros(ts)").as("t"), col("event_id"), col("event_type"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val versioned = ev
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("chg")).over(run))
+          .groupBy(col("user_id"), col("version"))
+          .agg(min(col("event_type")).as("attr"),
+            min(col("t")).as("valid_from"), count(lit(1)).as("n_events"))
+        val vw = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        versioned
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+          .select(col("user_id"), col("version"), col("attr"),
+            col("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"), col("n_events"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |         event_id, event_type FROM events),
+             |flagged AS (
+             |  SELECT user_id, t, event_id, event_type,
+             |         CASE WHEN LAG(event_type) OVER w IS NULL
+             |                   OR LAG(event_type) OVER w <> event_type
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |runs AS (
+             |  SELECT user_id, t, event_type,
+             |         SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+             |  FROM flagged),
+             |versions AS (
+             |  SELECT user_id, CAST(version AS BIGINT) AS version,
+             |         MIN(event_type) AS attr,
+             |         MIN(t) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+             |  FROM runs GROUP BY user_id, version)
+             |SELECT user_id, version, attr, valid_from,
+             |       LEAD(valid_from) OVER w AS valid_to,
+             |       LEAD(valid_from) OVER w IS NULL AS is_current, n_events
+             |FROM versions WINDOW w AS (PARTITION BY user_id ORDER BY version)
+             |ORDER BY user_id, version""".stripMargin)))
 
   // ---------------------------------------------------------------------
   // All queries + lookup maps for SparkEntry

@@ -649,6 +649,50 @@ object TextQueries {
              |       true AS all_chunked
              |FROM documents WHERE doc_id < 200""".stripMargin)),
 
+    // Fuzzy (edit-distance ≤ 1) self-join via FastSS deletion
+    // neighborhoods: a string pair is within edit distance 1 iff their
+    // depth-1 deletion neighborhoods intersect (equal → share self;
+    // substitution at i → share both-delete-i; insert/delete → the
+    // longer one's deletion IS the shorter). So each 16-char key
+    // expands to ≤17 deletion variants (map-only), candidates meet in
+    // ONE equi-join on the variant — never an all-pairs cross — and
+    // levenshtein verifies only the candidate set. Exact: the
+    // neighborhood join provably generates a superset of true pairs,
+    // the verify filter discards the rest (oracle is the quadratic
+    // levenshtein join). At 100 TB this is |docs|·17 narrow rows
+    // shuffled on a short string vs |docs|² pairs — the same
+    // block-then-verify economics as MinHash, but exact for k=1 typo
+    // dedup of titles/URLs/short keys.
+    QueryDef("d_fuzzy_join",
+      (s, d) => {
+        val p = documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
+        val keyed = p.select(col("doc_id"), col("p"),
+          explode(expr(
+            """array_distinct(transform(sequence(0, length(p)),
+              |  i -> IF(i = 0, p,
+              |          concat(substring(p, 1, i - 1), substring(p, i + 1)))))""".stripMargin))
+            .as("k"))
+        val a = keyed.select(col("doc_id").as("i"), col("p").as("pa"), col("k"))
+        val b = keyed.select(col("doc_id").as("j"), col("p").as("pb"), col("k"))
+        a.join(b, Seq("k")).filter(col("i") < col("j"))
+          .select(col("i"), col("j"), col("pa"), col("pb")).distinct()
+          .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+          .filter(col("dist") <= 1)
+          .groupBy(col("dist"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("i") + col("j")).as("id_sum"))
+          .orderBy(col("dist"))
+      },
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 16) AS p FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j,
+             |         CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+             |  FROM p a, p b
+             |  WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 1)
+             |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       CAST(SUM(i + j) AS BIGINT) AS id_sum
+             |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin)),
+
     // Cross-document chunk dedup: the same content-hashed chunk grid as
     // `d_chunk`, grouped by hash — chunks shared by >1 doc are
     // copy-paste repetition a curation pipeline drops or down-weights.

@@ -155,6 +155,13 @@ object DevSmoke {
       graft.Queries.queryMap("s_outer_join")(spark, sf).count())
     println("stream timeout sessions: " +
       graft.Queries.queryMap("s_session_timeout")(spark, sf).count())
+    println("q13 custdist rows: " +
+      graft.Queries.queryMap("q13_custdist")(spark, sf).count())
+    println("q18 large orders rows: " +
+      graft.Queries.queryMap("q18_large_orders")(spark, sf).count())
+    graft.Queries.queryMap("q22_idle_rich")(spark, sf).show(3, truncate = false)
+    println("scd2 versions: " + graft.Queries.queryMap("q_scd2")(spark, sf).count())
+    graft.Queries.queryMap("d_fuzzy_join")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
