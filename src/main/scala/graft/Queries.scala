@@ -59,6 +59,29 @@ object Queries {
     * bench runs each query repeatedly — stage once per sf dir). */
   private val srcStage = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Shared SCD2 version build — `q_scd2` emits it as the dimension,
+    * `q_pit_join` probes it temporally. One shuffle on user_id; runs
+    * (consecutive same-event_type stretches) collapse to versions with
+    * `[valid_from, valid_to)` micros, open version has NULL valid_to.
+    * Ties broken by event_id so run assignment is total-ordered. */
+  private def scd2Versions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts)").as("t"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vw = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("attr"),
+        min(col("t")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+  }
+
   private def parsedEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).withColumn("v", vf.variant_from_json(col("props")))
 
@@ -2128,28 +2151,11 @@ object Queries {
     // window passes, no MERGE INTO target scan. Ties broken by event_id
     // so the run assignment is total-ordered on both engines.
     QueryDef("q_scd2",
-      (s, d) => {
-        val ev = events(s, d).select(col("user_id"),
-          expr("unix_micros(ts)").as("t"), col("event_id"), col("event_type"))
-        val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val versioned = ev
-          .withColumn("chg",
-            when(lag(col("event_type"), 1).over(w).isNull ||
-              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
-              .otherwise(0L))
-          .withColumn("version", sum(col("chg")).over(run))
-          .groupBy(col("user_id"), col("version"))
-          .agg(min(col("event_type")).as("attr"),
-            min(col("t")).as("valid_from"), count(lit(1)).as("n_events"))
-        val vw = Window.partitionBy(col("user_id")).orderBy(col("version"))
-        versioned
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
-          .select(col("user_id"), col("version"), col("attr"),
-            col("valid_from"), col("valid_to"),
-            col("valid_to").isNull.as("is_current"), col("n_events"))
-          .orderBy(col("user_id"), col("version"))
-      },
+      (s, d) => scd2Versions(s, d)
+        .select(col("user_id"), col("version"), col("attr"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_events"))
+        .orderBy(col("user_id"), col("version")),
       Some("""WITH ev AS (
              |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
              |         event_id, event_type FROM events),
@@ -2173,7 +2179,91 @@ object Queries {
              |       LEAD(valid_from) OVER w AS valid_to,
              |       LEAD(valid_from) OVER w IS NULL AS is_current, n_events
              |FROM versions WINDOW w AS (PARTITION BY user_id ORDER BY version)
-             |ORDER BY user_id, version""".stripMargin)))
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // Equi-depth histogram composed from the 2-pass exact-quantile
+    // operator: the quartile boundaries come from Quantiles
+    // .exactQuantiles (two scans, driver sees 3 numbers — the same
+    // bounded-driver economics as the operator itself), then a single
+    // map-side-combined aggregate buckets the table. The alternative —
+    // ntile() over a global sort — shuffles the whole table into one
+    // range sort; this never shuffles the data at all.
+    QueryDef("q_equidepth_hist",
+      (s, d) => {
+        val o = orders(s, d)
+          .select(col("o_totalprice"),
+            round(col("o_totalprice")).cast("long").as("v"))
+        val bs = graft.operators.Quantiles
+          .exactQuantiles(o, "v", Seq(0.25, 0.5, 0.75))
+          .orderBy(col("q")).collect().map(_.getLong(1))
+        val bucket = when(col("v") <= bs(0), 0)
+          .when(col("v") <= bs(1), 1)
+          .when(col("v") <= bs(2), 2).otherwise(3)
+        o.groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("price_sum"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH v AS (SELECT o_totalprice,
+             |                  CAST(round(o_totalprice) AS BIGINT) AS v FROM orders),
+             |b AS (SELECT quantile_disc(v, 0.25) AS b0, quantile_disc(v, 0.5) AS b1,
+             |             quantile_disc(v, 0.75) AS b2 FROM v)
+             |SELECT CASE WHEN v <= b0 THEN 0 WHEN v <= b1 THEN 1
+             |            WHEN v <= b2 THEN 2 ELSE 3 END AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+             |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Point-in-time (temporal) join onto the SCD2 dimension built by
+    // q_scd2: each probe (event shifted +120 s) joins to the version
+    // whose [valid_from, valid_to) covers it — the lookup every
+    // training-data join against a changing dimension must get right,
+    // or features leak from the future. Plan: equi-join on user_id
+    // with the range predicate as a post-join filter — versions per
+    // user are bounded (runs of one user's log), so the per-key
+    // explosion is small and no interval index is needed.
+    QueryDef("q_pit_join",
+      (s, d) => {
+        val versions = scd2Versions(s, d)
+        val probes = events(s, d)
+          .filter(col("event_id") % 97 === 0)
+          .select(col("event_id"), col("user_id").as("pu"),
+            (expr("unix_micros(ts)") + 120000000L).as("tp"))
+        probes.join(versions,
+            col("pu") === col("user_id") &&
+              col("tp") >= col("valid_from") &&
+              (col("valid_to").isNull || col("tp") < col("valid_to")))
+          .select(col("event_id"), col("user_id"), col("tp"),
+            col("version"), col("attr"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |         event_id, event_type FROM events),
+             |flagged AS (
+             |  SELECT user_id, t, event_id, event_type,
+             |         CASE WHEN LAG(event_type) OVER w IS NULL
+             |                   OR LAG(event_type) OVER w <> event_type
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |runs AS (
+             |  SELECT user_id, t, event_type,
+             |         SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+             |  FROM flagged),
+             |versions AS (
+             |  SELECT user_id, CAST(version AS BIGINT) AS version,
+             |         MIN(event_type) AS attr, MIN(t) AS valid_from,
+             |         LEAD(MIN(t)) OVER (PARTITION BY user_id
+             |           ORDER BY version) AS valid_to
+             |  FROM runs GROUP BY user_id, version),
+             |probes AS (
+             |  SELECT event_id, user_id AS pu,
+             |         t + 120000000 AS tp FROM ev WHERE event_id % 97 = 0)
+             |SELECT event_id, user_id, tp, version, attr
+             |FROM probes JOIN versions
+             |  ON pu = user_id AND tp >= valid_from
+             | AND (valid_to IS NULL OR tp < valid_to)
+             |ORDER BY event_id""".stripMargin)))
 
   // ---------------------------------------------------------------------
   // All queries + lookup maps for SparkEntry

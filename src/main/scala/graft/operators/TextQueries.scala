@@ -693,6 +693,41 @@ object TextQueries {
              |       CAST(SUM(i + j) AS BIGINT) AS id_sum
              |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin)),
 
+    // Weighted sampling (priority sampling / weighted bottom-k): keep
+    // the 8 docs per source with the smallest hash/weight priority —
+    // P(selected) rises with weight (n_chars), the large-corpus way to
+    // length-bias a sample WITHOUT a global sort or an RNG. The
+    // priority is a fixed Knuth-multiplier hash divided by the weight:
+    // the hash fits in 31 bits so its double is exact, and IEEE
+    // division is correctly rounded — bit-identical on any engine, no
+    // libm, no seed state. Mergeable: per-partition bottom-8 heaps
+    // combine, identical economics to the unweighted bottom-k sampler.
+    QueryDef("d_weighted_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("pri"), col("doc_id"))
+        documents(s, d)
+          .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(2147483648L)))
+          .withColumn("pri", col("h").cast("double") / col("n_chars"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 8)
+          .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH p AS (
+             |  SELECT source, doc_id, n_chars,
+             |         CAST((doc_id * 2654435761) % 2147483648 AS DOUBLE)
+             |           / n_chars AS pri
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, n_chars,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY pri, doc_id) AS BIGINT) AS rank
+             |  FROM p)
+             |SELECT source, rank, doc_id, n_chars
+             |FROM r WHERE rank <= 8 ORDER BY source, rank""".stripMargin)),
+
     // Cross-document chunk dedup: the same content-hashed chunk grid as
     // `d_chunk`, grouped by hash — chunks shared by >1 doc are
     // copy-paste repetition a curation pipeline drops or down-weights.

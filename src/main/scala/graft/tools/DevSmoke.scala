@@ -162,6 +162,10 @@ object DevSmoke {
     graft.Queries.queryMap("q22_idle_rich")(spark, sf).show(3, truncate = false)
     println("scd2 versions: " + graft.Queries.queryMap("q_scd2")(spark, sf).count())
     graft.Queries.queryMap("d_fuzzy_join")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_equidepth_hist")(spark, sf).show(truncate = false)
+    println("pit join rows: " + graft.Queries.queryMap("q_pit_join")(spark, sf).count())
+    println("weighted sample rows: " +
+      graft.Queries.queryMap("d_weighted_sample")(spark, sf).count())
 
     spark.stop()
   }
