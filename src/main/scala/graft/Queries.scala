@@ -2263,7 +2263,116 @@ object Queries {
              |FROM probes JOIN versions
              |  ON pu = user_id AND tp >= valid_from
              | AND (valid_to IS NULL OR tp < valid_to)
-             |ORDER BY event_id""".stripMargin)))
+             |ORDER BY event_id""".stripMargin)),
+
+    // 2D skyline (Pareto frontier): orders no other order beats on BOTH
+    // totalprice and orderdate. Shape: collapse to per-price max-date
+    // (one shuffle), prune with a PARTITIONED window — each price
+    // bucket's local skyline is computed in parallel, and the union of
+    // local skylines provably contains the global one — then one tiny
+    // global window pass over the survivors. The naive NOT EXISTS is a
+    // quadratic self-join; the naive single window is one global sort.
+    // Here the only full-data ops are a groupBy and a bucket-partitioned
+    // window; the global pass sees ~|frontier per bucket| rows.
+    QueryDef("q_skyline",
+      (s, d) => {
+        val perPrice = orders(s, d)
+          .groupBy(col("o_totalprice").as("price"))
+          // NTZ → TZ cast is identity under the UTC session timezone
+          .agg(max(expr("unix_millis(cast(o_orderdate as timestamp))")).as("best_ms"))
+        val bw = Window.partitionBy(col("bucket")).orderBy(col("price").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = perPrice
+          .withColumn("bucket", floor(col("price") / 20000))
+          .withColumn("hm", max(col("best_ms")).over(bw))
+          .filter(col("hm").isNull || col("best_ms") > col("hm"))
+        val gw = Window.orderBy(col("price").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        local
+          .withColumn("ghm", max(col("best_ms")).over(gw))
+          .filter(col("ghm").isNull || col("best_ms") > col("ghm"))
+          .select(col("price"), col("best_ms"))
+          .orderBy(col("price").desc)
+      },
+      Some("""WITH pp AS (
+             |  SELECT o_totalprice AS price,
+             |         MAX(epoch_ms(o_orderdate)) AS best_ms
+             |  FROM orders GROUP BY o_totalprice),
+             |sky AS (
+             |  SELECT price, best_ms,
+             |         MAX(best_ms) OVER (ORDER BY price DESC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hm
+             |  FROM pp)
+             |SELECT price, best_ms FROM sky
+             |WHERE hm IS NULL OR best_ms > hm
+             |ORDER BY price DESC""".stripMargin)),
+
+    // Compaction planning over a file manifest: pack small files into
+    // target-size bins by sequential fill in size-descending order —
+    // the plan every lakehouse OPTIMIZE job computes before it rewrites
+    // anything. Runs on the MANIFEST (name, size), never the data: the
+    // global sort is over file-count rows (millions at worst), and the
+    // bin id is pure window arithmetic — floor(pre-cumsum / target) —
+    // so the whole plan is one window pass, no driver loop, no RNG.
+    QueryDef("q_compaction_plan",
+      (s, d) => {
+        val target = 4096L
+        val w = Window.orderBy(col("sz").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("sz"))
+          .withColumn("pre", coalesce(sum(col("sz")).over(w), lit(0L)))
+          .withColumn("bin", floor(col("pre") / target))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("bin_bytes"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars AS sz,
+             |         COALESCE(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+             |  FROM documents)
+             |SELECT CAST(FLOOR(pre / 4096) AS BIGINT) AS bin,
+             |       CAST(COUNT(*) AS BIGINT) AS n_files,
+             |       CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+             |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental aggregate maintenance: the daily-revenue rollup is
+    // maintained by MERGING the stored base aggregate with the delta
+    // batch's aggregate — counts add, decimal sums add — so the base
+    // FACTS are never rescanned. At 100 TB this is the difference
+    // between touching one day of data and touching three years of it;
+    // it works exactly when the aggregate is algebraic (sum/count/min/
+    // max — avg as sum÷count at read time). Base agg staged once per
+    // sf dir (the "stored rollup"); oracle recomputes from all facts.
+    QueryDef("q_incremental_agg",
+      (s, d) => {
+        val aggDir = srcStage.computeIfAbsent(s"incr#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+          orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
+            .groupBy(to_date(col("o_orderdate")).as("day"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+            .write.mode("overwrite").parquet(sd)
+          sd
+        })
+        val base = s.read.parquet(aggDir)
+        val delta = orders(s, d).filter(col("o_orderkey") % 10 === 0)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        base.unionByName(delta)
+          .groupBy(col("day"))
+          .agg(sum(col("n")).as("n_orders"),
+            sum(col("rev")).cast("double").as("revenue"))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(o_orderdate AS DATE) AS day,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   // ---------------------------------------------------------------------
   // All queries + lookup maps for SparkEntry

@@ -166,6 +166,11 @@ object DevSmoke {
     println("pit join rows: " + graft.Queries.queryMap("q_pit_join")(spark, sf).count())
     println("weighted sample rows: " +
       graft.Queries.queryMap("d_weighted_sample")(spark, sf).count())
+    println("skyline rows: " + graft.Queries.queryMap("q_skyline")(spark, sf).count())
+    println("compaction bins: " +
+      graft.Queries.queryMap("q_compaction_plan")(spark, sf).count())
+    println("incremental agg days: " +
+      graft.Queries.queryMap("q_incremental_agg")(spark, sf).count())
 
     spark.stop()
   }

@@ -51,7 +51,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val names = Seq("q1_pricing_summary", "d_sample", "d_heavy_hitters",
       "d_train_split", "v_schema_agg", "d_unigram_score", "d_bigram_score",
       "q_zorder", "e_ann_topk", "q_topk_agg", "q_map_funcs", "q_try_funcs",
-      "q9_profit", "v_grouped_topk", "d_dup_clusters", "q_quantile_2pass")
+      "q9_profit", "v_grouped_topk", "d_dup_clusters", "q_quantile_2pass",
+      "q_equidepth_hist", "d_weighted_sample", "d_fuzzy_join",
+      "q_skyline", "q_incremental_agg")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def results(n: String): Seq[String] =
