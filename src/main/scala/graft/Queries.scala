@@ -2372,7 +2372,45 @@ object Queries {
       Some("""SELECT CAST(o_orderdate AS DATE) AS day,
              |       CAST(COUNT(*) AS BIGINT) AS n_orders,
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Recursive CTE (Spark 4.1 WITH RECURSIVE): walk each customer's
+    // first 8 orders in date order accumulating a RUNNING DECIMAL
+    // PRODUCT of per-order retention factors — the one running
+    // aggregate a window genuinely cannot express without log/exp
+    // (banned here for cross-engine parity; there is no product()
+    // aggregate). The factors are two-decimal constants, so 8 chained
+    // DECIMAL multiplications stay exact at scale 16 on both engines —
+    // no float drift by construction. Depth is bounded (rn <= 8) and
+    // the successor step is one equi-join per iteration; unbounded
+    // closure is NOT this tool — that's the large/small-star CC
+    // operator with its O(log n) rounds.
+    QueryDef("q_recursive_cte",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_rc")
+        s.sql(recursiveWalkSql("orders_rc"))
+      },
+      Some(recursiveWalkSql("orders"))))
+
+  /** Shared SQL for `q_recursive_cte` — identical text on both engines
+    * modulo the table name. */
+  private def recursiveWalkSql(table: String): String =
+    s"""WITH RECURSIVE
+       |seq AS (
+       |  SELECT o_custkey AS ck, o_orderkey AS ok,
+       |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |           ORDER BY o_orderdate, o_orderkey) AS rn,
+       |         CAST(CASE WHEN o_orderpriority = '1-URGENT'
+       |                   THEN 0.95 ELSE 0.99 END AS DECIMAL(3,2)) AS f
+       |  FROM $table),
+       |walk(ck, rn, acc) AS (
+       |  SELECT ck, rn, CAST(f AS DECIMAL(30,16)) FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.ck, s.rn, CAST(w.acc * s.f AS DECIMAL(30,16))
+       |  FROM walk w JOIN seq s ON s.ck = w.ck AND s.rn = w.rn + 1
+       |  WHERE s.rn <= 8)
+       |SELECT ck, CAST(rn AS BIGINT) AS rn, acc
+       |FROM walk ORDER BY ck, rn""".stripMargin
 
   // ---------------------------------------------------------------------
   // All queries + lookup maps for SparkEntry

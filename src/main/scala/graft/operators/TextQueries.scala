@@ -728,6 +728,49 @@ object TextQueries {
              |SELECT source, rank, doc_id, n_chars
              |FROM r WHERE rank <= 8 ORDER BY source, rank""".stripMargin)),
 
+    // Triangle counting over the duplicate-prefix graph — the
+    // clustering-coefficient primitive of graph analytics, done the way
+    // it scales: edges are ORIENTED from the (degree, id)-smaller
+    // endpoint to the larger, so every wedge join fans out by
+    // OUT-degree, which orientation bounds at O(sqrt(m)) even when a
+    // celebrity node has huge total degree. Wedges meet their closing
+    // edge in one more equi-join. The digest (count, vertex-id sum) is
+    // orientation-invariant, so the id-ordered quadratic oracle must
+    // agree exactly. Edge generation itself is the same block equi-join
+    // as the dedup family — never all-pairs.
+    QueryDef("d_triangle_count",
+      (s, d) => {
+        val p = documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 10).as("pf"))
+        val e0 = p.as("a").join(p.as("b"),
+            col("a.pf") === col("b.pf") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        val deg = e0.select(col("i").as("v")).unionAll(e0.select(col("j").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val ranked = e0
+          .join(deg.withColumnRenamed("v", "i").withColumnRenamed("deg", "di"), "i")
+          .join(deg.withColumnRenamed("v", "j").withColumnRenamed("deg", "dj"), "j")
+        val dir = ranked.select(
+          when(col("di") < col("dj") || (col("di") === col("dj") && col("i") < col("j")),
+            col("i")).otherwise(col("j")).as("src"),
+          when(col("di") < col("dj") || (col("di") === col("dj") && col("i") < col("j")),
+            col("j")).otherwise(col("i")).as("dst"))
+        val wedges = dir.as("e1").join(dir.as("e2"), col("e1.dst") === col("e2.src"))
+          .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+        wedges.join(dir.as("e3"),
+            col("e3.src") === col("u") && col("e3.dst") === col("w"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"),
+            sum(col("u") + col("v") + col("w")).as("id_sum"))
+      },
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 10) AS pf FROM documents),
+             |e AS (SELECT a.doc_id AS i, b.doc_id AS j
+             |      FROM p a, p b WHERE a.doc_id < b.doc_id AND a.pf = b.pf),
+             |t AS (SELECT e1.i AS a, e1.j AS b, e2.j AS c
+             |      FROM e e1 JOIN e e2 ON e2.i = e1.j
+             |      JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+             |       CAST(SUM(a + b + c) AS BIGINT) AS id_sum FROM t""".stripMargin)),
+
     // Cross-document chunk dedup: the same content-hashed chunk grid as
     // `d_chunk`, grouped by hash — chunks shared by >1 doc are
     // copy-paste repetition a curation pipeline drops or down-weights.

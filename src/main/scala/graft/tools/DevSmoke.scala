@@ -171,6 +171,9 @@ object DevSmoke {
       graft.Queries.queryMap("q_compaction_plan")(spark, sf).count())
     println("incremental agg days: " +
       graft.Queries.queryMap("q_incremental_agg")(spark, sf).count())
+    println("recursive walk rows: " +
+      graft.Queries.queryMap("q_recursive_cte")(spark, sf).count())
+    graft.Queries.queryMap("d_triangle_count")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
