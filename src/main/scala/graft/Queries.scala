@@ -2374,43 +2374,141 @@ object Queries {
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Schema DRIFT (type change), the evolution mergeSchema can't
+    // handle: one producer wrote price as DOUBLE, a later deploy wrote
+    // it as STRING — parquet mergeSchema throws on the conflict. The
+    // ops-correct shape: read each batch with ITS OWN schema, cast to
+    // the table CONTRACT, then union — per-batch normalization is
+    // footer-cheap and the cast is codegen'd into the scan projection.
+    // Batches are disjoint orderkey halves, so the contract aggregate
+    // must reproduce the single-source oracle exactly (doubles survive
+    // the string round-trip via shortest-repr formatting).
+    QueryDef("q_schema_drift",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"drift#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+          orders(s, d).filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .write.mode("overwrite").parquet(s"$sd/v1")
+          orders(s, d).filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice").cast("string").as("o_totalprice"))
+            .write.mode("overwrite").parquet(s"$sd/v2")
+          sd
+        })
+        val v1 = s.read.parquet(s"$dir/v1")
+        val v2 = s.read.parquet(s"$dir/v2")
+          .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+        v1.unionByName(v2)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            dsum("o_totalprice").as("price_sum"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+             |FROM orders""".stripMargin)),
+
+    // Spark's NATIVE batch session_window operator (vs q_sessionize's
+    // hand-rolled gaps-and-islands): the planner gets a first-class
+    // session aggregation it can push partial merges into, and the
+    // streaming twin (s_session_stats / s_session_timeout) shares the
+    // semantics. Boundary convention pinned by the oracle: an event at
+    // EXACTLY last_ts + gap starts a NEW session (session windows are
+    // half-open [start, last+gap)), so the islands flag is `>=`, not
+    // the `>` that q_sessionize's 30-minute-strict variant uses.
+    QueryDef("q_session_window",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("s_start"),
+          expr("unix_micros(sw.end)").as("s_end"), col("n_ev"))
+        .orderBy(col("user_id"), col("s_start")),
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+             |flagged AS (
+             |  SELECT user_id, t,
+             |         CASE WHEN LAG(t) OVER w IS NULL
+             |                   OR t - LAG(t) OVER w >= 1800000000 THEN 1
+             |              ELSE 0 END AS new_s
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |sids AS (
+             |  SELECT user_id, t,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, MIN(t) AS s_start,
+             |       MAX(t) + 1800000000 AS s_end,
+             |       CAST(COUNT(*) AS BIGINT) AS n_ev
+             |FROM sids GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // Recursive CTE (Spark 4.1 WITH RECURSIVE): walk each customer's
-    // first 8 orders in date order accumulating a RUNNING DECIMAL
+    // first 4 orders in date order accumulating a RUNNING DECIMAL
     // PRODUCT of per-order retention factors — the one running
     // aggregate a window genuinely cannot express without log/exp
     // (banned here for cross-engine parity; there is no product()
-    // aggregate). The factors are two-decimal constants, so 8 chained
+    // aggregate). The factors are two-decimal constants, so the chained
     // DECIMAL multiplications stay exact at scale 16 on both engines —
-    // no float drift by construction. Depth is bounded (rn <= 8) and
+    // no float drift by construction. Depth is bounded (rn <= 4) and
     // the successor step is one equi-join per iteration; unbounded
     // closure is NOT this tool — that's the large/small-star CC
     // operator with its O(log n) rounds.
     QueryDef("q_recursive_cte",
       (s, d) => {
-        orders(s, d).createOrReplaceTempView("orders_rc")
-        s.sql(recursiveWalkSql("orders_rc"))
+        // Materialize the iteration-INVARIANT input before recursing:
+        // Spark re-evaluates a CTE referenced from the recursive step
+        // at EVERY iteration, so an inline seq would re-run the
+        // row_number window over the full fact table once per iteration (measured
+        // 4.1 s at sf0.1 — the slowest query in the bench). The
+        // localCheckpoint pays the window ONCE and the step joins run over
+        // the tiny rn<=4 slice; depth 4 keeps the per-iteration
+        // driver-coordination cost (~0.35 s/round at local[32],
+        // row-count-independent) in check.
+        val seq = orders(s, d)
+          // cohort cut BEFORE the window — the predicate pushes into
+          // the parquet scan, so the row_number sort never sees 3/4 of
+          // the fact table
+          .filter(col("o_custkey") % 4 === 0)
+          .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+            row_number().over(Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"),
+            when(col("o_orderpriority") === "1-URGENT", lit(BigDecimal("0.95")))
+              .otherwise(lit(BigDecimal("0.99")))
+              .cast("decimal(3,2)").as("f"))
+          .filter(col("rn") <= 4)
+          .localCheckpoint()
+        seq.createOrReplaceTempView("seq_rc")
+        s.sql(recursiveWalkSql("seq_rc"))
       },
-      Some(recursiveWalkSql("orders"))))
+      Some(s"""WITH RECURSIVE
+              |seq AS (
+              |  SELECT o_custkey AS ck, o_orderkey AS ok,
+              |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+              |           ORDER BY o_orderdate, o_orderkey) AS rn,
+              |         CAST(CASE WHEN o_orderpriority = '1-URGENT'
+              |                   THEN 0.95 ELSE 0.99 END AS DECIMAL(3,2)) AS f
+              |  FROM orders WHERE o_custkey % 4 = 0 QUALIFY rn <= 4),
+              |${recursiveWalkBody()}""".stripMargin)))
 
-  /** Shared SQL for `q_recursive_cte` — identical text on both engines
-    * modulo the table name. */
+  /** Recursive-walk SQL over a prepared `seq(ck, ok, rn, f)` relation —
+    * the walk itself is identical on both engines; only the seq
+    * preparation differs (materialized view on Spark, QUALIFY CTE on
+    * DuckDB). */
   private def recursiveWalkSql(table: String): String =
     s"""WITH RECURSIVE
-       |seq AS (
-       |  SELECT o_custkey AS ck, o_orderkey AS ok,
-       |         ROW_NUMBER() OVER (PARTITION BY o_custkey
-       |           ORDER BY o_orderdate, o_orderkey) AS rn,
-       |         CAST(CASE WHEN o_orderpriority = '1-URGENT'
-       |                   THEN 0.95 ELSE 0.99 END AS DECIMAL(3,2)) AS f
-       |  FROM $table),
-       |walk(ck, rn, acc) AS (
-       |  SELECT ck, rn, CAST(f AS DECIMAL(30,16)) FROM seq WHERE rn = 1
-       |  UNION ALL
-       |  SELECT s.ck, s.rn, CAST(w.acc * s.f AS DECIMAL(30,16))
-       |  FROM walk w JOIN seq s ON s.ck = w.ck AND s.rn = w.rn + 1
-       |  WHERE s.rn <= 8)
-       |SELECT ck, CAST(rn AS BIGINT) AS rn, acc
-       |FROM walk ORDER BY ck, rn""".stripMargin
+       |seq AS (SELECT * FROM $table),
+       |${recursiveWalkBody()}""".stripMargin
+
+  private def recursiveWalkBody(): String =
+    """walk(ck, rn, acc) AS (
+      |  SELECT ck, rn, CAST(f AS DECIMAL(30,16)) FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT /*+ BROADCAST(s) */ s.ck, s.rn, CAST(w.acc * s.f AS DECIMAL(30,16))
+      |  FROM walk w JOIN seq s ON s.ck = w.ck AND s.rn = w.rn + 1
+      |  WHERE s.rn <= 4)
+      |SELECT ck, CAST(rn AS BIGINT) AS rn, acc
+      |FROM walk ORDER BY ck, rn""".stripMargin
 
   // ---------------------------------------------------------------------
   // All queries + lookup maps for SparkEntry

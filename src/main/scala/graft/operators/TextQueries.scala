@@ -708,7 +708,13 @@ object TextQueries {
           .partitionBy(col("source"))
           .orderBy(col("pri"), col("doc_id"))
         documents(s, d)
-          .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(2147483648L)))
+          // reduce the id mod 2^31 BEFORE the Knuth multiply: the
+          // product then fits int64 at any id magnitude — unreduced,
+          // a 100 TB id space would overflow (DuckDB errors, Spark
+          // wraps — a silent cross-engine divergence)
+          .withColumn("h",
+            pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L,
+              lit(2147483648L)))
           .withColumn("pri", col("h").cast("double") / col("n_chars"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 8)
@@ -717,7 +723,7 @@ object TextQueries {
       },
       Some("""WITH p AS (
              |  SELECT source, doc_id, n_chars,
-             |         CAST((doc_id * 2654435761) % 2147483648 AS DOUBLE)
+             |         CAST(((doc_id % 2147483648) * 2654435761) % 2147483648 AS DOUBLE)
              |           / n_chars AS pri
              |  FROM documents),
              |r AS (

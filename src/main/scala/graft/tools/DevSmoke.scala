@@ -174,6 +174,9 @@ object DevSmoke {
     println("recursive walk rows: " +
       graft.Queries.queryMap("q_recursive_cte")(spark, sf).count())
     graft.Queries.queryMap("d_triangle_count")(spark, sf).show(truncate = false)
+    println("session_window rows: " +
+      graft.Queries.queryMap("q_session_window")(spark, sf).count())
+    graft.Queries.queryMap("q_schema_drift")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
