@@ -2374,6 +2374,50 @@ object Queries {
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Interval-overlap join, asymmetric: per-(user, day) activity
+    // intervals vs one generated "maintenance hour" interval per day.
+    // The small side BROADCASTS and the day column is an equi-band, so
+    // the range predicates are post-join filters on a banded join —
+    // never an all-pairs product (a symmetric day-banded self-join here
+    // would make 17M pairs at sf0.1: interval joins only scale when one
+    // side is small or the bands bound occupancy; both facts measured
+    // and the asymmetric shape chosen deliberately).
+    QueryDef("q_interval_join",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          to_date(col("ts")).as("day"), expr("unix_micros(ts)").as("t"))
+        val iv = ev.groupBy(col("user_id"), col("day"))
+          .agg(min(col("t")).as("a"), max(col("t")).as("b"))
+        val win = ev.select(col("day")).distinct()
+          .withColumn("w_start",
+            expr("unix_micros(cast(day as timestamp)) + 79200000000"))
+          .withColumn("w_end",
+            expr("unix_micros(cast(day as timestamp)) + 82800000000"))
+        iv.join(broadcast(win), Seq("day"))
+          .filter(col("a") <= col("w_end") && col("w_start") <= col("b"))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_iv"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+             |iv AS (
+             |  SELECT user_id, day, MIN(t) AS a, MAX(t) AS b
+             |  FROM ev GROUP BY user_id, day),
+             |win AS (
+             |  SELECT day,
+             |         epoch_us(CAST(day AS TIMESTAMP)) + 79200000000 AS w_start,
+             |         epoch_us(CAST(day AS TIMESTAMP)) + 82800000000 AS w_end
+             |  FROM (SELECT DISTINCT day FROM ev))
+             |SELECT iv.day AS day,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(COUNT(*) AS BIGINT) AS n_iv
+             |FROM iv JOIN win ON iv.day = win.day
+             | AND iv.a <= win.w_end AND win.w_start <= iv.b
+             |GROUP BY iv.day ORDER BY iv.day""".stripMargin)),
+
     // Schema DRIFT (type change), the evolution mergeSchema can't
     // handle: one producer wrote price as DOUBLE, a later deploy wrote
     // it as STRING — parquet mergeSchema throws on the conflict. The

@@ -799,6 +799,68 @@ object StreamingQueries {
              |HAVING MAX(us) < mx - 2460000000
              |ORDER BY user_id, sess_start""".stripMargin)),
 
+    // NATIVE streaming session_window (vs s_session_timeout's
+    // hand-rolled flatMapGroupsWithState): the built-in operator merges
+    // session state store-side and append mode emits a session once the
+    // watermark passes its end — no user state code at all. The digest
+    // keeps only sessions ending a 1 s margin inside the final
+    // watermark (mirrored in the oracle), so the emitter's <= vs <
+    // boundary convention cannot affect the hash. Same bounded-state
+    // economics: one open session per active key, watermark-evicted.
+    QueryDef("s_session_native",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "10 minutes")
+        val agg = stream
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_ev"))
+        val qname = s"s_session_native_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8, noDataBatches = true) {
+          val q = agg.writeStream.outputMode("append")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        val wmUs = s.read.parquet(s"$d/events.parquet")
+          .agg(max(expr("ts DIV 1000"))).head().getLong(0) - 600000000L
+        s.table(qname)
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("s_start"),
+            unix_micros(col("sw.end")).as("s_end"), col("n_ev"))
+          .filter(col("s_end") + 1000000L <= wmUs)
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+             |wm AS (SELECT MAX(t) - 600000000 AS w FROM ev),
+             |flagged AS (
+             |  SELECT user_id, t,
+             |         CASE WHEN LAG(t) OVER pw IS NULL
+             |                OR t - LAG(t) OVER pw >= 600000000 THEN 1
+             |              ELSE 0 END AS new_s
+             |  FROM ev WINDOW pw AS (PARTITION BY user_id ORDER BY t)),
+             |sids AS (
+             |  SELECT user_id, t,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged),
+             |sess AS (
+             |  SELECT user_id, MIN(t) AS s_start,
+             |         MAX(t) + 600000000 AS s_end,
+             |         CAST(COUNT(*) AS BIGINT) AS n_ev
+             |  FROM sids GROUP BY user_id, sid)
+             |SELECT user_id, s_start, s_end, n_ev
+             |FROM sess, wm WHERE s_end + 1000000 <= w
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // foreachBatch incremental-upsert sink: each micro-batch MERGEs into
     // a keyed table (latest row per user), the pattern behind every
     // streaming-into-warehouse pipeline that lacks a transactional sink

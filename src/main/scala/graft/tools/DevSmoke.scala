@@ -177,6 +177,10 @@ object DevSmoke {
     println("session_window rows: " +
       graft.Queries.queryMap("q_session_window")(spark, sf).count())
     graft.Queries.queryMap("q_schema_drift")(spark, sf).show(truncate = false)
+    println("native stream sessions: " +
+      graft.Queries.queryMap("s_session_native")(spark, sf).count())
+    println("interval join days: " +
+      graft.Queries.queryMap("q_interval_join")(spark, sf).count())
 
     spark.stop()
   }
