@@ -2374,6 +2374,92 @@ object Queries {
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Order-independent table fingerprint — cross-cluster data
+    // reconciliation at 100 TB: after a migration/backfill, prove two
+    // copies equal WITHOUT sorting either (a global sort is exactly
+    // what you can't afford). Per-row digest = 60-bit slice of
+    // md5 over type-normalized columns; the table fingerprint is its
+    // SUM as DECIMAL(38,0) — commutative, mergeable, partition-layout-
+    // independent. Emitted per returnflag partition so a mismatch
+    // localizes. The hex→int path is pinned on both engines
+    // (Spark conv(…,16,10), DuckDB CAST('0x…' AS BIGINT)).
+    QueryDef("q_fingerprint_table",
+      (s, d) => lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("""cast(conv(substr(md5(concat_ws('|',
+                    l_orderkey, l_linenumber,
+                    cast(l_quantity as bigint), l_returnflag)), 1, 15),
+                  16, 10) as bigint)""").as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("h").cast("decimal(38,0)")).as("fp"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+             |              l_orderkey, l_linenumber,
+             |              CAST(l_quantity AS BIGINT), l_returnflag)), 1, 15)
+             |            AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Contingency table with EXACT independence deviations: the
+    // chi-square shape without the division — dev = o·n − r·c is the
+    // numerator sign/magnitude of (observed − expected) in pure BIGINT
+    // cross-multiplication, so no engine's float path touches it.
+    // Row/col totals via window sums over the cell table (125 cells),
+    // one shuffle for the cell counts.
+    QueryDef("q_contingency",
+      (s, d) => {
+        val cells = customer(s, d)
+          .groupBy(col("c_mktsegment").as("seg"),
+            (col("c_nationkey") % 5).as("nb"))
+          .agg(count(lit(1)).as("o"))
+        val wAll = Window.partitionBy()
+        cells
+          .withColumn("r", sum(col("o")).over(Window.partitionBy(col("seg"))))
+          .withColumn("c", sum(col("o")).over(Window.partitionBy(col("nb"))))
+          .withColumn("n", sum(col("o")).over(wAll))
+          .select(col("seg"), col("nb"), col("o"), col("r"), col("c"),
+            (col("o") * col("n") - col("r") * col("c")).as("dev"))
+          .orderBy(col("seg"), col("nb"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_mktsegment AS seg, c_nationkey % 5 AS nb,
+             |         CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT seg, nb, o,
+             |       CAST(SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
+             |       CAST(SUM(o) OVER (PARTITION BY nb) AS BIGINT) AS c,
+             |       CAST(o * SUM(o) OVER () - SUM(o) OVER (PARTITION BY seg)
+             |         * SUM(o) OVER (PARTITION BY nb) AS BIGINT) AS dev
+             |FROM cells ORDER BY seg, nb""".stripMargin)),
+
+    // Driver-lane quality gate for the approximate-percentile sketch
+    // (the e_ann_recall pattern): percentile_approx's rank-error
+    // guarantee is checked in RANK space — count(value <= approx)
+    // must sit within n/accuracy (+1 for discreteness) of q·n. The
+    // check holds for ANY valid sketch merge order, so the constant
+    // all-true oracle is sound even though the sketch itself isn't
+    // partition-deterministic; the exact ranks are integer counts.
+    QueryDef("q_approx_quantile_gate",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
+        val approx = li.agg(expr(
+          "percentile_approx(v, array(0.5D, 0.9D, 0.99D), 10000)").as("a"))
+          .head().getSeq[Double](0)
+        val n = li.count()
+        val tol = n / 10000 + 1
+        val checks = Seq(0.5, 0.9, 0.99).zip(approx).map { case (q, va) =>
+          val rank = li.filter(col("v") <= va).count()
+          (q, math.abs(rank - q * n) <= tol)
+        }
+        import s.implicits._
+        checks.toDF("q", "within_bound").orderBy(col("q"))
+      },
+      Some("""SELECT CAST(0.5 AS DOUBLE) AS q, true AS within_bound
+             |UNION ALL SELECT 0.9, true
+             |UNION ALL SELECT 0.99, true ORDER BY q""".stripMargin)),
+
     // Interval-overlap join, asymmetric: per-(user, day) activity
     // intervals vs one generated "maintenance hour" interval per day.
     // The small side BROADCASTS and the day column is an equi-band, so

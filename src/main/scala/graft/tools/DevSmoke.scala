@@ -181,6 +181,10 @@ object DevSmoke {
       graft.Queries.queryMap("s_session_native")(spark, sf).count())
     println("interval join days: " +
       graft.Queries.queryMap("q_interval_join")(spark, sf).count())
+    graft.Queries.queryMap("q_fingerprint_table")(spark, sf).show(truncate = false)
+    println("contingency cells: " +
+      graft.Queries.queryMap("q_contingency")(spark, sf).count())
+    graft.Queries.queryMap("q_approx_quantile_gate")(spark, sf).show(truncate = false)
 
     spark.stop()
   }

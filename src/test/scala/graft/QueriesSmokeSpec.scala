@@ -53,7 +53,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q_zorder", "e_ann_topk", "q_topk_agg", "q_map_funcs", "q_try_funcs",
       "q9_profit", "v_grouped_topk", "d_dup_clusters", "q_quantile_2pass",
       "q_equidepth_hist", "d_weighted_sample", "d_fuzzy_join",
-      "q_skyline", "q_incremental_agg", "d_triangle_count")
+      "q_skyline", "q_incremental_agg", "d_triangle_count",
+      "q_fingerprint_table", "q_approx_quantile_gate")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def results(n: String): Seq[String] =
