@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Property tests for the round-5 graph/text operators, each against a
+  * brute-force reference on seeded random inputs — the same differential
+  * style as QuantilesSpec / ConnectedComponentsSpec.
+  */
+class GraphTextPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- FastSS deletion-neighborhood completeness ------------------------
+
+  private def deletions(s: String): Set[String] =
+    (0 to s.length).map {
+      case 0 => s
+      case i => s.substring(0, i - 1) + s.substring(i)
+    }.toSet
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("FastSS: deletion neighborhoods never miss an edit-distance-<=1 pair") {
+    // The neighborhood join is a SUPERSET generator: lev <= 1 must imply
+    // the neighborhoods intersect (no false negatives — completeness).
+    // The converse does NOT hold ('aac' vs 'aca' share deletion 'aa' at
+    // distance 2), which is exactly why d_fuzzy_join verifies every
+    // candidate with levenshtein before counting it.
+    val rnd = new Random(42)
+    val alphabet = "abc" // small alphabet forces many near-miss pairs
+    val strs = Seq.fill(300)(
+      (0 until (3 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+    var nearPairs = 0
+    for (a <- strs.take(120); b <- strs.take(120) if lev(a, b) <= 1) {
+      nearPairs += 1
+      assert(deletions(a).intersect(deletions(b)).nonEmpty,
+        s"FastSS missed '$a' vs '$b' at lev=${lev(a, b)}")
+    }
+    assert(nearPairs > 100, s"fixture too sparse to be meaningful: $nearPairs")
+    // and at least one distance-2 pair DOES collide, proving the verify
+    // filter is load-bearing, not decorative
+    assert(deletions("aac").intersect(deletions("aca")).nonEmpty && lev("aac", "aca") == 2)
+  }
+
+  // --- Skyline: bucketed plan equals brute force ------------------------
+
+  test("bucket-pruned skyline equals the quadratic reference on random points") {
+    val rnd = new Random(7)
+    // duplicate prices on purpose: the per-price collapse must pick max date
+    val pts = Seq.fill(500)((rnd.nextInt(80) * 100.0, rnd.nextInt(1000).toLong))
+    val df = pts.toDF("price", "ms")
+
+    val perPrice = df.groupBy(col("price")).agg(max(col("ms")).as("best_ms"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("price").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val local = perPrice.withColumn("bucket", floor(col("price") / 1000))
+      .withColumn("hm", max(col("best_ms")).over(bw))
+      .filter(col("hm").isNull || col("best_ms") > col("hm"))
+    val gw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price").desc).rowsBetween(Long.MinValue, -1)
+    val got = local.withColumn("ghm", max(col("best_ms")).over(gw))
+      .filter(col("ghm").isNull || col("best_ms") > col("ghm"))
+      .select(col("price"), col("best_ms"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+
+    // brute force: a point survives iff no other point dominates it
+    val collapsed = pts.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).max) }.toSeq
+    val want = collapsed.filter { case (p, m) =>
+      !collapsed.exists { case (p2, m2) =>
+        (p2 >= p && m2 >= m) && (p2 > p || m2 > m)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  // --- Triangle counting: orientation equals brute force ----------------
+
+  test("degree-oriented triangle count equals brute force on random graphs") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.15
+      } yield (i.toLong, j.toLong)).toSeq
+      val e0 = edges.toDF("i", "j")
+
+      val deg = e0.select(col("i").as("v")).unionAll(e0.select(col("j").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val ranked = e0
+        .join(deg.withColumnRenamed("v", "i").withColumnRenamed("deg", "di"), "i")
+        .join(deg.withColumnRenamed("v", "j").withColumnRenamed("deg", "dj"), "j")
+      val dir = ranked.select(
+        when(col("di") < col("dj") || (col("di") === col("dj") && col("i") < col("j")),
+          col("i")).otherwise(col("j")).as("src"),
+        when(col("di") < col("dj") || (col("di") === col("dj") && col("i") < col("j")),
+          col("j")).otherwise(col("i")).as("dst"))
+      val wedges = dir.as("e1").join(dir.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      val got = wedges.join(dir.as("e3"),
+          col("e3.src") === col("u") && col("e3.dst") === col("w"), "left_semi")
+        .count()
+
+      val es = edges.toSet
+      def has(a: Long, b: Long) = es.contains((a min b, a max b))
+      val want = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if has(a, b) && has(b, c) && has(a, c)
+      } yield 1).size
+      assert(got == want.toLong, s"trial $trial: oriented=$got brute=$want")
+    }
+  }
+}
