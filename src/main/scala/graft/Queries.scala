@@ -2374,6 +2374,127 @@ object Queries {
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-group linear regression WITHOUT float drift: slope/intercept
+    // from the closed form over EXACT decimal sums (Σx, Σy, Σxy, Σx²
+    // all fit DECIMAL(38)), with division — one correctly-rounded IEEE
+    // op — applied only at the very end. The built-in regr_slope
+    // accumulates doubles in partition order and cannot hash-match
+    // across engines; this formulation is mergeable and
+    // partition-invariant by construction. x = epoch day, y = price.
+    QueryDef("q_regression",
+      (s, d) => {
+        val o = orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            expr("datediff(cast(o_orderdate as date), date'2020-01-01')")
+              .cast("decimal(18,0)").as("x"),
+            col("o_totalprice").cast("decimal(18,2)").as("y"))
+        o.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          // sums are EXACT decimals; convert each to double and keep the
+          // closed form in doubles — n·sxy would blow past DECIMAL(38)
+          // as a decimal product, while the double expression is a fixed
+          // tree of correctly-rounded IEEE ops over identical inputs on
+          // both engines
+          .select(col("seg"), col("n").as("n_orders"),
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")))
+              .as("slope"))
+          .orderBy(col("seg"))
+      },
+      Some("""WITH o AS (
+             |  SELECT c_mktsegment AS seg,
+             |         CAST(datediff('day', DATE '2020-01-01',
+             |                       CAST(o_orderdate AS DATE)) AS DECIMAL(18,0)) AS x,
+             |         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |a AS (
+             |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             |         SUM(x) AS sx, SUM(y) AS sy,
+             |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+             |  FROM o GROUP BY seg)
+             |SELECT seg, n AS n_orders,
+             |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+             |FROM a ORDER BY seg""".stripMargin)),
+
+    // Declarative data-quality audit (the Deequ/dbt-test shape): one
+    // scan computes every rule — null rate, domain violations,
+    // duplicate keys — and one anti-join counts referential orphans.
+    // The report is a single narrow row a pipeline gates a deploy on;
+    // at 100 TB the point is that N rules cost ONE pass, not N.
+    QueryDef("q_dq_audit",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val scan = li.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_returnflag").isNull, 1)).as("null_flags"),
+          count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+            .as("qty_out_of_domain"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+            .as("disc_out_of_domain"))
+        val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("dup_keys"))
+        val orphans = li.join(orders(s, d),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_lines"))
+        scan.crossJoin(broadcast(dupKeys)).crossJoin(broadcast(orphans))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+             |       (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL) AS null_flags,
+             |       (SELECT COUNT(*) FROM lineitem
+             |        WHERE l_quantity < 1 OR l_quantity > 50) AS qty_out_of_domain,
+             |       (SELECT COUNT(*) FROM lineitem
+             |        WHERE l_discount < 0 OR l_discount > 0.1) AS disc_out_of_domain,
+             |       (SELECT COUNT(*) FROM (
+             |          SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
+             |          HAVING COUNT(*) > 1)) AS dup_keys,
+             |       (SELECT COUNT(*) FROM lineitem
+             |        WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                          WHERE o_orderkey = l_orderkey)) AS orphan_lines""".stripMargin)),
+
+    // Snapshot table diff — the row-level companion to
+    // q_fingerprint_table: a full outer join on the key compares row
+    // FINGERPRINTS (not wide rows), classifying added / removed /
+    // changed / unchanged in one pass. The "updated snapshot" is staged
+    // deterministically (every orderkey%13==0 price bumped, %17==0
+    // dropped), so the oracle reproduces the diff from expressions.
+    // At scale both sides shuffle once on the key and the compare
+    // moves 16-byte digests, never the payload.
+    QueryDef("q_table_diff",
+      (s, d) => {
+        val base = orders(s, d).select(col("o_orderkey").as("k"),
+          md5(concat_ws("|", col("o_custkey"), col("o_totalprice"))).as("fp"))
+        val next = orders(s, d)
+          .filter(col("o_orderkey") % 17 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_custkey"),
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+          .select(col("k"),
+            md5(concat_ws("|", col("o_custkey"), col("o_totalprice"))).as("fp"))
+        base.withColumnRenamed("fp", "fp_a")
+          .join(next.withColumnRenamed("fp", "fp_b"), Seq("k"), "full_outer")
+          .select(when(col("fp_a").isNull, "added")
+            .when(col("fp_b").isNull, "removed")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 17 = 0 THEN 'removed'
+             |            WHEN o_orderkey % 13 = 0 THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Order-independent table fingerprint — cross-cluster data
     // reconciliation at 100 TB: after a migration/backfill, prove two
     // copies equal WITHOUT sorting either (a global sort is exactly

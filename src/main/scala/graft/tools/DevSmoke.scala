@@ -185,6 +185,9 @@ object DevSmoke {
     println("contingency cells: " +
       graft.Queries.queryMap("q_contingency")(spark, sf).count())
     graft.Queries.queryMap("q_approx_quantile_gate")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_regression")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_dq_audit")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_table_diff")(spark, sf).show(truncate = false)
 
     spark.stop()
   }

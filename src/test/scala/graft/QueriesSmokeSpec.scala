@@ -54,7 +54,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q9_profit", "v_grouped_topk", "d_dup_clusters", "q_quantile_2pass",
       "q_equidepth_hist", "d_weighted_sample", "d_fuzzy_join",
       "q_skyline", "q_incremental_agg", "d_triangle_count",
-      "q_fingerprint_table", "q_approx_quantile_gate")
+      "q_fingerprint_table", "q_approx_quantile_gate", "q_regression")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def results(n: String): Seq[String] =
