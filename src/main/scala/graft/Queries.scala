@@ -2374,6 +2374,80 @@ object Queries {
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Parquet AGGREGATE pushdown: with
+    // spark.sql.parquet.aggregatePushDown, COUNT/MIN/MAX over plain
+    // columns answer from row-group STATISTICS — footer reads, zero
+    // data pages. At 100 TB that is the difference between a metadata
+    // operation and a full scan. Requires no filter and no nested
+    // types; the plan shows PushedAggregation (pinned in PlanSpec).
+    QueryDef("q_agg_pushdown",
+      (s, d) => {
+        // push-down needs the V2 parquet reader (parquet sits on the V1
+        // list by default, where DPP lives — see q_dpp); both confs are
+        // scoped with restore so the rest of the suite keeps its paths
+        val keys = Seq("spark.sql.parquet.aggregatePushDown",
+          "spark.sql.sources.useV1SourceList")
+        val prev = keys.map(k => k -> s.conf.getOption(k))
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "avro,csv,json,kafka,orc,text")
+        try {
+          s.read.parquet(s"$d/lineitem.parquet")
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("l_orderkey")).as("min_key"),
+              max(col("l_orderkey")).as("max_key"),
+              min(col("l_shipdate")).as("first_ship"),
+              max(col("l_shipdate")).as("last_ship"))
+            // materialize the pushed-scan result BEFORE the confs revert
+            .localCheckpoint()
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+             |       CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+             |       MIN(l_shipdate) AS first_ship,
+             |       MAX(l_shipdate) AS last_ship
+             |FROM lineitem""".stripMargin)),
+
+    // DYNAMIC partition pruning: the fact table is partitioned by a
+    // derived day-of-year column, the dim side carries a runtime filter the
+    // planner can't see statically — DPP builds the partition list from
+    // the dim's filtered keys AT RUNTIME and the fact scan reads only
+    // those directories. The static-pruning twin (q_part_prune) proves
+    // literal pruning; this proves the join-driven kind every
+    // star-schema query at 100 TB depends on (plan shows
+    // dynamicpruning, pinned in PlanSpec).
+    QueryDef("q_dpp",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"dpp#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+          orders(s, d)
+            .withColumn("om", expr("dayofyear(cast(o_orderdate as date))"))
+            .write.mode("overwrite").partitionBy("om").parquet(sd)
+          sd
+        })
+        val fact = s.read.parquet(dir)
+        val dim = orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(expr("dayofyear(cast(o_orderdate as date))").as("om"))
+          .distinct()
+        fact.join(dim, Seq("om"))
+          .groupBy(col("om"))
+          .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("price_sum"))
+          .orderBy(col("om"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT dayofyear(CAST(o_orderdate AS DATE)) AS om
+             |  FROM orders WHERE o_orderkey % 97 = 0)
+             |SELECT CAST(f.om AS INT) AS om, CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+             |FROM (SELECT dayofyear(CAST(o_orderdate AS DATE)) AS om, o_totalprice
+             |      FROM orders) f
+             |JOIN dim ON f.om = dim.om
+             |GROUP BY f.om ORDER BY f.om""".stripMargin)),
+
     // Per-group linear regression WITHOUT float drift: slope/intercept
     // from the closed form over EXACT decimal sums (Σx, Σy, Σxy, Σx²
     // all fit DECIMAL(38)), with division — one correctly-rounded IEEE

@@ -188,6 +188,8 @@ object DevSmoke {
     graft.Queries.queryMap("q_regression")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("q_dq_audit")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("q_table_diff")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_agg_pushdown")(spark, sf).show(truncate = false)
+    println("dpp partitions: " + graft.Queries.queryMap("q_dpp")(spark, sf).count())
 
     spark.stop()
   }

@@ -342,4 +342,27 @@ class PlanSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum($"v")).collect()(0)
     assert(plain == salted)
   }
+
+  test("parquet aggregate pushdown answers count/min/max from row-group stats") {
+    // mirror q_agg_pushdown's scoped confs and pin the plan shape
+    val keys = Seq("spark.sql.parquet.aggregatePushDown",
+      "spark.sql.sources.useV1SourceList")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "avro,csv,json,kafka,orc,text")
+    try {
+      val plan = spark.read.parquet(s"${TestSpark.SF}/lineitem.parquet")
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_shipdate")))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), plan.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q_dpp: the fact scan carries a dynamic partition pruning subquery") {
+    val p = physical("q_dpp")
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"), p.take(3000))
+  }
 }
