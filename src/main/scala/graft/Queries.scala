@@ -2142,6 +2142,193 @@ object Queries {
              |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q4 shape (order priority checking): count orders per
+    // priority where at least one lineitem shipped late. The EXISTS is a
+    // LEFT SEMI join — it deduplicates multi-late-line orders inside the
+    // join operator (no DISTINCT pass) and carries only (orderkey,
+    // shipdate) from the fact side. The correlated date predicate rides
+    // IN the join condition, so at 100 TB the semi join shuffles both
+    // sides once on orderkey and nothing else; the priority rollup then
+    // aggregates |orders| rows down to 5.
+    QueryDef("q4_order_priority",
+      (s, d) => {
+        val late = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        orders(s, d)
+          .join(late, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q12 shape (shipping-priority audit; returnflag stands in for
+    // the fixture's missing shipmode): among lineitems shipped >60 days
+    // after their order date, count critical- vs normal-priority orders
+    // per flag. One fact-fact shuffle on the natural join key; the
+    // CASE-sum pair map-side combines, so the post-join width is 2 longs
+    // per flag. The conditional-aggregation pair is the canonical
+    // "pivot a predicate into columns" shape.
+    QueryDef("q12_late_priority",
+      (s, d) => {
+        val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS high_line_count,
+             |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q14 shape (promotion effect): revenue share of PROMO parts
+    // in one shipping month. Sums are exact decimal; the percentage is
+    // computed double-from-exact-decimal with ONE fixed expression tree
+    // (100 * promo / total), so both engines run the identical IEEE ops
+    // on identical inputs — the same drift-free division discipline as
+    // q_regression. part is a broadcast dimension: the fact side is
+    // filtered by shipdate at the scan (predicate pushdown into
+    // parquet), never shuffled.
+    QueryDef("q14_promo",
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)"))
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(new java.math.BigDecimal("0.00"))))
+              .as("pr"),
+            sum(rev).as("tr"))
+          .select(
+            (lit(100.0) * col("pr").cast("double") / col("tr").cast("double"))
+              .as("promo_pct"),
+            col("pr").cast("double").as("promo_rev"),
+            col("tr").cast("double").as("total_rev"))
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |         (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+             |         p_type
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01')
+             |SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |         / CAST(SUM(rev) AS DOUBLE) AS promo_pct,
+             |       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+             |       CAST(SUM(rev) AS DOUBLE) AS total_rev
+             |FROM j""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): revenue lost to
+    // below-one-fifth-of-average orders of one brand's parts. The
+    // correlated `l_quantity < 0.2 * AVG(...)` decorrelates into a
+    // per-part pre-aggregate on the BRAND-PRUNED fact subset (the
+    // broadcast brand filter cuts 2000 parts to ~80 BEFORE any fact
+    // work), and the average compare is cross-multiplied over exact
+    // decimals (5·qty·n < sum_qty) so no double division can flip a
+    // boundary row. Both the brand part list and the per-part stats
+    // broadcast — the fact table is scanned twice but never shuffled;
+    // at 100 TB the second scan is the cheaper trade vs materializing
+    // the brand subset.
+    QueryDef("q17_small_qty",
+      (s, d) => {
+        val bp = part(s, d).filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey"))
+        val lp = lineitem(s, d)
+          .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+        val stats = lp.groupBy(col("l_partkey").as("sp_partkey"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+            count(lit(1)).as("n_li"))
+        lp.join(broadcast(stats), col("l_partkey") === col("sp_partkey"))
+          .filter(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("n_li") <
+            col("sum_qty"))
+          .agg((dsum("l_extendedprice") / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+      },
+      Some("""WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+             |lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+             |       FROM lineitem JOIN bp ON l_partkey = p_partkey),
+             |st AS (SELECT l_partkey AS sp_partkey,
+             |              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |              COUNT(*) AS n_li
+             |       FROM lp GROUP BY 1)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+             |       COUNT(*) AS n_small
+             |FROM lp JOIN st ON l_partkey = sp_partkey
+             |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): per supplier,
+    // finished multi-supplier orders where THIS supplier shipped late
+    // (>60 days after the order date) and no other supplier did. The
+    // double correlated EXISTS/NOT-EXISTS decorrelates into ONE grouped
+    // pass over the joined fact — per order: distinct suppliers and
+    // distinct LATE suppliers — joined back to the late lines. That is
+    // the shape that survives 100 TB: the naive plan probes lineitem
+    // twice per lineitem row; this one shuffles the fact once on
+    // orderkey, reduces per order, and broadcasts nothing wider than
+    // supplier/nation dimensions.
+    QueryDef("q21_wait_supplier",
+      (s, d) => {
+        val lo = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        val perOrder = lo.groupBy(col("l_orderkey").as("g_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        lo.filter(col("late"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+          .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+          .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""WITH lo AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'),
+             |per_order AS (
+             |  SELECT l_orderkey AS g_orderkey,
+             |         COUNT(DISTINCT l_suppkey) AS n_supp,
+             |         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+             |  FROM lo GROUP BY 1),
+             |lateline AS (
+             |  SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late)
+             |SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM lateline
+             |JOIN per_order ON l_orderkey = g_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_supp > 1 AND n_late_supp = 1
+             |GROUP BY s_name, n_name
+             |ORDER BY numwait DESC, s_name""".stripMargin)),
+
     // SCD2 dimension build from a changelog (gaps-and-islands): collapse
     // each user's event stream into attribute VERSIONS — a new version
     // starts when event_type changes, each version carries
