@@ -922,6 +922,68 @@ object Queries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Positional window access: each row sees the 3rd price in its
+    // growing frame (explicit ROWS frame — the default RANGE frame
+    // would make "3rd" depend on peer grouping), rows before the 3rd
+    // get NULL. The frame is pinned identically on both engines because
+    // nth_value's default frame differs across SQL dialects — the
+    // classic silent-divergence trap this query pins shut.
+    QueryDef("q_nth_value",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       nth_value(o_totalprice, 3) OVER (
+             |         PARTITION BY o_orderpriority ORDER BY o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_price
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Ordered-set aggregates with pinned tie-breaks: mode() in every
+    // engine returns SOME most-frequent value on ties — useless for a
+    // reproducible pipeline — so the mode is computed as count-then-rank
+    // with an explicit (count DESC, value ASC) order; the group
+    // concatenation sorts its distinct inputs before joining (Spark's
+    // collect_set order is partition-dependent; array_sort makes it a
+    // function of the SET). Both are two-phase aggs that map-side
+    // combine; collect_set is bounded by the attribute's cardinality,
+    // not the row count.
+    QueryDef("q_mode_listagg",
+      (s, d) => {
+        val counts = lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linenumber"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("c").desc, col("l_linenumber"))
+        val m = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_linenumber").as("mode_ln"),
+            col("c").as("n_modal"))
+        val sa = lineitem(s, d).groupBy(col("l_returnflag"))
+          .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("status_csv"))
+        m.join(sa, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_linenumber, COUNT(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |m AS (
+             |  SELECT l_returnflag, l_linenumber AS mode_ln, c AS n_modal,
+             |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |           ORDER BY c DESC, l_linenumber) AS rn
+             |  FROM c),
+             |sa AS (
+             |  SELECT l_returnflag,
+             |         string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS status_csv
+             |  FROM lineitem GROUP BY 1)
+             |SELECT m.l_returnflag, mode_ln, n_modal, status_csv
+             |FROM m JOIN sa ON m.l_returnflag = sa.l_returnflag
+             |WHERE rn = 1 ORDER BY m.l_returnflag""".stripMargin)),
+
     // Full-outer join with unmatched rows on BOTH sides (urgent-only vs
     // F-status-only customers), USING-style coalesced key.
     QueryDef("q_outer_join",

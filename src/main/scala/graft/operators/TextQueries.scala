@@ -777,6 +777,72 @@ object TextQueries {
              |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
              |       CAST(SUM(a + b + c) AS BIGINT) AS id_sum FROM t""".stripMargin)),
 
+    // PageRank over a synthetic link graph, EXACT through the hash gate:
+    // ranks are integer ppm (1.0 = 1_000_000) and one iteration is
+    // rank' = 0.15 + 0.85 * Σ in(rank/outdeg) in pure BIGINT arithmetic
+    // (truncating division both engines), so five iterations produce
+    // bit-identical ranks — the usual "PageRank is floats, can't gate
+    // it" excuse doesn't apply. Plan shape is the one that scales: the
+    // (src, dst, outdeg) edge list materializes ONCE (localCheckpoint —
+    // a 5-deep iterative lineage over joins would otherwise re-derive
+    // the edge set each pass and re-plan a growing DAG), each iteration
+    // is edges⋈ranks on src → groupBy dst → left join back to the node
+    // list; ranks and edges co-partition on the node key so at 1000
+    // executors each pass is ONE shuffle of (node, contrib) longs. The
+    // fixed iteration count is what a 100 TB run does too (convergence
+    // checks cost a driver round-trip per pass; production runs pick a
+    // budget). Dangling-node mass loss is the textbook simplification,
+    // identical on both sides.
+    QueryDef("d_pagerank",
+      (s, d) => {
+        val e0 = orders(s, d)
+          .select((col("o_custkey") % 100).as("src"), (col("o_orderkey") % 100).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val od = e0.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+        val e = e0.join(od, "src").localCheckpoint()
+        val nodes = e0.select(col("src").as("node"))
+          .unionAll(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+        var ranks = nodes.withColumn("r", lit(1000000L))
+        for (_ <- 1 to 5) {
+          val in = e.join(ranks, e("src") === ranks("node"))
+            .select(col("dst"), expr("r div odeg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          ranks = nodes.join(in, nodes("node") === in("dst"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("(850000 * coalesce(sc, 0L)) div 1000000")).as("r"))
+        }
+        ranks.orderBy(col("node"))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+             |  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100),
+             |od AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY 1),
+             |e AS (SELECT e0.src, e0.dst, od.odeg FROM e0 JOIN od ON e0.src = od.src),
+             |n AS (SELECT DISTINCT src AS node FROM e0
+             |      UNION SELECT DISTINCT dst FROM e0),
+             |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+             |pr1 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+             |        FROM n LEFT JOIN (SELECT e.dst, SUM(p.r // e.odeg) AS c
+             |                          FROM e JOIN pr0 p ON e.src = p.node GROUP BY e.dst) s
+             |          ON n.node = s.dst),
+             |pr2 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+             |        FROM n LEFT JOIN (SELECT e.dst, SUM(p.r // e.odeg) AS c
+             |                          FROM e JOIN pr1 p ON e.src = p.node GROUP BY e.dst) s
+             |          ON n.node = s.dst),
+             |pr3 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+             |        FROM n LEFT JOIN (SELECT e.dst, SUM(p.r // e.odeg) AS c
+             |                          FROM e JOIN pr2 p ON e.src = p.node GROUP BY e.dst) s
+             |          ON n.node = s.dst),
+             |pr4 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+             |        FROM n LEFT JOIN (SELECT e.dst, SUM(p.r // e.odeg) AS c
+             |                          FROM e JOIN pr3 p ON e.src = p.node GROUP BY e.dst) s
+             |          ON n.node = s.dst),
+             |pr5 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+             |        FROM n LEFT JOIN (SELECT e.dst, SUM(p.r // e.odeg) AS c
+             |                          FROM e JOIN pr4 p ON e.src = p.node GROUP BY e.dst) s
+             |          ON n.node = s.dst)
+             |SELECT node, r FROM pr5 ORDER BY node""".stripMargin)),
+
     // Cross-document chunk dedup: the same content-hashed chunk grid as
     // `d_chunk`, grouped by hash — chunks shared by >1 doc are
     // copy-paste repetition a curation pipeline drops or down-weights.
