@@ -51,6 +51,8 @@ object VariantFunctions {
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
   def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
+  def vec_sq8(c: Column): Column = col(Sq8Encode(expr(c)))
+  def vec_cosine_i8(a: Column, b: Column): Column = col(CosineSimI8(expr(a), expr(b)))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
   def hyperplane_bucket(c: Column, bits: Int): Column = col(HyperplaneBucket(expr(c), bits))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
@@ -213,6 +215,12 @@ object VariantFunctions {
     ("vec_cosine",
       (es: Seq[Expression]) => CosineSimFloat(es.head, es(1)),
       "vec_cosine(a, b) - Cosine similarity of two float/double vectors."),
+    ("vec_sq8",
+      (es: Seq[Expression]) => Sq8Encode(es.head),
+      "vec_sq8(vec) - Int8 scalar-quantized codes of a vector (one signed byte per dim)."),
+    ("vec_cosine_i8",
+      (es: Seq[Expression]) => CosineSimI8(es.head, es(1)),
+      "vec_cosine_i8(a, b) - Cosine similarity over two sq8 code arrays (integer kernel)."),
     ("jaccard_sorted",
       (es: Seq[Expression]) => JaccardSorted(es.head, es(1)),
       "jaccard_sorted(a, b) - Jaccard similarity of two sorted distinct string arrays."))

@@ -315,3 +315,104 @@ case class PqAdcLookup(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `vec_sq8(vec)`: int8 scalar quantization of a float/double vector —
+  * code_i = round(127 · x_i / max|x|) as a signed byte, packed into a
+  * BINARY of exactly `dim` bytes. The 4× size cut vs float32 is the
+  * point at 100 TB: an ANN scan over sq8 codes reads a quarter of the
+  * bytes and runs integer multiply-accumulate, and because cosine is
+  * scale-invariant the per-vector scale factor cancels — the codes
+  * alone support the ranking scan (no scale column needed). Zero
+  * vectors encode to all-zero codes (cosine later yields NULL, same as
+  * the float kernel). Reference has no ANN surface; quantization
+  * follows the public FAISS SQ8 design.
+  */
+case class Sq8Encode(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vec_sq8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sq8 expects array<float|double>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      if (x > ma) ma = x
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (ma > 0.0) {
+      val s = 127.0 / ma
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = math.round(x * s).toByte // |x·s| ≤ 127, no clamp needed
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vec_cosine_i8(codes_a, codes_b)`: cosine similarity over two sq8
+  * code arrays in pure integer multiply-accumulate (one i64 dot + two
+  * i64 norms per pair; 127²·dim stays far under i64), one double
+  * division at the end. This is the hot kernel of the sq8 ANN scan —
+  * per-element work is an int multiply instead of a float one, and the
+  * operands are 4× denser in cache. Zero-norm codes yield NULL,
+  * mirroring `vec_cosine`.
+  */
+case class CosineSimI8(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_cosine_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_cosine_i8 expects two binary sq8 code arrays, got: $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length)
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong
+      val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) null
+    // single sqrt over the PRODUCT (computed in double — the i64 product
+    // could overflow at extreme dims): identical code arrays then divide
+    // na by exactly sqrt(na²) = na, so self-similarity is exactly 1.0
+    else java.lang.Double.valueOf(dot / math.sqrt(na.toDouble * nb.toDouble))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -262,6 +262,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
+
+  /** SQ8 ANN: int8 scalar-quantized scan + exact rerank. Unlike
+    * LSH/IVF/PQ this is NOT a pruning index — it is a COMPRESSION of
+    * the brute-force scan: every corpus vector is still visited, but as
+    * `dim` bytes instead of `4·dim` (4× less scan I/O and cache
+    * traffic) through the integer `vec_cosine_i8` kernel. Cosine's
+    * scale-invariance means the per-vector scale factor cancels and the
+    * codes alone rank; only the top rerank·k candidates per probe touch
+    * the full-precision floats again. At 100 TB the codes column is the
+    * thing you'd actually materialize next to the embeddings — the
+    * rerank reads float vectors for k·rerank·|probes| rows, not the
+    * corpus.
+    */
+  def sq8TopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              rerankFactor: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fn = graft.functions.VariantFunctions
+    val coded = corpus.withColumn("codes", fn.vec_sq8(col("embedding")))
+    val probeCodes = probes.withColumn("pcodes", fn.vec_sq8(col("qv")))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("vec_id"))
+    val cand = coded.crossJoin(broadcast(probeCodes))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("asim", fn.vec_cosine_i8(col("codes"), col("pcodes")))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerankFactor)
+    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("sim", cosine("embedding", "qv"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
 }
 
 object SimilarityQueries {
@@ -337,6 +368,21 @@ object SimilarityQueries {
       },
       None),
 
+    // SQ8 ANN (int8-quantized scan + exact rerank): approximate only in
+    // the candidate ORDER (quantization can swap near-ties past the
+    // rerank horizon), so rows-only here; its recall floor is pinned in
+    // the driver lane by e_ann_recall below.
+    QueryDef("e_ann_sq8",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        sq8TopK(emb, probes, 5)
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
     // ANN quality gate in the DRIVER lane: recall@5 of each approximate
     // method against the exact brute-force result, reduced to a
     // deterministic meets-floor digest the DuckDB oracle can state as
@@ -345,9 +391,11 @@ object SimilarityQueries {
     // so the hash compare pins the floors: if a bucketing or rerank
     // change craters recall, CORRECTNESS flags it — not only ScalaTest.
     // Floors sit under the measured recalls at every fixture SF
-    // (lsh .12-.20 ≥ .10, ivf .52-.64 ≥ .40, pq .80-.98 ≥ .70; the
-    // random uniform embeddings make LSH/IVF genuinely hard — no
-    // cluster structure to exploit — which is WHY the floors differ).
+    // (lsh .12-.20 ≥ .10, ivf .52-.64 ≥ .40, pq .80-.98 ≥ .70,
+    // sq8 .96-1.0 ≥ .80; the random uniform embeddings make LSH/IVF
+    // genuinely hard — no cluster structure to exploit — which is WHY
+    // the floors differ; sq8 scans everything, so only quantization
+    // near-tie swaps past the rerank horizon cost it recall).
     QueryDef("e_ann_recall",
       (s, d) => {
         val emb = embeddings(s, d)
@@ -360,7 +408,8 @@ object SimilarityQueries {
         Seq(
           ("lsh", lshTopK(emb, probes, 5, bits = 8), 10),
           ("ivf", ivfTopK(emb, probes, 5, indexKey = Some(d)), 40),
-          ("pq", pqTopK(emb, probes, 5, indexKey = Some(d)), 70))
+          ("pq", pqTopK(emb, probes, 5, indexKey = Some(d)), 70),
+          ("sq8", sq8TopK(emb, probes, 5), 80))
           .map { case (name, approx, floorPct) =>
             approx.select(col("qid"), col("neighbor_id"))
               .join(exact, Seq("qid", "neighbor_id"))
@@ -374,7 +423,8 @@ object SimilarityQueries {
           .reduce(_ unionAll _)
           .orderBy(col("method"))
       },
-      Some("""SELECT * FROM (VALUES ('ivf', 40, true), ('lsh', 10, true), ('pq', 70, true))
+      Some("""SELECT * FROM (VALUES ('ivf', 40, true), ('lsh', 10, true),
+             |                      ('pq', 70, true), ('sq8', 80, true))
              |  AS t(method, floor_pct, meets_floor)
              |ORDER BY method""".stripMargin)),
 

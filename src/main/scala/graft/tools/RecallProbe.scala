@@ -18,7 +18,8 @@ object RecallProbe {
       for ((name, df) <- Seq(
           ("lsh", Similarity.lshTopK(emb, probes, 5, bits = 8)),
           ("ivf", Similarity.ivfTopK(emb, probes, 5, indexKey = Some(d))),
-          ("pq", graft.operators.Similarity.pqTopK(emb, probes, 5, indexKey = Some(d))))) {
+          ("pq", graft.operators.Similarity.pqTopK(emb, probes, 5, indexKey = Some(d))),
+          ("sq8", Similarity.sq8TopK(emb, probes, 5)))) {
         val hits = df.select(col("qid"), col("neighbor_id"))
           .join(exact, Seq("qid", "neighbor_id")).count()
         println(f"[recall] $sf $name%4s hits=$hits/$nExact = ${hits.toDouble / nExact}%.3f")

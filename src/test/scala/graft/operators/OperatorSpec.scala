@@ -114,6 +114,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
   }
 
+  test("SQ8 ANN finds a planted near-duplicate; quantized kernel matches float on identical codes") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val planted = v0.map(x => x * 1.0001f)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((99999L, planted)).toDF("vec_id", "embedding"))
+    val probes = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.sq8TopK(corpus, probes, 1).collect()
+    assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 99999L)
+    // kernel sanity: identical vectors → identical codes → cosine 1.0;
+    // the zero vector quantizes to all-zero codes → NULL (like float)
+    val r = spark.sql(
+      """SELECT vec_cosine_i8(vec_sq8(array(0.5F, -1.0F, 0.25F)),
+        |                     vec_sq8(array(0.5F, -1.0F, 0.25F))) AS same,
+        |       vec_cosine_i8(vec_sq8(array(0.0F, 0.0F)),
+        |                     vec_sq8(array(1.0F, 2.0F))) AS zero,
+        |       length(vec_sq8(array(0.5F, -1.0F, 0.25F))) AS len
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.isNullAt(1))
+    assert(r.getInt(2) == 3)
+  }
+
   test("semantic dedup removes a planted duplicate and keeps distinct vectors") {
     val emb = Tables.embeddings(spark, TestSpark.SF)
     val v0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
