@@ -191,6 +191,45 @@ object Queries {
              |       COUNT(*) AS n
              |FROM m GROUP BY 1 ORDER BY ln""".stripMargin)),
 
+    // Structural PII scrub: variant_strip_keys projects named top-level
+    // keys OUT of a variant (the semi-structured twin of dropping
+    // columns) with no JSON text round trip. The oracle states the same
+    // edit as json_merge_patch with a null patch value — the textbook
+    // key-delete idiom — and checks both the removal (stripped key
+    // extracts as NULL on every row) and the survivors (values and the
+    // remaining key set intact). Map-only, canonical output bytes.
+    QueryDef("v_strip_keys",
+      (s, d) => {
+        val j = concat(
+          lit("""{"qty": """), col("l_quantity").cast("long"),
+          lit(""", "secret": """), col("l_suppkey"),
+          lit(""", "sk": """), col("l_partkey"), lit("}"))
+        lineitem(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("sv", vf.variant_strip_keys(
+            vf.variant_from_json(j), array(lit("secret"), lit("absent"))))
+          .groupBy(vf.variant_get(col("sv"), "$.sk", LongType).as("sk"))
+          .agg(
+            sum(vf.variant_get(col("sv"), "$.qty", LongType)).as("qty_sum"),
+            count(vf.variant_get(col("sv"), "$.secret", LongType)).as("n_secret"),
+            sum(size(vf.variant_keys(col("sv"))).cast("long")).as("keys_total"),
+            count(lit(1)).as("n"))
+          .orderBy(col("sk"))
+      },
+      Some("""WITH m AS (
+             |  SELECT json_merge_patch(
+             |    '{"qty": ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+             |      || ', "secret": ' || CAST(l_suppkey AS VARCHAR)
+             |      || ', "sk": ' || CAST(l_partkey AS VARCHAR) || '}',
+             |    '{"secret": null}') AS j
+             |  FROM lineitem)
+             |SELECT CAST(json_extract_string(j, '$.sk') AS BIGINT) AS sk,
+             |       CAST(SUM(CAST(json_extract_string(j, '$.qty') AS BIGINT)) AS BIGINT) AS qty_sum,
+             |       COUNT(json_extract(j, '$.secret')) AS n_secret,
+             |       CAST(SUM(len(json_keys(j))) AS BIGINT) AS keys_total,
+             |       COUNT(*) AS n
+             |FROM m GROUP BY 1 ORDER BY sk""".stripMargin)),
+
     QueryDef("v_sum_by_type",
       (s, d) => parsedEvents(s, d)
         .groupBy(col("event_type"))

@@ -33,6 +33,8 @@ object VariantFunctions {
   def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
   def variant_merge_patch(target: Column, patch: Column): Column =
     col(VariantMergePatch(expr(target), expr(patch)))
+  def variant_strip_keys(v: Column, keys: Column): Column =
+    col(VariantStripKeys(expr(v), expr(keys)))
   def to_variant(c: Column): Column = col(ToVariant(expr(c)))
   def to_spark_variant(c: Column): Column = col(ToSparkVariant(expr(c)))
   def from_spark_variant(c: Column): Column = col(FromSparkVariant(expr(c)))
@@ -130,6 +132,9 @@ object VariantFunctions {
     ("variant_merge_patch",
       (es: Seq[Expression]) => VariantMergePatch(es.head, es(1)),
       "variant_merge_patch(target, patch) - RFC 7386 merge: objects merge recursively, patch nulls delete keys, non-objects replace."),
+    ("variant_strip_keys",
+      (es: Seq[Expression]) => VariantStripKeys(es.head, es(1)),
+      "variant_strip_keys(v, keys) - Remove named top-level keys from a variant object; no-op on non-objects."),
     ("to_variant",
       (es: Seq[Expression]) => ToVariant(es.head),
       "to_variant(col) - Encode a typed value (scalar/struct/array/map) as a variant."),

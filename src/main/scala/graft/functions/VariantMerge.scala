@@ -74,6 +74,59 @@ case class VariantMergePatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `variant_strip_keys(v, keys)` — project named TOP-LEVEL keys OUT of a
+  * variant object: the semi-structured twin of dropping columns, and the
+  * PII-scrubbing primitive for variant pipelines (`d_pii_redact` does it
+  * for text; this does it structurally, no JSON round trip). Non-object
+  * variants pass through unchanged — stripping keys from a scalar or
+  * array is a no-op, not an error (mirrors SQL's forgiving semantics for
+  * `json_merge_patch(v, '{"k":null}')`, which is the textbook way to
+  * delete a key and the semantics DuckDB applies). Output re-encodes
+  * through the canonical writer, so equal content ⇒ equal bytes,
+  * whatever the input encoding.
+  */
+case class VariantStripKeys(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  import VariantMergePatch._
+
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_strip_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (VariantSchema.isVariantStruct(left.dataType), right.dataType) match {
+      case (true, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"variant_strip_keys expects (variant, array<string>), got: " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lr = l.asInstanceOf[InternalRow]
+    val keys = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    decode(lr.getBinary(0), lr.getBinary(1)) match {
+      case VObj(fields) =>
+        val out = fields.clone()
+        var i = 0
+        while (i < keys.numElements()) {
+          if (!keys.isNullAt(i)) out.remove(keys.getUTF8String(i).toString)
+          i += 1
+        }
+        encode(VObj(out))
+      case other => encode(other) // non-object: value unchanged, but
+                                  // re-encoded so the canonical-bytes
+                                  // guarantee holds for every input
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused `variant_merge_patch(variant_from_json(t), variant_from_json(p))`
   * — both documents parse straight into the decoded value tree (one
   * streaming Jackson walk each) and the merged tree encodes ONCE, so the

@@ -74,4 +74,26 @@ class VariantMergeSpec extends AnyFunSuite {
       .head.getString(0)
     assert(r === """{"a":{"y":2},"z":1}""")
   }
+
+  test("variant_strip_keys: removal, survivors, non-objects, foreign encodings") {
+    def strip(v: String, keys: String): String =
+      spark.sql(
+        s"""SELECT variant_to_json(variant_strip_keys(
+           |  variant_from_json('${v.replace("'", "''")}'), $keys)) AS j""".stripMargin)
+        .head.getString(0)
+    assert(strip("""{"a":1,"b":2,"c":3}""", "array('b')") === """{"a":1,"c":3}""")
+    assert(strip("""{"a":1,"b":2}""", "array('missing')") === """{"a":1,"b":2}""")
+    assert(strip("""{"a":1,"b":2}""", "array('a','b')") === "{}")
+    // only TOP-LEVEL keys strip; nested same-named keys survive
+    assert(strip("""{"a":{"b":1},"b":2}""", "array('b')") === """{"a":{"b":1}}""")
+    // non-objects pass through unchanged (re-encoded canonically)
+    assert(strip("""[1,2,3]""", "array('a')") === "[1,2,3]")
+    assert(strip(""""s"""", "array('a')") === "\"s\"")
+    // foreign encoding in, canonical bytes out
+    val r = spark.sql(
+      """SELECT variant_to_json(variant_strip_keys(
+        |  from_spark_variant(parse_json('{"z":1,"a":2,"m":3}')), array('m'))) AS j"""
+        .stripMargin).head.getString(0)
+    assert(r === """{"a":2,"z":1}""")
+  }
 }
