@@ -812,6 +812,144 @@ object Queries {
         .orderBy(col("l_returnflag")),
       None),
 
+    // KMV (k-minimum-values) sketch algebra through the EXACT hash gate:
+    // approx_count_distinct (above) can only be rows-checked because
+    // HLL internals are engine-private, but a KMV sketch built from a
+    // pinned integer hash is fully reproducible in SQL — so distinct
+    // ESTIMATES, sketch MERGE (union), and the Jaccard-based overlap
+    // estimate all hash-match the oracle bit for bit. Estimator stays in
+    // integer arithmetic: est = (k-1)·2³¹ div h_(k) (truncating div both
+    // engines), overlap = matches·est_union div k'. Why it scales: the
+    // sketch is a mergeable bottom-k (one shuffle on the group key, k
+    // rows per group survive), sketch-vs-sketch ops touch ≤k rows per
+    // group pair — estimating cross-corpus overlap at 100 TB costs one
+    // pass per corpus plus sketch-sized joins, never a fact-fact join.
+    // The unsaturated branch (n < k) returns the exact count, which is
+    // what makes the estimator exact on small groups by construction.
+    QueryDef("q_kmv_overlap",
+      (s, d) => {
+        val k = 128
+        val items = orders(s, d)
+          .select(col("o_orderpriority").as("g"), col("o_custkey").as("item"))
+          .distinct()
+        val hashed = items
+          .withColumn("h", pmod(pmod(col("item"), lit(2147483648L)) * 2654435761L,
+            lit(2147483648L)))
+          .select(col("g"), col("h")).distinct()
+        val wg = Window.partitionBy(col("g")).orderBy(col("h"))
+        val sk = hashed.withColumn("rnk", row_number().over(wg).cast("long"))
+          .filter(col("rnk") <= k)
+        // `div`, not `/`: Column./ is DOUBLE division; the estimator must
+        // stay in truncating integer arithmetic to hash-match the oracle
+        def estExpr(kg: String, hk: String): Column =
+          when(col(kg) < k, col(kg))
+            .otherwise(expr(s"(127L * 2147483648L) div $hk"))
+        val gs = sk.groupBy(col("g"))
+          .agg(max(col("rnk")).as("kg"), max(col("h")).as("hk"))
+          .select(col("g"), estExpr("kg", "hk").as("est"))
+        val groups = sk.select(col("g")).distinct()
+        val pairs = groups.select(col("g").as("ga"))
+          .crossJoin(groups.select(col("g").as("gb")))
+          .filter(col("ga") < col("gb"))
+        // sketch-union per pair: ≤2k rows before dedup — broadcast BNLJ
+        // over SKETCHES, which stay k-bounded at any corpus size
+        val pu = broadcast(pairs).join(sk,
+            col("g") === col("ga") || col("g") === col("gb"))
+          .select(col("ga"), col("gb"), col("h")).distinct()
+        val wp = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+        val merged = pu.withColumn("rnk", row_number().over(wp).cast("long"))
+          .filter(col("rnk") <= k)
+        val mh = sk.as("a").join(sk.as("b"),
+            col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+          .select(col("a.g").as("mga"), col("b.g").as("mgb"), col("a.h").as("mhh"))
+        val x = merged.join(mh,
+            col("ga") === col("mga") && col("gb") === col("mgb") &&
+              col("h") === col("mhh"))
+          .groupBy(col("ga").as("xga"), col("gb").as("xgb"))
+          .agg(count(lit(1)).as("x"))
+        val ps = merged.groupBy(col("ga"), col("gb"))
+          .agg(max(col("rnk")).as("kp"), max(col("h")).as("hkp"))
+          .join(x, col("ga") === col("xga") && col("gb") === col("xgb"), "left")
+          .select(col("ga"), col("gb"), col("kp"),
+            estExpr("kp", "hkp").as("est_union"),
+            coalesce(col("x"), lit(0L)).as("x"))
+        val exact = items.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        val exactOv = items.as("a").join(items.as("b"),
+            col("a.item") === col("b.item") && col("a.g") < col("b.g"))
+          .groupBy(col("a.g").as("oga"), col("b.g").as("ogb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        ps
+          .join(gs.select(col("g").as("ga"), col("est").as("est_a")), Seq("ga"))
+          .join(gs.select(col("g").as("gb"), col("est").as("est_b")), Seq("gb"))
+          .join(exact.select(col("g").as("ga"), col("n").as("exact_a")), Seq("ga"))
+          .join(exact.select(col("g").as("gb"), col("n").as("exact_b")), Seq("gb"))
+          .join(exactOv, col("ga") === col("oga") && col("gb") === col("ogb"), "left")
+          .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+            col("est_union"),
+            expr("(x * est_union) div kp").cast("long").as("est_inter"),
+            col("exact_a"), col("exact_b"),
+            coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+          .orderBy(col("ga"), col("gb"))
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT o_orderpriority AS g, o_custkey AS item FROM orders),
+             |h0 AS (
+             |  SELECT DISTINCT g,
+             |         ((item % 2147483648) * 2654435761) % 2147483648 AS h
+             |  FROM items),
+             |skr AS (
+             |  SELECT g, h, CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS BIGINT) AS rnk
+             |  FROM h0),
+             |sk AS (SELECT * FROM skr WHERE rnk <= 128),
+             |gs AS (
+             |  SELECT g, CASE WHEN MAX(rnk) < 128 THEN MAX(rnk)
+             |                 ELSE (127 * 2147483648) // MAX(h) END AS est
+             |  FROM sk GROUP BY g),
+             |pairs AS (
+             |  SELECT a.g AS ga, b.g AS gb
+             |  FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+             |  WHERE a.g < b.g),
+             |pu AS (
+             |  SELECT DISTINCT p.ga, p.gb, s.h
+             |  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+             |mergedr AS (
+             |  SELECT ga, gb, h,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS BIGINT) AS rnk
+             |  FROM pu),
+             |merged AS (SELECT * FROM mergedr WHERE rnk <= 128),
+             |mh AS (
+             |  SELECT a.g AS mga, b.g AS mgb, a.h AS mhh
+             |  FROM sk a JOIN sk b ON a.h = b.h AND a.g < b.g),
+             |x AS (
+             |  SELECT m.ga, m.gb, COUNT(*) AS x
+             |  FROM merged m JOIN mh ON m.ga = mh.mga AND m.gb = mh.mgb AND m.h = mh.mhh
+             |  GROUP BY 1, 2),
+             |ps AS (
+             |  SELECT m.ga, m.gb, MAX(m.rnk) AS kp,
+             |         CASE WHEN MAX(m.rnk) < 128 THEN MAX(m.rnk)
+             |              ELSE (127 * 2147483648) // MAX(m.h) END AS est_union,
+             |         COALESCE(ANY_VALUE(x.x), 0) AS x
+             |  FROM merged m LEFT JOIN x ON m.ga = x.ga AND m.gb = x.gb
+             |  GROUP BY 1, 2),
+             |exact AS (SELECT g, COUNT(*) AS n FROM items GROUP BY g),
+             |eo AS (
+             |  SELECT a.g AS oga, b.g AS ogb, COUNT(*) AS exact_inter
+             |  FROM items a JOIN items b ON a.item = b.item AND a.g < b.g
+             |  GROUP BY 1, 2)
+             |SELECT ps.ga, ps.gb,
+             |       CAST(ga_s.est AS BIGINT) AS est_a, CAST(gb_s.est AS BIGINT) AS est_b,
+             |       CAST(ps.est_union AS BIGINT) AS est_union,
+             |       CAST((ps.x * ps.est_union) // ps.kp AS BIGINT) AS est_inter,
+             |       CAST(ea.n AS BIGINT) AS exact_a, CAST(eb.n AS BIGINT) AS exact_b,
+             |       CAST(COALESCE(eo.exact_inter, 0) AS BIGINT) AS exact_inter
+             |FROM ps
+             |JOIN gs ga_s ON ps.ga = ga_s.g
+             |JOIN gs gb_s ON ps.gb = gb_s.g
+             |JOIN exact ea ON ps.ga = ea.g
+             |JOIN exact eb ON ps.gb = eb.g
+             |LEFT JOIN eo ON ps.ga = eo.oga AND ps.gb = eo.ogb
+             |ORDER BY ps.ga, ps.gb""".stripMargin)),
+
     // exact interpolated percentiles: same p*(n-1) definition in Spark's
     // percentile() and DuckDB's quantile_cont
     QueryDef("q_percentile",

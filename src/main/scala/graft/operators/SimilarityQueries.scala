@@ -509,7 +509,10 @@ object StreamingQueries {
     val nd = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
     val prevNd = s.conf.get(nd)
-    s.conf.set(key, n.toString)
+    // deploy-time override: state sizing is environment-dependent (the
+    // whole point of the knob) — let a harness pin it without a rebuild
+    val eff = sys.env.get("GRAFT_STATE_PARTS").map(_.toInt).getOrElse(n)
+    s.conf.set(key, eff.toString)
     // A no-data micro-batch only matters when event-time state must
     // advance without input (watermark eviction, timers). The complete-
     // mode and NoTimeout queries here have neither, so the extra empty

@@ -88,6 +88,56 @@ object StreamProbe {
         .dropDuplicates("id_a", "id_b").count()
       println(f"[sprobe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows pairs)")
     }
+    run("p8 rocksdb provider", 8, availableNow = false, rocks = true, noData = false)
+    run("p8 rocksdb again", 8, availableNow = false, rocks = true, noData = false)
+    run("p8 hdfs again", 8, availableNow = false, rocks = false, noData = false)
+
+    // fixed-cost floor: same pipeline over a 1-row stream — whatever
+    // this costs is per-query micro-batch machinery, not data
+    val tiny = java.nio.file.Files.createTempDirectory("graft_sprobe_tiny_")
+    sc.read.parquet(s"$d/events.parquet").limit(1)
+      .write.mode("overwrite").parquet(tiny.toString)
+    val tinySchema = sc.read.parquet(tiny.toString).schema
+    def runTiny(label: String): Unit = {
+      val t0 = System.nanoTime()
+      val stream = sc.readStream.schema(tinySchema).parquet(tiny.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      n += 1
+      val qname = s"sprobe_t_$n"
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      val rows = sc.table(qname).count()
+      println(f"[sprobe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+    }
+    runTiny("FLOOR 1-row stream p8")
+    runTiny("FLOOR 1-row stream p8 again")
+    sc.conf.set("spark.sql.shuffle.partitions", "1")
+    runTiny("FLOOR 1-row stream p1")
+    runTiny("FLOOR 1-row stream p1 again")
+    sc.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    runTiny("FLOOR p1 no-maintenance")
+    sc.conf.set("spark.sql.shuffle.partitions", "8")
+    // timing breakdown: start → first batch done → stop
+    locally {
+      val t0 = System.nanoTime()
+      val stream = sc.readStream.schema(tinySchema).parquet(tiny.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      n += 1
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(s"sprobe_t_$n").start()
+      val t1 = System.nanoTime()
+      q.processAllAvailable()
+      val t2 = System.nanoTime()
+      q.stop()
+      val t3 = System.nanoTime()
+      println(f"[sprobe] breakdown start=${(t1-t0)/1e9}%.2f process=${(t2-t1)/1e9}%.2f stop=${(t3-t2)/1e9}%.2f")
+    }
+
     runDedupBatch("dedup BATCH repart0 (warm twice)", 0)
     runDedupBatch("dedup BATCH repart0", 0)
     runDedupBatch("dedup BATCH repart32", 32)

@@ -343,6 +343,46 @@ class PlanSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true in the final plan)") {
+    // The OTHER half of the skew story: q_salted_join is the manual
+    // mitigation; at 100 TB the first line of defense is AQE's runtime
+    // skew-join split, which needs no code change at all. Prove the
+    // machinery fires: a sort-merge join whose one hot key dwarfs the
+    // threshold must re-plan with the skewed partition split
+    // (isSkewJoin, printed as skew=true). Thresholds are scoped down so
+    // the toy fixture trips them, and restored.
+    val s = spark
+    import s.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> scala.util.Try(s.conf.get(k)).toOption)
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // ~50% of rows share key 0, padded so the hot partition clears the
+      // byte threshold; the right side is uniform
+      val big = s.range(0, 60000)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id" % 997).as("k"),
+          concat(lit("x" * 96), $"id".cast("string")).as("pad"))
+      val right = s.range(0, 997).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = big.join(right, "k").groupBy($"k").agg(count(lit(1)).as("n"))
+      j.collect() // execute: AQE finalizes and (re)plans the skew split
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("parquet aggregate pushdown answers count/min/max from row-group stats") {
     // mirror q_agg_pushdown's scoped confs and pin the plan shape
     val keys = Seq("spark.sql.parquet.aggregatePushDown",
