@@ -372,7 +372,12 @@ class PlanSpec extends AnyFunSuite {
         .select(when($"id" % 2 === 0, 0L).otherwise($"id" % 997).as("k"),
           concat(lit("x" * 96), $"id".cast("string")).as("pad"))
       val right = s.range(0, 997).select($"id".as("k"), ($"id" * 2).as("v"))
-      val j = big.join(right, "k").groupBy($"k").agg(count(lit(1)).as("n"))
+      // aggregate GLOBALLY, not on the join key: a groupBy(k) downstream
+      // would reuse the join's hash distribution, and AQE (correctly)
+      // refuses to split a skewed partition whose output partitioning a
+      // parent still requires — the refusal is part of what this pins
+      val j = big.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length($"pad")).as("s"))
       j.collect() // execute: AQE finalizes and (re)plans the skew split
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
