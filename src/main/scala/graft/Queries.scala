@@ -2568,6 +2568,129 @@ object Queries {
              |GROUP BY s_name, n_name
              |ORDER BY numwait DESC, s_name""".stripMargin)),
 
+    // TPC-H Q7 shape (volume shipping between nation pairs): revenue
+    // flowing from supplier nation to customer nation per year, for a
+    // fixed pair of nations in either direction. The fact table joins
+    // TWO annotated sides — supplier→nation via lineitem.suppkey and
+    // customer→nation via orders.custkey — but both annotations ride on
+    // BROADCAST dimensions, so the only big-data movement is the one
+    // lineitem⋈orders shuffle on the natural key. The nation-pair
+    // disjunction filters AFTER both annotations (it needs both ends);
+    // revenue in exact decimal per (supp_nation, cust_nation, year).
+    QueryDef("q7_nation_volume",
+      (s, d) => {
+        val n1 = nation(s, d).select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+        val n2 = nation(s, d).select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+        val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)"))
+        lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |                (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+             |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q10 shape (returned-item losers): customers ranked by the
+    // revenue they returned in one quarter. Orders are date-pruned AT
+    // THE SCAN (pushed filter), lineitem prunes on the R flag the same
+    // way, and the aggregate runs on (custkey) BEFORE the customer
+    // dimension attaches — the classic "aggregate the fact, then
+    // decorate" discipline that keeps the wide columns off the shuffle.
+    QueryDef("q10_returned",
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)"))
+        val o = orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val agg = lineitem(s, d).filter(col("l_returnflag") === "R")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        agg.join(broadcast(customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("revenue"), col("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""WITH agg AS (
+             |  SELECT o_custkey,
+             |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |                  (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |         COUNT(*) AS n_items
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-04-01'
+             |  GROUP BY o_custkey)
+             |SELECT c_custkey, c_name, c_nationkey, revenue, n_items
+             |FROM agg JOIN customer ON o_custkey = c_custkey
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q19 shape (disjunctive bracket predicates): revenue from
+    // three (brand × quantity-range × size-range) brackets OR-ed
+    // together. The point is the OPTIMIZER story, pinned in PlanSpec:
+    // the disjunction shares the conjunct `l_partkey = p_partkey`, the
+    // common quantity lower bound is inferable, and Spark pushes the
+    // supported residue of an OR-tree into the parquet scan instead of
+    // evaluating rows post-hoc. part broadcasts; the fact never
+    // shuffles.
+    QueryDef("q19_brackets",
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)"))
+        val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+        lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |                (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // SCD2 dimension build from a changelog (gaps-and-islands): collapse
     // each user's event stream into attribute VERSIONS — a new version
     // starts when event_type changes, each version carries
