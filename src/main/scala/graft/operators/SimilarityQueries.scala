@@ -1027,6 +1027,52 @@ object StreamingQueries {
     // (mirrored in the oracle), so the digest is independent of Spark's
     // exact eviction-boundary convention; matched rows are complete
     // either way.
+    // Spark 4 transformWithState (the arbitrary-state API): per-user
+    // running totals in a typed ValueState, Update-mode emission. The
+    // operator REQUIRES the RocksDB provider — scoped here and restored
+    // (the HDFS map provider refuses it); integer-cents accumulation
+    // keeps the emitted totals exact, so the single-batch run
+    // hash-matches the relational oracle.
+    QueryDef("s_transform_state",
+      (s, d) => {
+        import s.implicits._
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .select(col("user_id"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .as[TransformState.EventIn]
+        val out = stream.groupByKey(_.user_id)
+          .transformWithState(new TransformState.UserTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val qname = s"s_transform_state_${runCounter.incrementAndGet()}"
+        val pk = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(pk)
+        s.conf.set(pk,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try withStatePartitions(s, 8, noDataBatches = false) {
+          val q = out.writeStream.outputMode("update")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        } finally prevProvider match {
+          case Some(v) => s.conf.set(pk, v)
+          case None => s.conf.unset(pk)
+        }
+        s.table(qname).orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+             |       MIN(event_id) AS min_event
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     QueryDef("s_outer_join",
       (s, d) => {
         val staticSchema = s.read.parquet(s"$d/events.parquet").schema

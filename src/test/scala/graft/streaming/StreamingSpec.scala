@@ -504,4 +504,49 @@ class StreamingSpec extends AnyFunSuite {
     // its deadline) — it must NOT appear
     assert(!got.exists(_._1 == 3L), s"user 3's open session leaked: $got")
   }
+
+  test("transformWithState: ValueState accumulates across micro-batches (RocksDB provider)") {
+    // 4 files, one per micro-batch: each user's LAST Update-mode
+    // emission must equal the all-data totals — state carried across
+    // batches through the typed ValueState, not recomputed per batch.
+    val stage = Files.createTempDirectory("graft_tws_").toString
+    val ev = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[graft.operators.TransformState.EventIn]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new graft.operators.TransformState.UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("tws_multi").start()
+    try { q.processAllAvailable() } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None => spark.conf.unset(pk)
+      }
+    }
+    // Update mode emits one row per (user, touched batch); the final
+    // totals are the max-n_events row per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val last = spark.table("tws_multi")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("cents_sum"), col("min_event"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = Tables.events(spark, TestSpark.SF)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"),
+        min(col("event_id")).as("m"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(last == expected)
+  }
 }
