@@ -2568,6 +2568,104 @@ object Queries {
              |GROUP BY s_name, n_name
              |ORDER BY numwait DESC, s_name""".stripMargin)),
 
+    // Catalog DDL surface: CTAS a PARTITIONED managed table from a
+    // query, INSERT INTO it, read it back through the catalog with a
+    // partition-pruned aggregate. This is the sink path a warehouse
+    // actually uses (partitioned layout + catalog metadata + append),
+    // distinct from the path-based writes elsewhere. Idempotent per run
+    // (CREATE OR REPLACE semantics via DROP) so the bench can repeat it;
+    // the oracle recomputes the same union from the source table.
+    QueryDef("q_sql_ddl",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_ddl_src")
+        s.sql("DROP TABLE IF EXISTS graft_ddl_orders")
+        // clear a leftover managed location if a prior run was interrupted
+        val loc = new java.io.File("spark-warehouse/graft_ddl_orders")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(loc)
+        }
+        s.sql("""CREATE TABLE graft_ddl_orders
+                |USING parquet PARTITIONED BY (o_orderstatus)
+                |AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                |   FROM orders_ddl_src WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_ddl_orders
+                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                |FROM orders_ddl_src WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'F'""".stripMargin)
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+                |FROM graft_ddl_orders WHERE o_orderstatus IN ('F', 'O')
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+             |SELECT o_orderstatus, COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+             |FROM t WHERE o_orderstatus IN ('F', 'O')
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Schema-evolution union: two extracts with DIFFERENT column sets
+    // union BY NAME, missing columns null-filled — the ingestion shape
+    // when a source adds fields mid-stream (positional UNION would
+    // silently misalign). DuckDB states the same op as UNION ALL BY
+    // NAME.
+    QueryDef("q_union_by_name",
+      (s, d) => {
+        val a = orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val b = orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy(col("o_custkey").isNull.as("from_new_schema"))
+          .agg(count(lit(1)).as("n"),
+            count(col("o_custkey")).as("n_cust"),
+            count(col("o_totalprice")).as("n_price"))
+          .orderBy(col("from_new_schema"))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O')
+             |SELECT o_custkey IS NULL AS from_new_schema, COUNT(*) AS n,
+             |       COUNT(o_custkey) AS n_cust, COUNT(o_totalprice) AS n_price
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other, unlike plain = which drops them — the corner
+    // that silently loses rows when a dimension key is optional. The
+    // derived key is NULL for every third order; both engines must pair
+    // the NULL groups.
+    QueryDef("q_nullsafe_join",
+      (s, d) => {
+        val a = orders(s, d)
+          .select(when(col("o_orderkey") % 3 =!= 0, col("o_orderkey") % 7).as("k"),
+            col("o_orderkey"))
+        val b = orders(s, d)
+          .select(when(col("o_orderkey") % 3 =!= 0, col("o_orderkey") % 7).as("k2"),
+            lit(1L).as("one"))
+          .groupBy(col("k2")).agg(count(lit(1)).as("nb"))
+        a.join(b, col("k") <=> col("k2"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_pairs"), max(col("nb")).as("nb"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""WITH a AS (
+             |  SELECT CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey % 7 END AS k,
+             |         o_orderkey
+             |  FROM orders),
+             |b AS (
+             |  SELECT CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey % 7 END AS k2,
+             |         COUNT(*) AS nb
+             |  FROM orders GROUP BY 1)
+             |SELECT a.k, COUNT(*) AS n_pairs, MAX(b.nb) AS nb
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+             |GROUP BY a.k ORDER BY a.k NULLS FIRST""".stripMargin)),
+
     // TPC-H Q7 shape (volume shipping between nation pairs): revenue
     // flowing from supplier nation to customer nation per year, for a
     // fixed pair of nations in either direction. The fact table joins

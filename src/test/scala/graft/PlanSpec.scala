@@ -343,6 +343,54 @@ class PlanSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("join strategy hints: SHUFFLE_HASH avoids the sort, MERGE forces it") {
+    // At scale the difference is real: sort-merge pays two sorts to get
+    // spill-safety; shuffled-hash skips them when one side fits a
+    // per-partition hash map. Pin that BOTH strategies are reachable by
+    // hint when sizes alone would pick otherwise.
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no BHJ escape
+    try {
+      val a = s.range(0, 50000).select(($"id" % 1000).as("k"), $"id".as("v"))
+      val b = s.range(0, 1000).select($"id".as("k"), ($"id" * 3).as("w"))
+      val shj = a.join(b.hint("SHUFFLE_HASH"), "k")
+        .queryExecution.executedPlan.toString
+      assert(shj.contains("ShuffledHashJoin"), shj)
+      val smj = a.join(b.hint("MERGE"), "k")
+        .queryExecution.executedPlan.toString
+      assert(smj.contains("SortMergeJoin"), smj)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cached relation serves downstream queries from InMemoryRelation with column pruning") {
+    val s = spark
+    import s.implicits._
+    val base = graft.Tables.lineitem(s, graft.TestSpark.SF)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_returnflag")
+    base.createOrReplaceTempView("cache_probe")
+    s.catalog.cacheTable("cache_probe")
+    try {
+      base.count() // materialize the cache
+      val q = s.table("cache_probe").filter($"l_returnflag" === "R")
+        .groupBy($"l_orderkey").agg(sum($"l_quantity"))
+      val plan = q.queryExecution.executedPlan.toString
+      // Spark 4 prints the cache read as "Scan In-memory table"; the
+      // scan node also carries the PUSHED filter — the cache behaves
+      // like a columnar source, not a materialized blob
+      assert(plan.contains("Scan In-memory table"),
+        s"query did not read from the cache:\n$plan")
+      val scanLine = plan.linesIterator
+        .find(_.contains("Scan In-memory table")).getOrElse("")
+      // prunes to the referenced columns, not all four cached ones
+      assert(!scanLine.contains("l_extendedprice"),
+        s"cached scan did not prune columns: $scanLine")
+      assert(scanLine.contains("= R)"), // attr ids vary: (l_returnflag#N = R)
+        s"filter not pushed into the cached scan: $scanLine")
+    } finally s.catalog.uncacheTable("cache_probe")
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in the final plan)") {
     // The OTHER half of the skew story: q_salted_join is the manual
     // mitigation; at 100 TB the first line of defense is AQE's runtime
