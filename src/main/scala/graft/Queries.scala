@@ -3346,6 +3346,43 @@ object Queries {
              | AND iv.a <= win.w_end AND win.w_start <= iv.b
              |GROUP BY iv.day ORDER BY iv.day""".stripMargin)),
 
+    // The same point-in-interval semantics as q_interval_join, but
+    // through the CUSTOM BroadcastRangeJoin operator (logical node +
+    // strategy + exec, plans/BroadcastRangeJoin.scala): a pure
+    // inequality join that Spark would otherwise plan as
+    // BroadcastNestedLoopJoin — O(points·intervals) predicate
+    // evaluations — runs as sorted-broadcast + per-row binary search,
+    // O(log m + hits). No equi-key anywhere: every event probes every
+    // day's evening window by containment alone. The oracle is the
+    // naive cross-join formulation — same rows, quadratic plan.
+    QueryDef("q_broadcast_range_join",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+        val win = events(s, d).select(to_date(col("ts")).as("day")).distinct()
+          .withColumn("w_start",
+            expr("unix_micros(cast(day as timestamp)) + 79200000000"))
+          .withColumn("w_end",
+            expr("unix_micros(cast(day as timestamp)) + 82800000000"))
+        graft.operators.Joins.broadcastRangeJoin(ev, win, "t", "w_start", "w_end")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+             |win AS (
+             |  SELECT day,
+             |         epoch_us(CAST(day AS TIMESTAMP)) + 79200000000 AS w_start,
+             |         epoch_us(CAST(day AS TIMESTAMP)) + 82800000000 AS w_end
+             |  FROM (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |        FROM events))
+             |SELECT day, COUNT(*) AS n_events,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM ev JOIN win ON ev.t >= win.w_start AND ev.t <= win.w_end
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
     // Schema DRIFT (type change), the evolution mergeSchema can't
     // handle: one producer wrote price as DOUBLE, a later deploy wrote
     // it as STRING — parquet mergeSchema throws on the conflict. The

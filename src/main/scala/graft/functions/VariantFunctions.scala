@@ -258,5 +258,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom whole-operator extension: grouped top-k with map-side
     // bounded heaps (graft.plans.GroupedTopK)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // custom whole-operator extension: point-in-interval join via a
+    // sorted broadcast + binary search (graft.plans.BroadcastRangeJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.BroadcastRangeJoinStrategy)
   }
 }

@@ -86,4 +86,26 @@ object Joins {
       rightCols.values.map(d => col(s"_c_$d").as(d))
     out.select(finalCols: _*)
   }
+
+  /** Point-in-interval join via the custom BroadcastRangeJoin operator
+    * (graft.plans.BroadcastRangeJoin — sorted broadcast + binary search;
+    * see the plan node's doc for the O(n·m) BNLJ cliff it replaces).
+    * `p`, `lo`, `hi` must be BIGINT columns; `intervals` is the small
+    * side and broadcasts whole.
+    */
+  def broadcastRangeJoin(points: DataFrame, intervals: DataFrame,
+                         p: String, lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = points.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.BroadcastRangeJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.BroadcastRangeJoinStrategy
+    }
+    Bridge.ofRows(spark, graft.plans.BroadcastRangeJoin(
+      Bridge.expression(points(p)),
+      Bridge.expression(intervals(lo)),
+      Bridge.expression(intervals(hi)),
+      points.queryExecution.analyzed,
+      intervals.queryExecution.analyzed))
+  }
 }
