@@ -191,6 +191,29 @@ object DevSmoke {
     graft.Queries.queryMap("q_agg_pushdown")(spark, sf).show(truncate = false)
     println("dpp partitions: " + graft.Queries.queryMap("q_dpp")(spark, sf).count())
 
+    println("=== round 5: TPC-H shapes, graph, sketches, custom range join ===")
+    graft.Queries.queryMap("q4_order_priority")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q14_promo")(spark, sf).show(truncate = false)
+    println("q17 rows: " + graft.Queries.queryMap("q17_small_qty")(spark, sf).count())
+    println("q21 waiting suppliers: " +
+      graft.Queries.queryMap("q21_wait_supplier")(spark, sf).count())
+    println("q7 nation-pair rows: " +
+      graft.Queries.queryMap("q7_nation_volume")(spark, sf).count())
+    println("q10 returned top-20: " +
+      graft.Queries.queryMap("q10_returned")(spark, sf).count())
+    graft.Queries.queryMap("q19_brackets")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("d_pagerank")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_mode_listagg")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_kmv_overlap")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("v_strip_keys")(spark, sf).show(3, truncate = false)
+    println("sq8 ANN rows: " + graft.Queries.queryMap("e_ann_sq8")(spark, sf).count())
+    graft.Queries.queryMap("e_ann_recall")(spark, sf).show(truncate = false)
+    println("transformWithState users: " +
+      graft.Queries.queryMap("s_transform_state")(spark, sf).count())
+    graft.Queries.queryMap("q_sql_ddl")(spark, sf).show(truncate = false)
+    println("broadcast range join days: " +
+      graft.Queries.queryMap("q_broadcast_range_join")(spark, sf).count())
+
     spark.stop()
   }
 }
