@@ -213,6 +213,8 @@ object DevSmoke {
     graft.Queries.queryMap("q_sql_ddl")(spark, sf).show(truncate = false)
     println("broadcast range join days: " +
       graft.Queries.queryMap("q_broadcast_range_join")(spark, sf).count())
+    println("prefix-join near-dup pairs: " +
+      graft.Queries.queryMap("d_prefix_join")(spark, sf).count())
 
     spark.stop()
   }
