@@ -2587,12 +2587,18 @@ object Queries {
           }
           rm(loc)
         }
+        // REPARTITION on the partition column: one file per partition
+        // dir instead of (input partitions × dirs) small files — the
+        // standard partitioned-write discipline (at 100 TB you'd target
+        // a file-size budget, same hint)
         s.sql("""CREATE TABLE graft_ddl_orders
                 |USING parquet PARTITIONED BY (o_orderstatus)
-                |AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                |AS SELECT /*+ REPARTITION(o_orderstatus) */
+                |     o_orderkey, o_custkey, o_totalprice, o_orderstatus
                 |   FROM orders_ddl_src WHERE o_orderkey % 2 = 0""".stripMargin)
         s.sql("""INSERT INTO graft_ddl_orders
-                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                |SELECT /*+ REPARTITION(o_orderstatus) */
+                |  o_orderkey, o_custkey, o_totalprice, o_orderstatus
                 |FROM orders_ddl_src WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'F'""".stripMargin)
         s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
                 |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
@@ -2608,6 +2614,50 @@ object Queries {
              |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
              |FROM t WHERE o_orderstatus IN ('F', 'O')
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Spark 4 SQL scripting + parameterized SQL + IDENTIFIER clause in
+    // one flow: the cohort view binds :src/:cut as REAL bind parameters
+    // (no string splicing — the injection-safe path), IDENTIFIER()
+    // resolves the table name from a parameter, and a BEGIN…END script
+    // with DECLARE/WHILE/scalar-subquery assignment accumulates across
+    // four mod-partitions of the cohort. The loop total must equal the
+    // declarative oracle (the mod classes partition the cohort) —
+    // procedural control flow gated against set semantics. Integer
+    // cents keep the accumulated sum exact.
+    QueryDef("q_sql_scripting",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_script_src")
+        val prev = s.conf.getOption("spark.sql.scripting.enabled")
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        try {
+          s.sql(
+            """CREATE OR REPLACE TEMP VIEW script_cohort AS
+              |SELECT * FROM IDENTIFIER(:src) WHERE o_totalprice >= :cut""".stripMargin,
+            Map("src" -> "orders_script_src", "cut" -> 50000.0))
+          s.sql(
+            """BEGIN
+              |  DECLARE n_orders BIGINT;
+              |  DECLARE f_cents BIGINT DEFAULT 0;
+              |  DECLARE i INT DEFAULT 0;
+              |  SET n_orders = (SELECT COUNT(*) FROM script_cohort);
+              |  WHILE i < 4 DO
+              |    SET f_cents = f_cents + COALESCE(
+              |      (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              |       FROM script_cohort
+              |       WHERE o_orderstatus = 'F' AND o_orderkey % 4 = i), 0);
+              |    SET i = i + 1;
+              |  END WHILE;
+              |  SELECT n_orders, f_cents;
+              |END""".stripMargin)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+          case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
+      },
+      Some("""SELECT COUNT(*) AS n_orders,
+             |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+             |                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_cents
+             |FROM orders WHERE o_totalprice >= 50000.0""".stripMargin)),
 
     // Schema-evolution union: two extracts with DIFFERENT column sets
     // union BY NAME, missing columns null-filled — the ingestion shape

@@ -215,6 +215,7 @@ object DevSmoke {
       graft.Queries.queryMap("q_broadcast_range_join")(spark, sf).count())
     println("prefix-join near-dup pairs: " +
       graft.Queries.queryMap("d_prefix_join")(spark, sf).count())
+    graft.Queries.queryMap("q_sql_scripting")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
