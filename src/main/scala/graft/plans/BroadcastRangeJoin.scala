@@ -130,11 +130,71 @@ case class BroadcastRangeJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-object BroadcastRangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+object BroadcastRangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{Expression => E, _}
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
+  /** Decompose `cond` into (point-on-left, lower-bound-on-right,
+    * upper-bound-on-right) if it is EXACTLY a two-sided containment —
+    * `p >= lo AND p <= hi` in any literal arrangement (BETWEEN parses
+    * to this). Strict bounds, extra conjuncts, or non-BIGINT types
+    * bail: this strategy must never fire where its semantics are not
+    * the join's semantics.
+    */
+  private def containment(cond: E, left: LogicalPlan, right: LogicalPlan):
+      Option[(E, E, E)] = {
+    def onLeft(e: E) = e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def onRight(e: E) = e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+    // normalize to (point, bound, boundIsLower)
+    def norm(e: E): Option[(E, E, Boolean)] = e match {
+      case GreaterThanOrEqual(p, b) if onLeft(p) && onRight(b) => Some((p, b, true))
+      case LessThanOrEqual(b, p) if onLeft(p) && onRight(b) => Some((p, b, true))
+      case LessThanOrEqual(p, b) if onLeft(p) && onRight(b) => Some((p, b, false))
+      case GreaterThanOrEqual(b, p) if onLeft(p) && onRight(b) => Some((p, b, false))
+      case _ => None
+    }
+    splitConjunctivePredicates(cond) match {
+      case a :: b :: Nil =>
+        (norm(a), norm(b)) match {
+          case (Some((p1, lo, true)), Some((p2, hi, false)))
+              if p1.semanticEquals(p2) && p1.dataType == LongType &&
+                lo.dataType == LongType && hi.dataType == LongType =>
+            Some((p1, lo, hi))
+          case (Some((p1, hi, false)), Some((p2, lo, true)))
+              if p1.semanticEquals(p2) && p1.dataType == LongType &&
+                lo.dataType == LongType && hi.dataType == LongType =>
+            Some((p1, lo, hi))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def smallEnough(right: LogicalPlan,
+                          hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint): Boolean = {
+    val hinted = hint.rightHint.exists(_.strategy.contains(
+      org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    hinted || (threshold > 0 && right.stats.sizeInBytes >= 0 &&
+      right.stats.sizeInBytes <= threshold)
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: BroadcastRangeJoin =>
       BroadcastRangeJoinExec(j.point, j.lo, j.hi,
         planLater(j.left), planLater(j.right)) :: Nil
+    // transparent SQL path: a plain INNER join whose whole condition is
+    // BIGINT containment of a left point in a small right interval side
+    // plans as the sorted-broadcast range join instead of BNLJ — users
+    // write `ON t BETWEEN lo AND hi` and get the fast operator
+    case Join(left, right, Inner, Some(cond), hint) if smallEnough(right, hint) =>
+      containment(cond, left, right) match {
+        case Some((p, lo, hi)) =>
+          BroadcastRangeJoinExec(p, lo, hi, planLater(left), planLater(right)) :: Nil
+        case None => Nil
+      }
     case _ => Nil
   }
 }

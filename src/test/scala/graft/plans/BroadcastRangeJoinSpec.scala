@@ -70,4 +70,46 @@ class BroadcastRangeJoinSpec extends AnyFunSuite {
     assert(graft.operators.Joins
       .broadcastRangeJoin(points, inverted, "t", "lo", "hi").count() == 0)
   }
+
+  test("plain SQL BETWEEN join plans the custom operator; disabled-threshold run agrees") {
+    points.createOrReplaceTempView("brj_points")
+    intervals.createOrReplaceTempView("brj_intervals")
+    val sql = """SELECT event_id, iv_id FROM brj_points p
+                |JOIN brj_intervals i ON p.t BETWEEN i.lo AND i.hi""".stripMargin
+    val fast = spark.sql(sql)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"),
+      s"SQL containment join did not plan the custom operator:\n$plan")
+    val fastRows = fast.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // with broadcast disabled and the right side not stats-small, the
+    // strategy declines and Spark falls back to BNLJ — same rows
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val slow = spark.sql(sql)
+      val slowPlan = slow.queryExecution.executedPlan.toString
+      // fallback is the nested-loop family (Spark picks CartesianProduct
+      // for a conditioned inner join once nothing is broadcastable)
+      assert(!slowPlan.contains("BroadcastRangeJoin") &&
+        (slowPlan.contains("CartesianProduct") ||
+          slowPlan.contains("BroadcastNestedLoopJoin")), slowPlan)
+      assert(slow.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(fastRows))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SQL path declines on extra conjuncts, strict bounds, and non-long types") {
+    points.createOrReplaceTempView("brj_points")
+    intervals.createOrReplaceTempView("brj_intervals")
+    for (cond <- Seq(
+        "p.t >= i.lo AND p.t <= i.hi AND p.event_id <> i.iv_id", // extra conjunct
+        "p.t > i.lo AND p.t <= i.hi",                             // strict bound
+        "CAST(p.t AS DOUBLE) >= i.lo AND p.t <= i.hi")) {         // type mismatch
+      val plan = spark.sql(
+        s"SELECT event_id, iv_id FROM brj_points p JOIN brj_intervals i ON $cond")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastRangeJoin"),
+        s"strategy fired where semantics differ ($cond):\n$plan")
+    }
+  }
 }
