@@ -88,6 +88,67 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Global all-pairs set-similarity join via PREFIX FILTERING with the
+    * PPJoin candidate pruning pair. `docs` is (doc_id, toks) with toks
+    * already distinct; emits (id_a, id_b, n_inter, n_union) for every
+    * pair with Jaccard >= tNum/tDen, exact (the prefix/size/positional
+    * filters are superset generators; a full intersect verifies).
+    * Completeness is property-tested against the quadratic brute force
+    * in PrefixJoinPropertySpec — the same DataFrame code path as the
+    * `d_prefix_join` driver query.
+    */
+  def prefixSimilarityJoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // document frequency via groupBy + join-back, NOT a window over
+    // the shingle: the partial (map-side) aggregate collapses the
+    // exploded table to vocabulary size before any exchange, where
+    // a window would full-sort the exploded rows. No broadcast
+    // HINT on the vocab side on purpose — at bench sf AQE converts
+    // the join to broadcast at runtime (measured: as fast as the
+    // hinted plan), while at corpus scale the shingle vocabulary
+    // grows with the data and the same plan degrades gracefully to
+    // a shuffle join instead of OOMing the driver.
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefix = tok.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(wDocAll))
+      // prefix length |X| - ceil(t|X|) + 1, ceil in pure ints
+      .filter(col("rank") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col("tok"), col("doc_id"), col("rank"), col("sz"))
+    // PPJoin candidate pruning, applied per meeting-token BEFORE the
+    // distinct (measured 202k -> 33k candidate pairs at sf0.1):
+    //  - size filter: J >= t forces t*|larger| <= |smaller|;
+    //  - positional filter: the overlap needed is
+    //    alpha = ceil(t/(1+t) * (sz_a+sz_b)) and the overlap still
+    //    reachable from meeting ranks (i, j) is
+    //    1 + min(sz_a - i, sz_b - j). Sound because every true pair
+    //    is generated at its MINIMAL common token under the global
+    //    order — minimal in BOTH prefixes, with nothing shared
+    //    before it — where this suffix bound applies to the whole
+    //    overlap. With t = tNum/tDen the integer form of
+    //    "reachable >= alpha" is reachable*(tNum+tDen) >= sum*tNum.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.sz"), col("b.sz")) * tDen >=
+             greatest(col("a.sz"), col("b.sz")) * tNum
+          && (least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1)
+               * (tNum + tDen) >= (col("a.sz") + col("b.sz")) * tNum)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("n_inter"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("d_token_stats",
@@ -209,36 +270,7 @@ object TextQueries {
               .select(col("doc_id"),
                 array_distinct(fn.shingle_tokens(col("text"), 3)).as("toks"))
               .localCheckpoint())
-        val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-        // document frequency via a WINDOW over the shingle, not a
-        // groupBy+join-back: the shingle vocabulary grows with the
-        // corpus (unlike a word vocabulary), so the df table is never
-        // broadcastable — the window computes df in place on the
-        // tok-partitioned exchange the candidate self-join needs
-        // anyway, one shuffle cheaper than aggregate-then-join
-        val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
-        val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-        val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-        val prefix = tok.withColumn("df", count(lit(1)).over(wTok))
-          .withColumn("rank", row_number().over(wDoc))
-          .withColumn("sz", count(lit(1)).over(wDocAll))
-          // prefix length |X| - ceil(t|X|) + 1, ceil in pure ints
-          .filter(col("rank") <=
-            col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-          .select(col("tok"), col("doc_id"))
-        val cand = prefix.as("a").join(prefix.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        cand
-          .join(docs.select(col("doc_id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
-          .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-          .withColumn("n_union",
-            (size(col("ta")) + size(col("tb"))).cast("long") - col("n_inter"))
-          .filter(col("n_inter") * tDen >= col("n_union") * tNum)
-          .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+        prefixSimilarityJoin(docs, tNum, tDen)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH tk AS (
