@@ -2381,6 +2381,116 @@ object Queries {
              |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q8 shape (national market share): one supplier nation's
+    // share of a part type's revenue sold into one customer region,
+    // per order year. This completes the TPC-H coverage alongside
+    // Q1/3/4/5/6/7/9/10/12/13/14/17/18/19/21/22 — Q2/Q11/Q16/Q20 need
+    // the partsupp table the fixture does not ship. Plan shape: part
+    // is type-pruned then broadcast, so the fact table shrinks FIRST;
+    // the only fact-fact shuffle is lineitem⋈orders on orderkey;
+    // customer/nation/region and supplier/nation are broadcast chains.
+    // Revenue sums are exact decimal per (year, supp_nation is/isn't
+    // the subject) and the share divides once, double-from-exact — the
+    // q14 drift-free division discipline.
+    QueryDef("q8_market_share",
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)"))
+        val econPart = part(s, d).filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        val asiaCust = customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"))
+        val suppNation = supplier(s, d)
+          .join(broadcast(nation(s, d).select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val o = orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        lineitem(s, d)
+          .join(broadcast(econPart), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", rev)
+              .otherwise(lit(new java.math.BigDecimal("0.00")))).as("nr"),
+            sum(rev).as("tr"))
+          .select(col("o_year"),
+            (col("nr").cast("double") / col("tr").cast("double")).as("mkt_share"),
+            col("nr").cast("double").as("nation_rev"),
+            col("tr").cast("double").as("total_rev"))
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH vol AS (
+             |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |         (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+             |         sn.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN region ON cn.n_regionkey = r_regionkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+             |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01')
+             |SELECT o_year,
+             |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+             |                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |         / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+             |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+             |                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+             |       CAST(SUM(rev) AS DOUBLE) AS total_rev
+             |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q15 shape (top supplier): the supplier(s) whose quarterly
+    // revenue equals the global maximum. The revenue "view" is a
+    // per-suppkey aggregate of the date-pruned fact table (map-side
+    // combined, one shuffle at supplier cardinality); the scalar MAX is
+    // then taken over that SUPPLIER-SIZED aggregate — never the fact
+    // table — and broadcast back as a 1-row cross join. The equality
+    // compare runs on the exact decimal sums (doubles only in the
+    // output), so ties are exact on both engines.
+    QueryDef("q15_top_supplier",
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(18,2)"))
+        val revenue = lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(rev).as("total_rev"))
+        val mx = revenue.agg(max(col("total_rev")).as("max_rev"))
+        revenue.crossJoin(broadcast(mx))
+          .filter(col("total_rev") === col("max_rev"))
+          .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey,
+             |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |             (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+             |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // TPC-H Q4 shape (order priority checking): count orders per
     // priority where at least one lineitem shipped late. The EXISTS is a
     // LEFT SEMI join — it deduplicates multi-late-line orders inside the
