@@ -290,6 +290,67 @@ object TextQueries {
              |WHERE n_inter * 10 >= n_union * 7
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Exact duplicated-span detection (the "dedup training data at the
+    // substring level" shape): for every document, the fraction of its
+    // tokens covered by a word-8-gram that also appears in ANOTHER
+    // document. Cross-doc only — within-doc repetition is d_repetition's
+    // signal. The pipeline is three narrow shuffles: (1) gram table
+    // grouped by a fixed-width md5 key (at corpus scale the shuffle
+    // carries 16-byte digests, never the ~50-char gram text) keeping
+    // keys seen in >=2 DISTINCT docs; (2) a LEFT SEMI of the gram
+    // starts against that key set; (3) covered token positions =
+    // exploded [p, p+7] ranges, deduped per doc — interval-union as a
+    // distinct, not a per-doc sort. Docs shorter than 8 tokens have no
+    // grams and report 0. The fraction is integer ppm (DIV // parity),
+    // no float division anywhere.
+    QueryDef("d_dup_ngrams",
+      (s, d) => {
+        val tk = documents(s, d).select(col("doc_id"), tokens("text").as("w"))
+        val base = tk.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        // sequence(1, size-7) would run DESCENDING for short docs
+        // (Spark generates down-ramps when start > stop) — guard first
+        val ng = tk
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 7), " +
+              "i -> struct(i AS p, md5(concat_ws(' ', slice(w, i, 8))) AS k))")).as("s"))
+          .select(col("doc_id"), col("s.p").as("p"), col("s.k").as("k"))
+        val dup = ng.groupBy(col("k"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("k"))
+        val covered = ng.join(dup, Seq("k"), "left_semi")
+          .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("tp"))
+          .distinct()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_tokens"))
+        base.join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+            expr("coalesce(n_dup_tokens, 0L) * CAST(1000000 AS BIGINT) DIV n_tokens")
+              .as("dup_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+             |ng AS (
+             |  SELECT doc_id, s.p AS p, s.k AS k FROM (
+             |    SELECT doc_id, unnest(
+             |      [{'p': i, 'k': md5(array_to_string(w[i:i+7], ' '))}
+             |       FOR i IN range(1, len(w) - 6)]) AS s
+             |    FROM tk WHERE len(w) >= 8)),
+             |dup AS (SELECT k FROM ng GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
+             |cov AS (
+             |  SELECT DISTINCT doc_id, p + o AS tp
+             |  FROM ng, range(0, 8) r(o) WHERE k IN (SELECT k FROM dup)),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n_dup_tokens FROM cov GROUP BY doc_id),
+             |base AS (SELECT doc_id, len(w) AS n_tokens FROM tk)
+             |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+             |       CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+             |       CAST(COALESCE(c.n_dup_tokens, 0) * 1000000 // b.n_tokens AS BIGINT) AS dup_ppm
+             |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // Repetition / type-token quality signal: share of repeated tokens
     // per document (a standard low-quality-text filter).
     QueryDef("d_repetition",
