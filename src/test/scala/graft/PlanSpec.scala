@@ -330,6 +330,80 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO join reorder: the selective dimension joins FIRST regardless of declared order") {
+    // The other half of the statistics story: with column stats and
+    // cbo.joinReorder on, a multi-join declared in a bad order (big
+    // dimension first) must be REORDERED so the selective dimension
+    // prunes the fact table before the expensive join — at 100 TB the
+    // difference between shuffling the full fact intermediate and 20%
+    // of it. Declared: (fact ⋈ dimA) ⋈ dimB with |dimA| = 10k and dimB
+    // covering only 2 of the fact's 10 k2 values; expected: the
+    // optimizer joins dimB against the fact below dimA.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("ro_fact", "ro_dim_a", "ro_dim_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    (1L to 100000L).map(i => (i % 10000, i % 10, i)).toDF("k1", "k2", "v")
+      .write.mode("overwrite").saveAsTable("ro_fact")
+    (0L until 10000L).map(k => (k, s"a$k")).toDF("k1", "a")
+      .write.mode("overwrite").saveAsTable("ro_dim_a")
+    (0L until 2L).map(k => (k, s"b$k")).toDF("k2", "b")
+      .write.mode("overwrite").saveAsTable("ro_dim_b")
+    Seq("ro_fact", "ro_dim_a", "ro_dim_b").foreach(t =>
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> s.conf.get(k))
+    def innermostJoins(): Seq[Join] = {
+      val q = s.table("ro_fact")
+        .join(s.table("ro_dim_a"), "k1")
+        .join(s.table("ro_dim_b"), "k2")
+        .groupBy($"b").agg(sum($"v").as("sv"))
+      q.queryExecution.optimizedPlan.collect { case j: Join => j }
+        .filter(j => j.collect { case c: Join => c }.size == 1)
+    }
+    try {
+      // control: without reorder the optimizer keeps the declared order
+      // — dimA joins innermost. If this ever starts reordering too, the
+      // positive assertion below is vacuous and must be rebuilt.
+      prev.foreach { case (k, _) => s.conf.set(k, "false") }
+      val before = innermostJoins()
+      assert(before.nonEmpty && !before.exists(_.toString.contains("ro_dim_b")),
+        s"declared order already joins dim_b innermost — control invalid:\n${before.mkString}")
+
+      prev.foreach { case (k, _) => s.conf.set(k, "true") }
+      val q = s.table("ro_fact")
+        .join(s.table("ro_dim_a"), "k1")
+        .join(s.table("ro_dim_b"), "k2")
+        .groupBy($"b").agg(sum($"v").as("sv"))
+      val opt = q.queryExecution.optimizedPlan
+      // the INNERMOST join (no Join children) must touch dim_b, proving
+      // the declared big-dimension-first order was rewritten
+      val innermost = opt.collect { case j: Join => j }
+        .filter(j => j.collect { case c: Join => c }.size == 1)
+      assert(innermost.nonEmpty, s"no leaf join found:\n$opt")
+      assert(innermost.exists(_.toString.contains("ro_dim_b")),
+        s"selective dimension not reordered innermost:\n$opt")
+      // and the result is unaffected by the reorder
+      val rows = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows.keySet === Set("b0", "b1"))
+    } finally {
+      prev.foreach { case (k, v) => s.conf.set(k, v) }
+      Seq("ro_fact", "ro_dim_a", "ro_dim_b").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("salted join equals plain join under skew") {
     val s = spark
     import s.implicits._
