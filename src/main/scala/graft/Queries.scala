@@ -2538,10 +2538,10 @@ object Queries {
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
-             |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |                THEN 1 ELSE 0 END) AS high_line_count,
-             |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-             |                THEN 1 ELSE 0 END) AS low_line_count
+             |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -3685,7 +3685,8 @@ object Queries {
 
   def all: Seq[QueryDef] =
     variantQueries ++ relationalQueries ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all ++ DedupQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ DedupQueries.all ++
+      graft.operators.AnalyticsQueries.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

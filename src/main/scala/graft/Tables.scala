@@ -23,16 +23,33 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = df(spark, dir, "embeddings")
 
-  /** events with `ts` converted long-nanos → TimestampType (micros).
-    * Integer division (DIV), not `/`: epoch nanos ≈ 1.7e18 exceed a
-    * double's 53-bit mantissa, so float division silently loses µs.
-    */
+  /** events with `ts` normalized to TimestampType (micros) — see
+    * [[tsToTimestamp]]. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // defensive: the driver may hand us a session without our configs
     // (nanosAsLong is a runtime SQLConf, safe to set here)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsToTimestamp(df(spark, dir, "events"))
+  }
+
+  /** Normalize an events-style `ts` column to TimestampType micros.
+    * The testdata generator has shipped BOTH parquet physical types
+    * across driver rounds: TIMESTAMP(NANOS) (which Spark 4 only reads
+    * as a long under nanosAsLong) and TIMESTAMP(MICROS, NTZ). Handles
+    * either, plus an already-normalized column (idempotent), for batch
+    * and streaming frames alike.
+    *
+    * Nanos path uses integer division (DIV), not `/`: epoch nanos ≈
+    * 1.7e18 exceed a double's 53-bit mantissa, so float division would
+    * silently lose µs. NTZ path is an exact micros reinterpretation
+    * under the UTC session timezone `configure` pins.
+    */
+  def tsToTimestamp(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
   }
 
   /** Session defaults every entry point should apply. */

@@ -75,6 +75,10 @@ object VariantFunctions {
     col(BloomMightContain(expr(bf), expr(key)))
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     col(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
+  def count_min_agg(c: Column, depth: Int, width: Int): Column =
+    col(CountMinAgg(expr(c), depth, width).toAggregateExpression())
+  def count_min_query(sketch: Column, key: Column): Column =
+    col(CountMinQuery(expr(sketch), expr(key)))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -187,6 +191,14 @@ object VariantFunctions {
       (es: Seq[Expression]) => BottomKByHash(es.head, litInt(es(1), "bottomk_by_hash k"))
         .toAggregateExpression(),
       "bottomk_by_hash(s, k) - Deterministic uniform sample: the k values with smallest md5 digests."),
+    ("count_min_agg",
+      (es: Seq[Expression]) => CountMinAgg(es.head,
+        litInt(es(1), "count_min_agg depth"), litInt(es(2), "count_min_agg width"))
+        .toAggregateExpression(),
+      "count_min_agg(key, depth, width) - Mergeable count-min sketch; point estimates never undercount."),
+    ("count_min_query",
+      (es: Seq[Expression]) => CountMinQuery(es.head, es(1)),
+      "count_min_query(sketch, key) - Count-min point estimate (min over depth cells)."),
     ("misra_gries",
       (es: Seq[Expression]) => MisraGries(es.head, litInt(es(1), "misra_gries k"))
         .toAggregateExpression(),

@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.{events, lineitem, orders}
+import graft.functions.{VariantFunctions => vf}
+
+/** Round-6 relational/lakehouse additions.
+  *
+  * Determinism notes (hash parity with the DuckDB oracle):
+  *  - medians/MADs run over INTEGER cents (`floor(x*100)`), so every
+  *    interpolated percentile is an exact binary fraction (k/4 at
+  *    worst) — `a + (b-a)*p` and `(a+b)/2` agree exactly, so Spark's
+  *    `percentile` and DuckDB's `quantile_cont` cannot drift an ulp;
+  *  - MERGE arithmetic stays in DECIMAL(18,2) until the final cast;
+  *  - every query ends in ORDER BY over a unique key.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // MERGE INTO semantics (the lakehouse upsert): target = snapshot,
+    // source = change batch; matched+cond → DELETE, matched → UPDATE,
+    // not-matched → INSERT, source-missing → keep. Expressed as ONE
+    // full-outer shuffle join on the merge key — exactly what Delta/
+    // Iceberg's copy-on-write MERGE lowers to. At 100 TB the change
+    // batch is normally small: the same plan with a broadcast source
+    // side degrades to a map-only pass over the target (no target
+    // shuffle), which AQE picks when source stats allow.
+    QueryDef("q_merge_into",
+      (s, d) => {
+        val t = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("t_status"),
+            col("o_totalprice").cast("decimal(18,2)").as("t_price"))
+        val src = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(18,2)").as("s_price"))
+        t.join(src, Seq("k"), "full_outer")
+          .filter(!(col("t_price").isNotNull && col("s_price").isNotNull &&
+            col("k") % 12 === 0))
+          .select(col("k").as("o_orderkey"),
+            when(col("s_price").isNull, lit("keep"))
+              .when(col("t_price").isNull, lit("insert"))
+              .otherwise(lit("update")).as("action"),
+            when(col("t_price").isNull, lit("N"))
+              .otherwise(col("t_status")).as("status"),
+            when(col("s_price").isNull, col("t_price"))
+              .when(col("t_price").isNull, col("s_price"))
+              .otherwise(expr("t_price + CAST(1.00 AS DECIMAL(18,2))"))
+              .cast("double").as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS t_status,
+             |                  CAST(o_totalprice AS DECIMAL(18,2)) AS t_price
+             |           FROM orders WHERE o_orderkey % 3 = 0),
+             |s AS (SELECT o_orderkey AS k,
+             |             CAST(o_totalprice AS DECIMAL(18,2)) AS s_price
+             |      FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT COALESCE(t.k, s.k) AS o_orderkey,
+             |       CASE WHEN s.k IS NULL THEN 'keep'
+             |            WHEN t.k IS NULL THEN 'insert'
+             |            ELSE 'update' END AS action,
+             |       CASE WHEN t.k IS NULL THEN 'N' ELSE t_status END AS status,
+             |       CAST(CASE WHEN s.k IS NULL THEN t_price
+             |                 WHEN t.k IS NULL THEN s_price
+             |                 ELSE t_price + CAST(1.00 AS DECIMAL(18,2))
+             |            END AS DOUBLE) AS price
+             |FROM t FULL OUTER JOIN s ON t.k = s.k
+             |WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND t.k % 12 = 0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Sliding-window robust smoother: exact 25-row running median of
+    // each user's event values. percentile-as-window recomputes per
+    // frame (O(n·w) per partition) — fine because w is a CONSTANT 25;
+    // an unbounded running median would be O(n²) and is the shape to
+    // avoid at scale. Gate compares a per-user summary so the output
+    // stays user-count-sized while the operator runs at full size.
+    QueryDef("q_window_median",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          floor(col("value") * 100).cast("long").as("v"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id")).rowsBetween(-24, 0)
+        ev.withColumn("med", expr("percentile(v, 0.5)").over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("max_med"),
+            min(col("med")).as("min_med"),
+            sum(col("med").cast("decimal(18,1)")).cast("double").as("sum_med"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |                   epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |                   CAST(floor(value * 100) AS BIGINT) AS v
+             |            FROM events),
+             |med AS (SELECT user_id,
+             |               quantile_cont(v, 0.5) OVER (
+             |                 PARTITION BY user_id ORDER BY t, event_id
+             |                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS med
+             |        FROM ev)
+             |SELECT user_id, COUNT(*) AS n, MAX(med) AS max_med,
+             |       MIN(med) AS min_med,
+             |       CAST(SUM(CAST(med AS DECIMAL(18,1))) AS DOUBLE) AS sum_med
+             |FROM med GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Robust per-group outlier detection: median + MAD (median absolute
+    // deviation) over integer cents, outlier = deviation > 5·MAD. The
+    // group stats are group-count-sized → both joins back to the fact
+    // broadcast; the fact table is scanned twice (once per percentile
+    // level) but never shuffled on a data-sized key.
+    QueryDef("q_outlier_mad",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderpriority").as("pri"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val med = o.groupBy(col("pri"))
+          .agg(expr("percentile(cents, 0.5)").as("med"))
+        val dev = o.join(broadcast(med), Seq("pri"))
+          .withColumn("dev", abs(col("cents") - col("med")))
+        val mad = dev.groupBy(col("pri"))
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("pri"))
+          .groupBy(col("pri"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("dev") > col("mad") * 5, 1)).as("n_outliers"),
+            max(col("dev")).as("max_dev"),
+            first(col("mad")).as("mad"))
+          .orderBy(col("pri"))
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
+             |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |           FROM orders),
+             |med AS (SELECT pri, quantile_cont(cents, 0.5) AS med
+             |        FROM o GROUP BY pri),
+             |dev AS (SELECT o.pri, abs(o.cents - med.med) AS dev
+             |        FROM o JOIN med USING (pri)),
+             |mad AS (SELECT pri, quantile_cont(dev, 0.5) AS mad
+             |        FROM dev GROUP BY pri)
+             |SELECT dev.pri, COUNT(*) AS n,
+             |       COUNT(CASE WHEN dev.dev > mad.mad * 5 THEN 1 END) AS n_outliers,
+             |       MAX(dev.dev) AS max_dev, ANY_VALUE(mad.mad) AS mad
+             |FROM dev JOIN mad USING (pri)
+             |GROUP BY dev.pri ORDER BY dev.pri""".stripMargin)),
+
+    // Nearest as-of join: for each purchase, the CLOSER of the last
+    // click at-or-before and the first click at-or-after (tie →
+    // backward). Two directed as-of passes (each ONE shuffle of
+    // left+right on the key — Joins.asofJoin) + an event_id-keyed
+    // merge; the forward pass reuses the backward operator on negated
+    // timestamps. Click timestamps are deduped per user first so the
+    // boundary match is well-defined when clicks share a timestamp.
+    QueryDef("q_asof_nearest",
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("ct")).distinct()
+        val back = Joins.asofJoin(p, c, "user_id", "t", "ct", Map("ct" -> "b_ts"))
+        val pNeg = p.withColumn("nt", -col("t"))
+        val cNeg = c.withColumn("nct", -col("ct"))
+        val fwd = Joins.asofJoin(pNeg, cNeg, "user_id", "nt", "nct", Map("ct" -> "f_ts"))
+          .select(col("event_id"), col("f_ts"))
+        back.join(fwd, Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("t"),
+            (col("t") - col("b_ts")).as("b_delta"),
+            (col("f_ts") - col("t")).as("f_delta"),
+            when(col("b_ts").isNull && col("f_ts").isNull, lit(null).cast("long"))
+              .when(col("f_ts").isNull, col("t") - col("b_ts"))
+              .when(col("b_ts").isNull, col("f_ts") - col("t"))
+              .otherwise(least(col("t") - col("b_ts"), col("f_ts") - col("t")))
+              .as("near_delta"),
+            when(col("b_ts").isNull && col("f_ts").isNull, lit("none"))
+              .when(col("f_ts").isNull, lit("b"))
+              .when(col("b_ts").isNull, lit("f"))
+              .when(col("t") - col("b_ts") <= col("f_ts") - col("t"), lit("b"))
+              .otherwise(lit("f")).as("near_dir"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id,
+             |                  epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT DISTINCT user_id,
+             |             epoch_us(CAST(ts AS TIMESTAMP)) AS ct
+             |      FROM events WHERE event_type = 'click'),
+             |b AS (SELECT p.event_id, p.user_id, p.t, c.ct AS b_ts
+             |      FROM p ASOF LEFT JOIN c
+             |        ON p.user_id = c.user_id AND p.t >= c.ct),
+             |f AS (SELECT p.event_id, c.ct AS f_ts
+             |      FROM p ASOF LEFT JOIN c
+             |        ON p.user_id = c.user_id AND p.t <= c.ct)
+             |SELECT b.event_id, b.user_id, b.t,
+             |       b.t - b.b_ts AS b_delta, f.f_ts - b.t AS f_delta,
+             |       CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+             |            WHEN f_ts IS NULL THEN b.t - b_ts
+             |            WHEN b_ts IS NULL THEN f_ts - b.t
+             |            ELSE LEAST(b.t - b_ts, f_ts - b.t) END AS near_delta,
+             |       CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN 'none'
+             |            WHEN f_ts IS NULL THEN 'b'
+             |            WHEN b_ts IS NULL THEN 'f'
+             |            WHEN b.t - b_ts <= f_ts - b.t THEN 'b'
+             |            ELSE 'f' END AS near_dir
+             |FROM b JOIN f USING (event_id)
+             |ORDER BY b.event_id""".stripMargin)),
+
+    // Positional inverted-index build (the search-index workload):
+    // posexplode gives (position, term) map-side, then ONE shuffle on
+    // term aggregates document frequency, total term frequency, and a
+    // positions digest. Top-100 by (df DESC, term) — a unique total
+    // order, so the LIMIT boundary is engine-deterministic. At corpus
+    // scale the term key is zipfian: the aggregate is partial (map-side
+    // combine) so hot terms arrive at the reducer pre-collapsed
+    // per-partition rather than row-per-occurrence.
+    QueryDef("d_inverted_index",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "term")))
+        toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("tf"),
+            sum(col("pos") + 1).as("sum_pos"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(regexp_extract_all(text, '\S+')) AS term,
+             |         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+             |  FROM documents)
+             |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+             |       CAST(SUM(pos) AS BIGINT) AS sum_pos,
+             |       MIN(doc_id) AS first_doc
+             |FROM toks GROUP BY term
+             |ORDER BY df DESC, term LIMIT 100""".stripMargin)),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence: lead() pairs consecutive events (one shuffle on
+    // user_id), then the pair counts collapse onto the tiny
+    // (src, dst) key space. Probabilities are integer ppm — exact
+    // integer division on both engines, no float drift. The row-total
+    // table is group-count-sized → broadcast back.
+    QueryDef("q_event_transitions",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+        val trans = ev.withColumn("b", lead(col("event_type"), 1).over(w))
+          .filter(col("b").isNotNull)
+          .select(col("event_type").as("src"), col("b").as("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("tn"))
+        trans.join(broadcast(tot), Seq("src"))
+          .select(col("src"), col("dst"), col("n"),
+            expr("n * 1000000 DIV tn").as("ppm"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type AS src,
+             |         LEAD(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS dst
+             |  FROM events),
+             |t AS (SELECT src, dst, COUNT(*) AS n FROM seq
+             |      WHERE dst IS NOT NULL GROUP BY src, dst),
+             |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tn FROM t GROUP BY src)
+             |SELECT t.src, t.dst, t.n,
+             |       CAST(t.n * 1000000 // tot.tn AS BIGINT) AS ppm
+             |FROM t JOIN tot USING (src)
+             |ORDER BY t.src, t.dst""".stripMargin)),
+
+    // Count-min sketch frequency estimates, driver-lane-gated like
+    // e_ann_recall: the sketch is a deterministic function of the key
+    // multiset (XXH64 double-hashing), so `est ≥ exact` (structural
+    // guarantee) and `est ≤ exact + ⌈e·N/width⌉` (the CMS error bound,
+    // holding with prob ≥ 1-e^-depth per key — verified constant-true
+    // on this fixture at all SFs) hash-compare against oracle TRUEs.
+    // Build is one pass + a 16 KiB grid per partition over the
+    // shuffle; the sketch returns to the driver as ONE scalar and
+    // re-ships as a literal (same economics as q_bloom_join).
+    QueryDef("q_countmin",
+      (s, d) => {
+        val row = orders(s, d)
+          .agg(vf.count_min_agg(col("o_custkey"), 4, 512), count(lit(1))).head
+        val skBytes = row.getAs[Array[Byte]](0)
+        val slack = math.ceil(math.E * row.getLong(1) / 512).toLong
+        orders(s, d).filter(col("o_custkey") % 23 === 0)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_exact"))
+          .withColumn("est", vf.count_min_query(lit(skBytes), col("o_custkey")))
+          .select(col("o_custkey"), col("n_exact"),
+            (col("est") >= col("n_exact")).as("never_under"),
+            (col("est") <= col("n_exact") + lit(slack)).as("within_eps"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_exact,
+             |       TRUE AS never_under, TRUE AS within_eps
+             |FROM orders WHERE o_custkey % 23 = 0
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+  )
+}

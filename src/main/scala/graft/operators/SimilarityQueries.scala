@@ -537,7 +537,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
         val agg = stream
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -577,7 +577,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -814,7 +814,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
         val sessions = StreamingSession.sessionize(stream)
         val qname = s"s_session_timeout_${runCounter.incrementAndGet()}"
         withStatePartitions(s, 8) { // no-data batch ON: the timer IS the point
@@ -871,7 +871,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
           .withWatermark("ts", "10 minutes")
         val agg = stream
           .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("sw"))
@@ -883,8 +883,8 @@ object StreamingQueries {
           q.processAllAvailable()
           q.stop()
         }
-        val wmUs = s.read.parquet(s"$d/events.parquet")
-          .agg(max(expr("ts DIV 1000"))).head().getLong(0) - 600000000L
+        val wmUs = graft.Tables.events(s, d)
+          .agg(max(unix_micros(col("ts")))).head().getLong(0) - 600000000L
         s.table(qname)
           .select(col("user_id"),
             unix_micros(col("sw.start")).as("s_start"),
@@ -935,7 +935,7 @@ object StreamingQueries {
         var version = 0
         val stream = s.readStream.schema(staticSchema)
           .option("maxFilesPerTrigger", "1").parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"), col("value"))
         val q = stream.writeStream.foreachBatch {
@@ -984,7 +984,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
         val joined = StreamingJoins.viewPurchaseJoin(stream)
         val qname = s"s_stream_join_${runCounter.incrementAndGet()}"
         withStatePartitions(s, 8, noDataBatches = false) {
@@ -1084,7 +1084,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
         val joined = StreamingJoins.viewPurchaseLeftOuter(stream)
         val qname = s"s_outer_join_${runCounter.incrementAndGet()}"
         withStatePartitions(s, 8) { // no-data batch ON: eviction IS the point
@@ -1141,7 +1141,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
           .withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select(col("user_id"), col("event_type"))
@@ -1176,7 +1176,7 @@ object StreamingQueries {
           sd.toString
         })
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(graft.Tables.tsToTimestamp)
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(vf.topk_pairs(col("value"), col("event_id"), 3).as("top"))

@@ -38,7 +38,7 @@ object StreamProbe {
       sc.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
       val t0 = System.nanoTime()
       val stream = sc.readStream.schema(staticSchema).parquet(sd.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .transform(graft.Tables.tsToTimestamp)
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       n += 1
@@ -101,7 +101,7 @@ object StreamProbe {
     def runTiny(label: String): Unit = {
       val t0 = System.nanoTime()
       val stream = sc.readStream.schema(tinySchema).parquet(tiny.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .transform(graft.Tables.tsToTimestamp)
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       n += 1
@@ -124,7 +124,7 @@ object StreamProbe {
     locally {
       val t0 = System.nanoTime()
       val stream = sc.readStream.schema(tinySchema).parquet(tiny.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .transform(graft.Tables.tsToTimestamp)
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       n += 1
