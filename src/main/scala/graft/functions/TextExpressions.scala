@@ -247,6 +247,74 @@ case class MinHashBandsOfSig(child: Expression, bands: Int)
     copy(child = newChild)
 }
 
+/** `weighted_minhash_signature(tokens, k)`: MinHash over the token
+  * MULTISET — the i-th occurrence of a token hashes as the distinct
+  * element (token, i), which is exactly plain MinHash of the
+  * integer-weight expansion, so Pr[slot match] = WEIGHTED Jaccard
+  * Σ min(tf)/Σ max(tf). Pass the token array WITH repeats (no
+  * distinct): this is the signature/LSH scale path for
+  * `d_weighted_jaccard`'s exact join — boilerplate-heavy near-dups
+  * that set-MinHash scores as unrelated keep their similarity here.
+  * Occurrence indexing is assignment-order-free (equal tokens are
+  * interchangeable), so the signature is permutation-invariant like
+  * the unweighted one.
+  */
+case class WeightedMinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(numHashes > 0 && numHashes <= 1024, s"numHashes out of range: $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty/all-null token arrays yield NULL
+  override def prettyName: String = "weighted_minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"weighted_minhash_signature expects array<string>, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    // Element hash = mix(tokenHash + C·occurrenceIndex): occurrence
+    // indices count per distinct token hash, making the i-th copy a
+    // distinct expanded-set element. One string hash per occurrence,
+    // k mixes per element — same cost shape as the unweighted form.
+    val base = new Array[Long](n)
+    val occSeen = new java.util.HashMap[java.lang.Long, Integer]()
+    var i = 0
+    var nonNull = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val th = Hash64.hashUtf8(arr.getUTF8String(i), 0L)
+        val occ = occSeen.merge(th, Integer.valueOf(1), (a, b) => a + b) - 1
+        base(nonNull) = Hash64.mix(th + 0x517cc1b727220a95L * occ)
+        nonNull += 1
+      }
+      i += 1
+    }
+    if (nonNull == 0) return null
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      var min = Long.MaxValue
+      var j = 0
+      while (j < nonNull) {
+        val h = Hash64.mix(base(j) + 0x9e3779b97f4a7c15L * (s + 1))
+        if (h < min) min = h
+        j += 1
+      }
+      sig(s) = min
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)`: 64-bit SimHash of a string array — per-bit
   * majority vote over token hashes; Hamming distance between signatures
   * approximates (1 - cosine) of the token multisets.

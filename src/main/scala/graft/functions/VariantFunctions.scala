@@ -47,6 +47,8 @@ object VariantFunctions {
   def schema_of_variant_agg(c: Column): Column =
     col(SchemaOfVariantAgg(expr(c)).toAggregateExpression())
   def minhash_signature(c: Column, k: Int): Column = col(MinHashSignature(expr(c), k))
+  def weighted_minhash_signature(c: Column, k: Int): Column =
+    col(WeightedMinHashSignature(expr(c), k))
   def minhash_bands(c: Column, k: Int, bands: Int): Column = col(MinHashBands(expr(c), k, bands))
   def minhash_bands_of(sig: Column, bands: Int): Column = col(MinHashBandsOfSig(expr(sig), bands))
   def shingle_tokens(c: Column, n: Int): Column = col(ShingleTokens(expr(c), n))
@@ -220,6 +222,16 @@ object VariantFunctions {
     ("simhash64",
       (es: Seq[Expression]) => SimHash64(es.head),
       "simhash64(tokens) - 64-bit SimHash of a string array."),
+    ("weighted_minhash_signature",
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"weighted_minhash_signature k must be an int literal, got: $other")
+        }
+        WeightedMinHashSignature(es.head, k)
+      },
+      "weighted_minhash_signature(tokens, k) - Multiset MinHash: slot-match probability = weighted Jaccard."),
     ("hash64",
       (es: Seq[Expression]) => StringHash64(es.head, 0L),
       "hash64(str) - Deterministic 64-bit FNV/splitmix hash."),

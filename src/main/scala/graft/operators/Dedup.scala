@@ -83,6 +83,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Weighted near-dup pairs: multiset MinHash signatures
+    * (weighted_minhash_signature — slot-match probability = WEIGHTED
+    * Jaccard) banded for candidates, then EXACT Σmin(tf)/Σmax(tf)
+    * verification in integer ppm over the candidate pairs only. The
+    * scale path for `d_weighted_jaccard`'s exact join: signatures are
+    * one map pass, the shuffle carries (id, band, bucket) only, and
+    * the tf-vector join touches candidate pairs, never all pairs.
+    * Element MULTISET on purpose (no distinct): tf weighting is the
+    * point — boilerplate-heavy near-dups that set-MinHash scores as
+    * unrelated keep their similarity here. Elements are word BIGRAMS
+    * (with repeats), not unigrams: measured on the fixture, unigram tf
+    * vectors of UNRELATED docs already reach wJ 0.34 median / 0.64 max
+    * (shared vocabulary, no shared phrasing — the same trap §7.7
+    * records for unigram set-Jaccard), while bigram wJ of unrelated
+    * docs is ≤0.12 and true edits stay ≥0.6 — clean separation.
+    */
+  def weightedMinhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 128, bands: Int = 32,
+                           thresholdPpm: Long = 500000L): DataFrame = {
+    val raw = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Materialize the bigram arrays and the banded buckets ONCE
+    // (localCheckpoint): both sides of the bucket self-join AND the
+    // tf verification would otherwise re-run the tokenize+signature
+    // chain — measured 3 recomputes ≈ 3x the whole query's cost.
+    val toks = raw.repartition(col("id"))
+      .withColumn("w", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .filter(size(col("w")) >= 2)
+      .select(col("id"), shingles("w", 2).as("toks"))
+      .localCheckpoint()
+    val banded = toks
+      .withColumn("bandArr", graft.functions.VariantFunctions.minhash_bands_of(
+        graft.functions.VariantFunctions.weighted_minhash_signature(col("toks"), numHashes),
+        bands))
+      .filter(col("bandArr").isNotNull)
+      .select(col("id"), posexplode(col("bandArr")).as(Seq("band", "bucket")))
+      .localCheckpoint()
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val tf = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val ta = cand.join(tf.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("tok"), col("tf").as("tf_a"))
+    val tb = cand.join(tf.withColumnRenamed("id", "id_b"), Seq("id_b"))
+      .select(col("id_a").as("ba"), col("id_b").as("bb"),
+        col("tok").as("btok"), col("tf").as("tf_b"))
+    ta.join(tb, col("id_a") === col("ba") && col("id_b") === col("bb") &&
+        col("tok") === col("btok"), "full_outer")
+      .select(coalesce(col("id_a"), col("ba")).as("id_a"),
+        coalesce(col("id_b"), col("bb")).as("id_b"),
+        least(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mn"),
+        greatest(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mx"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
+      .filter(col("wj_ppm") >= thresholdPpm)
+  }
+
   /** SimHash near-dups: bucket by signature prefix, verify by Hamming
     * distance ≤ maxHamming within buckets.
     */
@@ -118,6 +178,14 @@ object DedupQueries {
 
     QueryDef("d_simhash",
       (s, d) => Dedup.simhashDedup(documents(s, d), "doc_id", "text", maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Weighted-Jaccard LSH near-dups (rows-only: candidate generation
+    // is signature-dependent; the exact-wJ verification and recall
+    // floor vs the brute-force reference are pinned in OperatorSpec).
+    QueryDef("d_wminhash_lsh",
+      (s, d) => Dedup.weightedMinhashDedup(documents(s, d), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b")),
       None),
 

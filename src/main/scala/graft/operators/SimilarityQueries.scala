@@ -1073,6 +1073,70 @@ object StreamingQueries {
              |       MIN(event_id) AS min_event
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // transformWithState with COMPOSITE state: MapState per-type
+    // counters + a bounded ListState (5 smallest event ids), driven
+    // across 4 micro-batches (maxFilesPerTrigger=1 over the 4-file
+    // stage). Emissions are order/batch-independent functions of the
+    // events seen, and n_events strictly grows per key, so "latest
+    // emission per key" (max n_events) is well-defined and
+    // hash-matches the relational oracle whatever the batching.
+    QueryDef("s_map_state",
+      (s, d) => {
+        import s.implicits._
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#multi", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_multi_")
+          s.read.parquet(s"$d/events.parquet").repartition(4)
+            .write.mode("overwrite").parquet(sd.toString)
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .as[TransformState.TypedEvent]
+        val out = stream.groupByKey(_.user_id)
+          .transformWithState(new TransformState.UserTypeProfileProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val qname = s"s_map_state_${runCounter.incrementAndGet()}"
+        val pk = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(pk)
+        s.conf.set(pk,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try withStatePartitions(s, 8, noDataBatches = false) {
+          val q = out.writeStream.outputMode("update")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        } finally prevProvider match {
+          case Some(v) => s.conf.set(pk, v)
+          case None => s.conf.unset(pk)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+        s.table(qname)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn").orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |prof AS (SELECT user_id, COUNT(*) AS n_types,
+             |                CAST(SUM(n) AS BIGINT) AS n_events
+             |         FROM c GROUP BY 1),
+             |top AS (SELECT user_id, event_type AS top_type FROM (
+             |          SELECT user_id, event_type,
+             |                 ROW_NUMBER() OVER (PARTITION BY user_id
+             |                   ORDER BY n DESC, event_type) AS rn
+             |          FROM c) WHERE rn = 1),
+             |low AS (SELECT user_id, CAST(SUM(event_id) AS BIGINT) AS low5_sum FROM (
+             |          SELECT user_id, event_id,
+             |                 ROW_NUMBER() OVER (PARTITION BY user_id
+             |                   ORDER BY event_id) AS rn
+             |          FROM events) WHERE rn <= 5 GROUP BY user_id)
+             |SELECT user_id, n_types, n_events, top_type, low5_sum
+             |FROM prof JOIN top USING (user_id) JOIN low USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     QueryDef("s_outer_join",
       (s, d) => {
         val staticSchema = s.read.parquet(s"$d/events.parquet").schema

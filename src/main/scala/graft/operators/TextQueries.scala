@@ -309,21 +309,42 @@ object TextQueries {
         val base = tk.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
         // sequence(1, size-7) would run DESCENDING for short docs
         // (Spark generates down-ramps when start > stop) — guard first
+        // Gram identity is xxhash64 (8-byte long), not md5: the key
+        // never appears in the output, so it needs no cross-engine
+        // portability — only injectivity in practice (64-bit over
+        // ~1M grams: collision odds ~1e-7, and deterministic). The
+        // oracle groups on the raw gram string instead. Narrower
+        // shuffle rows + no crypto hash on the hot path.
         val ng = tk
           .filter(size(col("w")) >= 8)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(w) - 7), " +
-              "i -> struct(i AS p, md5(concat_ws(' ', slice(w, i, 8))) AS k))")).as("s"))
+              "i -> struct(i AS p, xxhash64(slice(w, i, 8)) AS k))")).as("s"))
           .select(col("doc_id"), col("s.p").as("p"), col("s.k").as("k"))
-        val dup = ng.groupBy(col("k"))
-          .agg(count_distinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("k"))
-        val covered = ng.join(dup, Seq("k"), "left_semi")
-          .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("tp"))
-          .distinct()
+        // "seen in >= 2 distinct docs" ⟺ min(doc) != max(doc) over the
+        // gram's partition — as a WINDOW, not groupBy + semi-join-back:
+        // the exploded gram table is computed ONCE and shuffled ONCE
+        // (on k), where the join formulation re-derived it on both
+        // sides of the semi join. min/max also combine cheaply where
+        // count_distinct pays a two-phase expand.
+        val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+        // Union length of the sorted fixed-width intervals [p, p+7] via
+        // one window sweep: Σ min(next_p - p, 8) + 8 for the last gram.
+        // Replaces the 8x position explode + distinct (8x the shuffle
+        // rows) the first version paid.
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+        val covered = ng
+          .withColumn("mn", min(col("doc_id")).over(wk))
+          .withColumn("mx", max(col("doc_id")).over(wk))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("doc_id"), col("p"))
+          .withColumn("nxt", lead(col("p"), 1).over(wp))
+          .withColumn("contrib",
+            when(col("nxt").isNull, lit(8L))
+              .otherwise(least(col("nxt") - col("p"), lit(8L))))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_dup_tokens"))
+          .agg(sum(col("contrib")).as("n_dup_tokens"))
         base.join(covered, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),
             coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
@@ -336,7 +357,7 @@ object TextQueries {
              |ng AS (
              |  SELECT doc_id, s.p AS p, s.k AS k FROM (
              |    SELECT doc_id, unnest(
-             |      [{'p': i, 'k': md5(array_to_string(w[i:i+7], ' '))}
+             |      [{'p': i, 'k': array_to_string(w[i:i+7], ' ')}
              |       FOR i IN range(1, len(w) - 6)]) AS s
              |    FROM tk WHERE len(w) >= 8)),
              |dup AS (SELECT k FROM ng GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),

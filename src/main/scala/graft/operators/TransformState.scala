@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Spark 4's `transformWithState` — the arbitrary-state API that
   * replaces `mapGroupsWithState` (typed state handles with optional TTL,
@@ -42,6 +42,47 @@ object TransformState {
       }
       st.update(s)
       Iterator.single(UserTotals(key, s.n, s.cents, s.minId))
+    }
+  }
+
+  case class TypedEvent(user_id: Long, event_id: Long, event_type: String)
+  case class UserProfile(user_id: Long, n_types: Long, n_events: Long,
+                         top_type: String, low5_sum: Long)
+
+  /** Composite-state processor: a `MapState` (per-type counters — the
+    * per-key sub-keyed aggregation shape that a `ValueState` of a map
+    * would rewrite wholesale on every update, where `MapState` updates
+    * one RocksDB key) plus a BOUNDED `ListState` holding the 5 smallest
+    * event ids seen. Every emitted field is a pure function of the SET
+    * of events seen so far — no arrival-order or batch-boundary
+    * dependence — so the last emission per key hash-matches a
+    * relational oracle however the input is micro-batched
+    * (`s_map_state` stages the input as 4 files, 1 per trigger).
+    */
+  class UserTypeProfileProcessor extends StatefulProcessor[Long, TypedEvent, UserProfile] {
+    @transient private var types: MapState[String, Long] = _
+    @transient private var low5: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      types = getHandle.getMapState[String, Long]("types",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      low5 = getHandle.getListState[Long]("low5", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+                                 timerValues: TimerValues): Iterator[UserProfile] = {
+      var ids = low5.get().toSeq
+      rows.foreach { r =>
+        val cur = if (types.containsKey(r.event_type)) types.getValue(r.event_type) else 0L
+        types.updateValue(r.event_type, cur + 1L)
+        ids = (ids :+ r.event_id).sorted.take(5)
+      }
+      low5.put(ids.toArray)
+      val entries = types.iterator().toSeq
+      val (topType, _) = entries.map { case (t, n) => (t, n) }
+        .minBy { case (t, n) => (-n, t) }
+      Iterator.single(UserProfile(key, entries.size.toLong,
+        entries.map(_._2).sum, topType, ids.sum))
     }
   }
 }

@@ -123,4 +123,47 @@ class GraphTextPropertySpec extends AnyFunSuite {
       assert(got == want.toLong, s"trial $trial: oriented=$got brute=$want")
     }
   }
+
+  // --- k-core peel (KCore.peelRounds) -----------------------------------
+
+  /** In-memory reference peel: repeat until fixpoint or budget. */
+  private def bruteKcore(edges: Set[(Long, Long)], k: Int, rounds: Int): Seq[Set[(Long, Long)]] = {
+    var e = edges
+    (1 to rounds).map { _ =>
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (v, o) => (v, o.size) }
+      e = e.filter { case (i, j) => deg(i) >= k && deg(j) >= k }
+      e
+    }
+  }
+
+  test("k-core: distributed peel matches the in-memory peel round by round") {
+    for (trial <- 1 to 3) {
+      val rnd = new Random(900 + trial)
+      val n = 40
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.06
+      } yield (i.toLong, j.toLong)).toSet
+      val got = KCore.peelRounds(edges.toSeq.toDF("i", "j"), k = 3, rounds = 4)
+        .map(_.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val want = bruteKcore(edges, k = 3, rounds = 4)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), r) =>
+        assert(g == w, s"trial $trial round ${r + 1}: got ${g.size}, want ${w.size}")
+      }
+    }
+  }
+
+  test("k-core: d_kcore's fixture graph reaches its 2-core fixpoint by round 3") {
+    val p = graft.Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), substring(col("text"), 1, 10).as("pf"))
+    val e0 = p.as("a").join(p.as("b"),
+        col("a.pf") === col("b.pf") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val rounds = KCore.peelRounds(e0, k = 2, rounds = 4)
+    val r3 = rounds(2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r4 = rounds(3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r3 == r4, s"round 3 (${r3.size} edges) != round 4 (${r4.size} edges)")
+    assert(r3.nonEmpty, "degenerate fixture: empty 2-core")
+  }
 }

@@ -42,6 +42,53 @@ class OperatorSpec extends AnyFunSuite {
     lshRows.foreach(r => assert(r.getDouble(2) >= 0.5))
   }
 
+  test("weighted minhash: slot-match rate tracks weighted Jaccard; signature is permutation-invariant") {
+    import graft.functions.{VariantFunctions => vf}
+    val k = 512
+    // multisets {a×2, b×1} vs {a×1, b×1}: wJ = (1+1)/(2+1) = 2/3
+    val rows = Seq(
+      (1L, Seq("a", "a", "b")),
+      (2L, Seq("a", "b")),
+      (3L, Seq("b", "a", "a"))) // permutation of id 1
+      .toDF("id", "toks")
+    val sigs = rows.select(col("id"), vf.weighted_minhash_signature(col("toks"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(3L), "signature must be permutation-invariant")
+    val matches = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    val rate = matches.toDouble / k
+    assert(math.abs(rate - 2.0 / 3.0) < 0.08, s"slot-match rate $rate != ~0.667")
+  }
+
+  test("weighted minhash LSH recovers boilerplate-heavy planted near-dups with exact ppm verification") {
+    // Docs dominated by a shared boilerplate vocabulary with repeated
+    // tokens: the weighted form keeps their similarity visible.
+    val vocab = (1 to 200).map(i => s"tok$i")
+    def doc(seed: Int): Seq[String] = {
+      val r = new scala.util.Random(seed)
+      (1 to 120).map(_ => vocab(r.nextInt(vocab.size)))
+    }
+    val base = (1 to 30).map(i => (i.toLong, doc(i).mkString(" ")))
+    val mutated = base.take(8).map { case (id, text) =>
+      val words = text.split(" ")
+      // change ~10% of positions → wJ ≈ 0.8
+      val changed = words.zipWithIndex.map { case (w, ix) =>
+        if (ix % 10 == 0) "MUTANT" + ix else w
+      }.mkString(" ")
+      (id + 1000L, changed)
+    }
+    val corpus = spark.createDataFrame((base ++ mutated)).toDF("doc_id", "text")
+    val got = Dedup.weightedMinhashDedup(corpus, "doc_id", "text",
+        thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = mutated.map { case (mid, _) => (mid - 1000L, mid) }.toSet
+    val recall = (expected & got).size.toDouble / expected.size
+    assert(recall >= 0.8, s"planted recall $recall; missed ${expected -- got}")
+    // precision by construction: every returned pair passed exact wJ >= 0.5
+    val verified = Dedup.weightedMinhashDedup(corpus, "doc_id", "text",
+      thresholdPpm = 500000L).collect()
+    verified.foreach(r => assert(r.getLong(2) >= 500000L))
+  }
+
   test("minhash candidate generation does not explode on degenerate vocab (shingles keep buckets sparse)") {
     // 200 docs over a tiny vocabulary: unigram sets are all identical,
     // but shingle sets are distinct → candidate count stays near zero.

@@ -30,7 +30,7 @@ class StreamingSpec extends AnyFunSuite {
   private def eventsStream(stageDir: String) = {
     val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
     spark.readStream.schema(schema).parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.tsToTimestamp)
   }
 
   test("watermark + append emits exactly the closed windows") {
@@ -88,7 +88,7 @@ class StreamingSpec extends AnyFunSuite {
     ev.repartition(4).write.mode("overwrite").parquet(stage)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.tsToTimestamp)
       .withColumn("v", vf.variant_from_json(col("props")))
     val agg = stream.groupBy(col("event_type"))
       .agg(sum(vf.variant_get(col("v"), "$.k", LongType)).as("k_sum"))
@@ -116,7 +116,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.tsToTimestamp)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
     val q = stream.writeStream.outputMode(OutputMode.Append)
@@ -140,7 +140,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.tsToTimestamp)
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
@@ -170,7 +170,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.tsToTimestamp)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(vf.topk_pairs(col("value"), col("event_id"), 3).as("top"))
@@ -338,7 +338,7 @@ class StreamingSpec extends AnyFunSuite {
     val gapUs = 10L * 60 * 1000000 // 10-min inactivity gap
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.tsToTimestamp)
       .withWatermark("ts", "10 minutes")
       // keep the ts column (the watermark rides on it — projecting it
       // away disables event-time timeout) and carry full microseconds
@@ -440,7 +440,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.tsToTimestamp)
     val joined = graft.operators.StreamingJoins.viewPurchaseJoin(stream)
     val q = joined.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("ss_join").start()
