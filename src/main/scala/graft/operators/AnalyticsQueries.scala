@@ -23,6 +23,39 @@ object AnalyticsQueries {
     * as Queries.srcStage — the bench re-runs queries; stage once). */
   private val srcStage = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** DuckDB oracle for d_hits: the iteration CTE chain is GENERATED for
+    * `iters` iterations — one source of truth for the update rule on
+    * both engines. */
+  private def hitsOracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+        |  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100),
+        |n AS (SELECT DISTINCT src AS node FROM e0
+        |      UNION SELECT DISTINCT dst FROM e0),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS r
+         |       FROM e0 e JOIN h${i - 1} p ON e.src = p.node GROUP BY e.dst),
+         |am$i AS (SELECT MAX(r) AS m FROM ar$i),
+         |a$i AS (SELECT n.node,
+         |            CAST(COALESCE(ar$i.r, 0) * 1000000 // am$i.m AS BIGINT) AS a
+         |      FROM n LEFT JOIN ar$i ON n.node = ar$i.node, am$i),
+         |hr$i AS (SELECT e.src AS node, CAST(SUM(a$i.a) AS BIGINT) AS r
+         |       FROM e0 e JOIN a$i ON e.dst = a$i.node GROUP BY e.src),
+         |hm$i AS (SELECT MAX(r) AS m FROM hr$i),
+         |h$i AS (SELECT n.node,
+         |            CAST(COALESCE(hr$i.r, 0) * 1000000 // hm$i.m AS BIGINT) AS h
+         |      FROM n LEFT JOIN hr$i ON n.node = hr$i.node, hm$i)""".stripMargin
+    }
+    s"""$head,
+       |${steps.mkString(",\n")}
+       |SELECT n.node, a$iters.a AS auth_ppm, h$iters.h AS hub_ppm
+       |FROM n JOIN a$iters ON n.node = a$iters.node
+       |JOIN h$iters ON n.node = h$iters.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ORC source/sink round-trip — the one columnar format the source
@@ -485,6 +518,55 @@ object AnalyticsQueries {
              |FROM u GROUP BY i, j
              |HAVING CAST(SUM(mn) * 1000000 // SUM(mx) AS BIGINT) >= 100000
              |ORDER BY i, j""".stripMargin)),
+
+    // HITS hub/authority scores, EXACT through the hash gate like
+    // d_pagerank: scores are integer ppm and each half-iteration is a
+    // BIGINT sum + a max-rescale (value·1e6 DIV max — truncating
+    // division, identical on both engines; magnitudes bounded at
+    // 1e14 ≪ int64). Same scale discipline as PageRank: the edge list
+    // materializes once, each half-iteration is one shuffle of (node,
+    // contribution) longs, and the rescale max is a 1-row broadcast.
+    // Three iterations; the SQL oracle's iteration CTEs are generated
+    // by the same loop that drives the DataFrame side, so the two
+    // cannot drift.
+    QueryDef("d_hits",
+      (s, d) => {
+        val e0 = orders(s, d)
+          .select((col("o_custkey") % 100).as("src"), (col("o_orderkey") % 100).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val e = e0.localCheckpoint()
+        val nodes = e0.select(col("src").as("node"))
+          .unionAll(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+        var hub = nodes.withColumn("h", lit(1000000L))
+        var auth = nodes.withColumn("a", lit(0L))
+        for (_ <- 1 to 3) {
+          val ar = e.join(hub, e("src") === hub("node"))
+            .groupBy(col("dst")).agg(sum(col("h")).as("r"))
+          val am = ar.agg(max(col("r")).as("m"))
+          // checkpoint per half-iteration: the max-rescale makes every
+          // level's frame a DOUBLY-referenced subtree (aggregated for
+          // the max AND joined for the rescale), so an unchecked DAG
+          // doubles per level — measured 4.7 s for 3 iterations on a
+          // 100-node graph; truncated, it's linear like d_pagerank
+          // (only hub checkpoints: auth's double reference then re-runs
+          // just one cheap level, and the per-checkpoint driver
+          // round-trip — the dominant cost at fixture size — halves)
+          auth = nodes.join(ar, nodes("node") === ar("dst"), "left")
+            .crossJoin(broadcast(am))
+            .select(col("node"), expr("coalesce(r, 0L) * 1000000 DIV m").as("a"))
+          val hr = e.join(auth, e("dst") === auth("node"))
+            .groupBy(col("src")).agg(sum(col("a")).as("r"))
+          val hm = hr.agg(max(col("r")).as("m"))
+          hub = nodes.join(hr, nodes("node") === hr("src"), "left")
+            .crossJoin(broadcast(hm))
+            .select(col("node"), expr("coalesce(r, 0L) * 1000000 DIV m").as("h"))
+            .localCheckpoint()
+        }
+        auth.join(hub, Seq("node"))
+          .select(col("node"), col("a").as("auth_ppm"), col("h").as("hub_ppm"))
+          .orderBy(col("node"))
+      },
+      Some(hitsOracleSql(3))),
 
     // rank/percent_rank/cume_dist parity sweep — the remaining ranking
     // window functions the suite didn't yet pin. percent_rank's

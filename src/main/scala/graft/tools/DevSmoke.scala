@@ -217,6 +217,28 @@ object DevSmoke {
       graft.Queries.queryMap("d_prefix_join")(spark, sf).count())
     graft.Queries.queryMap("q_sql_scripting")(spark, sf).show(truncate = false)
 
+    println("=== round 6: MERGE, robust stats, sketches, graph, weighted dedup ===")
+    println("merge_into rows: " + graft.Queries.queryMap("q_merge_into")(spark, sf).count())
+    graft.Queries.queryMap("q_outlier_mad")(spark, sf).show(truncate = false)
+    println("window median users: " +
+      graft.Queries.queryMap("q_window_median")(spark, sf).count())
+    println("asof nearest rows: " +
+      graft.Queries.queryMap("q_asof_nearest")(spark, sf).count())
+    graft.Queries.queryMap("d_inverted_index")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_event_transitions")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_countmin")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_kcore")(spark, sf).show(truncate = false)
+    println("weighted jaccard pairs: " +
+      graft.Queries.queryMap("d_weighted_jaccard")(spark, sf).count())
+    println("weighted minhash pairs: " +
+      graft.Queries.queryMap("d_wminhash_lsh")(spark, sf).count())
+    graft.Queries.queryMap("d_hits")(spark, sf).show(3, truncate = false)
+    println("contamination rows: " +
+      graft.Queries.queryMap("d_contamination")(spark, sf).count())
+    println("orc source brands: " + graft.Queries.queryMap("q_orc_source")(spark, sf).count())
+    println("map-state users: " + graft.Queries.queryMap("s_map_state")(spark, sf).count())
+    graft.Queries.queryMap("q_window_rank_sweep")(spark, sf).show(3, truncate = false)
+
     spark.stop()
   }
 }
