@@ -58,6 +58,7 @@ object VariantFunctions {
   def vec_sq8(c: Column): Column = col(Sq8Encode(expr(c)))
   def vec_cosine_i8(a: Column, b: Column): Column = col(CosineSimI8(expr(a), expr(b)))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
+  def jaro_winkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
   def hyperplane_bucket(c: Column, bits: Int): Column = col(HyperplaneBucket(expr(c), bits))
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =
     col(WinnowFingerprints(expr(c), k, w))
@@ -250,6 +251,9 @@ object VariantFunctions {
     ("vec_cosine_i8",
       (es: Seq[Expression]) => CosineSimI8(es.head, es(1)),
       "vec_cosine_i8(a, b) - Cosine similarity over two sq8 code arrays (integer kernel)."),
+    ("jaro_winkler",
+      (es: Seq[Expression]) => JaroWinkler(es.head, es(1)),
+      "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (standard parameters; bit-stable float order)."),
     ("jaccard_sorted",
       (es: Seq[Expression]) => JaccardSorted(es.head, es(1)),
       "jaccard_sorted(a, b) - Jaccard similarity of two sorted distinct string arrays."))

@@ -154,6 +154,26 @@ class GraphTextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaro_winkler: pinned reference values (bit-exact vs the oracle engine) and invariants") {
+    import graft.functions.JaroWinklerImpl.jw
+    // values cross-checked against DuckDB jaro_winkler_similarity,
+    // including last-ulp cases — bit equality, not approximate
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(jw("CRATE", "TRACE") == 0.7333333333333334) // j>0.7 but no common prefix
+    assert(jw("DwAyNE", "DuANE") == 0.8400000000000001)
+    assert(jw("a", "a") == 1.0 && jw("abc", "") == 0.0 && jw("", "") == 1.0)
+    // symmetry on random strings
+    val r = new Random(11)
+    (1 to 200).foreach { _ =>
+      val a = Random.alphanumeric.take(r.nextInt(12)).mkString
+      val b = Random.alphanumeric.take(r.nextInt(12)).mkString
+      val s = jw(a, b)
+      assert(s == jw(b, a) && s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("k-core: d_kcore's fixture graph reaches its 2-core fixpoint by round 3") {
     val p = graft.Tables.documents(spark, TestSpark.SF)
       .select(col("doc_id"), substring(col("text"), 1, 10).as("pf"))
