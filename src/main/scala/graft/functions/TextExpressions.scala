@@ -327,6 +327,12 @@ case class WeightedMinHashSignature(child: Expression, numHashes: Int)
   * last-ulp cases like 0.8133333333333332), so `d_jaro_fuzzy`
   * hash-gates this expression against the oracle engine exactly —
   * no rounding tolerance needed.
+  *
+  * Character model: UTF-16 code units (Java String). Parity with
+  * byte/codepoint-based engines is exact on ASCII (the fixture and
+  * the typical identifier-matching workload); strings beyond the BMP
+  * may count matches differently across engines — out of the gated
+  * contract.
   */
 object JaroWinklerImpl {
   def jw(s1: String, s2: String): Double = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.Tables.{events, lineitem, orders}
+import graft.Tables.{events, orders}
 import graft.functions.{VariantFunctions => vf}
 
 /** Round-6 relational/lakehouse additions.
