@@ -1435,7 +1435,7 @@ object Queries {
         // probe row, which at 600k rows is gigabytes of memcpy for a
         // constant. Same scalar-fetch economics as a broadcast variable.
         val bfBytes = sel.agg(vf.bloom_agg(col("o_orderkey"), 1 << 20, 5))
-          .head.getAs[Array[Byte]](0)
+          .head().getAs[Array[Byte]](0)
         val pruned = lineitem(s, d)
           .filter(vf.bloom_might_contain(lit(bfBytes), col("l_orderkey")))
         pruned.join(sel.select(col("o_orderkey")),

@@ -350,7 +350,7 @@ object AnalyticsQueries {
     QueryDef("q_countmin",
       (s, d) => {
         val row = orders(s, d)
-          .agg(vf.count_min_agg(col("o_custkey"), 4, 512), count(lit(1))).head
+          .agg(vf.count_min_agg(col("o_custkey"), 4, 512), count(lit(1))).head()
         val skBytes = row.getAs[Array[Byte]](0)
         val slack = math.ceil(math.E * row.getLong(1) / 512).toLong
         orders(s, d).filter(col("o_custkey") % 23 === 0)

@@ -111,7 +111,7 @@ object DevSmoke {
       """SELECT variant_to_json(variant_merge_patch(
         |  variant_from_json('{"a": {"x": 1, "drop": 2}}'),
         |  variant_from_json('{"a": {"drop": null, "y": 3}}')))""".stripMargin)
-      .head.getString(0))
+      .head().getString(0))
     println("pq ann rows: " + graft.Queries.queryMap("e_ann_pq")(spark, sf).count())
     println("part prune rows: " + graft.Queries.queryMap("q_part_prune")(spark, sf).count())
     println("stream-stream join rows: " + graft.Queries.queryMap("s_stream_join")(spark, sf).count())
