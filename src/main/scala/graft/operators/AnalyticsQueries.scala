@@ -600,6 +600,48 @@ object AnalyticsQueries {
              |                              substr(b.text, 1, 40)) >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // NOT IN vs LEFT ANTI — the null-aware anti-join semantics pin.
+    // `x NOT IN (S)` is three-valued: one NULL in S makes the predicate
+    // UNKNOWN for every non-matching row, so the poisoned variant
+    // returns 0 survivors where LEFT ANTI (and NOT EXISTS) still
+    // filters normally — the classic silent-empty-result footgun.
+    // Spark plans this as a null-aware anti join (NAAJ) on a broadcast
+    // build; both engines implement the same SQL semantics, gated here
+    // as survivor counts from a clean and a null-poisoned subquery.
+    QueryDef("q_not_in",
+      (s, d) => {
+        val o = orders(s, d)
+        val clean = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"))
+        val poisoned = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+          .select(when(col("c_custkey") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("c_custkey")).as("c_custkey"))
+        clean.createOrReplaceTempView("not_in_clean")
+        poisoned.createOrReplaceTempView("not_in_poisoned")
+        o.createOrReplaceTempView("not_in_orders")
+        s.sql(
+          """SELECT
+            |  (SELECT COUNT(*) FROM not_in_orders
+            |   WHERE o_custkey NOT IN (SELECT c_custkey FROM not_in_clean)) AS n_clean,
+            |  (SELECT COUNT(*) FROM not_in_orders
+            |   WHERE o_custkey NOT IN (SELECT c_custkey FROM not_in_poisoned)) AS n_poisoned,
+            |  (SELECT COUNT(*) FROM not_in_orders o
+            |   WHERE NOT EXISTS (SELECT 1 FROM not_in_poisoned p
+            |                     WHERE p.c_custkey = o.o_custkey)) AS n_not_exists""".stripMargin)
+      },
+      Some("""WITH clean AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+             |poisoned AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+             |                    ELSE c_custkey END AS c_custkey
+             |             FROM customer WHERE c_custkey % 3 = 0)
+             |SELECT
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT c_custkey FROM clean)) AS n_clean,
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT c_custkey FROM poisoned)) AS n_poisoned,
+             |  (SELECT COUNT(*) FROM orders o
+             |   WHERE NOT EXISTS (SELECT 1 FROM poisoned p
+             |                     WHERE p.c_custkey = o.o_custkey)) AS n_not_exists""".stripMargin)),
+
     // rank/percent_rank/cume_dist parity sweep — the remaining ranking
     // window functions the suite didn't yet pin. percent_rank's
     // (rank-1)/(n-1) and cume_dist's peers/n are single IEEE divisions

@@ -532,4 +532,15 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("q_dpp")
     assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"), p.take(3000))
   }
+
+  test("q_not_in plans the poisoned subquery as a NULL-AWARE anti join") {
+    // NOT IN over a nullable build side cannot be a plain LeftAnti —
+    // Spark's broadcast hash join carries the NAAJ flag (or falls to
+    // BNLJ for the general case); the CLEAN subquery needs no NAAJ.
+    // the flag prints positionally: "LeftAnti, BuildRight, true"
+    val p = physical("q_not_in")
+    assert(p.contains("LeftAnti, BuildRight, true") ||
+      p.contains("isNullAwareAntiJoin=true") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
