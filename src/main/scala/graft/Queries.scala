@@ -2491,6 +2491,180 @@ object Queries {
              |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // TPC-H Q2 shape (minimum-cost supplier). The fixture ships no
+    // partsupp table, so the part-supplier relation is DERIVED from the
+    // fact table: supply cost := MIN(l_extendedprice) per (partkey,
+    // suppkey) — an exact decimal min, no division, so both engines
+    // agree to the bit. Scale shape, in order: (1) the selective part
+    // filter broadcasts as a LEFT SEMI onto lineitem BEFORE any
+    // aggregate, so the fact table is pruned ~5x ahead of the shuffle
+    // (the same fact-pruned-first lesson as the lateral); (2) the
+    // per-part minimum is a WINDOW over the (part,supp)-aggregated
+    // relation — part×supp-sized, narrow — not a self-join, so the
+    // "correlated MIN subquery" of the original decorrelates into one
+    // extra shuffle at dimension-pair cardinality instead of a second
+    // pass over the fact table; (3) ties at the minimum keep ALL
+    // minimal suppliers, Q2's semantics. supplier/nation broadcast.
+    QueryDef("q2_min_cost_supp",
+      (s, d) => {
+        val smallPart = part(s, d).filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"))
+        val ps = lineitem(s, d)
+          .join(broadcast(smallPart.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
+        val w = Window.partitionBy(col("l_partkey"))
+        ps.withColumn("mc", min(col("cost")).over(w))
+          .filter(col("cost") === col("mc"))
+          .join(broadcast(smallPart), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+            col("cost").cast("double").as("cost"))
+          .orderBy(col("p_partkey"), col("s_name"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_size <= 10 GROUP BY 1, 2),
+             |mn AS (SELECT l_partkey AS mpk, MIN(cost) AS mc FROM ps GROUP BY 1)
+             |SELECT p_partkey, p_brand, s_name, n_name, CAST(cost AS DOUBLE) AS cost
+             |FROM ps JOIN mn ON l_partkey = mpk AND cost = mc
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // TPC-H Q11 shape (important stock): the value held per part by one
+    // nation's suppliers, keeping parts whose value exceeds a fixed
+    // fraction of the nation's total. The HAVING-against-a-scalar-
+    // subquery decorrelates to: (1) nation's suppliers resolved on the
+    // dimension side and broadcast as a semi-join prune of the fact
+    // table (4 of 100 suppliers — the aggregate input shrinks 25x
+    // before the shuffle); (2) ONE aggregate by partkey; (3) the global
+    // total re-aggregates the part-sized result (map-side combined,
+    // never a second fact pass) and broadcasts back as a 1-row cross
+    // join. The original's fixed-fraction threshold (value > f·total)
+    // selects NOTHING once the part count outgrows 1/f — a query that
+    // returns empty at 10x scale tests nothing — so the cut is the
+    // scale-free "value > 2x the average part value", cross-multiplied
+    // on exact decimals (value·n_parts > 2·total) so no engine-specific
+    // division can flip a boundary part — the q22 discipline.
+    QueryDef("q11_important_stock",
+      (s, d) => {
+        val natSupp = supplier(s, d)
+          .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val ps = lineitem(s, d)
+          .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value"))
+        val tot = ps.agg(sum(col("value")).as("t"), count(lit(1)).as("np"))
+        ps.crossJoin(broadcast(tot))
+          .filter(col("value") * col("np") > col("t") * 2)
+          .select(col("l_partkey").as("partkey"),
+            col("value").cast("double").as("part_value"))
+          .orderBy(col("partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_3' GROUP BY 1),
+             |tot AS (SELECT SUM(value) AS t, COUNT(*) AS np FROM ps)
+             |SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS part_value
+             |FROM ps, tot WHERE value * np > t * 2
+             |ORDER BY partkey""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct suppliers
+    // per part attribute triple, excluding a complained-about supplier
+    // set (acctbal < 0 stands in for the fixture's missing comment
+    // column). The NOT IN is a broadcast LEFT ANTI on the distinct
+    // (part, supp) pairs — suppkey is non-nullable here, so anti-join
+    // and NOT IN agree (the q_not_in three-valued caveat does not
+    // bite). Plan: ONE distinct pass over the two fact columns (the
+    // only wide shuffle), anti prune against the 6-row exclusion
+    // broadcast, broadcast join the brand-filtered part dimension, then
+    // COUNT(DISTINCT suppkey) per triple — Catalyst's two-phase
+    // distinct expand runs at group cardinality, not fact cardinality.
+    QueryDef("q16_supplier_cnt",
+      (s, d) => {
+        val excl = supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(part(s, d).filter(col("p_brand") =!= "Brand#1")
+            .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             |SELECT p_brand, p_type, p_size,
+             |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM ps JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q20 shape (excess availability): suppliers of a part family
+    // whose all-time supplied quantity exceeds 8x what they shipped in
+    // the 1995 window. The original is a doubly-nested correlated
+    // subquery (availqty vs a per-(part,supp) scalar aggregate); both
+    // aggregates range over the SAME derived relation, so the
+    // decorrelation fuses them into ONE conditional aggregate — sum(qty)
+    // and sum(qty WHERE in-window) in a single groupBy — one fact scan
+    // and one shuffle where the textbook plan pays two of each plus a
+    // self-join. A (part,supp) pair with no 1995 shipments has sq NULL;
+    // `aq > sq*8` is then NULL → dropped, exactly the original's empty-
+    // scalar-subquery semantics, with no extra null handling. Part
+    // family prunes the fact table first (broadcast semi), supplier/
+    // nation broadcast onto the group-sized survivor set.
+    QueryDef("q20_excess_supp",
+      (s, d) => {
+        val redParts = part(s, d).filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))
+        val inWin = col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        lineitem(s, d)
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("aq"),
+            sum(when(inWin, col("l_quantity").cast("decimal(18,2)"))).as("sq"))
+          .filter(col("aq") > col("sq") * 8)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("excess_parts"))
+          .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            col("excess_parts"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS aq,
+             |         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+             |                   AND l_shipdate < TIMESTAMP '1996-01-01'
+             |                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS sq
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_name LIKE 'red%' GROUP BY 1, 2)
+             |SELECT s_suppkey, s_name, n_name, CAST(COUNT(*) AS BIGINT) AS excess_parts
+             |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE aq > sq * 8
+             |GROUP BY 1, 2, 3 ORDER BY s_suppkey""".stripMargin)),
+
     // TPC-H Q4 shape (order priority checking): count orders per
     // priority where at least one lineitem shipped late. The EXISTS is a
     // LEFT SEMI join — it deduplicates multi-late-line orders inside the

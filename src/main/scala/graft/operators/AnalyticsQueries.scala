@@ -608,6 +608,59 @@ object AnalyticsQueries {
     // Spark plans this as a null-aware anti join (NAAJ) on a broadcast
     // build; both engines implement the same SQL semantics, gated here
     // as survivor counts from a clean and a null-poisoned subquery.
+    // Single-source BFS hop distances, the remaining classic of the
+    // graph family (alongside PageRank/HITS/k-core/CC): min-hop
+    // distance from node 0 over an undirected derived graph, depth
+    // bounded at 4. The Spark side is textbook BSP frontier expansion —
+    // each level is ONE semi-join of the edge table against the
+    // frontier (hash-partitioned on src, the partitioning every level
+    // reuses) plus an anti-join against the visited set, so a level's
+    // cost is O(frontier-degree), never O(V); localCheckpoint truncates
+    // the per-level lineage exactly like d_pagerank/d_dup_clusters.
+    // First-discovery level ≡ min hop, so the oracle's recursive-CTE
+    // formulation (UNION-deduped (node, hops) pairs, MIN per node —
+    // bounded by V·depth rows even on dense graphs) collapses to the
+    // same relation. The edge set is thinned (every 5th order, 1000
+    // node slots, ~3 avg degree) so 4 levels leave a real hop
+    // distribution rather than a diameter-2 blob.
+    QueryDef("d_bfs_hops",
+      (s, d) => {
+        val e0 = orders(s, d)
+          .filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_custkey") % 1000).cast("long").as("src"),
+            ((col("o_orderkey") * 37) % 1000).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val ue = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
+        var visited = s.range(1).select(lit(0L).as("node"), lit(0L).as("hops"))
+        var frontier = visited.select(col("node").as("src"))
+        for (h <- 1 to 4) {
+          val next = ue.join(frontier, Seq("src"), "left_semi")
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("hops", lit(h.toLong))
+            .localCheckpoint()
+          visited = visited.unionAll(next).localCheckpoint()
+          frontier = next.select(col("node").as("src"))
+        }
+        visited.orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT DISTINCT CAST(o_custkey % 1000 AS BIGINT) AS src,
+             |                  CAST((o_orderkey * 37) % 1000 AS BIGINT) AS dst
+             |  FROM orders
+             |  WHERE o_orderkey % 5 = 0
+             |    AND o_custkey % 1000 <> (o_orderkey * 37) % 1000),
+             |ue AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |bfs(node, hops) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION
+             |  SELECT ue.dst, bfs.hops + 1
+             |  FROM bfs JOIN ue ON ue.src = bfs.node
+             |  WHERE bfs.hops < 4)
+             |SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+             |FROM bfs GROUP BY 1 ORDER BY node""".stripMargin)),
+
     QueryDef("q_not_in",
       (s, d) => {
         val o = orders(s, d)

@@ -432,6 +432,68 @@ object TextQueries {
              |SELECT doc_id, rk, term, score FROM ranked
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    // BM25 retrieval scoring over the corpus for a fixed 3-term query —
+    // the ranking function a training-data retrieval/decontamination
+    // pass runs at corpus scale. All arithmetic is integer ppm so both
+    // engines agree to the bit: the ln() idf is replaced by the
+    // rational surrogate N/(df+1) (monotone in df, which is all the
+    // ranking needs) and the tf saturation term tf·(k1+1)/(tf +
+    // k1·(1−b+b·dl/avgdl)) runs on ppm-scaled integers with k1=1.2,
+    // b=0.75; dl/avgdl becomes dl·N/Σdl under one 1-row broadcast of
+    // (N, Σdl). Plan shape: the exploded term stream is filtered to the
+    // query vocabulary IMMEDIATELY (generate+filter pipeline, so the
+    // shuffle carries ≤|query| rows per doc, never the whole posting
+    // list); df re-aggregates the tf relation (doc-count-sized) and
+    // broadcasts; the final top-20 is TakeOrderedAndProject, no global
+    // sort materialization.
+    QueryDef("d_bm25",
+      (s, d) => {
+        val docs = documents(s, d)
+        val dl = docs.select(col("doc_id"),
+          size(tokens("text")).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+        val tf = docs.select(col("doc_id"), explode(tokens("text")).as("term"))
+          .filter(col("term").isin("spark", "vector", "join"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("norm_ppm",
+            expr("250000 + (750000 * dl * nd) div sumdl"))
+          .withColumn("tfc_ppm",
+            expr("(tf * 2200000 * 1000000) div " +
+              "(tf * 1000000 + (1200000 * norm_ppm) div 1000000)"))
+          .withColumn("idf_ppm", expr("(nd * 1000000) div (df + 1)"))
+          .groupBy(col("doc_id"))
+          .agg(sum(expr("(idf_ppm * tfc_ppm) div 1000000")).as("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH dl AS (
+             |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl
+             |  FROM documents),
+             |st AS (SELECT COUNT(*) AS nd, SUM(dl) AS sumdl FROM dl),
+             |terms AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+             |  WHERE term IN ('spark', 'vector', 'join') GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |         (((st.nd * 1000000) // (dfreq.df + 1)) *
+             |          ((tf.tf * 2200000 * 1000000) //
+             |           (tf.tf * 1000000 +
+             |            (1200000 * (250000 + (750000 * dl.dl * st.nd) // st.sumdl)) // 1000000))
+             |         ) // 1000000 AS contrib
+             |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), st)
+             |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_ppm
+             |FROM scored GROUP BY 1
+             |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
     // BPE-ish subword token estimate: letter runs / digit runs /
     // punctuation runs with leading-space folding — a regex both Java
     // and RE2 (DuckDB) interpret identically.
