@@ -82,6 +82,9 @@ object VariantFunctions {
     col(CountMinAgg(expr(c), depth, width).toAggregateExpression())
   def count_min_query(sketch: Column, key: Column): Column =
     col(CountMinQuery(expr(sketch), expr(key)))
+  def bitmap_agg(c: Column): Column = col(BitmapAgg(expr(c)).toAggregateExpression())
+  def bitmap_or_agg(c: Column): Column = col(BitmapOrAgg(expr(c)).toAggregateExpression())
+  def bitmap_cardinality(c: Column): Column = col(BitmapCardinality(expr(c)))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -202,6 +205,15 @@ object VariantFunctions {
     ("count_min_query",
       (es: Seq[Expression]) => CountMinQuery(es.head, es(1)),
       "count_min_query(sketch, key) - Count-min point estimate (min over depth cells)."),
+    ("bitmap_agg",
+      (es: Seq[Expression]) => BitmapAgg(es.head).toAggregateExpression(),
+      "bitmap_agg(id) - Exact-distinct paged bitmap over non-negative ids; mergeable."),
+    ("bitmap_or_agg",
+      (es: Seq[Expression]) => BitmapOrAgg(es.head).toAggregateExpression(),
+      "bitmap_or_agg(bytes) - OR-merge serialized bitmaps (distinct over a union without rescanning)."),
+    ("bitmap_cardinality",
+      (es: Seq[Expression]) => BitmapCardinality(es.head),
+      "bitmap_cardinality(bytes) - Popcount of a bitmap sketch."),
     ("misra_gries",
       (es: Seq[Expression]) => MisraGries(es.head, litInt(es(1), "misra_gries k"))
         .toAggregateExpression(),

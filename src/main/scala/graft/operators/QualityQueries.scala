@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.{events, lineitem, orders, embeddings}
+import graft.functions.{VariantFunctions => vf}
+
+/** Round-7 additions: exact-distinct bitmap algebra, data-quality
+  * scans, integer-exact time-series analytics, and filtered vector
+  * search.
+  *
+  * Determinism rules (hash parity with the DuckDB oracle) follow the
+  * house style: money/value doubles go through integer cents
+  * (`floor(x*100 + 0.5)` — identical IEEE ops on identical inputs),
+  * ratios are integer ppm via DIV, every query ends in ORDER BY over a
+  * unique key, and computed columns are aliased identically on both
+  * sides.
+  */
+object QualityQueries {
+
+  /** Benford expected first-digit shares in ppm, generated once and
+    * inlined into BOTH the Spark plan and the oracle SQL — one source
+    * of truth for the constant table. */
+  private val benfordPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+
+  /** Dyadic EWMA weights (2^7 … 2^0) for lags 0..7: integer-exact
+    * smoothing, newest first. One list drives the Spark lag chain AND
+    * the generated oracle SQL. */
+  private val ewmaWeights: Seq[Long] = (0 to 7).map(i => 1L << (7 - i))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -----------------------------------------------------------------
+    // Exact distinct via mergeable bitmap sketch (no two-phase Expand:
+    // partials ship one bitmap per partition-group, never rows).
+    // -----------------------------------------------------------------
+    QueryDef("q_bitmap_distinct",
+      (s, d) => {
+        val o = orders(s, d)
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            vf.bitmap_cardinality(vf.bitmap_agg(col("o_custkey"))).as("n_cust"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       COUNT(DISTINCT o_custkey) AS n_cust,
+             |       COUNT(*) AS n_orders
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Sketch-algebra path: per-day bitmaps OR-merge into per-month
+    // distinct WITHOUT rescanning raw rows — the incremental-distinct
+    // maintenance shape (daily partials persist; month/total re-derive
+    // from 30 sketches instead of 10^9 facts).
+    QueryDef("q_bitmap_rollup",
+      (s, d) => {
+        val o = orders(s, d)
+        val daily = o.groupBy(
+            expr("CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)").as("ym"),
+            expr("day(o_orderdate)").as("dom"))
+          .agg(vf.bitmap_agg(col("o_custkey")).as("bm"))
+        daily.groupBy(col("ym"))
+          .agg(
+            vf.bitmap_cardinality(vf.bitmap_or_agg(col("bm"))).as("n_cust"),
+            count(lit(1)).as("n_days"))
+          .orderBy(col("ym"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+             |         day(o_orderdate) AS dom
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT d.ym,
+             |       (SELECT COUNT(DISTINCT o_custkey) FROM orders o
+             |        WHERE CAST(year(o.o_orderdate)*100 + month(o.o_orderdate) AS BIGINT) = d.ym) AS n_cust,
+             |       COUNT(*) AS n_days
+             |FROM daily d GROUP BY d.ym
+             |ORDER BY d.ym""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Benford first-digit scan: the classic fraud/DQ screen, one
+    // map + 9-group aggregate. Digits come from the integer-cents
+    // DECIMAL string, never from double formatting (engine-stable).
+    // -----------------------------------------------------------------
+    QueryDef("q_benford",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val benfordCase = benfordPpm.toSeq.sortBy(_._1)
+          .foldLeft(lit(null).cast("bigint")) { case (acc, (dig, ppm)) =>
+            when(col("digit") === dig, lit(ppm)).otherwise(acc)
+          }
+        li.withColumn("cents", expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)"))
+          .withColumn("digit", expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+          .withColumn("obs_ppm", expr("n * 1000000 DIV total"))
+          .withColumn("benford_ppm", benfordCase)
+          .withColumn("delta_ppm", col("obs_ppm") - col("benford_ppm"))
+          .select(col("digit"), col("n"), col("obs_ppm"),
+            col("benford_ppm"), col("delta_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some {
+        val caseSql = benfordPpm.toSeq.sortBy(_._1)
+          .map { case (dig, ppm) => s"WHEN $dig THEN CAST($ppm AS BIGINT)" }
+          .mkString(" ")
+        s"""WITH digits AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM lineitem),
+           |counts AS (
+           |  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+           |tot AS (SELECT SUM(n) AS total FROM counts)
+           |SELECT c.digit, c.n,
+           |       c.n * 1000000 // t.total AS obs_ppm,
+           |       CASE c.digit $caseSql END AS benford_ppm,
+           |       c.n * 1000000 // t.total - CASE c.digit $caseSql END AS delta_ppm
+           |FROM counts c, tot t
+           |ORDER BY c.digit""".stripMargin
+      }),
+
+    // -----------------------------------------------------------------
+    // Integer-exact EWMA (dyadic weights over the last 8 observations):
+    // the time-series smoothing shape as ONE window pass — per-user
+    // partitions scale out, no iteration, no recursion. Missing lags
+    // drop out of numerator AND denominator symmetrically.
+    // -----------------------------------------------------------------
+    QueryDef("q_ewma",
+      (s, d) => {
+        val e = events(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val withC = e.withColumn("c", expr("CAST(floor(value*100 + 0.5) AS BIGINT)"))
+        val lags: Seq[(Column, Long)] = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+          (if (i == 0) col("c") else lag(col("c"), i).over(w), wt)
+        }
+        val num = lags.map { case (c, wt) =>
+          coalesce(c * lit(wt), lit(0L))
+        }.reduce(_ + _)
+        val den = lags.map { case (c, wt) =>
+          when(c.isNotNull, lit(wt)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        withC.withColumn("ewma_num", num).withColumn("ewma_den", den)
+          .select(col("event_id"), col("ewma_num"), col("ewma_den"))
+          .orderBy(col("event_id"))
+      },
+      Some {
+        val lagCols = ewmaWeights.indices.map { i =>
+          if (i == 0) "c AS c0"
+          else s"lag(c, $i) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c$i"
+        }.mkString(",\n         ")
+        val num = ewmaWeights.zipWithIndex
+          .map { case (wt, i) => s"COALESCE(c$i * $wt, 0)" }.mkString(" + ")
+        val den = ewmaWeights.zipWithIndex
+          .map { case (wt, i) => s"(CASE WHEN c$i IS NOT NULL THEN $wt ELSE 0 END)" }
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT event_id, user_id, ts,
+           |         CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+           |  FROM events),
+           |l AS (
+           |  SELECT event_id,
+           |         $lagCols
+           |  FROM e)
+           |SELECT event_id,
+           |       CAST($num AS BIGINT) AS ewma_num,
+           |       CAST($den AS BIGINT) AS ewma_den
+           |FROM l ORDER BY event_id""".stripMargin
+      }),
+
+    // -----------------------------------------------------------------
+    // CUSUM changepoint scan over the daily event series: deviations
+    // are cross-multiplied (N·n_j − S), so the running statistic is an
+    // exact BIGINT — no float mean, no drift. The series is day-
+    // grained, so the global window runs over O(days), not O(rows).
+    // -----------------------------------------------------------------
+    QueryDef("q_changepoint",
+      (s, d) => {
+        val e = events(s, d)
+        val daily = e.groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val all = Window.partitionBy()
+        val run = Window.partitionBy().orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("nd", count(lit(1)).over(all))
+          .withColumn("s", sum(col("n")).over(all))
+          .withColumn("dev", col("nd") * col("n") - col("s"))
+          .withColumn("cusum", sum(col("dev")).over(run))
+          .withColumn("peak", max(abs(col("cusum"))).over(all))
+          .withColumn("is_peak", abs(col("cusum")) === col("peak"))
+          .select(col("day"), col("n"), col("cusum"), col("is_peak"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1),
+             |dev AS (
+             |  SELECT day, n,
+             |         (SELECT COUNT(*) FROM daily) * n - (SELECT SUM(n) FROM daily) AS dev
+             |  FROM daily),
+             |cs AS (
+             |  SELECT day, n,
+             |         SUM(dev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+             |  FROM dev)
+             |SELECT day, n, cusum,
+             |       abs(cusum) = (SELECT MAX(abs(cusum)) FROM cs) AS is_peak
+             |FROM cs ORDER BY day""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Sliding distinct-user count: collect_set over a ROWS frame keeps
+    // per-row state bounded by the frame (100), not the partition —
+    // the "unique visitors in the trailing window" shape.
+    // -----------------------------------------------------------------
+    QueryDef("q_window_distinct",
+      (s, d) => {
+        val e = events(s, d)
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-99, 0)
+        e.withColumn("n_distinct", size(collect_set(col("user_id")).over(w)).cast("long"))
+          .select(col("event_id"), col("n_distinct"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       COUNT(DISTINCT user_id) OVER (
+             |         PARTITION BY event_type ORDER BY ts, event_id
+             |         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS n_distinct
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Filtered ANN: top-k cosine restricted by a metadata predicate
+    // (probe's own label). Pre-filter strategy: the label equi-join
+    // prunes the candidate space BEFORE any distance math — and is the
+    // partition key a production index would co-locate on.
+    // -----------------------------------------------------------------
+    QueryDef("e_filtered_ann",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+        emb.join(broadcast(probes),
+            col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+          .withColumn("sim", Similarity.cosine("embedding", "qv"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+             |  FROM embeddings WHERE vec_id < 10),
+             |sims AS (
+             |  SELECT p.qid, e.vec_id,
+             |         list_sum(list_transform(list_zip(e.embedding, p.qv),
+             |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |            * sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+             |  FROM embeddings e JOIN probes p
+             |    ON e.label = p.qlabel AND e.vec_id <> p.qid),
+             |ranked AS (
+             |  SELECT qid, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+             |  FROM sims)
+             |SELECT qid, rank, vec_id AS neighbor_id
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+  )
+}

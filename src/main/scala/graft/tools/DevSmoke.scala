@@ -239,6 +239,17 @@ object DevSmoke {
     println("map-state users: " + graft.Queries.queryMap("s_map_state")(spark, sf).count())
     graft.Queries.queryMap("q_window_rank_sweep")(spark, sf).show(3, truncate = false)
 
+    println("=== round 7: bitmap distinct / benford / ewma / cusum / filtered ann ===")
+    graft.Queries.queryMap("q_bitmap_distinct")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_bitmap_rollup")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_benford")(spark, sf).show(truncate = false)
+    println("ewma rows: " + graft.Queries.queryMap("q_ewma")(spark, sf).count())
+    graft.Queries.queryMap("q_changepoint")(spark, sf).show(3, truncate = false)
+    println("window-distinct rows: " +
+      graft.Queries.queryMap("q_window_distinct")(spark, sf).count())
+    println("filtered-ann rows: " +
+      graft.Queries.queryMap("e_filtered_ann")(spark, sf).count())
+
     spark.stop()
   }
 }
