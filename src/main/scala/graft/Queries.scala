@@ -3860,7 +3860,8 @@ object Queries {
   def all: Seq[QueryDef] =
     variantQueries ++ relationalQueries ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ DedupQueries.all ++
-      graft.operators.AnalyticsQueries.all ++ graft.operators.QualityQueries.all
+      graft.operators.AnalyticsQueries.all ++ graft.operators.QualityQueries.all ++
+      graft.operators.CurationQueries.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

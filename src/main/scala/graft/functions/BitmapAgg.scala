@@ -40,7 +40,7 @@ import org.apache.spark.sql.types._
   * dictionary-id contract; a negative id fails loudly rather than
   * silently aliasing.
   */
-private[functions] object BitmapUtil {
+private[graft] object BitmapUtil {
   final val WordsPerPage = 1024            // 65,536 bits / page
   final val Magic = 0x42b17a90             // "bitmap" tag; fail fast on foreign bytes
 

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.documents
+import graft.functions.{VariantFunctions => vf}
+
+/** Round-7 curation additions: novelty scoring, URL normalization,
+  * asymmetric containment join, and BPE merge-candidate mining.
+  *
+  * Same determinism discipline as TextQueries: ratios in integer ppm
+  * via DIV, 3-gram shingles built by `shingle_tokens` on the Spark side
+  * and the proven list-comprehension builder in the DuckDB oracle,
+  * ORDER BY over a unique key.
+  */
+object CurationQueries {
+
+  /** Shingled-corpus cache (index-build amortization — same model as
+    * TextQueries.shingleCache / ivfModelCache). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ =>
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          array_distinct(vf.shingle_tokens(col("text"), 3)).as("toks"))
+        .localCheckpoint())
+
+  /** The DuckDB 3-gram builder shared by every oracle in this file
+    * (mirrors d_prefix_join's proven construction). */
+  private val gramCte =
+    """tk AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+      |t AS (
+      |  SELECT doc_id, list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |     FOR i IN range(1, len(w) - 1)]) AS toks
+      |  FROM tk)""".stripMargin
+
+  /** Asymmetric containment join over (doc_id, toks) with toks already
+    * distinct: emits every ORDERED pair (a, b), a != b, |toks| >= 4 on
+    * both sides, with |Ta ∩ Tb| * tDen >= |Ta| * tNum. Exact — the
+    * prefix and positional filters are superset generators, a full
+    * intersect verifies. Completeness is property-tested against the
+    * quadratic brute force in CurationSpec (same code path as the
+    * `d_containment_join` driver query).
+    */
+  def containmentJoin(docsIn: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val docs = docsIn.filter(size(col("toks")) >= 4)
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val wDocAll = Window.partitionBy(col("doc_id"))
+    val ranked = tok.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(wDocAll))
+    val prefixA = ranked.filter(col("rank") <=
+      col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+    val cand = prefixA.as("a").join(ranked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id")
+          // positional filter: alpha = ceil(t*sz_a); sound at the
+          // pair's minimal common token, which a's prefix contains
+          // and b's full table always meets
+          && (least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) + 1)
+               * tDen >= col("a.sz") * tNum)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_a", size(col("ta")).cast("long"))
+      .filter(col("n_inter") * tDen >= col("n_a") * tNum)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -----------------------------------------------------------------
+    // Per-document novelty: the fraction of a doc's distinct 3-gram
+    // shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    // the "how much new text does this document add" curation signal.
+    // One shuffle: the exploded gram table is shuffled ONCE for the
+    // per-gram window (the d_dup_ngrams lesson — groupBy + join-back
+    // would re-derive and re-shuffle the exploded table on both sides).
+    // -----------------------------------------------------------------
+    QueryDef("d_novelty",
+      (s, d) => {
+        val grams = shingled(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("g"))
+        val wg = Window.partitionBy(col("g"))
+        grams.withColumn("first_doc", min(col("doc_id")).over(wg))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $gramCte,
+              |g AS (SELECT doc_id, unnest(toks) AS g FROM t),
+              |f AS (SELECT doc_id, g,
+              |             MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+              |      FROM g)
+              |SELECT doc_id,
+              |       COUNT(*) AS n_grams,
+              |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              |         * 1000000 // COUNT(*) AS novelty_ppm
+              |FROM f GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // URL parse/normalize (the web-corpus ingestion shape): URLs are
+    // synthesized deterministically from document fields, then taken
+    // apart with Spark's parse_url — and the oracle re-derives each
+    // part from the SOURCE FIELDS, so the gate proves parse_url exactly
+    // inverts the construction (host, path, one query param).
+    // -----------------------------------------------------------------
+    QueryDef("d_url_parse",
+      (s, d) => {
+        documents(s, d)
+          .withColumn("url",
+            concat(lit("https://"), col("source"), lit(".example.com/"),
+              col("lang"), lit("/doc/"), col("doc_id"),
+              lit("?ref=r"), col("doc_id") % 7, lit("&fmt=txt")))
+          .select(
+            col("doc_id"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'ref')").as("ref"),
+            expr("parse_url(url, 'PROTOCOL')").as("proto"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       source || '.example.com' AS host,
+             |       '/' || lang || '/doc/' || doc_id AS path,
+             |       'r' || CAST(doc_id % 7 AS VARCHAR) AS ref,
+             |       'https' AS proto
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Asymmetric containment join: |Ta ∩ Tb| / |Ta| >= 0.9 for ordered
+    // pairs a != b — "a is mostly inside b" (quote/subset detection),
+    // which symmetric Jaccard misses whenever |b| >> |a|. Candidates
+    // come from a's PREFIX ONLY (rarest ceil(|a|/10)+ tokens under the
+    // global df order) joined against the FULL token table of b — no
+    // size filter exists for containment (b may be any size), so the
+    // prefix must carry the pruning; the positional filter
+    // 1 + min(sz_a - i, sz_b - j) >= ceil(0.9*sz_a) tightens it. Exact:
+    // filters are superset generators, a full intersect verifies.
+    // -----------------------------------------------------------------
+    QueryDef("d_containment_join",
+      (s, d) => containmentJoin(shingled(s, d), 9, 10)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $gramCte,
+              |t4 AS (SELECT * FROM t WHERE len(toks) >= 4)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+              |       CAST(len(a.toks) AS BIGINT) AS n_a
+              |FROM t4 a JOIN t4 b ON a.doc_id <> b.doc_id
+              |WHERE len(list_intersect(a.toks, b.toks)) * 10 >= len(a.toks) * 9
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // BPE merge-candidate mining (one tokenizer-training step): count
+    // adjacent character pairs inside whitespace tokens across the
+    // corpus, emit the top-20 merge candidates under the total order
+    // (count DESC, pair ASC). Map + one narrow shuffle on the ~1K pair
+    // vocabulary (partial aggregation collapses the exploded pairs
+    // map-side); top-20 is TakeOrderedAndProject.
+    // -----------------------------------------------------------------
+    QueryDef("d_bpe_merge",
+      (s, d) => {
+        val w = Window.orderBy(col("n").desc, col("pair"))
+        documents(s, d)
+          .select(explode(TextAnalysis.tokens("text")).as("tok"))
+          // Spark's sequence(1, 0) DESCENDS instead of yielding empty —
+          // guard single-char tokens (DuckDB's range(1,1) is empty)
+          .filter(length(col("tok")) >= 2)
+          .select(explode(
+            expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 20)
+          .orderBy(col("rank"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+             |pairs AS (
+             |  SELECT unnest([substr(tok, i, 2) FOR i IN range(1, len(tok))]) AS pair
+             |  FROM toks),
+             |counts AS (
+             |  SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+             |SELECT pair, n,
+             |       ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+             |FROM counts
+             |QUALIFY rank <= 20
+             |ORDER BY rank""".stripMargin))
+  )
+}

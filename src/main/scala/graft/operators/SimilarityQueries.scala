@@ -1137,6 +1137,51 @@ object StreamingQueries {
              |FROM prof JOIN top USING (user_id) JOIN low USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // Streaming exact distinct per key: the bitmap sketch held in
+    // transformWithState ValueState (see TypeDistinctBitmapProcessor).
+    // Emitted cardinalities are monotone per key and a pure function of
+    // the users seen, so MAX over emissions == the final state ==
+    // COUNT(DISTINCT) however the 4 micro-batches split the input.
+    QueryDef("s_bitmap_distinct",
+      (s, d) => {
+        import s.implicits._
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#multi", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_multi_")
+          s.read.parquet(s"$d/events.parquet").repartition(4)
+            .write.mode("overwrite").parquet(sd.toString)
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          .select(col("event_type"), col("user_id"))
+          .as[TransformState.TypeEvent]
+        val out = stream.groupByKey(_.event_type)
+          .transformWithState(new TransformState.TypeDistinctBitmapProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val qname = s"s_bitmap_distinct_${runCounter.incrementAndGet()}"
+        val pk = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(pk)
+        s.conf.set(pk,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try withStatePartitions(s, 8, noDataBatches = false) {
+          val q = out.writeStream.outputMode("update")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        } finally prevProvider match {
+          case Some(v) => s.conf.set(pk, v)
+          case None => s.conf.unset(pk)
+        }
+        s.table(qname).groupBy(col("event_type"))
+          .agg(max(col("n_users")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     QueryDef("s_outer_join",
       (s, d) => {
         val staticSchema = s.read.parquet(s"$d/events.parquet").schema

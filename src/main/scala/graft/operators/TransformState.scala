@@ -85,4 +85,34 @@ object TransformState {
         entries.map(_._2).sum, topType, ids.sum))
     }
   }
+
+  case class TypeEvent(event_type: String, user_id: Long)
+  case class TypeDistinct(event_type: String, n_users: Long)
+
+  /** Sketch-in-state composition: the exact-distinct bitmap
+    * (`graft.functions.BitmapUtil`) held per key in a `ValueState` of
+    * its serialized bytes. Streaming distinct usually means either
+    * unbounded per-key dedup state (one state row per (key, user)) or
+    * an approximate HLL; the paged bitmap is a third point — EXACT,
+    * with state bounded by the id space (8 KiB per 65,536 ids),
+    * updated in place per micro-batch. The emitted cardinality is a
+    * pure function of the set of users seen, so the final emission per
+    * key hash-matches COUNT(DISTINCT) however the input is batched.
+    */
+  class TypeDistinctBitmapProcessor
+      extends StatefulProcessor[String, TypeEvent, TypeDistinct] {
+    @transient private var bm: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bm = getHandle.getValueState[Array[Byte]]("bm", Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypeEvent],
+                                 timerValues: TimerValues): Iterator[TypeDistinct] = {
+      import graft.functions.BitmapUtil
+      val pages = if (bm.exists()) BitmapUtil.fromBytes(bm.get()) else BitmapUtil.newPages()
+      rows.foreach(r => BitmapUtil.add(pages, r.user_id))
+      bm.update(BitmapUtil.toBytes(pages))
+      Iterator.single(TypeDistinct(key, BitmapUtil.cardinality(pages)))
+    }
+  }
 }

@@ -249,6 +249,12 @@ object DevSmoke {
       graft.Queries.queryMap("q_window_distinct")(spark, sf).count())
     println("filtered-ann rows: " +
       graft.Queries.queryMap("e_filtered_ann")(spark, sf).count())
+    graft.Queries.queryMap("d_novelty")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_url_parse")(spark, sf).show(3, truncate = false)
+    println("containment pairs: " +
+      graft.Queries.queryMap("d_containment_join")(spark, sf).count())
+    graft.Queries.queryMap("d_bpe_merge")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("s_bitmap_distinct")(spark, sf).show(truncate = false)
 
     spark.stop()
   }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Queries, TestSpark}
+
+/** Round-7 curation operators: containment-join completeness vs brute
+  * force on planted data, novelty boundary cases, streaming-bitmap
+  * batch equivalence.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val SF = TestSpark.SF
+
+  test("containmentJoin: complete vs quadratic brute force on planted corpus") {
+    // B contains all of A (subset), C shares little, D is a near-subset
+    // of B (9/10), E ties exactly at the 0.9 boundary (9/10 tokens)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i")),                  // A
+      (2L, (1 to 40).map(i => s"t$i")),                  // B ⊇ A
+      (3L, Seq("x1", "x2", "x3", "x4", "t1")),           // C
+      (4L, ((1 to 9).map(i => s"t$i") :+ "zz")),         // D: 9/10 in B
+      (5L, (30 to 50).map(i => s"t$i"))                  // E overlaps B
+    ).toDF("doc_id", "toks")
+    val got = CurationQueries.containmentJoin(docs, 9, 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute force
+    val rows = docs.as[(Long, Seq[String])].collect()
+    val want = (for {
+      (a, ta) <- rows; (b, tb) <- rows
+      if a != b && ta.size >= 4 && tb.size >= 4
+      inter = ta.toSet.intersect(tb.toSet).size
+      if inter * 10 >= ta.size * 9
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.contains((1L, 2L)))   // subset detected
+    assert(want.contains((4L, 2L)))   // boundary 9/10 detected
+    assert(!want.contains((2L, 1L)))  // asymmetry: B not inside A
+  }
+
+  test("d_novelty: earliest doc is fully novel; exact duplicate is fully stale") {
+    val res = Queries.queryMap("d_novelty")(spark, SF)
+    val first = res.orderBy($"doc_id").head()
+    assert(first.getAs[Long]("novelty_ppm") === 1000000L)
+    // every ppm in [0, 1e6] and novel <= total
+    assert(res.filter($"novelty_ppm" < 0 || $"novelty_ppm" > 1000000L).count() === 0)
+    assert(res.filter($"n_novel" > $"n_grams").count() === 0)
+  }
+
+  test("s_bitmap_distinct equals the batch COUNT(DISTINCT) per key") {
+    val stream = Queries.queryMap("s_bitmap_distinct")(spark, SF)
+      .as[(String, Long)].collect().toMap
+    val batch = graft.Tables.events(spark, SF)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(stream === batch)
+  }
+
+  test("d_bpe_merge: ranks are 1..20 and counts non-increasing") {
+    val rows = Queries.queryMap("d_bpe_merge")(spark, SF)
+      .select($"rank", $"n").as[(Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === (1L to 20L))
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+}
