@@ -264,6 +264,96 @@ object QualityQueries {
              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
              |  FROM sims)
              |SELECT qid, rank, vec_id AS neighbor_id
-             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // SQL-defined UDFs (Spark 4.1 CREATE FUNCTION ... RETURN): a scalar
+    // UDF and a table-valued UDF, both USED in one plan. SQL UDFs are
+    // inlined into the plan at analysis time — fully codegen'd, unlike
+    // JVM lambda UDFs — so this is the user-extension surface that
+    // costs nothing at scale. The oracle inlines both by hand, proving
+    // the inlining semantics.
+    // -----------------------------------------------------------------
+    QueryDef("q_sql_udf",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_udf")
+        // arithmetic IN the decimal domain (house rule): a double
+        // multiply-then-cast rounds differently across engines at the
+        // half-cent boundary
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, disc DOUBLE)
+                |RETURNS DECIMAL(37,4)
+                |RETURN CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(disc AS DECIMAL(18,2)))""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_buckets(n INT)
+                |RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))""".stripMargin)
+        s.sql("""SELECT CAST(b.i AS BIGINT) AS bucket, l.l_returnflag AS flag,
+                |       CAST(SUM(graft_disc_price(l.l_extendedprice, l.l_discount))
+                |            AS DOUBLE) AS revenue,
+                |       COUNT(*) AS n
+                |FROM lineitem_udf l JOIN graft_buckets(6) b
+                |  ON CAST(floor(l.l_quantity / 10) AS INT) + 1 = b.i
+                |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      },
+      Some("""SELECT b.i AS bucket, l_returnflag AS flag,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             |            AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n
+             |FROM lineitem l JOIN (SELECT unnest(range(1, 7)) AS i) b
+             |  ON CAST(floor(l_quantity / 10) AS INT) + 1 = b.i
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Interval union (coverage) per user: total micros covered by
+    // 5-minute activity intervals, overlaps merged by the sort-sweep —
+    // running-max island detection, one shuffle on user_id, O(1) window
+    // state. Exact integer micros end to end.
+    // -----------------------------------------------------------------
+    QueryDef("q_interval_union",
+      (s, d) => {
+        val e = events(s, d)
+        val wPrev = Window.partitionBy(col("user_id"))
+          .orderBy(col("s_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("s_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("s_us", unix_micros(col("ts")))
+          .withColumn("e_us", col("s_us") + lit(300000000L))
+          .withColumn("prev_max", max(col("e_us")).over(wPrev))
+          .withColumn("new_island",
+            when(col("prev_max").isNull || col("s_us") > col("prev_max"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(wRun))
+          .groupBy(col("user_id"), col("island"))
+          .agg((max(col("e_us")) - min(col("s_us"))).as("len"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             |         epoch_us(ts) + 300000000 AS e_us
+             |  FROM events),
+             |marked AS (
+             |  SELECT user_id, s_us, e_us,
+             |         CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+             |                PARTITION BY user_id ORDER BY s_us, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |              -9223372036854775808)
+             |              THEN 1 ELSE 0 END AS new_island,
+             |         event_id
+             |  FROM iv),
+             |isl AS (
+             |  SELECT user_id, s_us, e_us,
+             |         SUM(new_island) OVER (
+             |           PARTITION BY user_id ORDER BY s_us, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM marked),
+             |per AS (
+             |  SELECT user_id, island, MAX(e_us) - MIN(s_us) AS len
+             |  FROM isl GROUP BY user_id, island)
+             |SELECT user_id, COUNT(*) AS n_islands,
+             |       CAST(SUM(len) AS BIGINT) AS covered_us
+             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -255,6 +255,9 @@ object DevSmoke {
       graft.Queries.queryMap("d_containment_join")(spark, sf).count())
     graft.Queries.queryMap("d_bpe_merge")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("s_bitmap_distinct")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_sql_udf")(spark, sf).show(3, truncate = false)
+    println("interval-union users: " +
+      graft.Queries.queryMap("q_interval_union")(spark, sf).count())
 
     spark.stop()
   }
