@@ -65,4 +65,11 @@ object Tables {
     // long-lived serving session) recompiles codegen units it just ran.
     // Static conf: must be set before the first session is created.
     .config("spark.sql.codegen.cache.maxEntries", "4096")
+    // ObjectHashAggregate (the path every TypedImperativeAggregate
+    // sketch takes: bitmap/count-min/bloom/KMV/top-k) falls back to
+    // SORT-based aggregation after 128 distinct groups per partition —
+    // a full per-partition sort that dwarfs the hash update for
+    // day-grained sketch rollups (365 groups). Raise the fallback; the
+    // sketch buffers are the memory cost either way.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
 }

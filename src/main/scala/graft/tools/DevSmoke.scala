@@ -258,6 +258,9 @@ object DevSmoke {
     graft.Queries.queryMap("q_sql_udf")(spark, sf).show(3, truncate = false)
     println("interval-union users: " +
       graft.Queries.queryMap("q_interval_union")(spark, sf).count())
+    println("l2 ann rows: " + graft.Queries.queryMap("e_ann_l2")(spark, sf).count())
+    graft.Queries.queryMap("q_observe")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_hilbert")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }
