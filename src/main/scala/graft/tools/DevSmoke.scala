@@ -261,6 +261,9 @@ object DevSmoke {
     println("l2 ann rows: " + graft.Queries.queryMap("e_ann_l2")(spark, sf).count())
     graft.Queries.queryMap("q_observe")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("q_hilbert")(spark, sf).show(3, truncate = false)
+    println("cogroup rows: " + graft.Queries.queryMap("q_typed_cogroup")(spark, sf).count())
+    graft.Queries.queryMap("q_typed_aggregator")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_row_provenance")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }

@@ -543,4 +543,21 @@ class PlanSpec extends AnyFunSuite {
       p.contains("isNullAwareAntiJoin=true") ||
       p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("bitmap sketch aggregates stay on the ObjectHashAggregate path (no sort fallback)") {
+    // TypedImperativeAggregates plan as ObjectHashAggregate; with the
+    // raised fallback threshold (Tables.configure) a day-grained rollup
+    // must NOT insert a sort below the partial aggregate.
+    val df = Queries.queryMap("q_bitmap_rollup")(spark, TestSpark.SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+  }
+
+  test("e_filtered_ann: the label filter join broadcasts probes (corpus never shuffles)") {
+    val df = Queries.queryMap("e_filtered_ann")(spark, TestSpark.SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
