@@ -31,6 +31,12 @@ object QualityQueries {
     * the generated oracle SQL. */
   private val ewmaWeights: Seq[Long] = (0 to 7).map(i => 1L << (7 - i))
 
+  /** One-time XML staging dir (same discipline as the CSV/JSON/ORC
+    * source queries — the bench re-runs queries; stage once per
+    * (session, sf dir)). */
+  private val srcStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Hilbert xy2d (order-8, 256×256 grid) as a generated SQL CTE
     * chain — ONE generator emits both engines' dialects (Spark spells
     * xor `a ^ b` and floor-div `div`; DuckDB spells them `xor(a,b)`
@@ -329,6 +335,37 @@ object QualityQueries {
              |  FROM sims)
              |SELECT qid, rank, vec_id AS neighbor_id
              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Native XML source (built into Spark 4): stage customers as XML
+    // records, read back with an EXPLICIT schema (inference on a
+    // 100 TB landing dir means a second full pass), aggregate through
+    // the decimal path. Closes the source-format matrix next to
+    // csv/json/parquet/orc/binaryFile.
+    // -----------------------------------------------------------------
+    QueryDef("q_xml_source",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"xml#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+            .write.mode("overwrite").format("xml")
+            .option("rootTag", "customers").option("rowTag", "customer")
+            .save(sd)
+          sd
+        })
+        val schema = "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, c_acctbal DOUBLE"
+        s.read.format("xml").option("rowTag", "customer").schema(schema).load(dir)
+          .filter(col("c_acctbal") > 0)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+             |FROM customer WHERE c_acctbal > 0
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // -----------------------------------------------------------------
     // SQL-defined UDFs (Spark 4.1 CREATE FUNCTION ... RETURN): a scalar

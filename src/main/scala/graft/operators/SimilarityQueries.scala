@@ -210,6 +210,66 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
+  /** IVF+PQ composite (the production serving index shape, FAISS
+    * IVFADC): IVF cells bound WHICH vectors are scored (only the
+    * nprobe probed cells), PQ codes bound WHAT scoring costs (a table
+    * lookup per subspace instead of a d-dim float kernel), and an
+    * exact-cosine rerank over the k·rerank survivors absorbs the
+    * quantization error. Both index artifacts — centroids and
+    * codebooks — come from the same per-corpus caches their standalone
+    * operators use, so the composite adds no training cost. At 100 TB:
+    * the corpus shuffles ONCE on cell id at index build; a query
+    * touches |cell|·nprobe code rows (32× smaller than raw floats) and
+    * reranks k·rerank raw vectors.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 16, ksub: Int = 32, rerank: Int = 8,
+                indexKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fn = graft.functions.VariantFunctions
+    val featured = corpus.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = trainCentroids(featured, nlist, indexKey)
+    val cb = indexKey match {
+      case Some(key) => pqModelCache.computeIfAbsent((key, m, ksub),
+        _ => trainPq(corpus, m, ksub))
+      case None => trainPq(corpus, m, ksub)
+    }
+    val coded = model.transform(featured)
+      .withColumnRenamed("prediction", "cell")
+      .select(col("vec_id"), col("cell"),
+        fn.pq_encode(col("embedding"), cb, m, ksub).as("codes"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val wc = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine("qv", "centroid"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("cell"),
+        fn.pq_query_table(col("qv"), cb, m, ksub).as("qtab"))
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("vec_id"))
+    val candidates = coded.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("asim", fn.pq_adc_lookup(col("codes"), col("qtab"), cb, m, ksub))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * rerank)
+      .select(col("qid"), col("vec_id"))
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid"))
+      .withColumn("sim", cosine("embedding", "qv"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multiprobe: the
     * corpus is bucketed ONCE (a map + one shuffle on bucket id); each
     * probe visits its own bucket plus all buckets within Hamming
@@ -363,6 +423,21 @@ object SimilarityQueries {
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         pqTopK(emb, probes, 5, indexKey = Some(d))
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    // IVF+PQ composite (FAISS IVFADC shape — see ivfPqTopK): cells
+    // bound the candidate set, codes bound the scoring cost, exact
+    // rerank absorbs quantization error. Rows-only (candidate sets are
+    // index-dependent); recall floor pinned in OperatorSpec.
+    QueryDef("e_ann_ivfpq",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        ivfPqTopK(emb, probes, 5, indexKey = Some(d))
           .select(col("qid"), col("rank"), col("neighbor_id"))
           .orderBy(col("qid"), col("rank"))
       },

@@ -264,6 +264,8 @@ object DevSmoke {
     println("cogroup rows: " + graft.Queries.queryMap("q_typed_cogroup")(spark, sf).count())
     graft.Queries.queryMap("q_typed_aggregator")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("q_row_provenance")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_xml_source")(spark, sf).show(3, truncate = false)
+    println("ivfpq rows: " + graft.Queries.queryMap("e_ann_ivfpq")(spark, sf).count())
 
     spark.stop()
   }

@@ -212,6 +212,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall@5 = $recall")
   }
 
+  test("IVF+PQ composite recall@5: cell pruning plus code scoring stays above the IVF floor") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 5))
+    val composite = pairs(Similarity.ivfPqTopK(emb, probes, 5))
+    val ivfOnly = pairs(Similarity.ivfTopK(emb, probes, 5))
+    val recall = (exact & composite).size.toDouble / exact.size
+    // the composite can only lose candidates PQ misranks past the
+    // rerank pool; with rerank=8 it should track the IVF-exact recall
+    val ivfRecall = (exact & ivfOnly).size.toDouble / exact.size
+    assert(recall >= ivfRecall - 0.1,
+      s"IVF+PQ recall $recall fell >0.1 below IVF-exact $ivfRecall")
+    assert(recall >= 0.3, s"IVF+PQ recall@5 = $recall")
+  }
+
   test("winnowing: shared text runs guarantee shared fingerprints; disjoint texts share none") {
     val sql1 = spark.sql(
       """SELECT winnow_fingerprints('The quick brown fox jumps over the lazy dog near the river bank today') AS a""")
