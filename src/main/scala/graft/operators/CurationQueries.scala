@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.Tables.documents
+import graft.Tables.{documents, lineitem}
 import graft.functions.{VariantFunctions => vf}
 
 /** Round-7 curation additions: novelty scoring, URL normalization,
@@ -227,6 +227,101 @@ object CurationQueries {
              |       ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
              |FROM counts
              |QUALIFY rank <= 20
-             |ORDER BY rank""".stripMargin))
+             |ORDER BY rank""".stripMargin)),
+    // -----------------------------------------------------------------
+    // RAKE-style keyword extraction: candidate phrases are maximal
+    // stopword-free token runs; each word's weight is deg/freq over the
+    // phrase corpus (deg = sum of lengths of phrases containing the
+    // occurrence, freq = occurrences), and a phrase scores the sum of
+    // its positions' word weights in floor-div ppm — all integers, so
+    // both engines agree to the bit. Two narrow shuffles (word stats on
+    // the word key, phrase aggregation on the phrase string); phrase
+    // strings are rebuilt position-ordered on BOTH engines.
+    // -----------------------------------------------------------------
+    QueryDef("d_keyword_extract",
+      (s, d) => {
+        val stopList = TextAnalysis.STOPWORDS.map(w => s"'$w'").mkString(", ")
+        val toks = documents(s, d)
+          .select(col("doc_id"), posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "tok")))
+          .withColumn("is_stop", expr(s"tok IN ($stopList)"))
+        val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val phrases = toks
+          .withColumn("seg", sum(when(col("is_stop"), 1).otherwise(0)).over(wSeg))
+          .filter(!col("is_stop"))
+          .groupBy(col("doc_id"), col("seg"))
+          .agg(
+            expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)").as("ws"),
+            count(lit(1)).as("len"))
+          .filter(col("len") <= 4)
+          .withColumn("phrase", concat_ws(" ", col("ws")))
+        val words = phrases.select(col("phrase"), col("len"), explode(col("ws")).as("w"))
+        val stats = words.groupBy(col("w"))
+          .agg(sum(col("len")).as("deg"), count(lit(1)).as("freq"))
+          .withColumn("w_ppm", expr("deg * 1000000 DIV freq"))
+        val w20 = Window.orderBy(col("score_ppm").desc, col("phrase"))
+        words.join(stats.select(col("w"), col("w_ppm")), "w")
+          .groupBy(col("phrase"))
+          .agg(sum(col("w_ppm")).as("score_ppm"), count(lit(1)).as("n_word_occ"))
+          .select(col("phrase"), col("score_ppm"),
+            expr("n_word_occ DIV (size(split(phrase, ' ')))").as("n_phrases"))
+          .withColumn("rank", row_number().over(w20).cast("long"))
+          .filter(col("rank") <= 20)
+          .orderBy(col("rank"))
+      },
+      Some {
+        val stopList = TextAnalysis.STOPWORDS.map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |         unnest(regexp_extract_all(text, '\\S+')) AS tok,
+           |         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+           |  FROM documents),
+           |seg AS (
+           |  SELECT doc_id, tok, pos,
+           |         tok IN ($stopList) AS is_stop,
+           |         SUM(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+           |  FROM tok),
+           |phr AS (
+           |  SELECT doc_id, seg,
+           |         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           |         COUNT(*) AS len
+           |  FROM seg WHERE NOT is_stop
+           |  GROUP BY doc_id, seg HAVING COUNT(*) <= 4),
+           |words AS (
+           |  SELECT phrase, len, unnest(string_split(phrase, ' ')) AS w FROM phr),
+           |stats AS (
+           |  SELECT w, CAST(SUM(len) AS BIGINT) * 1000000 // COUNT(*) AS w_ppm
+           |  FROM words GROUP BY w),
+           |scored AS (
+           |  SELECT wd.phrase,
+           |         CAST(SUM(st.w_ppm) AS BIGINT) AS score_ppm,
+           |         COUNT(*) // len(string_split(wd.phrase, ' ')) AS n_phrases
+           |  FROM words wd JOIN stats st ON wd.w = st.w
+           |  GROUP BY wd.phrase)
+           |SELECT phrase, score_ppm, CAST(n_phrases AS BIGINT) AS n_phrases,
+           |       ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase) AS rank
+           |FROM scored
+           |QUALIFY rank <= 20
+           |ORDER BY rank""".stripMargin
+      }),
+
+    // -----------------------------------------------------------------
+    // Modern SQL ergonomics parity: GROUP BY ALL / ORDER BY ALL /
+    // LIMIT-OFFSET agree between engines (the "notebook SQL" surface a
+    // migrating user types first).
+    // -----------------------------------------------------------------
+    QueryDef("q_sql_ergonomics",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_ergo")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+                |FROM lineitem_ergo
+                |GROUP BY ALL ORDER BY ALL LIMIT 4 OFFSET 1""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem
+             |GROUP BY ALL ORDER BY ALL LIMIT 4 OFFSET 1""".stripMargin))
   )
 }
+

@@ -266,6 +266,8 @@ object DevSmoke {
     graft.Queries.queryMap("q_row_provenance")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("q_xml_source")(spark, sf).show(3, truncate = false)
     println("ivfpq rows: " + graft.Queries.queryMap("e_ann_ivfpq")(spark, sf).count())
+    graft.Queries.queryMap("d_keyword_extract")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_sql_ergonomics")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
