@@ -606,3 +606,90 @@ object CdcChunks {
     Array.fill(256)(rnd.nextLong())
   }
 }
+
+/** `deflate_len(text)`: byte length of the DEFLATE (zlib level 6)
+  * compression of the UTF-8 text — the compression-ratio quality
+  * signal of the Gopher/CCNet filtering recipes: highly repetitive or
+  * templated documents compress far below natural prose, and near-random
+  * noise barely compresses at all. Deterministic for a given zlib
+  * deflate implementation (the JDK bundles one), so partition- and
+  * order-invariant within a deployment; no cross-engine oracle exists,
+  * so its queries are rows-only gated with ScalaTest pins. Map-only: at
+  * 100 TB this is a pure scan with ~1 KiB of per-row scratch.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len expects string or binary, got: ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    java.lang.Long.valueOf(DeflateLen.compressedLength(bytes))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+  /** Length of the zlib-deflated bytes (default level), streaming
+    * through a fixed scratch buffer — no output materialization. */
+  def compressedLength(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** Concatenated-compression length for NCD: C(a ++ sep ++ b). */
+  def pairLength(a: Array[Byte], b: Array[Byte]): Long = {
+    val joined = new Array[Byte](a.length + 1 + b.length)
+    System.arraycopy(a, 0, joined, 0, a.length)
+    joined(a.length) = '\n'
+    System.arraycopy(b, 0, joined, a.length + 1, b.length)
+    compressedLength(joined)
+  }
+}
+
+/** `ncd(a, b)`: normalized compression distance in ppm —
+  * (C(ab) − min(C(a), C(b))) · 10^6 / max(C(a), C(b)), floor-divided.
+  * The parameter-free similarity of Cilibrasi–Vitányi: near-duplicate
+  * texts share a model, so compressing them together costs little more
+  * than compressing the larger alone (NCD → 0); unrelated texts cost
+  * the sum (NCD → ~10^6). Used as an alternative verifier over blocked
+  * candidate pairs — never all-pairs.
+  */
+case class NcdPpm(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ncd_ppm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ncd_ppm expects two strings, got: $other")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val b = r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val ca = DeflateLen.compressedLength(a)
+    val cb = DeflateLen.compressedLength(b)
+    val cab = DeflateLen.pairLength(a, b)
+    val mn = math.min(ca, cb); val mx = math.max(ca, cb)
+    java.lang.Long.valueOf(if (mx == 0) 0L else ((cab - mn) * 1000000L) / mx)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

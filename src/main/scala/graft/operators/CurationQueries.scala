@@ -27,6 +27,11 @@ object CurationQueries {
   private val rankedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Shingle-blocked near-dup pair set for the NCD verifier — index
+    * build, same amortization model. */
+  private val ncdPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ =>
       documents(s, d)
@@ -321,7 +326,50 @@ object CurationQueries {
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
              |FROM lineitem
-             |GROUP BY ALL ORDER BY ALL LIMIT 4 OFFSET 1""".stripMargin))
+             |GROUP BY ALL ORDER BY ALL LIMIT 4 OFFSET 1""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Compression-ratio quality signal (the Gopher/CCNet filter):
+    // deflate_len(text)/len(text) in ppm — templated or repetitive
+    // documents compress far below natural prose. Map-only scan; no
+    // cross-engine zlib exists, so rows-only gated (value pins live in
+    // CurationSpec: repetition compresses, ordering is stable).
+    // -----------------------------------------------------------------
+    QueryDef("d_compress_ratio",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("raw_len"),
+          vf.deflate_len(col("text")).as("comp_len"))
+        .withColumn("ratio_ppm", expr("comp_len * 1000000 DIV raw_len"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // -----------------------------------------------------------------
+    // Normalized compression distance over the SHINGLE-blocked
+    // candidate pairs (Cilibrasi–Vitányi): the parameter-free near-dup
+    // second opinion — no tokenizer, no threshold tuning. Candidates
+    // come from the 3-gram prefix join (505 true near-dups at sf0.1),
+    // NOT the word-level jaccard pairs (255k at sf0.1 — the §7.7
+    // unigram trap, which would put 765k deflate calls in the plan);
+    // the pair set is derived index data, cached per (session, dir).
+    // Rows-only gated; NCD contrast pinned in CurationSpec.
+    // -----------------------------------------------------------------
+    QueryDef("d_ncd_pairs",
+      (s, d) => {
+        val pairs = ncdPairCache.computeIfAbsent(
+          s"${System.identityHashCode(s)}#$d",
+          _ => TextQueries.prefixSimilarityJoin(shingled(s, d), 7, 10)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+            .localCheckpoint())
+        val texts = documents(s, d).select(col("doc_id"), col("text"))
+        pairs
+          .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+          .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            vf.ncd_ppm(col("ta"), col("tb")).as("ncd_ppm"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None)
   )
 }
 

@@ -268,6 +268,8 @@ object DevSmoke {
     println("ivfpq rows: " + graft.Queries.queryMap("e_ann_ivfpq")(spark, sf).count())
     graft.Queries.queryMap("d_keyword_extract")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("q_sql_ergonomics")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("d_compress_ratio")(spark, sf).show(3, truncate = false)
+    println("ncd pairs: " + graft.Queries.queryMap("d_ncd_pairs")(spark, sf).count())
 
     spark.stop()
   }

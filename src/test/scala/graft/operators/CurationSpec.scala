@@ -63,4 +63,34 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq === (1L to 20L))
     assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("deflate_len: repetition compresses, randomness does not; NCD separates dup from unrelated") {
+    import graft.functions.{VariantFunctions => vf}
+    val rep = "spark variant engine " * 60
+    val uniq = (1 to 180).map(i => s"w${i * 7919}").mkString(" ")
+    val rows = Seq((1L, rep), (2L, uniq)).toDF("id", "t")
+      .select($"id", vf.deflate_len($"t").as("c"), length($"t").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ratioRep = rows(1L)._1.toDouble / rows(1L)._2
+    val ratioUniq = rows(2L)._1.toDouble / rows(2L)._2
+    assert(ratioRep < 0.2, s"repetitive ratio $ratioRep")
+    assert(ratioUniq > 2 * ratioRep, s"uniq $ratioUniq vs rep $ratioRep")
+    // NCD contrast on the higher-entropy strings (the tiny-C(x) regime
+    // of an ultra-repetitive input inflates self-NCD — known small-
+    // string behavior of the measure)
+    val uniq2 = (1 to 180).map(i => s"v${i * 104729}").mkString(" ")
+    val ncds = Seq((uniq, uniq), (uniq, uniq2)).toDF("a", "b")
+      .select(vf.ncd_ppm($"a", $"b").as("d")).collect().map(_.getLong(0))
+    assert(ncds(0) < 400000L, s"self NCD ${ncds(0)}")
+    assert(ncds(1) > ncds(0) + 200000L, s"unrelated NCD ${ncds(1)} vs self ${ncds(0)}")
+  }
+
+  test("d_compress_ratio: every ratio positive and bounded; deterministic across partitioning") {
+    val res = Queries.queryMap("d_compress_ratio")(spark, SF)
+    assert(res.filter($"ratio_ppm" <= 0 || $"ratio_ppm" > 2000000L).count() === 0)
+    val a = res.collect().map(_.toString).toSeq
+    val b = Queries.queryMap("d_compress_ratio")(spark, SF).repartition(7)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
 }
