@@ -526,6 +526,127 @@ object QualityQueries {
              |       CAST(SUM(CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
              |       CAST(SUM(CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END) AS BIGINT)
              |         * 1000000 // COUNT(*) AS pass_ppm
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Cumulative distinct users per day via bitmap OR-merge as a WINDOW
+    // aggregate: the running frame re-merges day-grained sketches (30
+    // merges of ~KB bitmaps), never touching raw rows — where the naive
+    // form re-scans the fact table per day. Sketch algebra inside the
+    // window machinery.
+    // -----------------------------------------------------------------
+    QueryDef("q_running_distinct",
+      (s, d) => {
+        val e = events(s, d)
+        val daily = e.groupBy(to_date(col("ts")).as("day"))
+          .agg(vf.bitmap_agg(col("user_id")).as("bm"), count(lit(1)).as("n_events"))
+        val wRun = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cum_users",
+            vf.bitmap_cardinality(vf.bitmap_or_agg(col("bm")).over(wRun)))
+          .select(col("day"), col("n_events"), col("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+             |  FROM events GROUP BY 1)
+             |SELECT d.day, d.n_events,
+             |       (SELECT COUNT(DISTINCT e.user_id) FROM events e
+             |        WHERE CAST(e.ts AS DATE) <= d.day) AS cum_users
+             |FROM daily d ORDER BY d.day""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Lag-7 autocorrelation of the daily event series: Pearson r over
+    // (x_i, x_{i+7}) with every sum cross-multiplied in BIGINT; the
+    // only float ops are two sqrts and one division in a FIXED
+    // expression tree (the q_regression discipline), so the double
+    // hash-matches across engines.
+    // -----------------------------------------------------------------
+    QueryDef("q_autocorr",
+      (s, d) => {
+        val e = events(s, d)
+        val daily = e.groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("day"))
+        val paired = daily.withColumn("y", lead(col("x"), 7).over(w))
+          .filter(col("y").isNotNull)
+        paired.agg(
+            count(lit(1)).as("m"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(
+            col("m"),
+            (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("m") * col("sxx") - col("sx") * col("sx")).as("dx"),
+            (col("m") * col("syy") - col("sy") * col("sy")).as("dy"))
+          .withColumn("r", expr(
+            "CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+             |  FROM events GROUP BY 1),
+             |paired AS (
+             |  SELECT x, lead(x, 7) OVER (ORDER BY day) AS y FROM daily),
+             |p AS (SELECT x, y FROM paired WHERE y IS NOT NULL),
+             |sums AS (
+             |  SELECT COUNT(*) AS m,
+             |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |         CAST(SUM(x*y) AS BIGINT) AS sxy,
+             |         CAST(SUM(x*x) AS BIGINT) AS sxx,
+             |         CAST(SUM(y*y) AS BIGINT) AS syy
+             |  FROM p)
+             |SELECT m,
+             |       m*sxy - sx*sy AS num,
+             |       m*sxx - sx*sx AS dx,
+             |       m*syy - sy*sy AS dy,
+             |       CAST(m*sxy - sx*sy AS DOUBLE)
+             |         / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+             |            * sqrt(CAST(m*syy - sy*sy AS DOUBLE))) AS r
+             |FROM sums""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Time-bounded funnel (strict EXISTS semantics): a user converts if
+    // SOME view→click within 24h and that click→purchase within 24h —
+    // min-time chaining (q_funnel) misses chains whose earliest step
+    // falls outside the bound. Equi-join on user_id carries the range
+    // predicate; per-user pair counts are bounded by events-per-user,
+    // and DISTINCT collapses each stage back to event granularity
+    // before the next join.
+    // -----------------------------------------------------------------
+    QueryDef("q_funnel_window",
+      (s, d) => {
+        val hourUs = 86400000000L // 24h: non-trivial at every fixture SF
+        val e = events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("t").as("tv"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("tc"))
+        val pch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("t").as("tp"))
+        val vc = v.join(c, Seq("user_id"))
+          .filter(col("tc") > col("tv") && col("tc") <= col("tv") + hourUs)
+          .select(col("user_id"), col("tc")).distinct()
+        val vcp = vc.join(pch, Seq("user_id"))
+          .filter(col("tp") > col("tc") && col("tp") <= col("tc") + hourUs)
+          .select(col("user_id")).distinct()
+        vcp.agg(count(lit(1)).as("n_converted"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+             |vc AS (
+             |  SELECT DISTINCT c.user_id, c.t AS tc
+             |  FROM e c JOIN e v
+             |    ON c.user_id = v.user_id AND v.event_type = 'view'
+             |   AND c.event_type = 'click'
+             |   AND c.t > v.t AND c.t <= v.t + 86400000000),
+             |vcp AS (
+             |  SELECT DISTINCT p.user_id
+             |  FROM e p JOIN vc
+             |    ON p.user_id = vc.user_id AND p.event_type = 'purchase'
+             |   AND p.t > vc.tc AND p.t <= vc.tc + 86400000000)
+             |SELECT COUNT(*) AS n_converted FROM vcp""".stripMargin))
   )
 }

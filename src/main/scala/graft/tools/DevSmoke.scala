@@ -270,6 +270,9 @@ object DevSmoke {
     graft.Queries.queryMap("q_sql_ergonomics")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("d_compress_ratio")(spark, sf).show(3, truncate = false)
     println("ncd pairs: " + graft.Queries.queryMap("d_ncd_pairs")(spark, sf).count())
+    graft.Queries.queryMap("q_running_distinct")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_autocorr")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_funnel_window")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
