@@ -466,7 +466,8 @@ object SimilarityQueries {
     // so the hash compare pins the floors: if a bucketing or rerank
     // change craters recall, CORRECTNESS flags it — not only ScalaTest.
     // Floors sit under the measured recalls at every fixture SF
-    // (lsh .12-.20 ≥ .10, ivf .52-.64 ≥ .40, pq .80-.98 ≥ .70,
+    // (lsh .12-.20 ≥ .10, ivf .52-.64 ≥ .40, ivfpq tracks ivf within
+    // the rerank pool's absorption ≥ .40, pq .80-.98 ≥ .70,
     // sq8 .96-1.0 ≥ .80; the random uniform embeddings make LSH/IVF
     // genuinely hard — no cluster structure to exploit — which is WHY
     // the floors differ; sq8 scans everything, so only quantization
@@ -483,6 +484,7 @@ object SimilarityQueries {
         Seq(
           ("lsh", lshTopK(emb, probes, 5, bits = 8), 10),
           ("ivf", ivfTopK(emb, probes, 5, indexKey = Some(d)), 40),
+          ("ivfpq", ivfPqTopK(emb, probes, 5, indexKey = Some(d)), 40),
           ("pq", pqTopK(emb, probes, 5, indexKey = Some(d)), 70),
           ("sq8", sq8TopK(emb, probes, 5), 80))
           .map { case (name, approx, floorPct) =>
@@ -498,7 +500,8 @@ object SimilarityQueries {
           .reduce(_ unionAll _)
           .orderBy(col("method"))
       },
-      Some("""SELECT * FROM (VALUES ('ivf', 40, true), ('lsh', 10, true),
+      Some("""SELECT * FROM (VALUES ('ivf', 40, true), ('ivfpq', 40, true),
+             |                      ('lsh', 10, true),
              |                      ('pq', 70, true), ('sq8', 80, true))
              |  AS t(method, floor_pct, meets_floor)
              |ORDER BY method""".stripMargin)),
