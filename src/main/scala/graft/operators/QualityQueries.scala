@@ -647,6 +647,85 @@ object QualityQueries {
              |  FROM e p JOIN vc
              |    ON p.user_id = vc.user_id AND p.event_type = 'purchase'
              |   AND p.t > vc.tc AND p.t <= vc.tc + 86400000000)
-             |SELECT COUNT(*) AS n_converted FROM vcp""".stripMargin))
+             |SELECT COUNT(*) AS n_converted FROM vcp""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Per-label centroid embeddings (the class-prototype computation
+    // every embedding pipeline runs): element-wise mean via posexplode
+    // → one (label, dim)-keyed aggregate. Floats scale to exact e8
+    // integers BEFORE summing (float→double is exact, ×1e8 and floor
+    // are single IEEE ops), so the distributed sum is order-invariant
+    // and the mean floor-div is engine-identical.
+    // -----------------------------------------------------------------
+    QueryDef("e_label_centroids",
+      (s, d) => {
+        embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .withColumn("v_e8", expr("CAST(floor(CAST(v AS DOUBLE) * 100000000) AS BIGINT)"))
+          .groupBy(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("v_e8")).as("sum_e8"))
+          .withColumn("mean_e8", expr("sum_e8 DIV n"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT label,
+             |         generate_subscripts(embedding, 1) - 1 AS dim,
+             |         unnest(embedding) AS v
+             |  FROM embeddings)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT) AS sum_e8,
+             |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT)
+             |         // COUNT(*) AS mean_e8
+             |FROM ex GROUP BY 1, 2
+             |ORDER BY label, dim""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Hop-bounded weighted SSSP (Bellman-Ford as BSP): k rounds of
+    // relax = exact min distance over paths of ≤ k edges. Each round is
+    // ONE dist⋈edges join + a (node)-keyed min — the frontier-free
+    // formulation whose per-round cost is O(E), with localCheckpoint
+    // lineage truncation (the iterative-operator discipline of
+    // BFS/PageRank/CC). Integer weights derived from the edge key on
+    // both engines; the oracle is the path-enumerating recursive CTE
+    // with UNION dedup.
+    // -----------------------------------------------------------------
+    QueryDef("d_sssp",
+      (s, d) => {
+        val e0 = orders(s, d)
+          .filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_custkey") % 1000).cast("long").as("src"),
+            ((col("o_orderkey") * 37) % 1000).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val ue = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .withColumn("w", (col("src") + col("dst")) % 9 + 1)
+          .localCheckpoint()
+        var dist = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
+        for (_ <- 1 to 4) {
+          val relaxed = ue.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          dist = dist.unionAll(relaxed)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint()
+        }
+        dist.orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT DISTINCT CAST(o_custkey % 1000 AS BIGINT) AS src,
+             |                  CAST((o_orderkey * 37) % 1000 AS BIGINT) AS dst
+             |  FROM orders
+             |  WHERE o_orderkey % 5 = 0
+             |    AND o_custkey % 1000 <> (o_orderkey * 37) % 1000),
+             |ue AS (SELECT src, dst, (src + dst) % 9 + 1 AS w FROM
+             |       (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)),
+             |walk(node, dist, hops) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+             |  UNION
+             |  SELECT ue.dst, walk.dist + ue.w, walk.hops + 1
+             |  FROM walk JOIN ue ON ue.src = walk.node
+             |  WHERE walk.hops < 4)
+             |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+             |FROM walk GROUP BY 1 ORDER BY node""".stripMargin))
   )
 }
