@@ -726,6 +726,31 @@ object QualityQueries {
              |  FROM walk JOIN ue ON ue.src = walk.node
              |  WHERE walk.hops < 4)
              |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
-             |FROM walk GROUP BY 1 ORDER BY node""".stripMargin))
+             |FROM walk GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Multiple DISTINCT aggregates in one GROUP BY: Spark plans ONE
+    // scan with an Expand (one projection per distinct set + one for
+    // the plain aggregates) — 3x the shuffle rows, not 3 scans. The
+    // shape to know when a dashboard asks for several distinct counts
+    // at once; the bitmap family (q_bitmap_distinct) is the sketch
+    // escape hatch when the expand dominates.
+    // -----------------------------------------------------------------
+    QueryDef("q_multi_distinct",
+      (s, d) => {
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |       COUNT(DISTINCT l_partkey) AS n_parts,
+             |       COUNT(DISTINCT l_suppkey) AS n_supps,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }
