@@ -729,28 +729,72 @@ object QualityQueries {
              |FROM walk GROUP BY 1 ORDER BY node""".stripMargin)),
 
     // -----------------------------------------------------------------
-    // Multiple DISTINCT aggregates in one GROUP BY: Spark plans ONE
-    // scan with an Expand (one projection per distinct set + one for
-    // the plain aggregates) — 3x the shuffle rows, not 3 scans. The
-    // shape to know when a dashboard asks for several distinct counts
-    // at once; the bitmap family (q_bitmap_distinct) is the sketch
-    // escape hatch when the expand dominates.
+    // grouping_id() over CUBE: the level discriminator BI layers key
+    // off (which subtotal am I looking at) — Spark's bit order puts the
+    // FIRST cube column in the MSB; the oracle derives the same id from
+    // the NULL pattern (sound here: the grouped columns are never NULL
+    // in the data), so the gate pins Spark's documented bit order.
     // -----------------------------------------------------------------
-    QueryDef("q_multi_distinct",
+    QueryDef("q_grouping_id",
       (s, d) => {
-        lineitem(s, d)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            countDistinct(col("l_partkey")).as("n_parts"),
-            countDistinct(col("l_suppkey")).as("n_supps"),
-            count(lit(1)).as("n"))
-          .orderBy(col("l_returnflag"))
+        orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+            col("gid"), col("n"))
+          .orderBy(col("gid"), col("st"), col("pri"))
       },
-      Some("""SELECT l_returnflag,
-             |       COUNT(DISTINCT l_partkey) AS n_parts,
-             |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+             |       COALESCE(o_orderpriority, 'ALL') AS pri,
+             |       CAST((CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END)
+             |          + (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gid,
              |       COUNT(*) AS n
-             |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, st, pri""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Non-ASCII string-function parity on CONSTRUCTED literals (the
+    // fixture is pure ASCII, so this is the only gate exercising
+    // multi-byte text): char-semantics length/substring/upper/lower/
+    // reverse/instr over accented Latin, CJK, and an astral-plane
+    // emoji — where byte-oriented engines diverge first.
+    // -----------------------------------------------------------------
+    QueryDef("q_unicode_funcs",
+      (s, d) => {
+        // anchor on a fixture table so the query still reads from the
+        // sf dir (one row; the literals carry the actual test matrix)
+        val one = orders(s, d).orderBy(col("o_orderkey")).limit(1).select(lit(1).as("one"))
+        val samples = Seq(
+          (1L, "café crème"),
+          (2L, "中文处理"),
+          (3L, "naïve résumé"),
+          (4L, "data 🚀 pipeline"))
+        import s.implicits._
+        samples.toDF("id", "t").crossJoin(broadcast(one)).select(
+          col("id"),
+          length(col("t")).cast("long").as("n_chars"),
+          upper(col("t")).as("up"),
+          lower(col("t")).as("lo"),
+          substring(col("t"), 1, 4).as("head4"),
+          reverse(col("t")).as("rev"),
+          instr(col("t"), "r").cast("long").as("pos_r"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH s(id, t) AS (VALUES
+             |  (1, 'café crème'),
+             |  (2, '中文处理'),
+             |  (3, 'naïve résumé'),
+             |  (4, 'data 🚀 pipeline'))
+             |SELECT CAST(id AS BIGINT) AS id,
+             |       CAST(length(t) AS BIGINT) AS n_chars,
+             |       upper(t) AS up, lower(t) AS lo,
+             |       substr(t, 1, 4) AS head4,
+             |       reverse(t) AS rev,
+             |       CAST(instr(t, 'r') AS BIGINT) AS pos_r
+             |FROM s, (SELECT 1 FROM orders LIMIT 1)
+             |ORDER BY id""".stripMargin))
   )
 }

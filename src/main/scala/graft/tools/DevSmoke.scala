@@ -275,6 +275,8 @@ object DevSmoke {
     graft.Queries.queryMap("q_funnel_window")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("e_label_centroids")(spark, sf).show(3, truncate = false)
     println("sssp nodes: " + graft.Queries.queryMap("d_sssp")(spark, sf).count())
+    graft.Queries.queryMap("q_grouping_id")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_unicode_funcs")(spark, sf).show(truncate = false)
 
     spark.stop()
   }

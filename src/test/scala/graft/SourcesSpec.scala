@@ -102,4 +102,54 @@ class SourcesSpec extends AnyFunSuite {
       .count()
     assert(n > 0)
   }
+
+  test("file-level variant interop: our bytes survive a parquet hop as native VariantType") {
+    import spark.implicits._
+    import graft.functions.{VariantFunctions => vf}
+    val dir = java.nio.file.Files.createTempDirectory("graft_vint_").toString
+    // OUR encoding -> native VariantType column -> parquet -> read ->
+    // back through the bridge -> extract with OUR reader
+    val src = Seq(
+      (1L, """{"k": 7, "s": "a"}"""),
+      (2L, """{"k": -3, "s": "b", "nested": {"x": [1, 2]}}"""),
+      (3L, """{"k": 9007199254740993, "s": null}""")).toDF("id", "j")
+    src.select($"id", vf.to_spark_variant(vf.variant_from_json($"j")).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select($"id",
+        vf.variant_get(vf.from_spark_variant($"v"), "$.k", "bigint").as("k"),
+        vf.variant_get(vf.from_spark_variant($"v"), "$.nested.x[1]", "bigint").as("x1"))
+      .orderBy($"id").collect()
+    assert(back.map(_.getLong(1)).toSeq === Seq(7L, -3L, 9007199254740993L))
+    assert(back(1).getLong(2) === 2L)
+    // reverse direction: Spark's builtin parse_json writes the file;
+    // our reader extracts the same values the builtin does
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_vint2_").toString
+    src.selectExpr("id", "parse_json(j) AS v").write.mode("overwrite").parquet(dir2)
+    // our SQL registration shadows the builtin variant_get name, so the
+    // builtin-side reference value goes through to_json (builtin)
+    val both = spark.read.parquet(dir2)
+      .select($"id",
+        expr("CAST(get_json_object(to_json(v), '$.k') AS BIGINT)").as("builtin_k"),
+        vf.variant_get(vf.from_spark_variant($"v"), "$.k", "bigint").as("our_k"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), r.toString))
+  }
+
+  test("parquet codec choice: zstd writes smaller than snappy, values identical") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    def sizeOf(dir: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].toFile)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val snappyDir = java.nio.file.Files.createTempDirectory("graft_snappy_").toString
+    val zstdDir = java.nio.file.Files.createTempDirectory("graft_zstd_").toString
+    docs.coalesce(1).write.mode("overwrite").option("compression", "snappy").parquet(snappyDir)
+    docs.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(zstdDir)
+    val (sn, zs) = (sizeOf(snappyDir), sizeOf(zstdDir))
+    assert(zs < sn, s"zstd $zs not smaller than snappy $sn")
+    val a = spark.read.parquet(snappyDir).orderBy("doc_id").collect().map(_.toString)
+    val b = spark.read.parquet(zstdDir).orderBy("doc_id").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
 }
