@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Strong-scaling probe: run a set of heavy queries at several local
+  * parallelism levels (fresh session per level, shuffle.partitions =
+  * cores) and report min-of-2 times. The point is the CURVE — an
+  * operator whose time halves with core count is shuffle/scan bound
+  * and will scale out on executors; one that flatlines is dominated by
+  * a serial stage and needs a plan fix before 100 TB.
+  * Run: `sbt "runMain graft.tools.ScaleProbe [sfDir]"`.
+  */
+object ScaleProbe {
+  /** Amplified workloads: sf0.1 queries finish in 0.2-2 s, where fixed
+    * costs (planning, codegen lookup, task dispatch) swamp the data
+    * work and every curve flatlines — measured before this version.
+    * Each workload replicates its input 16x, respreads the SCAN to the core count
+    * BEFORE exploding (the single-file fixture yields 1-2 scan
+    * partitions; respreading after the explode leaves the 16x
+    * generation itself serial — measured as a flat curve), and varies
+    * the payload
+    * per replica so row-level memo caches cannot collapse the work.
+    */
+  private def workloads(spark: SparkSession, d: String) = {
+    import org.apache.spark.sql.functions._
+    val rep = explode(expr("sequence(1, 16)")).as("rep")
+    Seq(
+      ("q1_agg_x16", () => {
+        val p = spark.sparkContext.defaultParallelism
+        graft.Tables.lineitem(spark, d).repartition(p).withColumn("rep", rep)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+            avg(col("l_extendedprice")).as("p"), count(lit(1)).as("n"))
+      }),
+      ("json_parse_x16", () => {
+        val p = spark.sparkContext.defaultParallelism
+        val vf = graft.functions.VariantFunctions
+        graft.Tables.events(spark, d).repartition(p).withColumn("rep", rep)
+          // vary the payload per replica: concat defeats the parse memo
+          .select(vf.variant_get(vf.variant_from_json(
+            expr("""concat('{"r": ', rep, ', "p": ', props, '}')""")),
+            "$.p.k", "bigint").as("k"))
+          .groupBy().sum("k")
+      }),
+      ("window_x16", () => {
+        import org.apache.spark.sql.expressions.Window
+        val p = spark.sparkContext.defaultParallelism
+        val w = Window.partitionBy(col("user_id"), col("rep")).orderBy(col("ts"), col("event_id"))
+        graft.Tables.events(spark, d).repartition(p).withColumn("rep", rep)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("lag1", lag(col("value"), 1).over(w))
+          .groupBy().agg(sum(col("rn")).as("s"), count(col("lag1")).as("c"))
+      }),
+      ("join_agg_x16", () => {
+        val p = spark.sparkContext.defaultParallelism
+        val o = graft.Tables.orders(spark, d).repartition(p).withColumn("rep", rep)
+        val l = graft.Tables.lineitem(spark, d).repartition(p).withColumn("rep", rep)
+        l.join(o, l("l_orderkey") === o("o_orderkey") && l("rep") === o("rep"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      }))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val results = scala.collection.mutable.Map[(String, Int), Double]()
+    var names = Seq.empty[String]
+    Seq(4, 8, 16, 32).foreach { cores =>
+      val spark = graft.Tables.configure(SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores)).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val ws = workloads(spark, d)
+      names = ws.map(_._1)
+      ws.foreach { case (n, f) =>   // warm: codegen + listing
+        f().write.mode("overwrite").format("noop").save()
+      }
+      ws.foreach { case (n, f) =>
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          f().write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        results((n, cores)) = t
+      }
+      spark.stop()
+    }
+    println(f"${"workload"}%-18s ${"c4"}%7s ${"c8"}%7s ${"c16"}%7s ${"c32"}%7s  speedup(4->32)")
+    names.foreach { n =>
+      val ts = Seq(4, 8, 16, 32).map(c => results((n, c)))
+      println(f"$n%-18s ${ts(0)}%7.2f ${ts(1)}%7.2f ${ts(2)}%7.2f ${ts(3)}%7.2f  ${ts(0) / ts(3)}%5.1fx")
+    }
+  }
+}
