@@ -54,7 +54,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "q9_profit", "v_grouped_topk", "d_dup_clusters", "q_quantile_2pass",
       "q_equidepth_hist", "d_weighted_sample", "d_fuzzy_join",
       "q_skyline", "q_incremental_agg", "d_triangle_count",
-      "q_fingerprint_table", "q_approx_quantile_gate", "q_regression")
+      "q_fingerprint_table", "q_approx_quantile_gate", "q_regression",
+      // round-7: bitmap sketch merge order, window-frame distinct,
+      // containment candidates, e8-integer centroids, BSP relax rounds
+      "q_bitmap_distinct", "q_bitmap_rollup", "q_running_distinct",
+      "q_window_distinct", "d_containment_join", "e_label_centroids",
+      "d_sssp", "q_ewma", "d_novelty", "e_ann_recall")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def results(n: String): Seq[String] =
