@@ -369,7 +369,76 @@ object CurationQueries {
             vf.ncd_ppm(col("ta"), col("tb")).as("ncd_ppm"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None)
+      None),
+
+    // -----------------------------------------------------------------
+    // Entity resolution end to end: blocking (8-char key) → pairwise
+    // scoring (bit-stable jaro_winkler ≥ 0.9, the d_jaro_fuzzy rule) →
+    // transitive clustering (large/small-star CC over the edge table
+    // only) → golden-record survivorship (longest record wins, min id
+    // breaks ties). The composition a master-data pipeline runs as one
+    // job; every stage is the scale-shaped operator already proven
+    // standalone, and the oracle replays all four stages (recursive
+    // closure for the clustering).
+    // -----------------------------------------------------------------
+    QueryDef("d_entity_resolution",
+      (s, d) => {
+        val p = documents(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 8).as("blk"),
+          substring(col("text"), 1, 40).as("pre"))
+        val pairs = p.as("a").join(p.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .filter(vf.jaro_winkler(col("a.pre"), col("b.pre")) >= 0.9)
+          .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        // CC rounds run on the edge table (tiny next to the corpus) —
+        // narrow the shuffle for the iteration, restore after (the
+        // d_dup_clusters discipline)
+        val partsKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partsKey)
+        s.conf.set(partsKey, "4")
+        val labels =
+          try ConnectedComponents.labelComponents(pairs)._1
+          finally s.conf.set(partsKey, prevParts)
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        labels
+          .join(documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("n_chars")).as("total_chars"),
+            min(when(col("rn") === 1, col("doc_id"))).as("golden_doc"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT doc_id, substr(text, 1, 8) AS blk,
+             |         substr(text, 1, 40) AS pre, n_chars
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM p a JOIN p b
+             |    ON a.blk = b.blk AND a.doc_id < b.doc_id
+             |   AND jaro_winkler_similarity(a.pre, b.pre) >= 0.9),
+             |edges AS (
+             |  SELECT doc_a AS u, doc_b AS v FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+             |labels AS (
+             |  SELECT u AS doc_id, CAST(least(u, MIN(v)) AS BIGINT) AS cluster_id
+             |  FROM reach GROUP BY u),
+             |m AS (
+             |  SELECT l.cluster_id, l.doc_id, p.n_chars,
+             |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+             |           ORDER BY p.n_chars DESC, l.doc_id) AS rn
+             |  FROM labels l JOIN p USING (doc_id))
+             |SELECT cluster_id, COUNT(*) AS n_members,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       MIN(CASE WHEN rn = 1 THEN doc_id END) AS golden_doc
+             |FROM m GROUP BY cluster_id
+             |ORDER BY cluster_id""".stripMargin))
   )
 }
 

@@ -277,6 +277,7 @@ object DevSmoke {
     println("sssp nodes: " + graft.Queries.queryMap("d_sssp")(spark, sf).count())
     graft.Queries.queryMap("q_grouping_id")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("q_unicode_funcs")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("d_entity_resolution")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }
