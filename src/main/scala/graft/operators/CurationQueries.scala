@@ -438,7 +438,41 @@ object CurationQueries {
              |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              |       MIN(CASE WHEN rn = 1 THEN doc_id END) AS golden_doc
              |FROM m GROUP BY cluster_id
-             |ORDER BY cluster_id""".stripMargin))
+             |ORDER BY cluster_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // MinHash estimator quality in the DRIVER lane (the e_ann_recall
+    // pattern applied to the dedup family): slot-agreement estimates
+    // over the exact-Jaccard pair set, reduced to a deterministic
+    // meets-floor digest. Signatures are hash-based (no RNG), the pair
+    // set is exact, and the error aggregate is integer ppm — so the
+    // digest is constant and a bucketing/hash regression that degrades
+    // the estimator flips CORRECTNESS, not just a spec. Floors sit
+    // above the measured errors at every SF (mean 36-38k ppm ≤ 60k,
+    // max 186-241k ppm ≤ 350k; k=64 theory std ≈ 50k at J≈0.75).
+    // -----------------------------------------------------------------
+    QueryDef("d_minhash_gate",
+      (s, d) => {
+        val sigs = documents(s, d)
+          .select(col("doc_id"),
+            vf.minhash_signature(array_distinct(TextAnalysis.tokens("text")), 64).as("sig"))
+        TextQueries.exactJaccardPairs(s, d)
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+          .withColumn("matches", expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"))
+          .withColumn("err_ppm", abs(
+            expr("matches * 1000000 DIV 64") -
+              expr("CAST(floor(jac * 1000000 + 0.5) AS BIGINT)")))
+          .agg(sum(col("err_ppm")).as("sum_err"), count(lit(1)).as("n"),
+            max(col("err_ppm")).as("max_err"))
+          .select(
+            lit(64L).as("k"),
+            (expr("sum_err DIV n") <= 60000L).as("mean_under_60k"),
+            (col("max_err") <= 350000L).as("max_under_350k"))
+      },
+      Some("""SELECT CAST(64 AS BIGINT) AS k,
+             |       true AS mean_under_60k,
+             |       true AS max_under_350k""".stripMargin))
   )
 }
 

@@ -278,6 +278,7 @@ object DevSmoke {
     graft.Queries.queryMap("q_grouping_id")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("q_unicode_funcs")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("d_entity_resolution")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_minhash_gate")(spark, sf).show(truncate = false)
 
     spark.stop()
   }
