@@ -3861,7 +3861,8 @@ object Queries {
     variantQueries ++ relationalQueries ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ DedupQueries.all ++
       graft.operators.AnalyticsQueries.all ++ graft.operators.QualityQueries.all ++
-      graft.operators.CurationQueries.all ++ graft.operators.TypedApiQueries.all
+      graft.operators.CurationQueries.all ++ graft.operators.TypedApiQueries.all ++
+      graft.operators.PipelineQueries.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

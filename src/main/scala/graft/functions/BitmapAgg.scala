@@ -73,6 +73,30 @@ private[graft] object BitmapUtil {
     into
   }
 
+  /** |A ∩ B| without materializing the intersection: walk the smaller
+    * page map, AND word-wise against the other side's matching page,
+    * popcount as we go. Completes the sketch algebra — OR answers
+    * "distinct over a union" (rollups), AND answers "distinct in BOTH"
+    * (audience overlap, funnel step intersection) — again from
+    * pre-aggregated bitmaps, never the raw rows. */
+  def andCardinality(a: Pages, b: Pages): Long = {
+    val (small, big) = if (a.size() <= b.size()) (a, b) else (b, a)
+    var n = 0L
+    val it = small.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val other = big.get(e.getKey)
+      if (other != null) {
+        val page = e.getValue
+        var i = 0
+        while (i < WordsPerPage) {
+          n += java.lang.Long.bitCount(page(i) & other(i)); i += 1
+        }
+      }
+    }
+    n
+  }
+
   def cardinality(pages: Pages): Long = {
     var n = 0L
     val it = pages.values().iterator()
@@ -238,6 +262,38 @@ case class BitmapOrAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `bitmap_and_cardinality(a, b)` → bigint |A ∩ B|.
+  *
+  * A scalar pair operation, not an aggregate: the bitmaps it runs on are
+  * already per-group outputs of `bitmap_agg` (one row per cohort), so
+  * the intersection happens on the tiny aggregated table — the raw fact
+  * rows are scanned exactly once, by the upstream aggregate.
+  */
+case class BitmapAndCardinality(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with GraftBinaryCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_and_cardinality"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bitmap_and_cardinality expects two bitmap byte columns, got: $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(BitmapUtil.andCardinality(
+      BitmapUtil.fromBytes(l.asInstanceOf[Array[Byte]]),
+      BitmapUtil.fromBytes(r.asInstanceOf[Array[Byte]])))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bitmap_cardinality(bytes)` → bigint popcount. */

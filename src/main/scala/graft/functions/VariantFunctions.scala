@@ -88,6 +88,8 @@ object VariantFunctions {
   def bitmap_agg(c: Column): Column = col(BitmapAgg(expr(c)).toAggregateExpression())
   def bitmap_or_agg(c: Column): Column = col(BitmapOrAgg(expr(c)).toAggregateExpression())
   def bitmap_cardinality(c: Column): Column = col(BitmapCardinality(expr(c)))
+  def bitmap_and_cardinality(a: Column, b: Column): Column =
+    col(BitmapAndCardinality(expr(a), expr(b)))
 
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
@@ -217,6 +219,9 @@ object VariantFunctions {
     ("bitmap_cardinality",
       (es: Seq[Expression]) => BitmapCardinality(es.head),
       "bitmap_cardinality(bytes) - Popcount of a bitmap sketch."),
+    ("bitmap_and_cardinality",
+      (es: Seq[Expression]) => BitmapAndCardinality(es.head, es(1)),
+      "bitmap_and_cardinality(a, b) - Exact |A ∩ B| of two bitmap sketches (audience overlap)."),
     ("misra_gries",
       (es: Seq[Expression]) => MisraGries(es.head, litInt(es(1), "misra_gries k"))
         .toAggregateExpression(),

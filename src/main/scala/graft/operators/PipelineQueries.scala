@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.Tables.{documents, embeddings, events}
+import graft.functions.{VariantFunctions => vf}
+
+/** Round-8 additions: contrastive-training data mining (hard
+  * negatives), late-interaction retrieval (MaxSim), embedding drift
+  * monitoring, privacy auditing (k-anonymity / l-diversity), and the
+  * bitmap sketch algebra's AND path (audience overlap).
+  *
+  * House determinism rules apply: similarity doubles are collapsed to
+  * integer ppm via `floor(x*1e6 + 0.5)` (identical IEEE ops both
+  * engines) BEFORE any order-sensitive aggregation, every ratio is
+  * integer DIV on non-negative operands (truncation == floor), every
+  * query ends in ORDER BY over a unique key prefix, and DuckDB SUM's
+  * HUGEINT widening is cast back to BIGINT.
+  */
+object PipelineQueries {
+
+  /** DuckDB cosine over two float-list columns — same left-to-right
+    * double accumulation as the `vec_cosine` kernel (see
+    * SimilarityQueries: the pair is bit-identical by construction). */
+  private def cosSql(e: String, q: String): String =
+    s"""list_sum(list_transform(list_zip($e, $q),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Integer-ppm rounding of a double column (house rule: collapse
+    * doubles to exact integers before any order-sensitive SUM). */
+  private def ppm(c: Column): Column = floor(c * lit(1e6) + lit(0.5))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -----------------------------------------------------------------
+    // Hard-negative mining for contrastive training: for each probe,
+    // the top-5 most-similar vectors with a DIFFERENT label — "looks
+    // like the anchor but isn't" is exactly what a contrastive loss
+    // wants in the denominator. Same shape as e_ann_topk (broadcast
+    // probes, corpus scanned once, never shuffled), with the label
+    // inequality applied BEFORE any distance math so mismatched-label
+    // pruning rides the scan. At 100 TB this is the exact-scoring tail
+    // of the mining pipeline; the candidate-generation head would be
+    // the IVF/PQ index (e_ann_ivfpq) feeding this same scorer.
+    // -----------------------------------------------------------------
+    QueryDef("e_hard_negatives",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val joined = emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+          .withColumn("sim", Similarity.cosine("embedding", "qv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+        joined.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("label").cast("long").as("neg_label"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH probes AS (
+             |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+             |  FROM embeddings WHERE vec_id < 10),
+             |sims AS (
+             |  SELECT p.qid, e.vec_id, e.label,
+             |         ${cosSql("e.embedding", "p.qv")} AS sim
+             |  FROM embeddings e CROSS JOIN probes p
+             |  WHERE e.vec_id <> p.qid AND e.label <> p.qlabel),
+             |ranked AS (
+             |  SELECT qid, vec_id, label,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+             |  FROM sims)
+             |SELECT qid, rank, vec_id AS neighbor_id, CAST(label AS BIGINT) AS neg_label
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Late-interaction (ColBERT MaxSim) retrieval: documents are BAGS
+    // of vectors (here: 5-vector groups carved from the embeddings
+    // table by `vec_id DIV 5`), and score(Q, D) = Σ_{q∈Q} max_{d∈D}
+    // cos(q, d). The two-level aggregate is the whole trick at scale:
+    // the corpus token table is scanned ONCE against broadcast query
+    // tokens, the per-(qtok, doc) MAX and the per-(qdoc, doc) SUM are
+    // both map-side combinable, and only |Q|·|docs| narrow rows ever
+    // shuffle — never the token vectors themselves. Similarities are
+    // collapsed to integer ppm BEFORE the SUM (MAX of doubles is
+    // order-free; SUM is not), so the score is engine-exact.
+    // -----------------------------------------------------------------
+    QueryDef("e_maxsim",
+      (s, d) => {
+        val tok = embeddings(s, d).select(
+          expr("vec_id DIV 5").as("doc"), col("vec_id").as("tid"), col("embedding"))
+        val probes = tok.filter(col("doc") < 2)
+          .select(col("doc").as("qdoc"), col("tid").as("qtok"), col("embedding").as("qv"))
+        val sims = tok.crossJoin(broadcast(probes))
+          .filter(col("doc") =!= col("qdoc"))
+          .withColumn("sim_ppm", ppm(vf.vec_cosine(col("embedding"), col("qv"))))
+        val best = sims.groupBy(col("qdoc"), col("qtok"), col("doc"))
+          .agg(max(col("sim_ppm")).as("best_ppm"))
+        val scored = best.groupBy(col("qdoc"), col("doc"))
+          .agg(sum(col("best_ppm")).as("maxsim_ppm"))
+        val w = Window.partitionBy(col("qdoc")).orderBy(col("maxsim_ppm").desc, col("doc"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qdoc"), col("rank"), col("doc").as("neighbor_doc"), col("maxsim_ppm"))
+          .orderBy(col("qdoc"), col("rank"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT vec_id // 5 AS doc, vec_id AS tid, embedding FROM embeddings),
+             |probes AS (
+             |  SELECT doc AS qdoc, tid AS qtok, embedding AS qv FROM tok WHERE doc < 2),
+             |sims AS (
+             |  SELECT p.qdoc, p.qtok, t.doc,
+             |         CAST(floor((${cosSql("t.embedding", "p.qv")}) * 1000000.0 + 0.5) AS BIGINT) AS sim_ppm
+             |  FROM tok t CROSS JOIN probes p
+             |  WHERE t.doc <> p.qdoc),
+             |best AS (
+             |  SELECT qdoc, qtok, doc, MAX(sim_ppm) AS best_ppm FROM sims GROUP BY 1, 2, 3),
+             |scored AS (
+             |  SELECT qdoc, doc, CAST(SUM(best_ppm) AS BIGINT) AS maxsim_ppm
+             |  FROM best GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT qdoc, doc, maxsim_ppm,
+             |         ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY maxsim_ppm DESC, doc) AS rank
+             |  FROM scored)
+             |SELECT qdoc, rank, doc AS neighbor_doc, maxsim_ppm
+             |FROM ranked WHERE rank <= 3 ORDER BY qdoc, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Embedding drift monitor: per-dimension mean shift between two
+    // cohorts (label parity stands in for "last week's corpus vs this
+    // week's"). The production question is "did the embedding space
+    // move enough that the ANN index needs retraining?" — answered
+    // here with one posexplode + one map-side-combined aggregate, all
+    // integer-exact: per-element ppm, per-(dim, cohort) BIGINT sums,
+    // and the mean comparison cross-multiplied (|s_a·n_b − s_b·n_a|)
+    // so no division touches the ranking. Top-10 drifted dimensions.
+    // -----------------------------------------------------------------
+    QueryDef("e_embed_drift",
+      (s, d) => {
+        val tok = embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("x_ppm", ppm(col("x").cast("double")))
+        val per = tok.groupBy(col("dim").cast("long").as("dim")).agg(
+          sum(when(col("label") % 2 === 0, col("x_ppm")).otherwise(lit(0L))).as("s_a"),
+          sum(when(col("label") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("label") % 2 === 1, col("x_ppm")).otherwise(lit(0L))).as("s_b"),
+          sum(when(col("label") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        val scored = per
+          .withColumn("drift_x", abs(col("s_a") * col("n_b") - col("s_b") * col("n_a")))
+          .withColumn("mean_diff_ppm", expr("drift_x DIV (n_a * n_b)"))
+        val w = Window.orderBy(col("drift_x").desc, col("dim"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("rank"), col("dim"), col("n_a"), col("n_b"),
+            col("mean_diff_ppm"), col("drift_x"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT label, dim, CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x_ppm
+             |  FROM embeddings, range(64) r(dim)),
+             |per AS (
+             |  SELECT dim,
+             |         CAST(SUM(CASE WHEN label % 2 = 0 THEN x_ppm ELSE 0 END) AS BIGINT) AS s_a,
+             |         CAST(SUM(CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |         CAST(SUM(CASE WHEN label % 2 = 1 THEN x_ppm ELSE 0 END) AS BIGINT) AS s_b,
+             |         CAST(SUM(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM tok GROUP BY dim),
+             |scored AS (
+             |  SELECT dim, n_a, n_b,
+             |         abs(s_a * n_b - s_b * n_a) AS drift_x,
+             |         abs(s_a * n_b - s_b * n_a) // (n_a * n_b) AS mean_diff_ppm
+             |  FROM per),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (ORDER BY drift_x DESC, dim) AS rank FROM scored)
+             |SELECT rank, dim, n_a, n_b, mean_diff_ppm, drift_x
+             |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Privacy audit: k-anonymity / l-diversity over quasi-identifiers.
+    // A released training corpus keyed by (lang, length-bucket) is
+    // k-anonymous at the MIN equivalence-class size; l-diversity is the
+    // MIN distinct sensitive values (source) within a class. The audit
+    // is two map-side-combined aggregates over the class key — at
+    // 100 TB the class table is |langs|·|buckets| rows, so the report
+    // never materializes anything document-sized. Emitted per lang:
+    // class count, risky classes/docs (size < 5), worst-case k and l.
+    // -----------------------------------------------------------------
+    QueryDef("d_k_anonymity",
+      (s, d) => {
+        val cls = documents(s, d)
+          .groupBy(col("lang"), expr("n_chars DIV 100").as("bucket"))
+          .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("nsrc"))
+        cls.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < 5, 1L).otherwise(0L)).as("risky_classes"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("risky_docs"),
+          min(col("sz")).as("k_anon"),
+          min(col("nsrc")).as("l_div"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH cls AS (
+             |  SELECT lang, n_chars // 100 AS bucket,
+             |         COUNT(*) AS sz, COUNT(DISTINCT source) AS nsrc
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT lang, COUNT(*) AS n_classes,
+             |       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+             |       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_docs,
+             |       MIN(sz) AS k_anon, MIN(nsrc) AS l_div
+             |FROM cls GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Audience overlap via bitmap AND: per-event-type exact user
+    // bitmaps (one aggregate scan of the facts), then pairwise
+    // |A ∩ B| and exact Jaccard on the 5-row aggregated table. This is
+    // the sketch-algebra completion of q_bitmap_distinct/_rollup — OR
+    // answered "union distinct", AND answers "both" — and the shape a
+    // 100 TB segment-overlap matrix wants: the raw events are touched
+    // once, the pairwise work runs on |types|² sketch rows. The oracle
+    // recomputes every intersection from raw rows.
+    // -----------------------------------------------------------------
+    QueryDef("q_bitmap_overlap",
+      (s, d) => {
+        val bm = events(s, d).groupBy(col("event_type"))
+          .agg(vf.bitmap_agg(col("user_id")).as("bm"))
+          .withColumn("n", vf.bitmap_cardinality(col("bm")))
+        val a = bm.select(col("event_type").as("t1"), col("bm").as("bm1"), col("n").as("n_a"))
+        val b = bm.select(col("event_type").as("t2"), col("bm").as("bm2"), col("n").as("n_b"))
+        a.crossJoin(broadcast(b)).filter(col("t1") < col("t2"))
+          .withColumn("n_both", vf.bitmap_and_cardinality(col("bm1"), col("bm2")))
+          .select(col("t1"), col("t2"), col("n_both"), col("n_a"), col("n_b"),
+            expr("n_both * 1000000 DIV (n_a + n_b - n_both)").as("jaccard_ppm"))
+          .orderBy(col("t1"), col("t2"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+             |tot AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+             |pair AS (
+             |  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
+             |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta.event_type AS t1, tb.event_type AS t2,
+             |       COALESCE(p.n_both, 0) AS n_both, ta.n AS n_a, tb.n AS n_b,
+             |       COALESCE(p.n_both, 0) * 1000000 // (ta.n + tb.n - COALESCE(p.n_both, 0)) AS jaccard_ppm
+             |FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+             |LEFT JOIN pair p ON p.t1 = ta.event_type AND p.t2 = tb.event_type
+             |ORDER BY t1, t2""".stripMargin))
+  )
+}

@@ -280,6 +280,14 @@ object DevSmoke {
     graft.Queries.queryMap("d_entity_resolution")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("d_minhash_gate")(spark, sf).show(truncate = false)
 
+    println("=== round 8: hard negatives / maxsim / drift / k-anonymity / bitmap AND ===")
+    println("hard negative rows: " +
+      graft.Queries.queryMap("e_hard_negatives")(spark, sf).count())
+    graft.Queries.queryMap("e_maxsim")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("e_embed_drift")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_k_anonymity")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("q_bitmap_overlap")(spark, sf).show(3, truncate = false)
+
     spark.stop()
   }
 }

@@ -82,4 +82,47 @@ class BitmapSpec extends AnyFunSuite {
       "SELECT bitmap_cardinality(bitmap_agg(id)) AS n FROM bm_ids").head().getLong(0)
     assert(n === 3L)
   }
+
+  test("AND cardinality == exact set intersection (incl. cross-page)") {
+    val a = BitmapUtil.newPages()
+    val b = BitmapUtil.newPages()
+    val setA = ((0L to 500L by 3) ++ Seq(65535L, 65536L, 10000000L)).toSet
+    val setB = ((0L to 500L by 5) ++ Seq(65536L, 9999999L)).toSet
+    setA.foreach(BitmapUtil.add(a, _))
+    setB.foreach(BitmapUtil.add(b, _))
+    val want = (setA intersect setB).size.toLong
+    assert(BitmapUtil.andCardinality(a, b) === want)
+    assert(BitmapUtil.andCardinality(b, a) === want, "AND must be symmetric")
+  }
+
+  test("AND via serialized bytes, empty intersection, and SQL surface") {
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 3L), (1, 4L), (2, 900000L))
+      .toDF("g", "id")
+    val bms = df.groupBy($"g").agg(vf.bitmap_agg($"id").as("bm"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    def and(x: Int, y: Int): Long =
+      BitmapUtil.andCardinality(BitmapUtil.fromBytes(bms(x)), BitmapUtil.fromBytes(bms(y)))
+    assert(and(0, 1) === 1L)   // {3}
+    assert(and(0, 2) === 0L)   // disjoint pages — no shared page ids at all
+    assert(and(1, 2) === 0L)
+    df.createOrReplaceTempView("bm_and_ids")
+    val viaSql = spark.sql(
+      """SELECT bitmap_and_cardinality(a.bm, b.bm) AS n FROM
+        |  (SELECT bitmap_agg(id) AS bm FROM bm_and_ids WHERE g = 0) a,
+        |  (SELECT bitmap_agg(id) AS bm FROM bm_and_ids WHERE g = 1) b""".stripMargin)
+      .head().getLong(0)
+    assert(viaSql === 1L)
+  }
+
+  test("AND is partition-invariant: |A∩B| stable under input repartition") {
+    val rows = (0L until 5000L).map(i => (if (i % 2 == 0) "x" else "y", i / 3))
+    def overlap(parts: Int): Long = {
+      val bm = rows.toDF("g", "id").repartition(parts)
+        .groupBy($"g").agg(vf.bitmap_agg($"id").as("bm"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      BitmapUtil.andCardinality(
+        BitmapUtil.fromBytes(bm("x")), BitmapUtil.fromBytes(bm("y")))
+    }
+    assert(overlap(1) === overlap(17))
+  }
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Queries, Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the round-8 pipeline operators (PipelineQueries.scala)
+  * beyond their DuckDB oracle rows: label-constraint soundness and a
+  * full Scala brute-force differential for the similarity pair, audit
+  * invariants for k-anonymity, and partition invariance for the drift
+  * monitor (all-integer aggregates must not care how the scan splits).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def q(name: String) =
+    Queries.queryMap(name)(spark, TestSpark.SF)
+
+  /** Collected (vec_id, label, embedding) fixture — 50 vectors at
+    * sf0.001, small enough for exact quadratic reference math. */
+  private lazy val vecs: Seq[(Long, Int, Array[Float])] =
+    Tables.embeddings(spark, TestSpark.SF)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+
+  /** Same accumulation order as the vec_cosine kernel: left-to-right
+    * doubles for dot and both norms. */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("e_hard_negatives: exact brute-force differential + label constraint") {
+    val rows = q("e_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLabel = vecs.map(v => v._1 -> v._2).toMap
+    // no returned negative may share its probe's label
+    rows.foreach { case (qid, _, nid, negLabel) =>
+      assert(byLabel(nid).toLong === negLabel)
+      assert(byLabel(nid) !== byLabel(qid), s"probe $qid got same-label neighbor $nid")
+    }
+    // exact reference: per probe, top-5 different-label by (cos desc, id)
+    val probes = vecs.filter(_._1 < 10)
+    probes.foreach { case (qid, qlabel, qv) =>
+      val want = vecs
+        .filter(v => v._1 != qid && v._2 != qlabel)
+        .map(v => (v._1, cosine(v._3, qv)))
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(5).map(_._1)
+      val got = rows.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(got === want, s"probe $qid neighbor list diverges from brute force")
+    }
+  }
+
+  test("e_maxsim: exact brute-force differential (sum-of-max in ppm)") {
+    val rows = q("e_maxsim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = vecs.groupBy(_._1 / 5).view.mapValues(_.map(_._3)).toMap
+    val qdocs = docs.keys.filter(_ < 2)
+    qdocs.foreach { qd =>
+      val want = docs.keys.filter(_ != qd).map { cd =>
+        val score = docs(qd).map { qv =>
+          docs(cd).map(cv => math.floor(cosine(cv, qv) * 1e6 + 0.5).toLong).max
+        }.sum
+        (cd, score)
+      }.toSeq.sortBy { case (cd, s) => (-s, cd) }.take(3)
+      val got = rows.filter(_._1 == qd).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got === want, s"qdoc $qd maxsim ranking diverges from brute force")
+    }
+  }
+
+  test("d_k_anonymity: audit invariants + independent class count") {
+    val rows = q("d_k_anonymity").collect()
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val classCount = docs
+      .select(col("lang"), expr("n_chars DIV 100")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === classCount)
+    rows.foreach { r =>
+      val (nClasses, risky, riskyDocs, k, l) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(k >= 1 && l >= 1)
+      assert(risky <= nClasses)
+      assert(riskyDocs >= risky, "each risky class holds at least one doc")
+      assert(riskyDocs <= risky * 4, "a risky class has at most 4 docs by definition")
+      if (k >= 5) assert(risky === 0L)
+    }
+  }
+
+  test("e_embed_drift: run-stable, dims in range, ordering sound") {
+    val base = q("e_embed_drift").collect()
+    assert(base.length === 10)
+    val total = vecs.length.toLong
+    base.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 64)   // dim
+      assert(r.getLong(2) + r.getLong(3) === total)    // n_a + n_b
+    }
+    val drifts = base.sortBy(_.getLong(0)).map(_.getLong(5))
+    assert(drifts.zip(drifts.tail).forall { case (a, b) => a >= b },
+      "drift_x must be non-increasing in rank")
+    // all-integer aggregation ⇒ identical across runs whatever split
+    // the scan picks
+    val again = q("e_embed_drift").collect()
+    assert(base.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("q_bitmap_overlap: pair counts match exact distinct-set intersections") {
+    val rows = q("q_bitmap_overlap").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val sets = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    for (i <- types.indices; j <- i + 1 until types.length) {
+      val (t1, t2) = (types(i), types(j))
+      val (nBoth, nA, nB) = rows((t1, t2))
+      assert(nBoth === (sets(t1) intersect sets(t2)).size.toLong)
+      assert(nA === sets(t1).size.toLong && nB === sets(t2).size.toLong)
+    }
+  }
+}
