@@ -35,6 +35,8 @@ object VariantFunctions {
     col(VariantMergePatch(expr(target), expr(patch)))
   def variant_strip_keys(v: Column, keys: Column): Column =
     col(VariantStripKeys(expr(v), expr(keys)))
+  def variant_diff(a: Column, b: Column): Column =
+    col(VariantDiff(expr(a), expr(b)))
   def to_variant(c: Column): Column = col(ToVariant(expr(c)))
   def to_spark_variant(c: Column): Column = col(ToSparkVariant(expr(c)))
   def from_spark_variant(c: Column): Column = col(FromSparkVariant(expr(c)))
@@ -150,6 +152,9 @@ object VariantFunctions {
     ("variant_strip_keys",
       (es: Seq[Expression]) => VariantStripKeys(es.head, es(1)),
       "variant_strip_keys(v, keys) - Remove named top-level keys from a variant object; no-op on non-objects."),
+    ("variant_diff",
+      (es: Seq[Expression]) => VariantDiff(es.head, es(1)),
+      "variant_diff(a, b) - Minimal RFC 7386 patch p with variant_merge_patch(a, p) = b (nulls in b unreachable; non-objects replace)."),
     ("to_variant",
       (es: Seq[Expression]) => ToVariant(es.head),
       "to_variant(col) - Encode a typed value (scalar/struct/array/map) as a variant."),

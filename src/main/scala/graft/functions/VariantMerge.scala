@@ -127,6 +127,49 @@ case class VariantStripKeys(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `variant_diff(a, b)` — structural diff as an RFC 7386 merge patch:
+  * the minimal patch `p` with `variant_merge_patch(a, p) ≡ b` (see
+  * [[VariantMergePatch.diff]] for the two RFC-inherent caveats:
+  * null-valued fields of `b` are unreachable by ANY patch, and
+  * non-object endpoints replace wholesale). The CDC primitive for
+  * semi-structured columns: store `diff(yesterday, today)` instead of
+  * `today`, re-apply with merge_patch. Output re-encodes through the
+  * canonical writer — equal diffs have equal bytes.
+  *
+  * Reference anchor: like variant_merge_patch, a parity extension on
+  * top of arrow-open-variant's codec surface (read.rs:113-279,
+  * write.rs:197-279); the reference has no structural-diff operator.
+  */
+case class VariantDiff(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  import VariantMergePatch._
+
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_diff"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(left.dataType) &&
+        VariantSchema.isVariantStruct(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_diff expects two variant structs, got: " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lr = l.asInstanceOf[InternalRow]
+    val rr = r.asInstanceOf[InternalRow]
+    encode(diff(
+      decode(lr.getBinary(0), lr.getBinary(1)),
+      decode(rr.getBinary(0), rr.getBinary(1))))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused `variant_merge_patch(variant_from_json(t), variant_from_json(p))`
   * — both documents parse straight into the decoded value tree (one
   * streaming Jackson walk each) and the merged tree encodes ONCE, so the
@@ -345,6 +388,61 @@ object VariantMergePatch {
       }
       VObj(base)
     case other => other
+  }
+
+  /** Structural value equality for diffing. Case-class `==` is almost
+    * right; the exceptions are byte arrays (reference equality) and the
+    * wish for key-order-INSENSITIVE object comparison (canonical
+    * encoding sorts keys at write time, so insertion order is not
+    * identity). Scalar equality is strict on type AND value — a VLong 1
+    * and a VDouble 1.0 differ, matching byte-level canonical identity.
+    */
+  def nodeEq(a: VNode, b: VNode): Boolean = (a, b) match {
+    case (VBin(x), VBin(y)) => java.util.Arrays.equals(x, y)
+    case (VArr(x), VArr(y)) =>
+      x.length == y.length && x.indices.forall(i => nodeEq(x(i), y(i)))
+    case (VObj(x), VObj(y)) =>
+      x.size == y.size && x.forall { case (k, v) => y.get(k).exists(nodeEq(v, _)) }
+    case _ => a == b
+  }
+
+  /** The INVERSE of [[merge]]: the minimal RFC 7386 patch `p` with
+    * `merge(a, p) == b` — up to the two gaps RFC 7386 itself has:
+    *
+    *  - an explicit JSON-null FIELD VALUE in `b` is unreachable (a null
+    *    in a patch always means delete), so such fields are skipped and
+    *    the roundtrip target is `b` with null-valued object fields
+    *    recursively stripped (stopping at arrays, which merge
+    *    wholesale) — exactly what `merge` itself produces from any
+    *    patch carrying that subtree;
+    *  - a non-object on EITHER side admits only wholesale replacement
+    *    (there is no object no-op patch for a scalar target: merging
+    *    `{}` onto a scalar yields `{}`), so the diff is `b` itself.
+    *
+    * Within objects: unchanged keys are omitted, object-vs-object
+    * children recurse (and are omitted when the sub-diff is empty),
+    * anything else that changed is replaced by `b`'s value, and keys of
+    * `a` missing from `b` map to null (delete).
+    */
+  def diff(a: VNode, b: VNode): VNode = (a, b) match {
+    case (VObj(af), VObj(bf)) =>
+      val out = new scala.collection.mutable.LinkedHashMap[String, VNode]
+      bf.foreach { case (k, bv) =>
+        if (bv != VNull) {
+          af.get(k) match {
+            case Some(av) if nodeEq(av, bv) => ()
+            case Some(av @ VObj(_)) if bv.isInstanceOf[VObj] =>
+              diff(av, bv) match {
+                case VObj(sub) if sub.isEmpty => () // equal up to unreachable nulls
+                case sub => out.put(k, sub)
+              }
+            case _ => out.put(k, bv) // added, or changed (incl. type change)
+          }
+        }
+      }
+      af.keysIterator.foreach { k => if (!bf.contains(k)) out.put(k, VNull) }
+      VObj(out)
+    case _ => b
   }
 
   private def collectKeys(n: VNode, out: java.util.ArrayList[String]): Unit = n match {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.Tables.{documents, embeddings, events}
+import graft.Tables.{documents, embeddings, events, lineitem}
 import graft.functions.{VariantFunctions => vf}
 
 /** Round-8 additions: contrastive-training data mining (hard
@@ -212,6 +212,99 @@ object PipelineQueries {
              |       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_docs,
              |       MIN(sz) AS k_anon, MIN(nsrc) AS l_div
              |FROM cls GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Structural variant diff (the inverse of v_merge_patch): per row,
+    // two JSON documents are synthesized from lineitem columns with
+    // KNOWN differences — a changed scalar (qty, when orderkey is odd),
+    // a changed nested field (meta.tax, when orderkey % 3 ≠ 0), a
+    // dropped key (flag) and an added key (extra) — and the oracle
+    // states the expected RFC 7386 patch ANALYTICALLY as a string built
+    // from the same columns. The gate therefore proves variant_diff
+    // emits exactly the minimal patch (canonical sorted-key compact
+    // JSON) for every row; the merge_patch(a, diff(a,b)) ≡ b roundtrip
+    // is fuzz-pinned in VariantDiffSpec. This is the CDC primitive for
+    // semi-structured columns: ship diffs, re-apply with merge_patch.
+    // -----------------------------------------------------------------
+    QueryDef("v_diff",
+      (s, d) => {
+        val aJson = concat(
+          lit("""{"flag": """"), col("l_returnflag"),
+          lit("""", "id": """), col("l_orderkey"),
+          lit(""", "meta": {"sk": """), col("l_partkey"),
+          lit(""", "tax": """), col("l_suppkey"),
+          lit("""}, "qty": """), col("l_linenumber"), lit("}"))
+        val bJson = concat(
+          lit("""{"extra": """), col("l_suppkey"),
+          lit(""", "id": """), col("l_orderkey"),
+          lit(""", "meta": {"sk": """), col("l_partkey"),
+          lit(""", "tax": """), col("l_suppkey") + (col("l_orderkey") % 3),
+          lit("""}, "qty": """), col("l_linenumber") + (col("l_orderkey") % 2), lit("}"))
+        // single-file fixture = one scan partition; respread the narrow
+        // input so the per-row parse+diff+encode runs on every core
+        // (the v_nested_paths lesson)
+        lineitem(s, d).filter(col("l_orderkey") % 23 === 0)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("dj", vf.variant_to_json(vf.variant_diff(
+            vf.variant_from_json(aJson), vf.variant_from_json(bJson))))
+          .select(col("l_orderkey"), col("l_linenumber"), col("dj"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  '{"extra":' || CAST(l_suppkey AS VARCHAR) || ',"flag":null' ||
+             |  CASE WHEN l_orderkey % 3 <> 0
+             |       THEN ',"meta":{"tax":' || CAST(l_suppkey + l_orderkey % 3 AS VARCHAR) || '}'
+             |       ELSE '' END ||
+             |  CASE WHEN l_orderkey % 2 <> 0
+             |       THEN ',"qty":' || CAST(l_linenumber + l_orderkey % 2 AS VARCHAR)
+             |       ELSE '' END || '}' AS dj
+             |FROM lineitem WHERE l_orderkey % 23 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Vocabulary growth (Heaps'-law curve): cumulative distinct word
+    // types vs cumulative tokens at doc-id checkpoints — the corpus
+    // diversity trajectory a curation pipeline tracks to spot when new
+    // data stops adding new language. Two map-side-combined aggregates
+    // — per-bucket token counts, and first-occurrence bucket per TYPE
+    // (the vocabulary-sized shuffle) — then a window over the tiny
+    // bucket table. The raw token stream never reaches the window.
+    // -----------------------------------------------------------------
+    QueryDef("d_vocab_growth",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(expr("doc_id DIV 50").as("bucket"),
+            explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
+        val perBucket = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tok"))
+        val firstSeen = toks.groupBy(col("tok")).agg(min(col("bucket")).as("fb"))
+          .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("n_new"))
+        val joined = perBucket.join(firstSeen, Seq("bucket"), "left")
+          .na.fill(0L, Seq("n_new"))
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined
+          .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+          .withColumn("cum_types", sum(col("n_new")).over(w))
+          .select(col("bucket"), col("cum_tokens"), col("cum_types"),
+            expr("cum_types * 1000000 DIV cum_tokens").as("ttr_ppm"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id // 50 AS bucket,
+             |         unnest(regexp_extract_all(text, '\S+')) AS tok
+             |  FROM documents),
+             |bt AS (SELECT bucket, COUNT(*) AS n_tok FROM tok GROUP BY 1),
+             |ft AS (SELECT tok, MIN(bucket) AS fb FROM tok GROUP BY 1),
+             |nt AS (SELECT fb AS bucket, COUNT(*) AS n_new FROM ft GROUP BY 1),
+             |j AS (SELECT bt.bucket, bt.n_tok, COALESCE(nt.n_new, 0) AS n_new
+             |      FROM bt LEFT JOIN nt ON nt.bucket = bt.bucket),
+             |c AS (SELECT bucket,
+             |        CAST(SUM(n_tok) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             |        CAST(SUM(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+             |      FROM j)
+             |SELECT bucket, cum_tokens, cum_types,
+             |       cum_types * 1000000 // cum_tokens AS ttr_ppm
+             |FROM c ORDER BY bucket""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Audience overlap via bitmap AND: per-event-type exact user

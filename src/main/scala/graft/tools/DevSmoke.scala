@@ -287,6 +287,13 @@ object DevSmoke {
     graft.Queries.queryMap("e_embed_drift")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("d_k_anonymity")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("q_bitmap_overlap")(spark, sf).show(3, truncate = false)
+    println("variant diff: " + spark.sql(
+      """SELECT variant_to_json(variant_diff(
+        |  variant_from_json('{"a": 1, "b": {"x": 1}, "c": 3}'),
+        |  variant_from_json('{"a": 2, "b": {"x": 1, "y": 4}}')))""".stripMargin)
+      .head().getString(0))
+    graft.Queries.queryMap("v_diff")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_vocab_growth")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }
