@@ -308,6 +308,71 @@ case class VariantGet(
     copy(child = newChild)
 }
 
+/** `variant_get_all(v, '$.path'[, 'type'])`: like variant_get but the
+  * path may contain `[*]` array wildcards — returns EVERY match as an
+  * array (document order: array indices ascending, depth-first across
+  * wildcard branches). The multi-valued extraction Snowflake/Databricks
+  * users reach for with FLATTEN-then-aggregate, done in one walk with
+  * no row explosion: `$.items[*].qty` over an order document yields the
+  * quantity array directly. Misses prune their branch (an element
+  * without the key contributes nothing); zero matches yield an EMPTY
+  * array — SQL NULL is reserved for NULL input. Element casts use try
+  * semantics (uncastable match → NULL element), matching
+  * try_variant_get. A wildcard-free path degenerates to a 0/1-element
+  * array.
+  */
+case class VariantGetAll(
+    child: Expression,
+    path: String,
+    elemType: DataType) extends UnaryExpression with GraftUnaryCodegen {
+
+  @transient private lazy val steps: Array[PathStep] = VariantPath.parse(path)
+
+  /** Same decoded-metadata id cache as VariantGet (SURVEY §4.2.3). */
+  @transient private lazy val idCache: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](2))
+
+  override def dataType: DataType = ArrayType(elemType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_get_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_get_all expects a variant struct, got: ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val metaBytes = row.getBinary(0)
+    val valBytes = row.getBinary(1)
+    if (valBytes == null) return null
+    val meta = new MetadataView(metaBytes, 0)
+    val cache = idCache.get()
+    val ids: Array[Int] =
+      if (cache(0) != null &&
+          java.util.Arrays.equals(cache(0).asInstanceOf[Array[Byte]], metaBytes))
+        cache(1).asInstanceOf[Array[Int]]
+      else {
+        val r = VariantPath.resolveIds(meta, steps)
+        cache(0) = metaBytes
+        cache(1) = r
+        r
+      }
+    val hits = new scala.collection.mutable.ArrayBuffer[graft.variant.VariantView](8)
+    VariantPath.walkAll(new VariantView(valBytes, 0), steps, ids, hits)
+    val out = new Array[Any](hits.length)
+    var i = 0
+    while (i < hits.length) {
+      out(i) = VariantExtract.cast(meta, hits(i), elemType, failOnError = false)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `variant_typeof(v)`: human-readable type of the variant root. */
 case class VariantTypeOf(child: Expression) extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = StringType

@@ -28,6 +28,11 @@ object VariantFunctions {
   def variant_get(c: Column, path: String, targetType: String): Column =
     col(VariantGet(expr(c), path, CatalystSqlParser.parseDataType(targetType)))
 
+  def variant_get_all(c: Column, path: String): Column =
+    col(VariantGetAll(expr(c), path, VariantSchema.TYPE))
+  def variant_get_all(c: Column, path: String, elemType: DataType): Column =
+    col(VariantGetAll(expr(c), path, elemType))
+
   def variant_typeof(c: Column): Column = col(VariantTypeOf(expr(c)))
   def is_variant_null(c: Column): Column = col(IsVariantNull(expr(c)))
   def variant_to_json(c: Column): Column = col(VariantToJson(expr(c)))
@@ -137,6 +142,16 @@ object VariantFunctions {
         VariantGet(es.head, path, tpe, failOnError = false)
       },
       "try_variant_get(v, path[, type]) - Like variant_get; NULL on cast failure."),
+    ("variant_get_all",
+      (es: Seq[Expression]) => {
+        val path = litString(es(1), "variant_get_all path")
+        val tpe =
+          if (es.length >= 3)
+            CatalystSqlParser.parseDataType(litString(es(2), "variant_get_all type"))
+          else VariantSchema.TYPE
+        VariantGetAll(es.head, path, tpe)
+      },
+      "variant_get_all(v, path[, type]) - All matches of a path with [*] wildcards, as an array (empty when none)."),
     ("variant_typeof",
       (es: Seq[Expression]) => VariantTypeOf(es.head),
       "variant_typeof(v) - Type name of the variant root value."),

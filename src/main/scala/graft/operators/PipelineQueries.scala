@@ -262,6 +262,48 @@ object PipelineQueries {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Wildcard path extraction: `variant_get_all(v, '$.items[*].q')`
+    // pulls every array-element field in ONE walk — no explode, no
+    // re-aggregation — the multi-valued extraction that otherwise costs
+    // a generator + groupBy (row explosion × shuffle) at 100 TB. The
+    // fixture plants a conditionally-missing key (even orderkeys lack
+    // `q` in the middle item) so branch pruning is exercised; the
+    // oracle reconstructs the expected arrays and sums analytically
+    // from the generating columns.
+    // -----------------------------------------------------------------
+    QueryDef("v_get_wildcard",
+      (s, d) => {
+        val midItem = when(col("l_orderkey") % 2 === 0,
+          concat(lit("""{"p": """), col("l_partkey") % 10, lit("}")))
+          .otherwise(concat(lit("""{"q": """), col("l_partkey") % 10, lit("}")))
+        val json = concat(
+          lit("""{"id": """), col("l_orderkey"),
+          lit(""", "items": [{"q": """), col("l_linenumber"), lit("}, "),
+          midItem,
+          lit(""", {"q": """), col("l_suppkey") % 10, lit("}]}"))
+        lineitem(s, d).filter(col("l_orderkey") % 19 === 0)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("v", vf.variant_from_json(json))
+          .withColumn("qs", vf.variant_get_all(col("v"), "$.items[*].q",
+            org.apache.spark.sql.types.LongType))
+          .select(col("l_orderkey"), col("l_linenumber"), col("qs"),
+            size(col("qs")).cast("long").as("n_q"),
+            expr("aggregate(qs, 0L, (a, x) -> a + x)").as("qsum"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH e AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CASE WHEN l_orderkey % 2 = 0
+             |              THEN [CAST(l_linenumber AS BIGINT), l_suppkey % 10]
+             |              ELSE [CAST(l_linenumber AS BIGINT), l_partkey % 10, l_suppkey % 10]
+             |         END AS qs
+             |  FROM lineitem WHERE l_orderkey % 19 = 0)
+             |SELECT l_orderkey, l_linenumber, qs,
+             |       CAST(len(qs) AS BIGINT) AS n_q,
+             |       CAST(list_sum(qs) AS BIGINT) AS qsum
+             |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Vocabulary growth (Heaps'-law curve): cumulative distinct word
     // types vs cumulative tokens at doc-id checkpoints — the corpus
     // diversity trajectory a curation pipeline tracks to spot when new

@@ -294,6 +294,11 @@ object DevSmoke {
       .head().getString(0))
     graft.Queries.queryMap("v_diff")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("d_vocab_growth")(spark, sf).show(3, truncate = false)
+    println("wildcard extraction: " + spark.sql(
+      """SELECT variant_get_all(variant_from_json(
+        |  '{"items": [{"q": 1}, {"p": 2}, {"q": 3}]}'), '$.items[*].q', 'bigint')""".stripMargin)
+      .head().getSeq[Any](0).mkString("[", ",", "]"))
+    graft.Queries.queryMap("v_get_wildcard")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }

@@ -1,8 +1,9 @@
 package graft.variant
 
-/** JSONPath-lite used by `variant_get`: `$`, `.key`, `['key']`, `[123]`.
-  * Parsed once at analysis time; evaluated per row by walking views
-  * (the reference's per-step analog is `VariantRef::field`,
+/** JSONPath-lite used by `variant_get`: `$`, `.key`, `['key']`, `[123]`,
+  * plus the `[*]` array wildcard (variant_get_all only). Parsed once at
+  * analysis time; evaluated per row by walking views (the reference's
+  * per-step analog is `VariantRef::field`,
   * /root/reference/open-variant/src/values/read.rs:87-93).
   */
 sealed trait PathStep
@@ -11,6 +12,7 @@ object PathStep {
     val utf8: Array[Byte] = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
   final case class Index(i: Int) extends PathStep
+  case object Wildcard extends PathStep
 }
 
 object VariantPath {
@@ -51,12 +53,14 @@ object VariantPath {
             if (i >= n || i == start)
               throw new IllegalArgumentException(s"bad index in variant path: $path")
             val idx = path.substring(start, i)
-            steps += PathStep.Index(
-              try idx.toInt
-              catch {
-                case _: NumberFormatException =>
-                  throw new IllegalArgumentException(s"bad index '$idx' in: $path")
-              })
+            steps +=
+              (if (idx == "*") PathStep.Wildcard
+               else PathStep.Index(
+                 try idx.toInt
+                 catch {
+                   case _: NumberFormatException =>
+                     throw new IllegalArgumentException(s"bad index '$idx' in: $path")
+                 }))
             i += 1
           }
         case c =>
@@ -113,9 +117,42 @@ object VariantPath {
         case PathStep.Index(idx) =>
           if (!cur.isArray) return null
           cur = cur.getArray.elementAt(idx)
+        case PathStep.Wildcard =>
+          throw new IllegalArgumentException(
+            "wildcard [*] paths require variant_get_all")
       }
       i += 1
     }
     cur
+  }
+
+  /** Walk with `[*]` wildcards: collect EVERY match in document order
+    * (array elements ascending, depth-first across wildcard branches).
+    * A miss on any branch prunes that branch only; no matches → empty
+    * result, never an error — the multi-valued twin of [[walkWithIds]].
+    */
+  def walkAll(value: VariantView, steps: Array[PathStep], ids: Array[Int],
+              out: scala.collection.mutable.ArrayBuffer[VariantView]): Unit = {
+    def go(cur: VariantView, i: Int): Unit = {
+      if (cur == null) return
+      if (i == steps.length) { out += cur; return }
+      steps(i) match {
+        case _: PathStep.Key =>
+          if (!cur.isObject) return
+          val id = ids(i)
+          if (id < 0) return
+          go(cur.getObject.getField(id), i + 1)
+        case PathStep.Index(idx) =>
+          if (!cur.isArray) return
+          go(cur.getArray.elementAt(idx), i + 1)
+        case PathStep.Wildcard =>
+          if (!cur.isArray) return
+          val arr = cur.getArray
+          var j = 0
+          val n = arr.numElements
+          while (j < n) { go(arr.elementAt(j), i + 1); j += 1 }
+      }
+    }
+    go(value, 0)
   }
 }

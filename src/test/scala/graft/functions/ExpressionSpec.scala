@@ -362,4 +362,27 @@ class ExpressionSpec extends AnyFunSuite {
       """SELECT variant_from_json('{"a": 1, "b": 2}') = variant_from_json('{"b": 2, "a": 1}') AS r""")
       .getBoolean(0))
   }
+
+  test("variant_get_all: wildcard matches, branch pruning, nesting, empty, try casts") {
+    val doc = """{"items": [{"q": 1}, {"p": 9}, {"q": 3}], "tags": ["a", "b"],
+                 "deep": [{"xs": [{"v": 10}, {"v": 20}]}, {"xs": [{"v": 30}]}]}"""
+    def all(path: String, tpe: String): Seq[Any] =
+      sql1(s"SELECT variant_get_all(variant_from_json('$doc'), '$path', '$tpe') AS r")
+        .getSeq[Any](0)
+    assert(all("$.items[*].q", "bigint") === Seq(1L, 3L))      // {"p":9} pruned
+    assert(all("$.tags[*]", "string") === Seq("a", "b"))
+    assert(all("$.deep[*].xs[*].v", "bigint") === Seq(10L, 20L, 30L)) // two wildcards
+    assert(all("$.missing[*]", "bigint") === Seq())            // absent → empty
+    assert(all("$.items[1].p", "bigint") === Seq(9L))          // no wildcard → 0/1
+    assert(all("$.tags[*]", "bigint") === Seq(null, null))     // try-cast per element
+    // SQL NULL input → NULL, not an empty array
+    assert(sql1("SELECT variant_get_all(variant_from_json('null'), '$.a[*]', 'bigint') IS NULL AS r")
+      .getBoolean(0))
+    // wildcard path rejected by single-valued variant_get
+    val e = intercept[Exception] {
+      sql1("""SELECT variant_get(variant_from_json('{"a": [1]}'), '$.a[*]', 'bigint')""")
+    }
+    assert(e.getMessage.contains("variant_get_all") ||
+      Option(e.getCause).exists(_.getMessage.contains("variant_get_all")))
+  }
 }
