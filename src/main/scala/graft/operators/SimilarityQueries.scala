@@ -1260,6 +1260,70 @@ object StreamingQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Streaming CDC over semi-structured state (VariantCdcProcessor):
+    // per user, each micro-batch updates a JSON profile and emits
+    // variant_diff(previous, current); a second state field folds every
+    // emitted patch onto {} with variant_merge_patch. The final emission
+    // carries BOTH the directly-built document and the patch-fold
+    // reconstruction, and the oracle emits the analytically-built
+    // document for both columns — so "the change feed reconstructs the
+    // state" is itself driver-gated, not just spec'd.
+    QueryDef("s_variant_diff",
+      (s, d) => {
+        import s.implicits._
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#multi", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_multi_")
+          s.read.parquet(s"$d/events.parquet").repartition(4)
+            .write.mode("overwrite").parquet(sd.toString)
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          .select(col("user_id"), col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          .as[TransformState.DocEvent]
+        val out = stream.groupByKey(_.user_id)
+          .transformWithState(new TransformState.VariantCdcProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val qname = s"s_variant_diff_${runCounter.incrementAndGet()}"
+        val pk = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(pk)
+        s.conf.set(pk,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try withStatePartitions(s, 8, noDataBatches = false) {
+          val q = out.writeStream.outputMode("update")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        } finally prevProvider match {
+          case Some(v) => s.conf.set(pk, v)
+          case None => s.conf.unset(pk)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+        s.table(qname)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("doc"), col("recon"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+             |           FROM events GROUP BY 1, 2),
+             |t AS (SELECT user_id,
+             |             '{' || string_agg('"' || event_type || '":' || CAST(n AS VARCHAR),
+             |                               ',' ORDER BY event_type) || '}' AS tj
+             |      FROM c GROUP BY user_id),
+             |tot AS (SELECT user_id, COUNT(*) AS n,
+             |               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |        FROM events GROUP BY 1),
+             |doc AS (SELECT tot.user_id,
+             |               '{"cents":' || CAST(cents AS VARCHAR) || ',"n":' || CAST(n AS VARCHAR)
+             |                 || ',"t":' || tj || '}' AS dj
+             |        FROM tot JOIN t ON t.user_id = tot.user_id)
+             |SELECT user_id, dj AS doc, dj AS recon
+             |FROM doc ORDER BY user_id""".stripMargin)),
+
     QueryDef("s_outer_join",
       (s, d) => {
         val staticSchema = s.read.parquet(s"$d/events.parquet").schema

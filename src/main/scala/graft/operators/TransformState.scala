@@ -115,4 +115,68 @@ object TransformState {
       Iterator.single(TypeDistinct(key, BitmapUtil.cardinality(pages)))
     }
   }
+
+  case class DocEvent(user_id: Long, event_type: String, cents: Long)
+  case class DocState(n: Long, cents: Long, types: Map[String, Long], reconJson: String)
+  case class DocDiffOut(user_id: Long, n_events: Long, doc: String,
+                        recon: String, patch: String)
+
+  /** Streaming CDC over a semi-structured per-key document: each
+    * micro-batch updates the key's JSON profile and emits
+    * `variant_diff(previous, current)` — the change-feed a downstream
+    * consumer re-applies with `variant_merge_patch`. The processor ALSO
+    * maintains the consumer's view: a second state field folds every
+    * emitted patch onto an empty document, so "the patch stream
+    * reconstructs the state" is not a spec-only property — the
+    * reconstructed view is emitted next to the directly-built document
+    * and the driver's oracle requires the two strings to be equal
+    * (it emits the analytically-built document for BOTH columns).
+    *
+    * Determinism under arbitrary micro-batching: each PATCH depends on
+    * where the batch boundaries fall, but the document and the folded
+    * reconstruction are pure functions of the event set seen, so the
+    * final emission per key is batch-split-invariant (the s_* lane's
+    * discipline). Documents are built in canonical form (sorted keys,
+    * compact, integer values) — exactly variant_to_json's output format
+    * — so the fold's canonical re-encode cannot drift from the
+    * directly-built string.
+    */
+  class VariantCdcProcessor extends StatefulProcessor[Long, DocEvent, DocDiffOut] {
+    @transient private var st: ValueState[DocState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DocState]("doc",
+        Encoders.product[DocState], TTLConfig.NONE)
+
+    private def docJson(n: Long, cents: Long, types: Map[String, Long]): String = {
+      val t = types.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"cents":$cents,"n":$n,"t":$t}"""
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[DocEvent],
+                                 timerValues: TimerValues): Iterator[DocDiffOut] = {
+      import graft.functions.VariantMergePatch._
+      import graft.variant.VariantJsonCodec
+      def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def json(v: VNode): String = {
+        val row = encode(v)
+        VariantJsonCodec.toJsonString(row.getBinary(0), row.getBinary(1))
+      }
+      val hasPrev = st.exists()
+      val prev = if (hasPrev) st.get() else DocState(0L, 0L, Map.empty, "{}")
+      var n = prev.n; var cents = prev.cents; var types = prev.types
+      rows.foreach { r =>
+        n += 1L; cents += r.cents
+        types = types.updated(r.event_type, types.getOrElse(r.event_type, 0L) + 1L)
+      }
+      val prevDoc = if (hasPrev) docJson(prev.n, prev.cents, prev.types) else "{}"
+      val newDoc = docJson(n, cents, types)
+      val patch = diff(docToVNode(utf8(prevDoc)), docToVNode(utf8(newDoc)))
+      val recon = merge(docToVNode(utf8(prev.reconJson)), patch)
+      val reconJson = json(recon)
+      st.update(DocState(n, cents, types, reconJson))
+      Iterator.single(DocDiffOut(key, n, newDoc, reconJson, json(patch)))
+    }
+  }
 }

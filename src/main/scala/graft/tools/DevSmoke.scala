@@ -299,6 +299,8 @@ object DevSmoke {
         |  '{"items": [{"q": 1}, {"p": 2}, {"q": 3}]}'), '$.items[*].q', 'bigint')""".stripMargin)
       .head().getSeq[Any](0).mkString("[", ",", "]"))
     graft.Queries.queryMap("v_get_wildcard")(spark, sf).show(3, truncate = false)
+    println("streaming CDC diff users: " +
+      graft.Queries.queryMap("s_variant_diff")(spark, sf).count())
 
     spark.stop()
   }

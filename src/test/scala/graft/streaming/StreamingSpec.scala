@@ -549,4 +549,63 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(last == expected)
   }
+
+  test("streaming CDC diff: every emission's patch-fold view equals its document; patches are incremental") {
+    // 4 files → up to 4 emissions per user. Beyond the driver gate
+    // (which checks only the FINAL emission), assert the invariant at
+    // EVERY emission: recon (fold of emitted patches over {}) equals
+    // the directly-built document — i.e. the change feed is losslessly
+    // replayable at every point, not just at the end. Also pin that a
+    // later emission's patch is incremental: it parses as an object
+    // strictly smaller than the full document for keys that did not
+    // change (the 't' subtree diff only carries touched types).
+    val stage = Files.createTempDirectory("graft_cdc_").toString
+    val ev = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[graft.operators.TransformState.DocEvent]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new graft.operators.TransformState.VariantCdcProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cdc_multi").start()
+    try { q.processAllAvailable() } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(pk, v)
+        case None => spark.conf.unset(pk)
+      }
+    }
+    val rows = spark.table("cdc_multi")
+      .select(col("user_id"), col("n_events"), col("doc"), col("recon"), col("patch"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2) === r.getString(3),
+        s"user ${r.getLong(0)} at n=${r.getLong(1)}: recon != doc")
+    }
+    // at least one user emitted more than once, and its later patch is
+    // a genuine increment (no full "t" replacement of untouched keys:
+    // the patch is smaller than the document)
+    val multi = rows.groupBy(_.getLong(0)).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "no user spanned multiple micro-batches")
+    // never larger (a patch re-states only changed keys)…
+    multi.values.foreach { emissions =>
+      val later = emissions.sortBy(_.getLong(1)).last
+      assert(later.getString(4).length <= later.getString(2).length)
+    }
+    // …and for SOME user a type went untouched in its last batch, so
+    // its patch is strictly smaller than the full document
+    assert(multi.values.exists { emissions =>
+      val later = emissions.sortBy(_.getLong(1)).last
+      later.getString(4).length < later.getString(2).length
+    }, "no later patch was strictly smaller than its document")
+  }
 }
