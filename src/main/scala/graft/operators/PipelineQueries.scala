@@ -34,6 +34,43 @@ object PipelineQueries {
     * doubles to exact integers before any order-sensitive SUM). */
   private def ppm(c: Column): Column = floor(c * lit(1e6) + lit(0.5))
 
+  /** Greedy MMR selection as an unrolled CTE chain over views
+    * `mmr_cand(qid, cid, qs)` and `mmr_pair(qid, a, b, ps)` — ONE
+    * generator runs on BOTH engines (the q_hilbert discipline; the
+    * chain is common SQL: LEFT-JOIN anti, MAX penalty, ROW_NUMBER
+    * argmax, UNION ALL accumulate). λ = 0.7 in exact integers:
+    * mmr = 7·qs − 3·max_{s∈selected} ps(c, s), ties by cid. */
+  private[operators] def mmrGreedySql(k: Int): String = {
+    val first =
+      """sel1 AS (
+        |  SELECT qid, cid, CAST(1 AS BIGINT) AS rank, 7 * qs AS mmr_x
+        |  FROM (SELECT qid, cid, qs,
+        |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qs DESC, cid) AS rn
+        |        FROM mmr_cand) f WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""rem$i AS (
+         |  SELECT c.qid, c.cid, c.qs FROM mmr_cand c
+         |  LEFT JOIN sel${i - 1} s ON s.qid = c.qid AND s.cid = c.cid
+         |  WHERE s.cid IS NULL),
+         |pen$i AS (
+         |  SELECT r.qid, r.cid, r.qs, MAX(p.ps) AS pen
+         |  FROM rem$i r
+         |  JOIN sel${i - 1} s ON s.qid = r.qid
+         |  JOIN mmr_pair p ON p.qid = r.qid AND p.a = r.cid AND p.b = s.cid
+         |  GROUP BY r.qid, r.cid, r.qs),
+         |pick$i AS (
+         |  SELECT qid, cid, 7 * qs - 3 * pen AS mmr_x,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY 7 * qs - 3 * pen DESC, cid) AS rn
+         |  FROM pen$i),
+         |sel$i AS (
+         |  SELECT qid, cid, rank, mmr_x FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT qid, cid, CAST($i AS BIGINT) AS rank, mmr_x FROM pick$i WHERE rn = 1)""".stripMargin
+    }
+    (first +: steps).mkString(",\n")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // -----------------------------------------------------------------
@@ -212,6 +249,62 @@ object PipelineQueries {
              |       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_docs,
              |       MIN(sz) AS k_anon, MIN(nsrc) AS l_div
              |FROM cls GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // MMR (maximal marginal relevance) diversity rerank — the standard
+    // RAG post-retrieval step: from each probe's exact top-20, greedily
+    // pick 4 maximizing λ·sim(q,c) − (1−λ)·max sim(c, selected), λ=0.7
+    // in exact integer ppm. Architecture at scale: stage 1 (candidate
+    // retrieval) is the only corpus-sized work; stages 2-3 (pairwise
+    // sims among ≤20 candidates, 4 greedy argmax rounds) cost
+    // O(|probes|·k²) regardless of corpus size — rerank never touches
+    // the corpus again. The greedy unroll is ONE generated CTE chain
+    // run verbatim on both engines (mmrGreedySql).
+    // -----------------------------------------------------------------
+    QueryDef("e_mmr_rerank",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("qs", ppm(vf.vec_cosine(col("embedding"), col("qv"))))
+        val wTop = Window.partitionBy(col("qid")).orderBy(col("qs").desc, col("vec_id"))
+        val cand = scored.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 20)
+          .select(col("qid"), col("vec_id").as("cid"), col("qs"), col("embedding"))
+        cand.select(col("qid"), col("cid"), col("qs"))
+          .createOrReplaceTempView("mmr_cand")
+        val x = cand.select(col("qid"), col("cid").as("a"), col("embedding").as("ea"))
+        val y = cand.select(col("qid").as("qid2"), col("cid").as("b"), col("embedding").as("eb"))
+        x.join(y, col("qid") === col("qid2") && col("a") =!= col("b"))
+          .select(col("qid"), col("a"), col("b"),
+            ppm(vf.vec_cosine(col("ea"), col("eb"))).as("ps"))
+          .createOrReplaceTempView("mmr_pair")
+        s.sql(s"""WITH ${mmrGreedySql(4)}
+                 |SELECT qid, rank, cid, mmr_x FROM sel4
+                 |ORDER BY qid, rank""".stripMargin)
+      },
+      Some(s"""WITH probes AS (
+             |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT p.qid, e.vec_id AS cid, e.embedding,
+             |         CAST(floor((${cosSql("e.embedding", "p.qv")}) * 1000000.0 + 0.5) AS BIGINT) AS qs
+             |  FROM embeddings e CROSS JOIN probes p
+             |  WHERE e.vec_id <> p.qid),
+             |cand0 AS (
+             |  SELECT qid, cid, qs, embedding,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qs DESC, cid) AS rn
+             |  FROM scored),
+             |mmr_cand AS (SELECT qid, cid, qs FROM cand0 WHERE rn <= 20),
+             |mmr_pair AS (
+             |  SELECT x.qid, x.cid AS a, y.cid AS b,
+             |         CAST(floor((${cosSql("x.embedding", "y.embedding")}) * 1000000.0 + 0.5) AS BIGINT) AS ps
+             |  FROM cand0 x JOIN cand0 y ON y.qid = x.qid AND y.cid <> x.cid
+             |  WHERE x.rn <= 20 AND y.rn <= 20),
+             |${mmrGreedySql(4)}
+             |SELECT qid, rank, cid, mmr_x FROM sel4
+             |ORDER BY qid, rank""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Structural variant diff (the inverse of v_merge_patch): per row,

@@ -301,6 +301,7 @@ object DevSmoke {
     graft.Queries.queryMap("v_get_wildcard")(spark, sf).show(3, truncate = false)
     println("streaming CDC diff users: " +
       graft.Queries.queryMap("s_variant_diff")(spark, sf).count())
+    graft.Queries.queryMap("e_mmr_rerank")(spark, sf).show(4, truncate = false)
 
     spark.stop()
   }

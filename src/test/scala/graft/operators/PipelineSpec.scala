@@ -78,6 +78,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("e_mmr_rerank: exact greedy-reference differential") {
+    val rows = q("e_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def pp(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    vecs.filter(_._1 < 10).foreach { case (qid, _, qv) =>
+      val cand = vecs.filter(_._1 != qid)
+        .map(v => (v._1, pp(cosine(v._3, qv)), v._3))
+        .sortBy { case (id, qs, _) => (-qs, id) }.take(20)
+      val ps = (for (a <- cand; b <- cand if a._1 != b._1)
+        yield ((a._1, b._1), pp(cosine(a._3, b._3)))).toMap
+      val first = cand.sortBy { case (id, qs, _) => (-qs, id) }.head
+      var sel = Vector((first._1, 7 * first._2))
+      (2 to 4).foreach { _ =>
+        val pick = cand.filter(c => !sel.exists(_._1 == c._1))
+          .map { c =>
+            val pen = sel.map(s => ps((c._1, s._1))).max
+            (c._1, 7 * c._2 - 3 * pen)
+          }.sortBy { case (id, x) => (-x, id) }.head
+        sel :+= pick
+      }
+      val got = rows.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4)).toVector
+      assert(got === sel, s"probe $qid MMR selection diverges from greedy reference")
+    }
+  }
+
   test("d_k_anonymity: audit invariants + independent class count") {
     val rows = q("d_k_anonymity").collect()
     val docs = Tables.documents(spark, TestSpark.SF)
