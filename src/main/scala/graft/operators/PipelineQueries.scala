@@ -71,7 +71,81 @@ object PipelineQueries {
     (first +: steps).mkString(",\n")
   }
 
+  /** Pretrained BPE merge table (rank order), the tokenizer ARTIFACT a
+    * pipeline ships with — applying a FIXED table to new data is the
+    * production shape (the data-derived mining step is d_bpe_merge).
+    * Later merges build on earlier outputs (th+e, an+d, in+g). */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("s", "t"), ("o", "u"), ("e", "s"))
+
+  /** Per-word BPE token count as a generated replace chain — ONE
+    * generator, both dialects. Semantics (identical on both engines by
+    * construction): the word's characters are sentinel-joined
+    * (`¤t¤h¤e¤`), then each merge in rank order does ONE left-to-right
+    * non-overlapping `replace('¤a¤b¤' → '¤ab¤')` pass; the sentinel
+    * guarantees merges only ever join complete adjacent TOKENS (a bare
+    * "a b" substring search would match inside longer tokens). Two
+    * occurrences of the SAME pair sharing a token boundary overlap in
+    * the sentinel string, so only the first merges per pass ("thethe"
+    * → the|th|e, pinned in spec) — a deliberate single-pass semantics
+    * both engines execute identically via replace(). The
+    * fixture text is pure ASCII, so the non-ASCII sentinel cannot
+    * collide. Token count = split on sentinel minus the 2 end slots.
+    */
+  private def bpeCountExpr(spark: Boolean): String = {
+    val base =
+      if (spark) "concat('¤', array_join(split(w, ''), '¤'), '¤')"
+      else "'¤' || array_to_string(string_split(w, ''), '¤') || '¤'"
+    val chain = bpeMerges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, '¤$a¤$b¤', '¤$a$b¤')"
+    }
+    if (spark) s"CAST(size(split($chain, '¤')) AS BIGINT) - 2"
+    else s"CAST(len(string_split($chain, '¤')) AS BIGINT) - 2"
+  }
+
+  /** Test hook (PipelineSpec): the Spark-dialect per-word chain. */
+  private[graft] def bpeCountExprForTest: String = bpeCountExpr(spark = true)
+
   val all: Seq[QueryDef] = Seq(
+
+    // -----------------------------------------------------------------
+    // BPE tokenizer APPLY: d_bpe_merge mines merge candidates from the
+    // corpus; this operator applies a PRETRAINED merge table — the real
+    // token-budget accounting step before packing/pricing a training
+    // run. Map-only over the documents (the per-word merge chain stays
+    // inside whole-stage codegen; no shuffle until the final count),
+    // and the merge semantics are a generated replace chain both
+    // engines execute identically, so subword counts hash-gate.
+    // -----------------------------------------------------------------
+    QueryDef("d_bpe_apply",
+      (s, d) => {
+        val cnt = bpeCountExpr(spark = true)
+        documents(s, d)
+          .withColumn("n_base",
+            expr("aggregate(transform(regexp_extract_all(lower(text), '[a-z]+', 0), " +
+              "w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)"))
+          .withColumn("n_merged",
+            expr("aggregate(transform(regexp_extract_all(lower(text), '[a-z]+', 0), " +
+              s"w -> $cnt), 0L, (a, x) -> a + x)"))
+          .filter(col("n_base") > 0)
+          .select(col("doc_id"), col("n_base"), col("n_merged"),
+            expr("(n_base - n_merged) * 1000000 DIV n_base").as("saved_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id,
+             |         COALESCE(CAST(list_sum(list_transform(
+             |           regexp_extract_all(lower(text), '[a-z]+'),
+             |           w -> CAST(len(w) AS BIGINT))) AS BIGINT), 0) AS n_base,
+             |         COALESCE(CAST(list_sum(list_transform(
+             |           regexp_extract_all(lower(text), '[a-z]+'),
+             |           w -> ${bpeCountExpr(spark = false)})) AS BIGINT), 0) AS n_merged
+             |  FROM documents)
+             |SELECT doc_id, n_base, n_merged,
+             |       (n_base - n_merged) * 1000000 // n_base AS saved_ppm
+             |FROM t WHERE n_base > 0 ORDER BY doc_id""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Hard-negative mining for contrastive training: for each probe,

@@ -302,6 +302,7 @@ object DevSmoke {
     println("streaming CDC diff users: " +
       graft.Queries.queryMap("s_variant_diff")(spark, sf).count())
     graft.Queries.queryMap("e_mmr_rerank")(spark, sf).show(4, truncate = false)
+    graft.Queries.queryMap("d_bpe_apply")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }

@@ -103,6 +103,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d_bpe_apply semantics: known merges, token-boundary safety, rank order") {
+    import org.apache.spark.sql.functions.expr
+    // evaluate the generated per-word chain directly on planted words
+    def count(word: String): Long = {
+      val cnt = PipelineQueries.bpeCountExprForTest
+      spark.sql(s"SELECT transform(array('$word'), w -> $cnt) AS r")
+        .head().getSeq[Long](0).head
+    }
+    assert(count("the") === 1L)      // t,h,e → th,e → the
+    assert(count("thing") === 2L)    // t,h,i,n,g → th,i,n,g → th,in,g → th,ing
+    assert(count("xyz") === 3L)      // no merges apply
+    // (t,h) fires on BOTH halves (disjoint matches), but the two
+    // resulting (th,e) occurrences share a token boundary — a single
+    // non-overlapping pass merges only the first: the | th | e
+    assert(count("thethe") === 3L)
+    assert(count("ant") === 2L)      // a,n,t → an,t — and no (an,t) merge exists,
+                                     // so the n+t character adjacency inside
+                                     // separate tokens must NOT fuse
+  }
+
   test("d_k_anonymity: audit invariants + independent class count") {
     val rows = q("d_k_anonymity").collect()
     val docs = Tables.documents(spark, TestSpark.SF)
