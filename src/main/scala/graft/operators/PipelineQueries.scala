@@ -148,6 +148,54 @@ object PipelineQueries {
              |FROM t WHERE n_base > 0 ORDER BY doc_id""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Temperature-balanced multilingual sampling (the mC4/XLM-R corpus
+    // rebalancing step at α = 0.5): keep documents of language l with
+    // probability √(n_min/n_l), so dominant languages are √-downsampled
+    // toward the smallest. Deterministic and reproducible: the "coin"
+    // is a 28-bit integer from md5(text) — content-keyed like
+    // d_train_split, so the SAME documents survive on any cluster, any
+    // partitioning, any run — and the per-language threshold is one
+    // fixed sqrt·mult·floor expression tree (bit-identical IEEE on
+    // both engines). One aggregate for the rate table (a broadcast
+    // artifact), one filtered scan for the counts.
+    // -----------------------------------------------------------------
+    QueryDef("d_temperature_sample",
+      (s, d) => {
+        val docs = documents(s, d)
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+        val nmin = counts.agg(min(col("n_l")).as("n_min"))
+        val thr = counts.crossJoin(broadcast(nmin))
+          .withColumn("thr", expr(
+            "CAST(floor(268435456.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE))) AS BIGINT)"))
+          .select(col("lang"), col("n_l"), col("thr"))
+        docs
+          .withColumn("h", expr("CAST(conv(substring(md5(text), 1, 7), 16, 10) AS BIGINT)"))
+          .join(broadcast(thr), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(
+            max(col("n_l")).as("n_before"), // constant per lang
+            sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+            max(col("thr")).as("thr"))
+          .select(col("lang"), col("n_before"), col("n_kept"),
+            expr("n_kept * 1000000 DIV n_before").as("kept_ppm"),
+            expr("thr * 1000000 DIV 268435456").as("target_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+             |m AS (SELECT MIN(n_l) AS n_min FROM c),
+             |t AS (SELECT lang, n_l,
+             |             CAST(floor(268435456.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE))) AS BIGINT) AS thr
+             |      FROM c, m),
+             |k AS (SELECT d.lang,
+             |             CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(d.text), 1, 7)) AS BIGINT) < t.thr
+             |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |      FROM documents d JOIN t ON t.lang = d.lang GROUP BY 1)
+             |SELECT t.lang, t.n_l AS n_before, k.n_kept,
+             |       k.n_kept * 1000000 // t.n_l AS kept_ppm,
+             |       t.thr * 1000000 // 268435456 AS target_ppm
+             |FROM t JOIN k ON k.lang = t.lang ORDER BY t.lang""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Hard-negative mining for contrastive training: for each probe,
     // the top-5 most-similar vectors with a DIFFERENT label — "looks
     // like the anchor but isn't" is exactly what a contrastive loss

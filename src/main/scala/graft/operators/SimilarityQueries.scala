@@ -639,6 +639,47 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // SLIDING windows (10-minute window, 5-minute slide): every event
+    // lands in exactly two overlapping windows — the streaming surface
+    // s_window_counts' tumbling case does not cover. The oracle derives
+    // the same assignment relationally: window starts for event t are
+    // the 5-min floor of t and that floor minus one slide.
+    QueryDef("s_sliding_counts",
+      (s, d) => {
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(d, { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$d/events.parquet"),
+            sd.resolve("events.parquet"))
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema).parquet(stageDir)
+          .transform(graft.Tables.tsToTimestamp)
+        val agg = stream
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val qname = s"s_sliding_counts_${runCounter.incrementAndGet()}"
+        withStatePartitions(s, 8, noDataBatches = false) {
+          val q = agg.writeStream.outputMode("complete")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+        s.table(qname)
+          .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT) AS b5,
+             |         event_type
+             |  FROM events),
+             |w AS (SELECT b5 AS ws, event_type FROM b
+             |      UNION ALL
+             |      SELECT b5 - 300 AS ws, event_type FROM b)
+             |SELECT ws, event_type, COUNT(*) AS n
+             |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
     // Watermarked APPEND-mode windowed aggregation: only windows closed
     // by the final watermark (max ts - 10 min) are emitted; the result
     // is post-filtered to strictly-closed windows so the oracle can

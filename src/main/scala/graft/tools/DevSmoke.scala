@@ -303,6 +303,9 @@ object DevSmoke {
       graft.Queries.queryMap("s_variant_diff")(spark, sf).count())
     graft.Queries.queryMap("e_mmr_rerank")(spark, sf).show(4, truncate = false)
     graft.Queries.queryMap("d_bpe_apply")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_temperature_sample")(spark, sf).show(truncate = false)
+    println("sliding window rows: " +
+      graft.Queries.queryMap("s_sliding_counts")(spark, sf).count())
 
     spark.stop()
   }

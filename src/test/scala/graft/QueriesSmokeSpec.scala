@@ -59,7 +59,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // containment candidates, e8-integer centroids, BSP relax rounds
       "q_bitmap_distinct", "q_bitmap_rollup", "q_running_distinct",
       "q_window_distinct", "d_containment_join", "e_label_centroids",
-      "d_sssp", "q_ewma", "d_novelty", "e_ann_recall")
+      "d_sssp", "q_ewma", "d_novelty", "e_ann_recall",
+      // round-8: bitmap AND on merged sketches, ppm-sum MaxSim scores,
+      // cross-multiplied drift ranking, greedy MMR over ppm sims,
+      // vocabulary first-occurrence buckets, BPE chain sums
+      "q_bitmap_overlap", "e_maxsim", "e_embed_drift", "e_mmr_rerank",
+      "d_vocab_growth", "d_bpe_apply", "e_hard_negatives", "d_k_anonymity")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def results(n: String): Seq[String] =
