@@ -51,6 +51,28 @@ object ScaleProbe {
           .withColumn("lag1", lag(col("value"), 1).over(w))
           .groupBy().agg(sum(col("rn")).as("s"), count(col("lag1")).as("c"))
       }),
+      ("maxsim_x64", () => {
+        // round-8 late-interaction kernel: broadcast query tokens, 64x
+        // corpus token table × 40 query tokens (~13M cosine kernels per
+        // run — at 16x/10 the kernel was dispatch-bound and the curve
+        // meaningless), per-(qtok, doc) MAX then per-(qdoc, doc) SUM —
+        // the cosine loop dominates, so the curve shows whether the
+        // two-level aggregate keeps all cores busy.
+        val p = spark.sparkContext.defaultParallelism
+        val vfn = graft.functions.VariantFunctions
+        val emb = graft.Tables.embeddings(spark, d).repartition(p)
+          .withColumn("rep", explode(expr("sequence(1, 64)")))
+          .select(expr("(vec_id * 64 + rep) DIV 5").as("doc"), col("embedding"))
+        val probes = graft.Tables.embeddings(spark, d).filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qtok"), expr("vec_id DIV 5").as("qdoc"),
+            col("embedding").as("qv"))
+        emb.crossJoin(broadcast(probes))
+          .withColumn("sim_ppm",
+            floor(vfn.vec_cosine(col("embedding"), col("qv")) * lit(1e6) + lit(0.5)))
+          .groupBy(col("qdoc"), col("qtok"), col("doc")).agg(max(col("sim_ppm")).as("b"))
+          .groupBy(col("qdoc"), col("doc")).agg(sum(col("b")).as("s"))
+          .groupBy().agg(sum(col("s")))
+      }),
       ("join_agg_x16", () => {
         val p = spark.sparkContext.defaultParallelism
         val o = graft.Tables.orders(spark, d).repartition(p).withColumn("rep", rep)
