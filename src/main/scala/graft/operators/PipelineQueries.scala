@@ -148,6 +148,80 @@ object PipelineQueries {
              |FROM t WHERE n_base > 0 ORDER BY doc_id""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Hybrid retrieval via reciprocal rank fusion — the production RAG
+    // shape: a LEXICAL ranking (TF-weighted overlap with the query
+    // doc's distinct terms) and a VECTOR ranking (cosine) are fused as
+    // rrf = Σ 1e6 DIV (60 + rank) — rank fusion needs no score
+    // calibration between the two systems, which is exactly why RRF
+    // won; integer DIV keeps it engine-exact. Each leg is the shape
+    // that scales: query terms/vectors broadcast, corpus scanned once
+    // per leg, ranks computed per probe partition. doc_id ≡ vec_id in
+    // the fixture (one embedding per document).
+    // -----------------------------------------------------------------
+    QueryDef("e_rrf_hybrid",
+      (s, d) => {
+        val toks = documents(s, d).select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("t"))
+        val qterms = toks.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("t")).distinct()
+        val lex = toks.join(broadcast(qterms), Seq("t"))
+          .filter(col("doc_id") =!= col("qid"))
+          .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("lex"))
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val sims = emb.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            ppm(vf.vec_cosine(col("embedding"), col("qv"))).as("sim_ppm"))
+        val wv = Window.partitionBy(col("qid")).orderBy(col("sim_ppm").desc, col("doc_id"))
+        val wl = Window.partitionBy(col("qid")).orderBy(col("lex").desc, col("doc_id"))
+        val fused = sims.join(lex, Seq("qid", "doc_id"), "left")
+          .na.fill(0L, Seq("lex"))
+          .withColumn("r_vec", row_number().over(wv).cast("long"))
+          .withColumn("r_lex", row_number().over(wl).cast("long"))
+          .withColumn("rrf_x",
+            expr("1000000 DIV (60 + r_vec) + 1000000 DIV (60 + r_lex)"))
+        val wf = Window.partitionBy(col("qid")).orderBy(col("rrf_x").desc, col("doc_id"))
+        fused.withColumn("rank", row_number().over(wf).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("doc_id"), col("rrf_x"),
+            col("r_lex"), col("r_vec"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+             |  FROM documents),
+             |qterms AS (
+             |  SELECT DISTINCT doc_id AS qid, t FROM toks WHERE doc_id < 5),
+             |lex AS (
+             |  SELECT q.qid, x.doc_id, COUNT(*) AS lex
+             |  FROM toks x JOIN qterms q ON q.t = x.t
+             |  WHERE x.doc_id <> q.qid
+             |  GROUP BY 1, 2),
+             |qv AS (
+             |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             |sims AS (
+             |  SELECT p.qid, e.vec_id AS doc_id,
+             |         CAST(floor((${cosSql("e.embedding", "p.qv")}) * 1000000.0 + 0.5) AS BIGINT) AS sim_ppm
+             |  FROM embeddings e CROSS JOIN qv p
+             |  WHERE e.vec_id <> p.qid),
+             |fused AS (
+             |  SELECT s.qid, s.doc_id,
+             |         ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.sim_ppm DESC, s.doc_id) AS r_vec,
+             |         ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY COALESCE(l.lex, 0) DESC, s.doc_id) AS r_lex
+             |  FROM sims s LEFT JOIN lex l ON l.qid = s.qid AND l.doc_id = s.doc_id),
+             |scored AS (
+             |  SELECT qid, doc_id, r_lex, r_vec,
+             |         1000000 // (60 + r_vec) + 1000000 // (60 + r_lex) AS rrf_x
+             |  FROM fused),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_x DESC, doc_id) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, doc_id, rrf_x, r_lex, r_vec
+             |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Temperature-balanced multilingual sampling (the mC4/XLM-R corpus
     // rebalancing step at α = 0.5): keep documents of language l with
     // probability √(n_min/n_l), so dominant languages are √-downsampled

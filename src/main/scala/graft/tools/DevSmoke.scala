@@ -306,6 +306,7 @@ object DevSmoke {
     graft.Queries.queryMap("d_temperature_sample")(spark, sf).show(truncate = false)
     println("sliding window rows: " +
       graft.Queries.queryMap("s_sliding_counts")(spark, sf).count())
+    graft.Queries.queryMap("e_rrf_hybrid")(spark, sf).show(5, truncate = false)
 
     spark.stop()
   }
