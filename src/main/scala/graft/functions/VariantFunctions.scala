@@ -28,6 +28,7 @@ object VariantFunctions {
   def variant_get(c: Column, path: String, targetType: String): Column =
     col(VariantGet(expr(c), path, CatalystSqlParser.parseDataType(targetType)))
 
+  def variant_flatten(c: Column): Column = col(VariantFlatten(expr(c)))
   def variant_get_all(c: Column, path: String): Column =
     col(VariantGetAll(expr(c), path, VariantSchema.TYPE))
   def variant_get_all(c: Column, path: String, elemType: DataType): Column =
@@ -185,6 +186,9 @@ object VariantFunctions {
     ("variant_explode_outer",
       (es: Seq[Expression]) => GeneratorOuter(VariantExplode(es.head)),
       "variant_explode_outer(v) - Like variant_explode but emits one all-NULL row for scalars/NULL."),
+    ("variant_flatten",
+      (es: Seq[Expression]) => VariantFlatten(es.head),
+      "variant_flatten(v) - One row per node, depth-first: (path, typ, leaf); container leaf is SQL NULL, paths replay through variant_get."),
     ("variant_keys",
       (es: Seq[Expression]) => VariantKeys(es.head),
       "variant_keys(v) - Sorted key names of a variant object; NULL for non-objects."),

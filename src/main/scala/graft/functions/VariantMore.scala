@@ -61,6 +61,81 @@ case class VariantExplode(child: Expression)
     copy(child = newChild)
 }
 
+/** `variant_flatten(v)` — recursive introspection table (the
+  * SQLite-json_tree shape): one row per NODE, depth-first in document
+  * order, as (path, typ, leaf). Containers carry a SQL-NULL leaf;
+  * scalars render through the canonical JSON printer (numbers plain,
+  * strings quoted+escaped, JSON null as `null` text — distinct from
+  * the container SQL NULL). Paths use the variant_get language:
+  * identifier-like keys (`[A-Za-z0-9_]+`) as `.key`, anything else
+  * quoted `['k ey']`, array elements `[i]` — so every emitted path is
+  * directly replayable through `variant_get`/`variant_get_all`. The
+  * `typ` column exposes the writer's narrowest-int choice (tinyint/
+  * smallint/int/bigint), which the driver oracle derives from value
+  * ranges — an encoding-rule gate, not just an introspection one.
+  */
+case class VariantFlatten(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("typ", StringType, nullable = false),
+    StructField("leaf", StringType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VariantSchema.isVariantStruct(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"variant_flatten expects a variant struct, got: ${child.dataType.simpleString}")
+
+  private val identKey = "[A-Za-z0-9_]+".r
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val row = v.asInstanceOf[InternalRow]
+    val metaBytes = row.getBinary(0)
+    val valBytes = row.getBinary(1)
+    if (valBytes == null) return Nil
+    val meta = new MetadataView(metaBytes, 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    def emit(path: String, typ: String, leaf: String): Unit =
+      out += new GenericInternalRow(Array[Any](
+        UTF8String.fromString(path), UTF8String.fromString(typ),
+        if (leaf == null) null else UTF8String.fromString(leaf)))
+    def rec(view: VariantView, path: String): Unit =
+      if (view.isObject) {
+        emit(path, "object", null)
+        val o = view.getObject
+        var i = 0
+        while (i < o.numElements) {
+          val key = meta.getKey(o.fieldIdAt(i))
+          val step =
+            if (identKey.pattern.matcher(key).matches()) s".$key"
+            else s"['${key.replace("'", "\\'")}']"
+          rec(o.valueAt(i), path + step)
+          i += 1
+        }
+      } else if (view.isArray) {
+        emit(path, "array", null)
+        val a = view.getArray
+        var i = 0
+        while (i < a.numElements) {
+          rec(a.elementAt(i), s"$path[$i]")
+          i += 1
+        }
+      } else {
+        emit(path, view.typeName,
+          VariantJsonCodec.toJsonString(metaBytes, view.copyBytes))
+      }
+    rec(new VariantView(valBytes, 0), "$")
+    out
+  }
+
+  override def prettyName: String = "variant_flatten"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `variant_get_multi(v, fields)`: extract MANY paths in one evaluation —
   * the metadata dictionary is decoded and each frame walked once per
   * row, not once per field. This is the shredding workhorse: projecting

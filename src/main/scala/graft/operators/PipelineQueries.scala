@@ -551,6 +551,62 @@ object PipelineQueries {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Recursive variant introspection (variant_flatten): one row per
+    // node as (path, typ, leaf) — the json_tree shape. The oracle
+    // enumerates the expected node set ANALYTICALLY per source row,
+    // including the `typ` column derived from value RANGES — which
+    // makes this a driver-lane gate on the writer's narrowest-int rule
+    // (tinyint/smallint/int/bigint), not just on the walk. Every
+    // emitted path replays through variant_get (spec'd).
+    // -----------------------------------------------------------------
+    QueryDef("v_flatten",
+      (s, d) => {
+        val json = concat(
+          lit("""{"id": """), col("l_orderkey"),
+          lit(""", "m": {"f": """"), col("l_returnflag"),
+          lit("""", "sk": """), col("l_partkey"),
+          lit("""}, "tg": ["""), col("l_linenumber"),
+          lit(", "), when(col("l_orderkey") % 2 === 0, lit("true")).otherwise(lit("false")),
+          lit("]}"))
+        lineitem(s, d).filter(col("l_orderkey") % 31 === 0)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("v", vf.variant_from_json(json))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            vf.variant_flatten(col("v")).as(Seq("path", "typ", "leaf")))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("path"))
+      },
+      Some("""WITH src AS (
+             |  SELECT l_orderkey AS k, l_linenumber AS q, l_partkey AS s, l_returnflag AS f
+             |  FROM lineitem WHERE l_orderkey % 31 = 0),
+             |n AS (
+             |  SELECT k, q, '$' AS path, 'object' AS typ, CAST(NULL AS VARCHAR) AS leaf FROM src
+             |  UNION ALL
+             |  SELECT k, q, '$.id',
+             |         CASE WHEN k <= 127 THEN 'tinyint' WHEN k <= 32767 THEN 'smallint'
+             |              WHEN k <= 2147483647 THEN 'int' ELSE 'bigint' END,
+             |         CAST(k AS VARCHAR) FROM src
+             |  UNION ALL
+             |  SELECT k, q, '$.m', 'object', NULL FROM src
+             |  UNION ALL
+             |  SELECT k, q, '$.m.f', 'string', '"' || f || '"' FROM src
+             |  UNION ALL
+             |  SELECT k, q, '$.m.sk',
+             |         CASE WHEN s <= 127 THEN 'tinyint' WHEN s <= 32767 THEN 'smallint'
+             |              WHEN s <= 2147483647 THEN 'int' ELSE 'bigint' END,
+             |         CAST(s AS VARCHAR) FROM src
+             |  UNION ALL
+             |  SELECT k, q, '$.tg', 'array', NULL FROM src
+             |  UNION ALL
+             |  SELECT k, q, '$.tg[0]',
+             |         CASE WHEN q <= 127 THEN 'tinyint' ELSE 'smallint' END,
+             |         CAST(q AS VARCHAR) FROM src
+             |  UNION ALL
+             |  SELECT k, q, '$.tg[1]', 'boolean',
+             |         CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END FROM src)
+             |SELECT k AS l_orderkey, CAST(q AS INT) AS l_linenumber, path, typ, leaf
+             |FROM n ORDER BY l_orderkey, l_linenumber, path""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Wildcard path extraction: `variant_get_all(v, '$.items[*].q')`
     // pulls every array-element field in ONE walk — no explode, no
     // re-aggregation — the multi-valued extraction that otherwise costs

@@ -307,6 +307,9 @@ object DevSmoke {
     println("sliding window rows: " +
       graft.Queries.queryMap("s_sliding_counts")(spark, sf).count())
     graft.Queries.queryMap("e_rrf_hybrid")(spark, sf).show(5, truncate = false)
+    spark.sql("""SELECT variant_flatten(variant_from_json('{"a": 1, "b": [true]}'))""")
+      .show(truncate = false)
+    println("flatten rows: " + graft.Queries.queryMap("v_flatten")(spark, sf).count())
 
     spark.stop()
   }

@@ -363,6 +363,36 @@ class ExpressionSpec extends AnyFunSuite {
       .getBoolean(0))
   }
 
+  test("variant_flatten: node table, JSON-null vs SQL-null, key quoting, replayable paths") {
+    val doc = """{"a": 1, "b": {"x y": null, "z": [true, "s\"q"]}, "c": [], "d": {}}"""
+    val rows = spark.sql(
+      s"SELECT variant_flatten(variant_from_json('${doc.replace("'", "''").replace("\\", "\\\\")}'))")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = Seq(
+      ("$", "object", null),
+      ("$.a", "tinyint", "1"),
+      ("$.b", "object", null),
+      ("$.b['x y']", "null", "null"),      // JSON null leaf, text 'null'
+      ("$.b.z", "array", null),
+      ("$.b.z[0]", "boolean", "true"),
+      ("$.b.z[1]", "string", "\"s\\\"q\""), // escapes round-trip
+      ("$.c", "array", null),               // empty containers still emit
+      ("$.d", "object", null))
+    assert(rows.toSeq === expected)
+    // every SCALAR path replays through variant_get as JSON text
+    rows.filter(r => r._2 != "object" && r._2 != "array" && r._2 != "null")
+      .foreach { case (path, _, leaf) =>
+        val got = spark.sql(
+          s"""SELECT variant_to_json(variant_get(variant_from_json(
+             |'${doc.replace("'", "''").replace("\\", "\\\\")}'), '$path'))""".stripMargin)
+          .head().getString(0)
+        assert(got === leaf, s"path $path does not replay")
+      }
+    // SQL NULL input → zero rows (generator contract)
+    assert(spark.sql(
+      "SELECT variant_flatten(variant_from_json('null'))").count() === 0L)
+  }
+
   test("variant_get_all: wildcard matches, branch pruning, nesting, empty, try casts") {
     val doc = """{"items": [{"q": 1}, {"p": 9}, {"q": 3}], "tags": ["a", "b"],
                  "deep": [{"xs": [{"v": 10}, {"v": 20}]}, {"xs": [{"v": 30}]}]}"""
