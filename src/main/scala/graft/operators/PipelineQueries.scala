@@ -694,6 +694,51 @@ object PipelineQueries {
              |FROM c ORDER BY bucket""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Sequence-pattern matching (the MATCH_RECOGNIZE / CEP shape
+    // without the syntax): each user's event history becomes a coded
+    // string — one char per event, ordered by (ts, event_id) — and
+    // funnel patterns become REGULAR EXPRESSIONS counted per user:
+    // 'v[ce]*p' = view, then clicks/errors, then purchase with nothing
+    // else between. Both engines count non-overlapping leftmost
+    // matches identically (Java regex and RE2 agree on this class —
+    // the negated char set bounds the greedy star, so no backtracking
+    // divergence). One shuffle on user_id; the per-user string is
+    // bounded by the user's event count.
+    // -----------------------------------------------------------------
+    QueryDef("q_pattern_match",
+      (s, d) => {
+        val coded = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          expr("""CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                 |     WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                 |     ELSE 'e' END""".stripMargin).as("code"))
+        coded.groupBy(col("user_id"))
+          .agg(expr(
+            "array_join(transform(sort_array(collect_list(struct(ts, event_id, code))), x -> x.code), '')")
+            .as("seq"))
+          .select(col("user_id"),
+            length(col("seq")).cast("long").as("n_events"),
+            expr("CAST(regexp_count(seq, 'v[ce]*p') AS BIGINT)").as("n_funnel"),
+            expr("CAST(regexp_count(seq, 'vp') AS BIGINT)").as("n_direct"),
+            expr("CAST(regexp_count(seq, 's.*p') AS BIGINT)").as("signup_to_buy"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH coded AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+             |              ELSE 'e' END AS code
+             |  FROM events),
+             |seqs AS (
+             |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+             |  FROM coded GROUP BY user_id)
+             |SELECT user_id,
+             |       CAST(len(seq) AS BIGINT) AS n_events,
+             |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_funnel,
+             |       CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_direct,
+             |       CAST(len(regexp_extract_all(seq, 's.*p')) AS BIGINT) AS signup_to_buy
+             |FROM seqs ORDER BY user_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Audience overlap via bitmap AND: per-event-type exact user
     // bitmaps (one aggregate scan of the facts), then pairwise
     // |A ∩ B| and exact Jaccard on the 5-row aggregated table. This is

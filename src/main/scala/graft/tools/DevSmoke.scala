@@ -310,6 +310,7 @@ object DevSmoke {
     spark.sql("""SELECT variant_flatten(variant_from_json('{"a": 1, "b": [true]}'))""")
       .show(truncate = false)
     println("flatten rows: " + graft.Queries.queryMap("v_flatten")(spark, sf).count())
+    graft.Queries.queryMap("q_pattern_match")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }
