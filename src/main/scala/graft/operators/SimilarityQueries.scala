@@ -1301,6 +1301,72 @@ object StreamingQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Streaming CEP (PatternMatchProcessor): the q_pattern_match funnel
+    // regexes maintained incrementally per user under transformWithState.
+    // Emissions are pure functions of the seen event set (state is the
+    // sorted history), so the final emission per user hash-matches the
+    // SAME oracle as the batch operator, however the 4 micro-batches
+    // split the input.
+    QueryDef("s_pattern_match",
+      (s, d) => {
+        import s.implicits._
+        val staticSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stageDir = stageCache.computeIfAbsent(s"$d#multi", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_stream_multi_")
+          s.read.parquet(s"$d/events.parquet").repartition(4)
+            .write.mode("overwrite").parquet(sd.toString)
+          sd.toString
+        })
+        val stream = s.readStream.schema(staticSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          .transform(graft.Tables.tsToTimestamp)
+          .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+            expr("""CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                   |     WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                   |     ELSE 'e' END""".stripMargin).as("code"))
+          .as[TransformState.CodedEvent]
+        val out = stream.groupByKey(_.user_id)
+          .transformWithState(new TransformState.PatternMatchProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val qname = s"s_pattern_match_${runCounter.incrementAndGet()}"
+        val pk = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(pk)
+        s.conf.set(pk,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try withStatePartitions(s, 8, noDataBatches = false) {
+          val q = out.writeStream.outputMode("update")
+            .format("memory").queryName(qname).start()
+          q.processAllAvailable()
+          q.stop()
+        } finally prevProvider match {
+          case Some(v) => s.conf.set(pk, v)
+          case None => s.conf.unset(pk)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+        s.table(qname)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n_events"), col("n_funnel"),
+            col("n_direct"), col("signup_to_buy"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH coded AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+             |              ELSE 'e' END AS code
+             |  FROM events),
+             |seqs AS (
+             |  SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+             |  FROM coded GROUP BY user_id)
+             |SELECT user_id,
+             |       CAST(len(seq) AS BIGINT) AS n_events,
+             |       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_funnel,
+             |       CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_direct,
+             |       CAST(len(regexp_extract_all(seq, 's.*p')) AS BIGINT) AS signup_to_buy
+             |FROM seqs ORDER BY user_id""".stripMargin)),
+
     // Streaming CDC over semi-structured state (VariantCdcProcessor):
     // per user, each micro-batch updates a JSON profile and emits
     // variant_diff(previous, current); a second state field folds every

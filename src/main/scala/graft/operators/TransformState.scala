@@ -116,6 +116,48 @@ object TransformState {
     }
   }
 
+  case class CodedEvent(user_id: Long, ts_us: Long, event_id: Long, code: String)
+  case class PatternOut(user_id: Long, n_events: Long, n_funnel: Long,
+                        n_direct: Long, signup_to_buy: Long)
+
+  /** Streaming CEP: the q_pattern_match regex-funnel counts maintained
+    * incrementally per user. State is the user's (ts, event_id, code)
+    * history held SORTED in a ListState; each batch splices its rows in
+    * and re-counts the funnel regexes over the coded string — so every
+    * emission is a pure function of the events seen (arrival order and
+    * batch boundaries cannot matter), and the final emission per user
+    * hash-matches the batch operator's oracle. State is bounded by the
+    * user's history length; a production stream bounds it further with
+    * a time window or TTL — the fixture's point is the semantics.
+    */
+  class PatternMatchProcessor extends StatefulProcessor[Long, CodedEvent, PatternOut] {
+    @transient private var hist: ListState[CodedEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[CodedEvent]("hist",
+        Encoders.product[CodedEvent], TTLConfig.NONE)
+
+    private val funnel = java.util.regex.Pattern.compile("v[ce]*p")
+    private val direct = java.util.regex.Pattern.compile("vp")
+    private val signup = java.util.regex.Pattern.compile("s.*p")
+
+    private def countOf(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s)
+      var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[CodedEvent],
+                                 timerValues: TimerValues): Iterator[PatternOut] = {
+      val all = (hist.get().toSeq ++ rows).sortBy(e => (e.ts_us, e.event_id))
+      hist.put(all.toArray)
+      val seq = all.map(_.code).mkString
+      Iterator.single(PatternOut(key, seq.length.toLong,
+        countOf(funnel, seq), countOf(direct, seq), countOf(signup, seq)))
+    }
+  }
+
   case class DocEvent(user_id: Long, event_type: String, cents: Long)
   case class DocState(n: Long, cents: Long, types: Map[String, Long], reconJson: String)
   case class DocDiffOut(user_id: Long, n_events: Long, doc: String,

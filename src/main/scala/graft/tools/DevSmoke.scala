@@ -311,6 +311,8 @@ object DevSmoke {
       .show(truncate = false)
     println("flatten rows: " + graft.Queries.queryMap("v_flatten")(spark, sf).count())
     graft.Queries.queryMap("q_pattern_match")(spark, sf).show(3, truncate = false)
+    println("streaming CEP users: " +
+      graft.Queries.queryMap("s_pattern_match")(spark, sf).count())
 
     spark.stop()
   }
