@@ -694,6 +694,56 @@ object PipelineQueries {
              |FROM c ORDER BY bucket""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Generator-function parity sweep: stack (columns→rows unpivot
+    // generator), inline (array-of-struct flattening), and
+    // posexplode_outer (position-indexed explode whose OUTER mode emits
+    // one all-NULL row for an empty array — the left-join-like variant
+    // q_explode_lateral's inner explode drops). The oracle replays each
+    // generator as UNION ALL branches, pinning row multiplicity, outer
+    // NULL semantics, and positions.
+    // -----------------------------------------------------------------
+    QueryDef("q_generator_funcs",
+      (s, d) => {
+        val src = lineitem(s, d).filter(col("l_orderkey") % 41 === 0)
+          .select(col("l_orderkey").as("k"), col("l_linenumber").as("q"),
+            col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        val st = src
+          .select(col("k"), col("q"), lit("stack").as("src"),
+            expr("stack(2, 'qty', CAST(q AS BIGINT), 'bucket', pk % 100)"))
+          .withColumnRenamed("col0", "name").withColumnRenamed("col1", "val")
+          .withColumn("pos", lit(null).cast("long"))
+        val inl = src
+          .select(col("k"), col("q"), lit("inline").as("src"),
+            expr("inline(array(named_struct('name', 'lo', 'val', sk % 9), " +
+              "named_struct('name', 'hi', 'val', pk % 9)))"))
+          .withColumn("pos", lit(null).cast("long"))
+        val ex = src
+          .select(col("k"), col("q"), lit("explode").as("src"),
+            expr("posexplode_outer(CASE WHEN k % 2 = 0 THEN array(pk % 7, sk % 7) " +
+              "ELSE array() END)"))
+          .select(col("k"), col("q"), col("src"), col("pos").cast("long").as("pos"),
+            lit("elem").as("name"), col("col").as("val"))
+        val shaped = Seq(st, inl).map(_.select(
+          col("k"), col("q"), col("src"), col("pos"), col("name"), col("val")))
+        (shaped.head.unionByName(shaped(1)).unionByName(ex))
+          .orderBy(col("k"), col("q"), col("src"), col("name"), col("pos"))
+      },
+      Some("""WITH src AS (
+             |  SELECT l_orderkey AS k, l_linenumber AS q, l_partkey AS pk, l_suppkey AS sk
+             |  FROM lineitem WHERE l_orderkey % 41 = 0),
+             |u AS (
+             |  SELECT k, q, 'stack' AS src, CAST(NULL AS BIGINT) AS pos,
+             |         'qty' AS name, CAST(q AS BIGINT) AS val FROM src
+             |  UNION ALL SELECT k, q, 'stack', NULL, 'bucket', pk % 100 FROM src
+             |  UNION ALL SELECT k, q, 'inline', NULL, 'lo', sk % 9 FROM src
+             |  UNION ALL SELECT k, q, 'inline', NULL, 'hi', pk % 9 FROM src
+             |  UNION ALL SELECT k, q, 'explode', 0, 'elem', pk % 7 FROM src WHERE k % 2 = 0
+             |  UNION ALL SELECT k, q, 'explode', 1, 'elem', sk % 7 FROM src WHERE k % 2 = 0
+             |  UNION ALL SELECT k, q, 'explode', NULL, 'elem', NULL FROM src WHERE k % 2 <> 0)
+             |SELECT k, q, src, pos, name, val
+             |FROM u ORDER BY k, q, src, name, pos""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Sequence-pattern matching (the MATCH_RECOGNIZE / CEP shape
     // without the syntax): each user's event history becomes a coded
     // string — one char per event, ordered by (ts, event_id) — and

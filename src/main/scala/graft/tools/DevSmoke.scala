@@ -313,6 +313,8 @@ object DevSmoke {
     graft.Queries.queryMap("q_pattern_match")(spark, sf).show(3, truncate = false)
     println("streaming CEP users: " +
       graft.Queries.queryMap("s_pattern_match")(spark, sf).count())
+    println("generator sweep rows: " +
+      graft.Queries.queryMap("q_generator_funcs")(spark, sf).count())
 
     spark.stop()
   }

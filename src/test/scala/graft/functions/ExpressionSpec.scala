@@ -393,6 +393,38 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT variant_flatten(variant_from_json('null'))").count() === 0L)
   }
 
+  test("variant_get_all ≡ explode-composition on 100 random documents") {
+    // the wildcard walk must agree with the operational definition a
+    // user would build today: explode the array, extract per element,
+    // keep document order — including missing keys (skipped by BOTH
+    // formulations after dropping the nulls the explode path yields)
+    val rnd = new scala.util.Random(20260814L)
+    val docs = (1 to 100).map { i =>
+      val items = (0 until rnd.nextInt(5)).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => s"""{"a": ${rnd.nextInt(100)}}"""
+          case 1 => s"""{"b": ${rnd.nextInt(100)}}"""  // no "a": pruned
+          case _ => s"""{"a": ${rnd.nextInt(100)}, "c": 1}"""
+        }
+      }.mkString("[", ",", "]")
+      (i, s"""{"k": $items, "z": ${rnd.nextInt(9)}}""")
+    }
+    import spark.implicits._
+    val direct = docs.toDF("i", "j")
+      .selectExpr("i",
+        "variant_get_all(variant_from_json(j), '$.k[*].a', 'bigint') AS direct")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Any](1)).toMap
+    docs.foreach { case (i, j) =>
+      val viaExplode = spark.sql(
+        s"""SELECT variant_get(value, '$$.a', 'bigint') AS a
+           |FROM (SELECT variant_explode(variant_get(variant_from_json('$j'), '$$.k')))
+           |ORDER BY pos""".stripMargin)
+        .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+        .filter(_ != null).toSeq
+      assert(direct(i) === viaExplode, s"doc $i: wildcard != explode composition")
+    }
+  }
+
   test("variant_get_all: wildcard matches, branch pruning, nesting, empty, try casts") {
     val doc = """{"items": [{"q": 1}, {"p": 9}, {"q": 3}], "tags": ["a", "b"],
                  "deep": [{"xs": [{"v": 10}, {"v": 20}]}, {"xs": [{"v": 30}]}]}"""
