@@ -259,6 +259,86 @@ object JsonPathExtract {
   }
 }
 
+/** Fused `variant_get_all(variant_from_json(s), path, scalarType)`:
+  * one streaming token walk into the decoded value tree (the
+  * JsonMergePatchFused path — no intermediate variant encode+decode),
+  * then the wildcard walk runs over the tree and each matched LEAF is
+  * cast through the SAME `VariantExtract.cast` the unfused expression
+  * uses (the leaf re-encodes into a tiny scalar buffer first, so cast
+  * semantics cannot drift by construction). Scalar targets only — a
+  * variant-typed result would re-encode subtrees canonically and
+  * differ byte-wise from the unfused raw-slice semantics. Duplicate
+  * keys inside one document collapse last-value-first-position here
+  * (docToVNode's LinkedHashMap) where the unfused walk sees the
+  * canonical encoding's kept-both fields — the same documented
+  * divergence class JsonMergePatchFused accepts.
+  */
+case class JsonGetAllFused(
+    child: Expression,
+    path: String,
+    elemType: DataType,
+    parseFailOnError: Boolean)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  import VariantMergePatch._
+
+  @transient private lazy val steps: Array[PathStep] = VariantPath.parse(path)
+
+  override def dataType: DataType = ArrayType(elemType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_get_all_fused"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"json_get_all_fused expects string/binary, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = JsonFused.toBytes(input)
+    val root =
+      try docToVNode(bytes)
+      catch {
+        case e: VariantJsonCodec.JsonParseException =>
+          if (parseFailOnError) throw e else return null
+      }
+    if (root == null) return null // top-level JSON null == SQL NULL parse
+    val hits = scala.collection.mutable.ArrayBuffer.empty[VNode]
+    def go(n: VNode, i: Int): Unit = {
+      if (i == steps.length) { hits += n; return }
+      steps(i) match {
+        case k: PathStep.Key => n match {
+          case VObj(f) => f.get(k.name).foreach(go(_, i + 1))
+          case _ => ()
+        }
+        case PathStep.Index(idx) => n match {
+          case VArr(items) if idx >= 0 && idx < items.length => go(items(idx), i + 1)
+          case _ => ()
+        }
+        case PathStep.Wildcard => n match {
+          case VArr(items) => items.foreach(go(_, i + 1))
+          case _ => ()
+        }
+      }
+    }
+    go(root, 0)
+    val out = new Array[Any](hits.length)
+    var i = 0
+    while (i < hits.length) {
+      val row = encode(hits(i)) // tiny per-leaf buffer, not the document
+      out(i) = VariantExtract.cast(
+        new graft.variant.MetadataView(row.getBinary(0), 0),
+        new graft.variant.VariantView(row.getBinary(1), 0),
+        elemType, failOnError = false)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Optimizer rule: collapse `VariantGet(VariantFromJson(s), path, t)`
   * into the single-pass [[JsonPathExtract]] when `t` is a scalar target.
   * Runs in the operator-optimization batch via
@@ -275,6 +355,9 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
     case VariantGet(VariantFromJson(src, parseFail), path, t, castFail)
         if JsonPathExtract.fusableTarget(t) =>
       JsonPathExtract(src, path, t, parseFail, castFail)
+    case VariantGetAll(VariantFromJson(src, parseFail), path, t)
+        if JsonPathExtract.fusableTarget(t) =>
+      JsonGetAllFused(src, path, t, parseFail)
     case VariantKeys(VariantFromJson(src, parseFail)) => JsonKeys(src, parseFail)
     case VariantSize(VariantFromJson(src, parseFail)) => JsonSize(src, parseFail)
     case VariantTypeOf(VariantFromJson(src, parseFail)) => JsonTypeOf(src, parseFail)
@@ -420,6 +503,11 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
             changed = true
             JsonPathExtract(rawAttr(attr.exprId), path, t,
               vfjAliases(attr.exprId)._2.failOnError, castFail)
+          case VariantGetAll(attr: AttributeReference, path, t)
+              if vfjAliases.contains(attr.exprId) && JsonPathExtract.fusableTarget(t) =>
+            changed = true
+            JsonGetAllFused(rawAttr(attr.exprId), path, t,
+              vfjAliases(attr.exprId)._2.failOnError)
           case VariantKeys(attr: AttributeReference) if vfjAliases.contains(attr.exprId) =>
             changed = true
             JsonKeys(rawAttr(attr.exprId), vfjAliases(attr.exprId)._2.failOnError)

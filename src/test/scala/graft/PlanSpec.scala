@@ -61,6 +61,18 @@ class PlanSpec extends AnyFunSuite {
         graft.functions.VariantFunctions.variant_from_json(col("props")), "$.k"))
       .queryExecution.optimizedPlan.toString
     assert(unfused.contains("variant_from_json"), unfused)
+    // wildcard multi-extraction fuses for scalar element types…
+    val fusedAll = Queries.queryMap("v_get_wildcard")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedAll.contains("json_get_all_fused"), fusedAll)
+    assert(!fusedAll.contains("variant_from_json"), fusedAll)
+    // …and keeps the full pipeline for variant-typed elements (raw
+    // subtree slices, not canonical re-encodes)
+    val unfusedAll = Tables.events(spark, TestSpark.SF)
+      .select(graft.functions.VariantFunctions.variant_get_all(
+        graft.functions.VariantFunctions.variant_from_json(col("props")), "$.k[*]"))
+      .queryExecution.optimizedPlan.toString
+    assert(unfusedAll.contains("variant_from_json"), unfusedAll)
   }
 
   test("schema_of_variant_agg over variant_from_json fuses to the token-walk aggregate") {
