@@ -459,6 +459,7 @@ object PipelineQueries {
     // -----------------------------------------------------------------
     QueryDef("e_mmr_rerank",
       (s, d) => {
+        import s.implicits._
         val emb = embeddings(s, d)
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -469,17 +470,47 @@ object PipelineQueries {
         val cand = scored.withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 20)
           .select(col("qid"), col("vec_id").as("cid"), col("qs"), col("embedding"))
-        cand.select(col("qid"), col("cid"), col("qs"))
-          .createOrReplaceTempView("mmr_cand")
-        val x = cand.select(col("qid"), col("cid").as("a"), col("embedding").as("ea"))
-        val y = cand.select(col("qid").as("qid2"), col("cid").as("b"), col("embedding").as("eb"))
-        x.join(y, col("qid") === col("qid2") && col("a") =!= col("b"))
-          .select(col("qid"), col("a"), col("b"),
-            ppm(vf.vec_cosine(col("ea"), col("eb"))).as("ps"))
-          .createOrReplaceTempView("mmr_pair")
-        s.sql(s"""WITH ${mmrGreedySql(4)}
-                 |SELECT qid, rank, cid, mmr_x FROM sel4
-                 |ORDER BY qid, rank""".stripMargin)
+        val pair = cand.as("x")
+          .join(cand.as("y"),
+            col("x.qid") === col("y.qid") && col("x.cid") =!= col("y.cid"))
+          .select(col("x.qid").as("qid"), col("x.cid").as("a"), col("y.cid").as("b"),
+            ppm(vf.vec_cosine(col("x.embedding"), col("y.embedding"))).as("ps"))
+        // The greedy argmax loop runs PER PROBE over ≤20 candidates and
+        // ≤380 pair sims — a typed cogroup puts both at the same key
+        // and the loop runs in plain Scala: two rerank-sized shuffles
+        // total. (A first cut unrolled the greedy as 4 SQL steps over
+        // temp views: re-planning re-executed the corpus subtree per
+        // step — 224 exchanges in PlanScan — and even checkpointed it
+        // cost ~120 tiny-table exchanges of pure stage overhead. The
+        // SQL chain survives as the DuckDB oracle, making the gate a
+        // differential between two independent implementations.)
+        val candDs = cand.select(col("qid"), col("cid"), col("qs"))
+          .as[(Long, Long, Long)].groupByKey(_._1)
+        val pairDs = pair.as[(Long, Long, Long, Long)].groupByKey(_._1)
+        candDs.cogroup(pairDs) { (qid, cs, ps) =>
+          val cands = cs.map(c => (c._2, c._3)).toArray.sortBy { case (id, q) => (-q, id) }
+          val sim = ps.map(p => (p._2, p._3) -> p._4).toMap
+          var sel = Vector.empty[(Long, Long)] // (cid, mmr_x)
+          while (sel.length < 4 && sel.length < cands.length) {
+            val pick = cands.iterator
+              .filter { case (id, _) => !sel.exists(_._1 == id) }
+              .map { case (id, q) =>
+                val pen = if (sel.isEmpty) 0L
+                  else sel.map(s => sim((id, s._1))).max
+                (id, 7L * q - 3L * pen)
+              }
+              .foldLeft(Option.empty[(Long, Long)]) {
+                case (best, c) => best match {
+                  case Some(b) if b._2 > c._2 || (b._2 == c._2 && b._1 < c._1) => best
+                  case _ => Some(c)
+                }
+              }.get
+            sel :+= pick
+          }
+          sel.zipWithIndex.map { case ((cid, x), i) => (qid, (i + 1).toLong, cid, x) }
+            .iterator
+        }.toDF("qid", "rank", "cid", "mmr_x")
+          .orderBy(col("qid"), col("rank"))
       },
       Some(s"""WITH probes AS (
              |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
