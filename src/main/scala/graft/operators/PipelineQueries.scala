@@ -222,6 +222,66 @@ object PipelineQueries {
              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Span-corruption masking plan (the T5 pretraining objective's data
+    // side, made REPRODUCIBLE): span starts are chosen by a
+    // content-keyed hash coin per (doc, position) — ~5% starts × span
+    // length 3 ≈ 15% masked — so the same documents get the same mask
+    // on any cluster, any run, any partitioning. Overlapping spans
+    // merge via the fixed-length interval-union telescope (sorted
+    // starts, one lead() window: Σ min(3, next−p), last clipped at n —
+    // the d_dup_ngrams idiom). Output is the per-doc masking budget a
+    // packing/pricing step consumes.
+    // -----------------------------------------------------------------
+    QueryDef("d_span_mask",
+      (s, d) => {
+        val toks = documents(s, d).select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as(Seq("pos", "tok")))
+        val counts = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+        val starts = toks
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+          .filter(col("h") % 100 < 5)
+          .select(col("doc_id"), col("pos").cast("long").as("p"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        val covered = starts.join(counts, Seq("doc_id"))
+          .withColumn("next_p", lead(col("p"), 1).over(w))
+          .withColumn("cov", least(lit(3L),
+            coalesce(col("next_p"), col("n_tokens")) - col("p"),
+            col("n_tokens") - col("p")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_starts"), sum(col("cov")).as("n_masked"))
+        counts.join(covered, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_starts", "n_masked"))
+          .select(col("doc_id"), col("n_tokens"), col("n_starts"), col("n_masked"),
+            expr("n_masked * 1000000 DIV n_tokens").as("mask_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos
+             |  FROM documents),
+             |counts AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+             |starts AS (
+             |  SELECT doc_id, CAST(pos AS BIGINT) AS p
+             |  FROM toks
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 5),
+             |cov AS (
+             |  SELECT s.doc_id,
+             |         LEAST(3,
+             |           COALESCE(LEAD(s.p) OVER (PARTITION BY s.doc_id ORDER BY s.p), c.n_tokens) - s.p,
+             |           c.n_tokens - s.p) AS cov
+             |  FROM starts s JOIN counts c ON c.doc_id = s.doc_id),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_starts, CAST(SUM(cov) AS BIGINT) AS n_masked
+             |  FROM cov GROUP BY 1)
+             |SELECT c.doc_id, c.n_tokens,
+             |       COALESCE(a.n_starts, 0) AS n_starts,
+             |       COALESCE(a.n_masked, 0) AS n_masked,
+             |       COALESCE(a.n_masked, 0) * 1000000 // c.n_tokens AS mask_ppm
+             |FROM counts c LEFT JOIN agg a ON a.doc_id = c.doc_id
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Temperature-balanced multilingual sampling (the mC4/XLM-R corpus
     // rebalancing step at α = 0.5): keep documents of language l with
     // probability √(n_min/n_l), so dominant languages are √-downsampled

@@ -315,6 +315,7 @@ object DevSmoke {
       graft.Queries.queryMap("s_pattern_match")(spark, sf).count())
     println("generator sweep rows: " +
       graft.Queries.queryMap("q_generator_funcs")(spark, sf).count())
+    graft.Queries.queryMap("d_span_mask")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }

@@ -65,7 +65,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // vocabulary first-occurrence buckets, BPE chain sums
       "q_bitmap_overlap", "e_maxsim", "e_embed_drift", "e_mmr_rerank",
       "d_vocab_growth", "d_bpe_apply", "e_hard_negatives", "d_k_anonymity",
-      "d_temperature_sample", "e_rrf_hybrid")
+      "d_temperature_sample", "e_rrf_hybrid", "d_span_mask")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def results(n: String): Seq[String] =

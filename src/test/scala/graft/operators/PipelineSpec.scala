@@ -123,6 +123,21 @@ class PipelineSpec extends AnyFunSuite {
                                      // separate tokens must NOT fuse
   }
 
+  test("d_span_mask: coverage invariants and target mask rate") {
+    val rows = q("d_span_mask").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // n_tokens, n_starts, n_masked
+    rows.foreach { case (n, st, m) =>
+      assert(m >= st, "each span covers at least one token")
+      assert(m <= 3 * st, "a span covers at most 3 tokens")
+      assert(m <= n, "masking cannot exceed the document")
+    }
+    val totTok = rows.map(_._1).sum.toDouble
+    val totMask = rows.map(_._3).sum.toDouble
+    // 5% starts × span 3, minus merge/clip losses → expect ~0.13-0.14
+    assert(totMask / totTok > 0.08 && totMask / totTok < 0.22,
+      s"corpus mask rate ${totMask / totTok} outside the design band")
+  }
+
   test("d_k_anonymity: audit invariants + independent class count") {
     val rows = q("d_k_anonymity").collect()
     val docs = Tables.documents(spark, TestSpark.SF)
