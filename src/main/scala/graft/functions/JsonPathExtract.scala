@@ -319,6 +319,21 @@ case class JsonGetAllFused(
           case VArr(items) => items.foreach(go(_, i + 1))
           case _ => ()
         }
+        case PathStep.KeyWildcard => n match {
+          case VObj(f) =>
+            // the unfused walk iterates the ENCODED object, whose field
+            // order is canonical sorted-key (UTF-8 byte order, the
+            // metadata dictionary's collation) — sort the parse-order
+            // tree the same way so fused emission order matches
+            f.toSeq
+              .sortWith { case ((a, _), (b, _)) =>
+                java.util.Arrays.compareUnsigned(
+                  a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+              }
+              .foreach { case (_, v) => go(v, i + 1) }
+          case _ => ()
+        }
       }
     }
     go(root, 0)

@@ -152,7 +152,7 @@ object VariantFunctions {
           else VariantSchema.TYPE
         VariantGetAll(es.head, path, tpe)
       },
-      "variant_get_all(v, path[, type]) - All matches of a path with [*] wildcards, as an array (empty when none)."),
+      "variant_get_all(v, path[, type]) - All matches of a path with [*] / .* wildcards, as an array (empty when none)."),
     ("variant_typeof",
       (es: Seq[Expression]) => VariantTypeOf(es.head),
       "variant_typeof(v) - Type name of the variant root value."),

@@ -722,7 +722,11 @@ object PipelineQueries {
           .withColumn("v", vf.variant_from_json(json))
           .withColumn("qs", vf.variant_get_all(col("v"), "$.items[*].q",
             org.apache.spark.sql.types.LongType))
-          .select(col("l_orderkey"), col("l_linenumber"), col("qs"),
+          // object-value wildcard: .* takes EVERY field value of each
+          // item (q or p alike), so the result is position-complete
+          .withColumn("vals", vf.variant_get_all(col("v"), "$.items[*].*",
+            org.apache.spark.sql.types.LongType))
+          .select(col("l_orderkey"), col("l_linenumber"), col("qs"), col("vals"),
             size(col("qs")).cast("long").as("n_q"),
             expr("aggregate(qs, 0L, (a, x) -> a + x)").as("qsum"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -732,9 +736,10 @@ object PipelineQueries {
              |         CASE WHEN l_orderkey % 2 = 0
              |              THEN [CAST(l_linenumber AS BIGINT), l_suppkey % 10]
              |              ELSE [CAST(l_linenumber AS BIGINT), l_partkey % 10, l_suppkey % 10]
-             |         END AS qs
+             |         END AS qs,
+             |         [CAST(l_linenumber AS BIGINT), l_partkey % 10, l_suppkey % 10] AS vals
              |  FROM lineitem WHERE l_orderkey % 19 = 0)
-             |SELECT l_orderkey, l_linenumber, qs,
+             |SELECT l_orderkey, l_linenumber, qs, vals,
              |       CAST(len(qs) AS BIGINT) AS n_q,
              |       CAST(list_sum(qs) AS BIGINT) AS qsum
              |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin)),

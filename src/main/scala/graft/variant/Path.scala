@@ -12,7 +12,8 @@ object PathStep {
     val utf8: Array[Byte] = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
   final case class Index(i: Int) extends PathStep
-  case object Wildcard extends PathStep
+  case object Wildcard extends PathStep      // [*]: every array element
+  case object KeyWildcard extends PathStep   // .*: every object field value
 }
 
 object VariantPath {
@@ -35,7 +36,8 @@ object VariantPath {
           while (i < n && path.charAt(i) != '.' && path.charAt(i) != '[') i += 1
           if (i == start)
             throw new IllegalArgumentException(s"empty key in variant path: $path")
-          steps += PathStep.Key(path.substring(start, i))
+          val key = path.substring(start, i)
+          steps += (if (key == "*") PathStep.KeyWildcard else PathStep.Key(key))
         case '[' =>
           i += 1
           if (i < n && (path.charAt(i) == '\'' || path.charAt(i) == '"')) {
@@ -117,9 +119,9 @@ object VariantPath {
         case PathStep.Index(idx) =>
           if (!cur.isArray) return null
           cur = cur.getArray.elementAt(idx)
-        case PathStep.Wildcard =>
+        case PathStep.Wildcard | PathStep.KeyWildcard =>
           throw new IllegalArgumentException(
-            "wildcard [*] paths require variant_get_all")
+            "wildcard paths ([*] / .*) require variant_get_all")
       }
       i += 1
     }
@@ -151,6 +153,14 @@ object VariantPath {
           var j = 0
           val n = arr.numElements
           while (j < n) { go(arr.elementAt(j), i + 1); j += 1 }
+        case PathStep.KeyWildcard =>
+          if (!cur.isObject) return
+          val o = cur.getObject
+          var j = 0
+          val n = o.numElements
+          // stored field order IS canonical sorted-key order — the
+          // fused tree walk sorts explicitly to match (JsonGetAllFused)
+          while (j < n) { go(o.valueAt(j), i + 1); j += 1 }
       }
     }
     go(value, 0)

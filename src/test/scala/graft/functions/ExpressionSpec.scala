@@ -434,6 +434,12 @@ class ExpressionSpec extends AnyFunSuite {
     assert(all("$.items[*].q", "bigint") === Seq(1L, 3L))      // {"p":9} pruned
     assert(all("$.tags[*]", "string") === Seq("a", "b"))
     assert(all("$.deep[*].xs[*].v", "bigint") === Seq(10L, 20L, 30L)) // two wildcards
+    assert(all("$.items[*].*", "bigint") === Seq(1L, 9L, 3L))  // object-value wildcard
+    assert(all("$.items[1].*", "bigint") === Seq(9L))
+    // .* emits field values in canonical sorted-key order, whatever the
+    // input key order (both the encoded walk and the fused tree walk)
+    assert(sql1("""SELECT variant_get_all(variant_from_json('{"z": {"b": 2, "a": 1, "c": 3}}'), '$.z.*', 'bigint') AS r""")
+      .getSeq[Any](0) === Seq(1L, 2L, 3L))
     assert(all("$.missing[*]", "bigint") === Seq())            // absent → empty
     assert(all("$.items[1].p", "bigint") === Seq(9L))          // no wildcard → 0/1
     assert(all("$.tags[*]", "bigint") === Seq(null, null))     // try-cast per element
