@@ -108,6 +108,33 @@ object PipelineQueries {
   /** Test hook (PipelineSpec): the Spark-dialect per-word chain. */
   private[graft] def bpeCountExprForTest: String = bpeCountExpr(spark = true)
 
+  /** Discrete bin packing, both strategies, over one group's sizes.
+    * Next-fit packs in the given order and closes a bin when the next
+    * item does not fit; best-fit-decreasing sorts by (size desc, id)
+    * and puts each item into the fullest bin it still fits (ties:
+    * lowest bin index). Items larger than the capacity get a bin of
+    * their own in both strategies. Returns (nfBins, bfdBins).
+    */
+  private[graft] def packBins(sizes: Seq[(Long, Long)], cap: Long): (Long, Long) = {
+    var nf = 0L; var room = 0L
+    sizes.foreach { case (_, sz) =>
+      if (nf == 0L || sz > room) { nf += 1; room = math.max(cap - sz, 0L) }
+      else room -= sz
+    }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long] // remaining
+    sizes.sortBy { case (id, sz) => (-sz, id) }.foreach { case (_, sz) =>
+      var best = -1
+      var i = 0
+      while (i < bins.length) {
+        if (bins(i) >= sz && (best == -1 || bins(i) < bins(best))) best = i
+        i += 1
+      }
+      if (best == -1) bins += math.max(cap - sz, 0L)
+      else bins(best) -= sz
+    }
+    (nf, bins.length.toLong)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // -----------------------------------------------------------------
@@ -220,6 +247,38 @@ object PipelineQueries {
              |  FROM scored)
              |SELECT qid, rank, doc_id, rrf_x, r_lex, r_vec
              |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Discrete bin packing, next-fit vs best-fit-decreasing (d_pack is
+    // the span-allowed cumsum bucketing; THIS is whole-document
+    // packing, where strategy matters): per source the doc sizes meet
+    // at one key and both strategies run in plain Scala — BFD sorts
+    // (size desc, id) and fills the fullest fitting bin. Reported per
+    // source: both bin counts, saved bins, and BFD fill rate against
+    // the ceil(total/cap) lower bound. Rows-only (a stateful greedy is
+    // not SQL-expressible); strategy properties and a classic
+    // NF=3-vs-BFD=2 case are pinned in spec. At 100 TB the grouping
+    // key is the shard, bounding each greedy's input.
+    // -----------------------------------------------------------------
+    QueryDef("d_pack_bfd",
+      (s, d) => {
+        import s.implicits._
+        val sized = documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)").as("n_tok"))
+          .as[(String, Long, Long)]
+        sized.groupByKey(_._1).mapGroups { (src, it) =>
+          val items = it.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+          val total = items.map(_._2).sum
+          val (nf, bfd) = packBins(items, 2048L)
+          val lower = (total + 2047L) / 2048L
+          (src, items.length.toLong, total, nf, bfd, nf - bfd,
+            total * 1000000L / (bfd * 2048L), lower)
+        }.toDF("source", "n_docs", "total_tokens", "bins_nextfit", "bins_bfd",
+          "saved_bins", "fill_bfd_ppm", "lower_bound")
+          .orderBy(col("source"))
+      },
+      None),
 
     // -----------------------------------------------------------------
     // Span-corruption masking plan (the T5 pretraining objective's data

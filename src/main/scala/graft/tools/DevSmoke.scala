@@ -316,6 +316,7 @@ object DevSmoke {
     println("generator sweep rows: " +
       graft.Queries.queryMap("q_generator_funcs")(spark, sf).count())
     graft.Queries.queryMap("d_span_mask")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_pack_bfd")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }

@@ -123,6 +123,24 @@ class PipelineSpec extends AnyFunSuite {
                                      // separate tokens must NOT fuse
   }
 
+  test("d_pack_bfd: strategy properties and the classic NF-beats case") {
+    // classic: [1100, 1100, 900, 900] cap 2048 — next-fit in id order
+    // needs 3 bins, best-fit-decreasing pairs 1100+900 twice
+    val (nf, bfd) = PipelineQueries.packBins(
+      Seq((0L, 1100L), (1L, 1100L), (2L, 900L), (3L, 900L)), 2048L)
+    assert(nf === 3L && bfd === 2L)
+    // oversized items get their own bin in both strategies
+    val (nf2, bfd2) = PipelineQueries.packBins(Seq((0L, 5000L), (1L, 100L)), 2048L)
+    assert(nf2 === 2L && bfd2 === 2L)
+    val rows = q("d_pack_bfd").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nfB, bfdB, lower) = (r.getLong(3), r.getLong(4), r.getLong(7))
+      assert(bfdB <= nfB, "BFD may never use more bins than next-fit")
+      assert(bfdB >= lower, "no packing beats the volume lower bound")
+    }
+  }
+
   test("d_span_mask: coverage invariants and target mask rate") {
     val rows = q("d_span_mask").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // n_tokens, n_starts, n_masked
