@@ -389,6 +389,59 @@ object PipelineQueries {
              |FROM t JOIN k ON k.lang = t.lang ORDER BY t.lang""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Triplet mining (anchor, positive, negative): per probe, the
+    // nearest SAME-label vector (positive) and the nearest
+    // DIFFERENT-label vector (negative) with the triplet margin in
+    // ppm — the batch-construction step for a triplet/contrastive
+    // loss. One broadcast-probe corpus scan computes both legs; the
+    // margin column is the curriculum signal (small or negative margin
+    // = hard triplet).
+    // -----------------------------------------------------------------
+    QueryDef("e_triplet_mine",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val scored = emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim_ppm", ppm(vf.vec_cosine(col("embedding"), col("qv"))))
+          .withColumn("same", col("label") === col("qlabel"))
+        val w = Window.partitionBy(col("qid"), col("same"))
+          .orderBy(col("sim_ppm").desc, col("vec_id"))
+        val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val pos = best.filter(col("same"))
+          .select(col("qid"), col("vec_id").as("pos_id"), col("sim_ppm").as("pos_ppm"))
+        val neg = best.filter(!col("same"))
+          .select(col("qid").as("qid2"), col("vec_id").as("neg_id"),
+            col("sim_ppm").as("neg_ppm"))
+        pos.join(neg, col("qid") === col("qid2"))
+          .select(col("qid"), col("pos_id"), col("pos_ppm"),
+            col("neg_id"), col("neg_ppm"),
+            (col("pos_ppm") - col("neg_ppm")).as("margin_ppm"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH probes AS (
+             |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+             |  FROM embeddings WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT p.qid, e.vec_id, (e.label = p.qlabel) AS same,
+             |         CAST(floor((${cosSql("e.embedding", "p.qv")}) * 1000000.0 + 0.5) AS BIGINT) AS sim_ppm
+             |  FROM embeddings e CROSS JOIN probes p
+             |  WHERE e.vec_id <> p.qid),
+             |best AS (
+             |  SELECT qid, same, vec_id, sim_ppm,
+             |         ROW_NUMBER() OVER (PARTITION BY qid, same
+             |           ORDER BY sim_ppm DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT p.qid, p.vec_id AS pos_id, p.sim_ppm AS pos_ppm,
+             |       n.vec_id AS neg_id, n.sim_ppm AS neg_ppm,
+             |       p.sim_ppm - n.sim_ppm AS margin_ppm
+             |FROM best p JOIN best n ON n.qid = p.qid
+             |WHERE p.rn = 1 AND p.same AND n.rn = 1 AND NOT n.same
+             |ORDER BY p.qid""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Hard-negative mining for contrastive training: for each probe,
     // the top-5 most-similar vectors with a DIFFERENT label — "looks
     // like the anchor but isn't" is exactly what a contrastive loss

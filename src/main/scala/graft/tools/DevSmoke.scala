@@ -317,6 +317,7 @@ object DevSmoke {
       graft.Queries.queryMap("q_generator_funcs")(spark, sf).count())
     graft.Queries.queryMap("d_span_mask")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("d_pack_bfd")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("e_triplet_mine")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }
