@@ -172,4 +172,49 @@ class RobustnessSpec extends AnyFunSuite {
       .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
     assert(fused == unfused, s"fused $fused vs unfused $unfused")
   }
+
+  test("deep nesting: recursive operators work at depth 500; >1000 fails cleanly") {
+    // diff/flatten/get_all/merge all recurse over the document tree —
+    // pin that (a) realistic-deep documents (500 levels) work through
+    // every recursive operator, and (b) absurd depth is rejected by the
+    // tokenizer's nesting limit as a clean parse error, never a
+    // StackOverflowError tearing down the executor.
+    def nested(depth: Int): String =
+      ("""{"a": """ * depth) + "1" + ("}" * depth)
+    val d500 = nested(500)
+    val path500 = "$" + (".a" * 500)
+    val r = spark.sql(
+      s"""SELECT variant_get(variant_from_json('$d500'), '$path500', 'bigint') AS g,
+         |       variant_to_json(variant_diff(variant_from_json('$d500'),
+         |                                    variant_from_json('$d500'))) AS dj
+         |""".stripMargin).head()
+    assert(r.getLong(0) === 1L)
+    assert(r.getString(1) === "{}")
+    val flatRows = spark.sql(
+      s"SELECT variant_flatten(variant_from_json('$d500'))").count()
+    assert(flatRows === 501L) // 500 objects + 1 leaf
+    val deepAll = spark.sql(
+      s"""SELECT variant_get_all(variant_from_json('$d500'), '$path500', 'bigint') AS r""")
+      .head().getSeq[Any](0)
+    assert(deepAll === Seq(1L))
+    // beyond the tokenizer's nesting constraint: clean error (strict)
+    // and NULL (try), not a stack overflow
+    val d2k = nested(2000)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT variant_get(variant_from_json('$d2k'), '$$.a', 'bigint')").head()
+    }
+    assert(!err.isInstanceOf[StackOverflowError])
+    val viaTry = spark.sql(
+      s"SELECT try_variant_from_json('$d2k') IS NULL AS n").head().getBoolean(0)
+    assert(viaTry)
+  }
+
+  test("wildcard walk survives wide documents: 10k-element arrays") {
+    val arr = (1 to 10000).mkString("[", ",", "]")
+    val got = spark.sql(
+      s"""SELECT aggregate(variant_get_all(variant_from_json('{"xs": $arr}'), '$$.xs[*]', 'bigint'),
+         |                 0L, (a, x) -> a + x) AS s""".stripMargin)
+      .head().getLong(0)
+    assert(got === (1 to 10000).map(_.toLong).sum)
+  }
 }
