@@ -754,6 +754,59 @@ object PipelineQueries {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // -----------------------------------------------------------------
+    // Writer-path aggregation: build a variant DOCUMENT from a
+    // relational aggregate (to_variant over named_struct with a
+    // sorted-slice array) — the inverse direction of the extraction
+    // surface, gated by rendering the built document to canonical JSON
+    // against an analytically-constructed oracle string. The shape a
+    // feature-store/profile materialization job uses: aggregate facts,
+    // emit one self-describing document per key.
+    // -----------------------------------------------------------------
+    QueryDef("v_agg_build",
+      (s, d) => {
+        lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"),
+            expr("slice(sort_array(collect_list(CAST(l_quantity AS BIGINT))), 1, 5)").as("qty5"))
+          .withColumn("doc", vf.variant_to_json(vf.to_variant(
+            expr("named_struct('flag', flag, 'n', n, 'qty5', qty5)"))))
+          .select(col("flag"), col("doc"))
+          .orderBy(col("flag"))
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |       '{"flag":"' || l_returnflag || '","n":' || CAST(COUNT(*) AS VARCHAR) ||
+             |       ',"qty5":[' ||
+             |       array_to_string((list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)))[1:5], ',') ||
+             |       ']}' AS doc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Training-order interleave: the data-ordering step — documents
+    // from all sources interleaved round-robin (position = dense order
+    // over (per-source rank, source)) so a training run never sees one
+    // source in a long block. Deterministic, shuffle-light (one
+    // per-source window + one global ordering over rank-bounded keys).
+    // -----------------------------------------------------------------
+    QueryDef("d_interleave_order",
+      (s, d) => {
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val wAll = Window.orderBy(col("ord"), col("source"))
+        documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("ord", row_number().over(wSrc).cast("long"))
+          .withColumn("pos", row_number().over(wAll).cast("long"))
+          .select(col("pos"), col("doc_id"), col("source"), col("ord"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS ord
+             |  FROM documents)
+             |SELECT ROW_NUMBER() OVER (ORDER BY ord, source) AS pos,
+             |       doc_id, source, ord
+             |FROM r ORDER BY pos""".stripMargin)),
+
+    // -----------------------------------------------------------------
     // Recursive variant introspection (variant_flatten): one row per
     // node as (path, typ, leaf) — the json_tree shape. The oracle
     // enumerates the expected node set ANALYTICALLY per source row,

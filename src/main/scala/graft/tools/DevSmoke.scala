@@ -318,6 +318,8 @@ object DevSmoke {
     graft.Queries.queryMap("d_span_mask")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("d_pack_bfd")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("e_triplet_mine")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("v_agg_build")(spark, sf).show(truncate = false)
+    graft.Queries.queryMap("d_interleave_order")(spark, sf).show(3, truncate = false)
 
     spark.stop()
   }
