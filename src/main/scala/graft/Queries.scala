@@ -3567,14 +3567,16 @@ object Queries {
                     cast(l_quantity as bigint), l_returnflag)), 1, 15),
                   16, 10) as bigint)""").as("h"))
         .groupBy(col("l_returnflag"))
+        // fp rendered as STRING: DECIMAL(38,0) exceeds float64's 53-bit
+        // mantissa and degrades in the driver's pandas compare
         .agg(count(lit(1)).as("n"),
-          sum(col("h").cast("decimal(38,0)")).as("fp"))
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("fp"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-             |       CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+             |       CAST(CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
              |              l_orderkey, l_linenumber,
              |              CAST(l_quantity AS BIGINT), l_returnflag)), 1, 15)
-             |            AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp
+             |            AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fp
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
@@ -3850,7 +3852,7 @@ object Queries {
       |  SELECT /*+ BROADCAST(s) */ s.ck, s.rn, CAST(w.acc * s.f AS DECIMAL(30,16))
       |  FROM walk w JOIN seq s ON s.ck = w.ck AND s.rn = w.rn + 1
       |  WHERE s.rn <= 4)
-      |SELECT ck, CAST(rn AS BIGINT) AS rn, acc
+      |SELECT ck, CAST(rn AS BIGINT) AS rn, CAST(acc AS STRING) AS acc
       |FROM walk ORDER BY ck, rn""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -359,7 +359,7 @@ case class VariantGetAll(
         r
       }
     val hits = new scala.collection.mutable.ArrayBuffer[graft.variant.VariantView](8)
-    VariantPath.walkAll(new VariantView(valBytes, 0), steps, ids, hits)
+    VariantPath.walkAll(meta, new VariantView(valBytes, 0), steps, ids, hits)
     val out = new Array[Any](hits.length)
     var i = 0
     while (i < hits.length) {

@@ -410,11 +410,13 @@ object VariantMergePatch {
     * `merge(a, p) == b` — up to the two gaps RFC 7386 itself has:
     *
     *  - an explicit JSON-null FIELD VALUE in `b` is unreachable (a null
-    *    in a patch always means delete), so such fields are skipped and
-    *    the roundtrip target is `b` with null-valued object fields
-    *    recursively stripped (stopping at arrays, which merge
-    *    wholesale) — exactly what `merge` itself produces from any
-    *    patch carrying that subtree;
+    *    in a patch always means delete), so the roundtrip target is `b`
+    *    with null-valued object fields recursively stripped (stopping
+    *    at arrays, which merge wholesale) — exactly what `merge` itself
+    *    produces from any patch carrying that subtree. A null-valued
+    *    key of `b` therefore emits a DELETE when `a` has the key and is
+    *    omitted when it doesn't (VariantDiffSpec pins the stripped-b
+    *    roundtrip on all 300 fuzz pairs);
     *  - a non-object on EITHER side admits only wholesale replacement
     *    (there is no object no-op patch for a scalar target: merging
     *    `{}` onto a scalar yields `{}`), so the diff is `b` itself.
@@ -428,7 +430,12 @@ object VariantMergePatch {
     case (VObj(af), VObj(bf)) =>
       val out = new scala.collection.mutable.LinkedHashMap[String, VNode]
       bf.foreach { case (k, bv) =>
-        if (bv != VNull) {
+        if (bv == VNull) {
+          // explicit-null field of b is unreachable as a VALUE (a null
+          // patch entry always means delete) — the roundtrip target
+          // strips it, so if a HAS the key, delete it; if not, no-op
+          if (af.contains(k)) out.put(k, VNull)
+        } else {
           af.get(k) match {
             case Some(av) if nodeEq(av, bv) => ()
             case Some(av @ VObj(_)) if bv.isInstanceOf[VObj] =>

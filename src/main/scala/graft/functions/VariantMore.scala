@@ -109,9 +109,11 @@ case class VariantFlatten(child: Expression)
         var i = 0
         while (i < o.numElements) {
           val key = meta.getKey(o.fieldIdAt(i))
+          // backslash then quote: both escapes replay through
+          // VariantPath.parse's quoted-key branch (escape-aware)
           val step =
             if (identKey.pattern.matcher(key).matches()) s".$key"
-            else s"['${key.replace("'", "\\'")}']"
+            else s"['${key.replace("\\", "\\\\").replace("'", "\\'")}']"
           rec(o.valueAt(i), path + step)
           i += 1
         }

@@ -891,7 +891,11 @@ object PipelineQueries {
           // item (q or p alike), so the result is position-complete
           .withColumn("vals", vf.variant_get_all(col("v"), "$.items[*].*",
             org.apache.spark.sql.types.LongType))
-          .select(col("l_orderkey"), col("l_linenumber"), col("qs"), col("vals"),
+          // string digests, not raw array columns: the driver's
+          // pandas-side compare cannot sort/hash ndarray cells
+          .select(col("l_orderkey"), col("l_linenumber"),
+            concat_ws(",", col("qs")).as("qs_csv"),
+            concat_ws(",", col("vals")).as("vals_csv"),
             size(col("qs")).cast("long").as("n_q"),
             expr("aggregate(qs, 0L, (a, x) -> a + x)").as("qsum"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -904,7 +908,9 @@ object PipelineQueries {
              |         END AS qs,
              |         [CAST(l_linenumber AS BIGINT), l_partkey % 10, l_suppkey % 10] AS vals
              |  FROM lineitem WHERE l_orderkey % 19 = 0)
-             |SELECT l_orderkey, l_linenumber, qs, vals,
+             |SELECT l_orderkey, l_linenumber,
+             |       array_to_string(qs, ',') AS qs_csv,
+             |       array_to_string(vals, ',') AS vals_csv,
              |       CAST(len(qs) AS BIGINT) AS n_q,
              |       CAST(list_sum(qs) AS BIGINT) AS qsum
              |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin)),

@@ -184,9 +184,9 @@ object QualityQueries {
            |  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
            |tot AS (SELECT SUM(n) AS total FROM counts)
            |SELECT c.digit, c.n,
-           |       c.n * 1000000 // t.total AS obs_ppm,
+           |       CAST(c.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
            |       CASE c.digit $caseSql END AS benford_ppm,
-           |       c.n * 1000000 // t.total - CASE c.digit $caseSql END AS delta_ppm
+           |       CAST(c.n * 1000000 // t.total - CASE c.digit $caseSql END AS BIGINT) AS delta_ppm
            |FROM counts c, tot t
            |ORDER BY c.digit""".stripMargin
       }),
@@ -273,14 +273,18 @@ object QualityQueries {
              |  SELECT day, n,
              |         SUM(dev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
              |  FROM dev)
-             |SELECT day, n, cusum,
+             |SELECT day, n, CAST(cusum AS BIGINT) AS cusum,
              |       abs(cusum) = (SELECT MAX(abs(cusum)) FROM cs) AS is_peak
              |FROM cs ORDER BY day""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Sliding distinct-user count: collect_set over a ROWS frame keeps
     // per-row state bounded by the frame (100), not the partition —
-    // the "unique visitors in the trailing window" shape.
+    // the "unique visitors in the trailing window" shape. SCALE NOTE:
+    // this is a per-ROW window keyed by event_type (cardinality ~5), so
+    // at 100× data each type is ONE task — kept as a parity pin for the
+    // row-frame semantics; the scale path is q_sliding_distinct below
+    // (bitmap sketches over an (event_type, hour) pre-aggregate).
     // -----------------------------------------------------------------
     QueryDef("q_window_distinct",
       (s, d) => {
@@ -296,6 +300,42 @@ object QualityQueries {
              |         PARTITION BY event_type ORDER BY ts, event_id
              |         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS n_distinct
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Scalable sliding distinct (the 100-TB twin of q_window_distinct):
+    // trailing-24h unique users per (event_type, hour). The ONLY
+    // raw-row shuffle is the (event_type, hour) bitmap pre-aggregate —
+    // parallelism = types × hours, not types — and the sliding merge is
+    // a RANGE-frame bitmap OR over the tiny bucket table (≤24 KB-sized
+    // sketches per row, O(buckets) rows total). Range frame on the hour
+    // epoch, not a rows frame, so sparse hours stay time-correct.
+    // -----------------------------------------------------------------
+    QueryDef("q_sliding_distinct",
+      (s, d) => {
+        val e = events(s, d)
+        val hourly = e.groupBy(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("h_epoch"))
+          .agg(vf.bitmap_agg(col("user_id")).as("bm"), count(lit(1)).as("n_events"))
+        val wSlide = Window.partitionBy(col("event_type")).orderBy(col("h_epoch"))
+          .rangeBetween(-23L * 3600L, 0L)
+        hourly
+          .withColumn("n_users",
+            vf.bitmap_cardinality(vf.bitmap_or_agg(col("bm")).over(wSlide)))
+          .select(col("event_type"), col("h_epoch"), col("n_events"), col("n_users"))
+          .orderBy(col("event_type"), col("h_epoch"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h_epoch,
+             |         user_id, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |hours AS (
+             |  SELECT event_type, h_epoch, CAST(SUM(n) AS BIGINT) AS n_events
+             |  FROM b GROUP BY 1, 2)
+             |SELECT h.event_type, h.h_epoch, h.n_events,
+             |       (SELECT COUNT(DISTINCT b2.user_id) FROM b b2
+             |        WHERE b2.event_type = h.event_type
+             |          AND b2.h_epoch BETWEEN h.h_epoch - 23*3600 AND h.h_epoch) AS n_users
+             |FROM hours h ORDER BY h.event_type, h.h_epoch""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Filtered ANN: top-k cosine restricted by a metadata predicate

@@ -43,12 +43,22 @@ object VariantPath {
           if (i < n && (path.charAt(i) == '\'' || path.charAt(i) == '"')) {
             val quote = path.charAt(i)
             i += 1
-            val start = i
-            while (i < n && path.charAt(i) != quote) i += 1
-            if (i >= n || i + 1 >= n || path.charAt(i + 1) != ']')
+            // backslash-escaped chars inside quoted keys (\' \" \\) so
+            // every key variant_flatten emits replays through here
+            val sb = new java.lang.StringBuilder
+            var closed = false
+            while (i < n && !closed) {
+              path.charAt(i) match {
+                case '\\' if i + 1 < n =>
+                  sb.append(path.charAt(i + 1)); i += 2
+                case `quote` => closed = true; i += 1
+                case c => sb.append(c); i += 1
+              }
+            }
+            if (!closed || i >= n || path.charAt(i) != ']')
               throw new IllegalArgumentException(s"unterminated quoted key in: $path")
-            steps += PathStep.Key(path.substring(start, i))
-            i += 2
+            steps += PathStep.Key(sb.toString)
+            i += 1
           } else {
             val start = i
             while (i < n && path.charAt(i) != ']') i += 1
@@ -133,7 +143,8 @@ object VariantPath {
     * A miss on any branch prunes that branch only; no matches → empty
     * result, never an error — the multi-valued twin of [[walkWithIds]].
     */
-  def walkAll(value: VariantView, steps: Array[PathStep], ids: Array[Int],
+  def walkAll(metadata: MetadataView, value: VariantView, steps: Array[PathStep],
+              ids: Array[Int],
               out: scala.collection.mutable.ArrayBuffer[VariantView]): Unit = {
     def go(cur: VariantView, i: Int): Unit = {
       if (cur == null) return
@@ -156,11 +167,25 @@ object VariantPath {
         case PathStep.KeyWildcard =>
           if (!cur.isObject) return
           val o = cur.getObject
-          var j = 0
           val n = o.numElements
-          // stored field order IS canonical sorted-key order — the
-          // fused tree walk sorts explicitly to match (JsonGetAllFused)
-          while (j < n) { go(o.valueAt(j), i + 1); j += 1 }
+          if (metadata.sortedStrings) {
+            // canonical writers (ours, Spark's) store object fields in
+            // sorted-key order when the dictionary is sorted — stored
+            // order IS the order the fused tree walk sorts to match
+            var j = 0
+            while (j < n) { go(o.valueAt(j), i + 1); j += 1 }
+          } else {
+            // byte-verbatim FOREIGN variants with first-seen-order
+            // dictionaries: stored field order (sorted by field id) is
+            // NOT key order — sort explicitly so .* emission matches
+            // the fused path's canonical sorted-key order
+            val idx = (0 until n).sortWith { (a, b) =>
+              VariantMetadata.compareUtf8(
+                metadata.getKey(o.fieldIdAt(a)).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                metadata.getKey(o.fieldIdAt(b)).getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+            }
+            idx.foreach(j => go(o.valueAt(j), i + 1))
+          }
       }
     }
     go(value, 0)

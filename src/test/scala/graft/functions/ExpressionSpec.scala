@@ -453,4 +453,77 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("variant_get_all") ||
       Option(e.getCause).exists(_.getMessage.contains("variant_get_all")))
   }
+
+  test("variant_get_all UNFUSED walk: to_variant input, parquet roundtrip, 2-arg form") {
+    // Every earlier wildcard test extracts over variant_from_json with a
+    // scalar target, which VariantGetFusionRule rewrites to
+    // JsonGetAllFused — so the ENCODED walk (VariantPath.walkAll) needs
+    // its own witnesses. Each input here defeats fusion by construction.
+    // (1) to_variant child — not a JSON parse, cannot fuse
+    val df1 = spark.sql(
+      """SELECT variant_get_all(to_variant(
+        |  array(named_struct('q', 1L), named_struct('q', 2L), named_struct('q', 7L))),
+        |  '$[*].q', 'bigint') AS r""".stripMargin)
+    assert(!df1.queryExecution.executedPlan.toString.contains("json_get_all_fused"))
+    assert(df1.head().getSeq[Any](0) === Seq(1L, 2L, 7L))
+    // .* over to_variant: canonical sorted-key order
+    assert(sql1(
+      """SELECT variant_get_all(to_variant(named_struct('b', 2L, 'a', 1L, 'c', 3L)),
+        |'$.*', 'bigint') AS r""".stripMargin).getSeq[Any](0) === Seq(1L, 2L, 3L))
+    // (2) parquet-roundtripped variant COLUMN — child is a scan attribute
+    val dir = java.nio.file.Files.createTempDirectory("graft_unfused_wc_").toString
+    import spark.implicits._
+    Seq(1, 2).toDF("i")
+      .selectExpr("i",
+        """variant_from_json(concat('{"items": [{"q": ', i, '}, {"q": ', i * 10, '}, {"z": {"b": 2, "a": 1}}]}')) AS v""")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .selectExpr("i", "variant_get_all(v, '$.items[*].q', 'bigint') AS qs",
+        "variant_get_all(v, '$.items[2].z.*', 'bigint') AS zs")
+      .orderBy("i")
+    assert(!back.queryExecution.executedPlan.toString.contains("json_get_all_fused"))
+    assert(back.collect().map(r => (r.getSeq[Any](1), r.getSeq[Any](2))).toSeq ===
+      Seq((Seq(1L, 10L), Seq(1L, 2L)), (Seq(2L, 20L), Seq(1L, 2L))))
+    // (3) 2-arg form: variant-typed elements stay unfused (raw subtree
+    // slices ≠ canonical re-encodes); render each through variant_to_json
+    val twoArg = spark.sql(
+      """SELECT transform(variant_get_all(variant_from_json(
+        |  '{"items": [{"q": 1}, {"p": 9}]}'), '$.items[*]'),
+        |  x -> variant_to_json(x)) AS r""".stripMargin)
+    assert(!twoArg.queryExecution.executedPlan.toString.contains("json_get_all_fused"))
+    assert(twoArg.head().getSeq[String](0) === Seq("""{"q":1}""", """{"p":9}"""))
+  }
+
+  test("variant_get_all .*: foreign variant with UNSORTED dictionary emits key-sorted values") {
+    // Byte-verbatim foreign frames may carry a first-seen-order
+    // dictionary (sorted_strings=0) where stored field order (sorted by
+    // field ID, per spec) is NOT key order — the walk must sort
+    // explicitly to match the fused path's canonical order.
+    // dict: ["b"=0, "a"=1] (unsorted); object fields in id order: b, a.
+    val meta = Array[Byte](
+      0x01,             // hdr: offset_size 1, sorted_strings=0, version 1
+      0x02,             // dict size 2
+      0x00, 0x01, 0x02, // offsets 0, 1, 2
+      'b'.toByte, 'a'.toByte)
+    val value = Array[Byte](
+      0x02,             // object: basic=2, offset_size 1, id_size 1, small
+      0x02,             // 2 fields
+      0x00, 0x01,       // field ids: 0 ("b"), 1 ("a") — id order, not key order
+      0x00, 0x02, 0x04, // value offsets
+      0x0C, 2,          // int8 2  (value of "b")
+      0x0C, 1)          // int8 1  (value of "a")
+    import spark.implicits._
+    val df = Seq((meta, value)).toDF("metadata", "value")
+      .select(org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("metadata"),
+        org.apache.spark.sql.functions.col("value")).as("v"))
+    // sanity: the frame decodes (JSON text renders STORED order — order
+    // in JSON text is non-semantic; the semantic contract under test is
+    // the .* EMISSION order below)
+    assert(df.selectExpr("variant_to_json(v) AS j").head().getString(0)
+      === """{"b":2,"a":1}""")
+    // .* must emit a's value FIRST (key-sorted), not stored order (b first)
+    assert(df.selectExpr("variant_get_all(v, '$.*', 'bigint') AS r")
+      .head().getSeq[Any](0) === Seq(1L, 2L))
+  }
 }

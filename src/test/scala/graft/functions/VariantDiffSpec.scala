@@ -44,7 +44,11 @@ class VariantDiffSpec extends AnyFunSuite {
       val it = b.fields()
       while (it.hasNext) {
         val e = it.next()
-        if (!e.getValue.isNull) {
+        if (e.getValue.isNull) {
+          // explicit null in b: unreachable as a value — delete if a has
+          // the key (roundtrip target strips the field), else no-op
+          if (a.has(e.getKey)) out.set[JsonNode](e.getKey, NullNode.getInstance())
+        } else {
           val av = a.get(e.getKey)
           if (av == null) out.set[JsonNode](e.getKey, e.getValue)
           else if (av != e.getValue) {
@@ -76,6 +80,19 @@ class VariantDiffSpec extends AnyFunSuite {
       (0 until n.size()).map(i => canonical(n.get(i))).mkString("[", ",", "]")
     } else n.toString
 
+  /** The documented roundtrip target: null-valued object fields
+    * recursively removed; arrays untouched (they merge wholesale). */
+  private def stripNulls(n: JsonNode): JsonNode =
+    if (n.isObject) {
+      val out = mapper.createObjectNode()
+      val it = n.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!e.getValue.isNull) out.set[JsonNode](e.getKey, stripNulls(e.getValue))
+      }
+      out
+    } else n
+
   private def gen(rnd: scala.util.Random, depth: Int): String = {
     val keys = Seq("a", "b", "c", "d", "e")
     rnd.nextInt(if (depth >= 3) 4 else 6) match {
@@ -101,7 +118,9 @@ class VariantDiffSpec extends AnyFunSuite {
       ("""5""", """{"a": 1}""", """{"a":1}"""),
       ("""{"a": [1, 2]}""", """{"a": [1, 2, 3]}""", """{"a":[1,2,3]}"""),
       ("""{"a": [1, 2]}""", """{"a": [1, 2]}""", """{}"""),
-      ("""{"a": 1}""", """{"a": 1, "b": null}""", """{}"""), // null in b unreachable
+      ("""{"a": 1}""", """{"a": 1, "b": null}""", """{}"""), // null in b, absent in a: no-op
+      ("""{"a": 1, "b": 2}""", """{"a": 1, "b": null}""", """{"b":null}"""), // null in b, present in a: delete
+      ("""{"a": {"x": 1, "y": 3}}""", """{"a": {"x": 1, "y": null}}""", """{"a":{"y":null}}"""), // nested null-strip
       ("""{"a": 1}""", """{"a": 1.0}""", """{"a":1.0}""")    // type change replaces
     )
     import spark.implicits._
@@ -146,9 +165,10 @@ class VariantDiffSpec extends AnyFunSuite {
       // roundtrip through the independent merge model
       assert(gotRt === canonical(modelMerge(an, modelDiff(an, bn))),
         s"roundtrip($a, $b)")
-      // and exactly b whenever b is null-free (the RFC-complete case)
-      if (!b.contains("null"))
-        assert(gotRt === canonical(bn), s"exact roundtrip($a, $b)")
+      // and exactly the documented target: b with null-valued object
+      // fields recursively stripped (stopping at arrays, which merge
+      // wholesale) — for null-free b this reduces to b itself
+      assert(gotRt === canonical(stripNulls(bn)), s"stripped roundtrip($a, $b)")
     }
   }
 

@@ -380,4 +380,42 @@ class OperatorSpec extends AnyFunSuite {
       assert(Set("png", "jpeg", "webp").contains(r.getAs[String]("fmt")))
     }
   }
+
+  test("BMP codec: encode→decode roundtrip exact, stride/bottom-up honored, malformed rejected") {
+    // widths 1-5 sweep every stride-padding residue (w*3 mod 4)
+    for (w <- 1 to 5; h <- Seq(1, 2, 3)) {
+      def px(x: Int, y: Int): Int = ((x * 31 + y * 7) % 256) * 0x010101 + x + (y << 16)
+      val img = Multimodal.decodeBmp24(Multimodal.encodeBmp24(w, h, px))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == (px(x, y) & 0xffffff), s"($x,$y) in ${w}x$h")
+    }
+    // top-down recovery: top-left pixel is stored in the LAST file row
+    val enc = Multimodal.encodeBmp24(2, 2, (x, y) => if (x == 0 && y == 0) 0xff0000 else 0)
+    assert(Multimodal.decodeBmp24(enc).pixels(0) == 0xff0000)
+    // malformed inputs throw, never misparse
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException] {
+      val bad = enc.clone(); bad(28) = 8 // 8bpp palette — unsupported
+      Multimodal.decodeBmp24(bad)
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp24(java.util.Arrays.copyOf(enc, enc.length - 4)))
+  }
+
+  test("WAV codec: PCM16 roundtrip exact through a junk LIST chunk; malformed rejected") {
+    val samples = Array.tabulate(777)(i => ((i * 2731) % 65536 - 32768).toShort)
+    val wav = Multimodal.decodeWav(Multimodal.encodeWavPcm16(22050, samples))
+    assert(wav.sampleRate == 22050 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.samples.toSeq == samples.toSeq)
+    // extreme values survive the unsigned/LE round-trip
+    val edges = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue)
+    assert(Multimodal.decodeWav(Multimodal.encodeWavPcm16(8000, edges)).samples.toSeq == edges.toSeq)
+    intercept[IllegalArgumentException](Multimodal.decodeWav("not a wav".getBytes))
+    intercept[IllegalArgumentException] {
+      val enc = Multimodal.encodeWavPcm16(8000, edges)
+      enc(20) = 3 // IEEE-float format tag — unsupported
+      Multimodal.decodeWav(enc)
+    }
+  }
 }
