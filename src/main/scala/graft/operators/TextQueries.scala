@@ -149,6 +149,69 @@ object TextQueries {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
   }
 
+  /** Repeated-8-gram span stripping (d_repeated_ngram_strip body —
+    * shared with the hash≡string differential in OperatorSpec).
+    * `hashKey = true` shuffles 8-byte xxhash64 gram keys (the 100 TB
+    * choice); `false` shuffles the gram strings (the oracle's exact
+    * formulation).
+    */
+  def repeatedNgramStrip(s: SparkSession, d: String, hashKey: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d).withColumn("t", tokens("text"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"))
+    val g0 = toks.filter(col("n_tokens") >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(t) - 8), i -> concat_ws(' ', slice(t, i + 1, 8)))")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
+    val g = if (hashKey) g0.select(col("doc_id"), col("p"), xxhash64(col("gram")).as("k"))
+            else g0.select(col("doc_id"), col("p"), col("gram").as("k"))
+    val rep = g.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("k"))
+    val hits = g.join(rep, Seq("k"), "left_semi").select(col("doc_id"), col("p"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = hits.withColumn("pm", max(col("p") + 7).over(wPrev))
+      .select(col("doc_id"),
+        when(col("pm").isNull || col("p") > col("pm"), lit(8L))
+          .when(col("p") + 7 > col("pm"), col("p") + 7 - col("pm"))
+          .otherwise(lit(0L)).as("nc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_pos"), sum(col("nc")).as("covered"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_pos"), lit(0L)).as("n_rep_pos"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        (col("n_tokens") - coalesce(col("covered"), lit(0L))).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repeatedNgramOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |docs AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest(range(0, n_tokens - 7)) AS p,
+      |         unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS gram
+      |  FROM docs WHERE n_tokens >= 8),
+      |rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |         MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM g WHERE gram IN (SELECT gram FROM rep)),
+      |cov AS (
+      |  SELECT doc_id, COUNT(*) AS n_rep_pos,
+      |         SUM(CASE WHEN pm IS NULL OR p > pm THEN 8
+      |                  WHEN p + 7 > pm THEN p + 7 - pm ELSE 0 END) AS covered
+      |  FROM isl GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(COALESCE(c.n_rep_pos, 0) AS BIGINT) AS n_rep_pos,
+      |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+      |       CAST(d.n_tokens - COALESCE(c.covered, 0) AS BIGINT) AS kept_tokens
+      |FROM docs d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("d_token_stats",
@@ -682,64 +745,15 @@ object TextQueries {
     // its 8-token span for removal; overlapping spans merge by a
     // gaps-and-islands running-max window, so covered_tokens is the
     // exact union length. Shuffles: one gram-keyed aggregate (map-side
-    // combined) + one semi-join back + a per-doc window — at 100 TB the
-    // gram key becomes xxhash64(gram) to bound shuffle width (64-bit
-    // collision risk ~n²/2⁶⁵; here the STRING key keeps the oracle
-    // exact), and only repeated grams flow back through the semi-join.
+    // combined) + one semi-join back + a per-doc window. The gram key
+    // is xxhash64(gram) — the 100 TB choice: a fixed 8-byte shuffle key
+    // instead of ~50-byte strings (collision risk ~n²/2⁶⁵; a collision
+    // would surface as a hash-mismatch against the string-keyed DuckDB
+    // oracle, so the driver gate doubles as the collision check —
+    // OperatorSpec additionally pins hash-keyed ≡ string-keyed).
     QueryDef("d_repeated_ngram_strip",
-      (s, d) => {
-        val toks = documents(s, d).withColumn("t", tokens("text"))
-          .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"))
-        val g = toks.filter(col("n_tokens") >= 8)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, size(t) - 8), i -> concat_ws(' ', slice(t, i + 1, 8)))")))
-          .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
-        val rep = g.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select(col("gram"))
-        val hits = g.join(rep, Seq("gram"), "left_semi").select(col("doc_id"), col("p"))
-        import org.apache.spark.sql.expressions.Window
-        val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val cov = hits.withColumn("pm", max(col("p") + 7).over(wPrev))
-          .select(col("doc_id"),
-            when(col("pm").isNull || col("p") > col("pm"), lit(8L))
-              .when(col("p") + 7 > col("pm"), col("p") + 7 - col("pm"))
-              .otherwise(lit(0L)).as("nc"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_rep_pos"), sum(col("nc")).as("covered"))
-        toks.select(col("doc_id"), col("n_tokens"))
-          .join(cov, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("n_rep_pos"), lit(0L)).as("n_rep_pos"),
-            coalesce(col("covered"), lit(0L)).as("covered_tokens"),
-            (col("n_tokens") - coalesce(col("covered"), lit(0L))).as("kept_tokens"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-             |docs AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
-             |g AS (
-             |  SELECT doc_id,
-             |         unnest(range(0, n_tokens - 7)) AS p,
-             |         unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS gram
-             |  FROM docs WHERE n_tokens >= 8),
-             |rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-             |isl AS (
-             |  SELECT doc_id, p,
-             |         MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-             |  FROM g WHERE gram IN (SELECT gram FROM rep)),
-             |cov AS (
-             |  SELECT doc_id, COUNT(*) AS n_rep_pos,
-             |         SUM(CASE WHEN pm IS NULL OR p > pm THEN 8
-             |                  WHEN p + 7 > pm THEN p + 7 - pm ELSE 0 END) AS covered
-             |  FROM isl GROUP BY doc_id)
-             |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
-             |       CAST(COALESCE(c.n_rep_pos, 0) AS BIGINT) AS n_rep_pos,
-             |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
-             |       CAST(d.n_tokens - COALESCE(c.covered, 0) AS BIGINT) AS kept_tokens
-             |FROM docs d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
-
+      (s, d) => repeatedNgramStrip(s, d, hashKey = true),
+      Some(repeatedNgramOracle)),
     // Domain-mixture reweighting: per-language sampling weight that
     // rebalances the corpus to a uniform language mix (weight_ppm =
     // uniform-share / actual-share, parts-per-million integer arithmetic

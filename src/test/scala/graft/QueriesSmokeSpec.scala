@@ -65,7 +65,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       // vocabulary first-occurrence buckets, BPE chain sums
       "q_bitmap_overlap", "e_maxsim", "e_embed_drift", "e_mmr_rerank",
       "d_vocab_growth", "d_bpe_apply", "e_hard_negatives", "d_k_anonymity",
-      "d_temperature_sample", "e_rrf_hybrid", "d_span_mask")
+      "d_temperature_sample", "e_rrf_hybrid", "d_span_mask",
+      // driver-round-7: sliding bitmap OR over hour buckets, corpus-wide
+      // repeated-gram counting + island merge
+      "q_sliding_distinct", "d_repeated_ngram_strip")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     def results(n: String): Seq[String] =

@@ -381,6 +381,51 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated-ngram coverage ≡ brute-force interval union on random corpora") {
+    // The gaps-and-islands running-max window in d_repeated_ngram_strip
+    // must equal the operational definition: mark every token index
+    // covered by ANY repeated 8-gram's [p, p+7] span, count marks.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val docsFix = (0L until 40L).map { id =>
+      // tiny vocab forces heavy shingle collisions; varying lengths hit
+      // the n<8 edge and single-island/multi-island shapes
+      val n = 3 + rnd.nextInt(40)
+      (id, (0 until n).map(_ => "w" + rnd.nextInt(6)).mkString(" "))
+    }
+    val df = docsFix.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_fix_").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.Queries.queryMap("d_repeated_ngram_strip")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the production 64-bit-hashed gram key must agree with the exact
+    // string-keyed formulation (collision-free on any real corpus)
+    val viaStrings = TextQueries.repeatedNgramStrip(spark, dir, hashKey = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === viaStrings, "hash-keyed and string-keyed strip disagree")
+    // brute force over the SAME fixture
+    val toks = docsFix.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }.toMap
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    toks.values.foreach { w =>
+      (0 to w.length - 8).foreach { i => val g = w.slice(i, i + 8).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0) + 1 }
+    }
+    toks.foreach { case (id, w) =>
+      val marks = new Array[Boolean](w.length)
+      var nRep = 0L
+      (0 to w.length - 8).foreach { i =>
+        if (counts(w.slice(i, i + 8).mkString(" ")) >= 2) {
+          nRep += 1; (i until i + 8).foreach(marks(_) = true)
+        }
+      }
+      val covered = marks.count(identity).toLong
+      assert(got(id) === ((w.length.toLong, nRep, covered, w.length - covered)),
+        s"doc $id: got ${got(id)}, want (${w.length}, $nRep, $covered, ${w.length - covered})")
+    }
+  }
+
   test("BMP codec: encode→decode roundtrip exact, stride/bottom-up honored, malformed rejected") {
     // widths 1-5 sweep every stride-padding residue (w*3 mod 4)
     for (w <- 1 to 5; h <- Seq(1, 2, 3)) {
@@ -411,6 +456,9 @@ class OperatorSpec extends AnyFunSuite {
     // extreme values survive the unsigned/LE round-trip
     val edges = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue)
     assert(Multimodal.decodeWav(Multimodal.encodeWavPcm16(8000, edges)).samples.toSeq == edges.toSeq)
+    // zero-sample stream: valid container, empty data chunk
+    assert(Multimodal.decodeWav(Multimodal.encodeWavPcm16(8000, Array.empty[Short]))
+      .samples.isEmpty)
     intercept[IllegalArgumentException](Multimodal.decodeWav("not a wav".getBytes))
     intercept[IllegalArgumentException] {
       val enc = Multimodal.encodeWavPcm16(8000, edges)
