@@ -85,14 +85,21 @@ object VariantWriter {
 
   def writeString(buf: ByteBuf, s: String): Unit = writeStringBytes(buf, s.getBytes(UTF_8))
 
-  def writeStringBytes(buf: ByteBuf, utf8: Array[Byte]): Unit = {
-    if (utf8.length <= MAX_SHORT_STR) {
-      buf.addByte(header(utf8.length, BASIC_SHORT_STR))
-      buf.addBytes(utf8)
+  def writeStringBytes(buf: ByteBuf, utf8: Array[Byte]): Unit =
+    writeStringSlice(buf, utf8, 0, utf8.length)
+
+  /** Slice form for the byte-level JSON fast path: escape-free JSON
+    * strings are valid UTF-8 verbatim, so they encode as a single copy
+    * out of the input buffer — no UTF-16 round-trip.
+    */
+  def writeStringSlice(buf: ByteBuf, src: Array[Byte], off: Int, len: Int): Unit = {
+    if (len <= MAX_SHORT_STR) {
+      buf.addByte(header(len, BASIC_SHORT_STR))
+      buf.addBytes(src, off, len)
     } else {
       buf.addByte(primitiveHeader(P_LONG_STR))
-      buf.addIntLE(utf8.length, 4)
-      buf.addBytes(utf8)
+      buf.addIntLE(len, 4)
+      buf.addBytes(src, off, len)
     }
   }
 
