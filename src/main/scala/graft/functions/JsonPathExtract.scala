@@ -76,6 +76,235 @@ case class JsonPathExtract(
   }
 
   private def evalBytes(bytes: Array[Byte]): Any = {
+    // Byte-level navigation first (FastJsonLex): skip sibling values
+    // without tokenizing them, cast the leaf straight off the bytes, and
+    // validate the document remainder — byte-for-byte the token path's
+    // semantics (parse errors outrank cast errors because any parse
+    // anomaly throws Miss and the Jackson path below re-runs the row
+    // and owns the error). Misses: escaped keys, subtree→string
+    // re-encodes, >18-digit integer leaves, any malformed input.
+    if (VariantJsonCodec.fastJsonEnabled) {
+      try return fastEvalBytes(bytes)
+      catch { case graft.variant.FastJsonLex.Miss => () }
+    }
+    jacksonEvalBytes(bytes)
+  }
+
+  private def fastEvalBytes(bytes: Array[Byte]): Any = {
+    import graft.variant.{FastJsonLex => L}
+    val c = new L.Cursor(bytes, 0, bytes.length)
+    c.skipWs()
+    if (c.i >= c.end) throw L.Miss // empty input: Jackson's error
+    // navigate; track the containers the path has opened (true = object)
+    val open = new Array[Boolean](steps.length)
+    var nOpen = 0
+    var si = 0
+    var found = true
+    var pendingValue = true // cursor sits ON an unconsumed value
+    while (found && si < steps.length) {
+      steps(si) match {
+        case k: PathStep.Key =>
+          if ((c.peek & 0xff) != '{') found = false // pendingValue stays true
+          else {
+            c.i += 1
+            c.skipWs()
+            if (c.i < c.end && c.b(c.i) == '}') {
+              c.i += 1; found = false; pendingValue = false
+            } else {
+              var matched = false
+              var more = true
+              while (more && !matched) {
+                c.skipWs()
+                c.expect('"')
+                val close = L.scanSimpleString(c)
+                if (close < 0) throw L.Miss // escaped key: Jackson path
+                val kOff = c.i
+                val kLen = close - c.i
+                c.i = close + 1
+                c.skipWs()
+                c.expect(':')
+                c.skipWs()
+                if (L.sliceEq(c.b, kOff, kLen, k.utf8)) matched = true
+                else {
+                  L.skipValue(c)
+                  c.skipWs()
+                  (c.peek & 0xff) match {
+                    case ',' => c.i += 1
+                    case '}' => c.i += 1; more = false
+                    case _ => throw L.Miss
+                  }
+                }
+              }
+              if (matched) { open(nOpen) = true; nOpen += 1 }
+              else { found = false; pendingValue = false }
+            }
+          }
+        case PathStep.Index(idx) =>
+          if ((c.peek & 0xff) != '[' || idx < 0) found = false
+          else {
+            c.i += 1
+            c.skipWs()
+            if (c.i < c.end && c.b(c.i) == ']') {
+              c.i += 1; found = false; pendingValue = false
+            } else {
+              var i = 0
+              var matched = false
+              var more = true
+              while (more && !matched) {
+                c.skipWs()
+                if (i == idx) matched = true
+                else {
+                  L.skipValue(c)
+                  c.skipWs()
+                  (c.peek & 0xff) match {
+                    case ',' => c.i += 1; i += 1
+                    case ']' => c.i += 1; more = false
+                    case _ => throw L.Miss
+                  }
+                }
+              }
+              if (matched) { open(nOpen) = false; nOpen += 1 }
+              else { found = false; pendingValue = false }
+            }
+          }
+        case _ => throw L.Miss // wildcards: never fused into this expression
+      }
+      if (found) si += 1
+    }
+    // consume/cast the value at the cursor; cast-class errors are thrown
+    // only AFTER the rest of the document validates (token-path parity)
+    var castErr: Throwable = null
+    val out =
+      if (!found) { if (pendingValue) L.skipValue(c); null }
+      else {
+        try fastCastValue(c)
+        catch {
+          case e: Exception if (e ne L.Miss) && !castFailOnError => null
+          case e: Exception if e ne L.Miss => castErr = e; null
+        }
+      }
+    // close out every container the navigation opened, validating
+    var lvl = nOpen - 1
+    while (lvl >= 0) {
+      c.skipWs()
+      var closed = false
+      while (!closed) {
+        (c.peek & 0xff) match {
+          case ',' =>
+            c.i += 1
+            c.skipWs()
+            if (open(lvl)) {
+              c.expect('"'); L.skipString(c)
+              c.skipWs(); c.expect(':'); c.skipWs()
+            }
+            L.skipValue(c)
+            c.skipWs()
+          case '}' if open(lvl) => c.i += 1; closed = true
+          case ']' if !open(lvl) => c.i += 1; closed = true
+          case _ => throw L.Miss
+        }
+      }
+      lvl -= 1
+    }
+    c.skipWs()
+    if (c.i != c.end) throw L.Miss // trailing garbage: Jackson's error
+    if (castErr != null) throw castErr
+    out
+  }
+
+  /** Cast the JSON value at the cursor to `targetType`, consuming it
+    * FULLY before any cast-class error is thrown (so the caller can
+    * always validate the document remainder). Cast rules mirror
+    * [[castToken]] exactly; hard cases (subtree→string canonical
+    * re-encode, >18-digit integers) miss to the Jackson path. */
+  private def fastCastValue(c: graft.variant.FastJsonLex.Cursor): Any = {
+    import graft.variant.{FastJsonLex => L}
+    val b = c.b
+    (c.peek & 0xff) match {
+      case 'n' => L.literal(c, "null"); null
+      case 't' | 'f' =>
+        val v = (c.peek & 0xff) == 't'
+        L.literal(c, if (v) "true" else "false")
+        targetType match {
+          case BooleanType => v
+          case LongType => if (v) 1L else 0L
+          case IntegerType => if (v) 1 else 0
+          case _: StringType => UTF8String.fromString(if (v) "true" else "false")
+          case _ => mismatch("boolean")
+        }
+      case '"' =>
+        c.i += 1
+        val close = L.scanSimpleString(c)
+        if (close >= 0) {
+          val off = c.i
+          val len = close - c.i
+          c.i = close + 1
+          targetType match {
+            case _: StringType => UTF8String.fromBytes(b, off, len)
+            case _ => castStringTo(new String(b, off, len,
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
+        } else {
+          val scratch = new graft.variant.ByteBuf(32)
+          L.unescapeString(c, scratch)
+          targetType match {
+            case _: StringType =>
+              UTF8String.fromBytes(scratch.result(), 0, scratch.length)
+            case _ => castStringTo(new String(scratch.rawBytes, 0, scratch.length,
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      case '{' | '[' =>
+        targetType match {
+          case _: StringType => throw L.Miss // canonical re-encode: Jackson path
+          case _ =>
+            val isObj = (c.peek & 0xff) == '{'
+            L.skipValue(c) // consume BEFORE the cast error
+            mismatch(if (isObj) "object" else "array")
+        }
+      case x if x == '-' || (x >= '0' && x <= '9') =>
+        val start = c.i
+        val neg = x == '-'
+        val isInt = L.scanNumber(c) // consumed
+        if (isInt) {
+          if (c.i - c.numStart > 18) throw L.Miss // BigInteger rules: Jackson
+          var v = 0L
+          var k = c.numStart
+          while (k < c.i) { v = v * 10 + (b(k) - '0'); k += 1 }
+          if (neg) v = -v
+          targetType match {
+            case LongType => v
+            case IntegerType => Math.toIntExact(v)
+            case DoubleType => v.toDouble
+            case d: DecimalType => toDecimal(java.math.BigDecimal.valueOf(v), d)
+            case _: StringType => UTF8String.fromString(java.lang.Long.toString(v))
+            case _ => mismatch("bigint")
+          }
+        } else {
+          val dv = java.lang.Double.parseDouble(new String(b, start, c.i - start,
+            java.nio.charset.StandardCharsets.US_ASCII))
+          targetType match {
+            case DoubleType => dv
+            case d: DecimalType => toDecimal(java.math.BigDecimal.valueOf(dv), d)
+            case _: StringType => UTF8String.fromString(java.lang.Double.toString(dv))
+            case _ => mismatch("double")
+          }
+        }
+      case _ => throw L.Miss
+    }
+  }
+
+  /** The VALUE_STRING cast arm of [[castToken]] for non-string targets. */
+  private def castStringTo(s: String): Any = targetType match {
+    case LongType => s.trim.toLong
+    case IntegerType => Math.toIntExact(s.trim.toLong)
+    case DoubleType => s.trim.toDouble
+    case BooleanType => s.trim.toBoolean
+    case d: DecimalType => toDecimal(new java.math.BigDecimal(s.trim), d)
+    case _ => mismatch("string")
+  }
+
+  private def jacksonEvalBytes(bytes: Array[Byte]): Any = {
     try {
       val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
       try {

@@ -127,7 +127,7 @@ object VariantJsonCodec {
     // error behavior and edge semantics stay Jackson-defined.
     if (fastJsonEnabled) {
       try return fastFromJsonBytes(utf8, off, off + len, lastRowShape.get())
-      catch { case FastMiss => () }
+      catch { case FastJsonLex.Miss => () }
     }
     jacksonFromJsonBytes(utf8, off, len)
   }
@@ -383,7 +383,7 @@ object VariantJsonCodec {
   // FastJsonSpec; flag off via GRAFT_DISABLE_FAST_JSON=1.
   // ===================================================================
 
-  private val fastJsonEnabled: Boolean =
+  private[graft] val fastJsonEnabled: Boolean =
     !sys.env.get("GRAFT_DISABLE_FAST_JSON").contains("1")
 
   /** Test hook: run ONLY the byte lexer (production speculation state),
@@ -391,184 +391,25 @@ object VariantJsonCodec {
   private[variant] def fastOnlyForTest(
       utf8: Array[Byte]): Either[Unit, (Array[Byte], Array[Byte])] =
     try Right(fastFromJsonBytes(utf8, 0, utf8.length, lastRowShape.get()))
-    catch { case FastMiss => Left(()) }
+    catch { case FastJsonLex.Miss => Left(()) }
 
-  /** Nesting bound mirroring Jackson's default StreamReadConstraints
-    * max depth (1000): deeper rows miss to Jackson, whose error is the
-    * pinned behavior (JsonCodecSpec deep-nesting test). */
-  private final val FAST_MAX_DEPTH = 1000
+  /** Shared byte-level lexing core lives in [[FastJsonLex]] (also used
+    * by the fused extraction fast path). Aliases keep this file's walk
+    * code readable. */
+  private def FastMiss = FastJsonLex.Miss
+  private type FastCursor = FastJsonLex.Cursor
 
-  /** Stackless control-flow signal: "this row is not fast-path simple". */
-  private object FastMiss extends RuntimeException(null, null, false, false)
-
-  private final class FastCursor(val b: Array[Byte], var i: Int, val end: Int) {
-    def skipWs(): Unit = {
-      while (i < end && {
-        val c = b(i)
-        c == ' ' || c == '\n' || c == '\t' || c == '\r'
-      }) i += 1
-    }
-    def peek: Byte = { if (i >= end) throw FastMiss; b(i) }
-    def expect(c: Int): Unit = { if (i >= end || (b(i) & 0xff) != c) throw FastMiss; i += 1 }
-  }
-
-  /** Scan a string body starting AFTER the opening quote; returns the
-    * index of the closing quote if the string is escape-free (validating
-    * UTF-8 and rejecting raw control chars on the way), or -1 if a
-    * backslash was seen (caller takes the unescape path). */
-  private def scanSimpleString(c: FastCursor): Int = {
-    val b = c.b
-    var j = c.i
-    while (j < c.end) {
-      val x = b(j) & 0xff
-      if (x == '"') return j
-      else if (x == '\\') return -1
-      else if (x < 0x20) throw FastMiss // raw control char: Jackson rejects
-      else if (x < 0x80) j += 1
-      else j = validUtf8(b, j, c.end) // multibyte: validate, advance
-    }
-    throw FastMiss // unterminated
-  }
-
-  /** Validate one multibyte UTF-8 sequence at `j`; returns the index
-    * after it. Rejects overlongs, surrogates, out-of-range, truncation. */
-  private def validUtf8(b: Array[Byte], j: Int, end: Int): Int = {
-    val x = b(j) & 0xff
-    @inline def cont(k: Int, lo: Int, hi: Int): Boolean =
-      k < end && { val y = b(k) & 0xff; y >= lo && y <= hi }
-    if (x >= 0xc2 && x <= 0xdf) {
-      if (!cont(j + 1, 0x80, 0xbf)) throw FastMiss; j + 2
-    } else if (x == 0xe0) {
-      if (!cont(j + 1, 0xa0, 0xbf) || !cont(j + 2, 0x80, 0xbf)) throw FastMiss; j + 3
-    } else if (x == 0xed) {
-      if (!cont(j + 1, 0x80, 0x9f) || !cont(j + 2, 0x80, 0xbf)) throw FastMiss; j + 3
-    } else if (x >= 0xe1 && x <= 0xef) { // e1-ec, ee, ef
-      if (!cont(j + 1, 0x80, 0xbf) || !cont(j + 2, 0x80, 0xbf)) throw FastMiss; j + 3
-    } else if (x == 0xf0) {
-      if (!cont(j + 1, 0x90, 0xbf) || !cont(j + 2, 0x80, 0xbf) ||
-        !cont(j + 3, 0x80, 0xbf)) throw FastMiss
-      j + 4
-    } else if (x >= 0xf1 && x <= 0xf3) {
-      if (!cont(j + 1, 0x80, 0xbf) || !cont(j + 2, 0x80, 0xbf) ||
-        !cont(j + 3, 0x80, 0xbf)) throw FastMiss
-      j + 4
-    } else if (x == 0xf4) {
-      if (!cont(j + 1, 0x80, 0x8f) || !cont(j + 2, 0x80, 0xbf) ||
-        !cont(j + 3, 0x80, 0xbf)) throw FastMiss
-      j + 4
-    } else throw FastMiss // 0x80-0xc1 (bare continuation / overlong), 0xf5+
-  }
-
-  /** Unescape a string body (cursor AFTER the opening quote) into
-    * `scratch`; leaves the cursor AFTER the closing quote. */
-  private def unescapeString(c: FastCursor, scratch: ByteBuf): Unit = {
-    val b = c.b
-    var run = c.i // start of the current escape-free run
-    while (true) {
-      if (c.i >= c.end) throw FastMiss
-      val x = b(c.i) & 0xff
-      if (x == '"') {
-        scratch.addBytes(b, run, c.i - run)
-        c.i += 1
-        return
-      } else if (x == '\\') {
-        scratch.addBytes(b, run, c.i - run)
-        if (c.i + 1 >= c.end) throw FastMiss
-        (b(c.i + 1) & 0xff) match {
-          case '"' => scratch.addByte('"'); c.i += 2
-          case '\\' => scratch.addByte('\\'); c.i += 2
-          case '/' => scratch.addByte('/'); c.i += 2
-          case 'b' => scratch.addByte('\b'); c.i += 2
-          case 'f' => scratch.addByte('\f'); c.i += 2
-          case 'n' => scratch.addByte('\n'); c.i += 2
-          case 'r' => scratch.addByte('\r'); c.i += 2
-          case 't' => scratch.addByte('\t'); c.i += 2
-          case 'u' =>
-            val cp0 = hex4(b, c.i + 2, c.end)
-            c.i += 6
-            var cp = cp0
-            if (cp0 >= 0xd800 && cp0 <= 0xdbff) {
-              // surrogate pair required; lone surrogates → Jackson decides
-              if (c.i + 1 >= c.end || b(c.i) != '\\' || b(c.i + 1) != 'u') throw FastMiss
-              val lo = hex4(b, c.i + 2, c.end)
-              if (lo < 0xdc00 || lo > 0xdfff) throw FastMiss
-              c.i += 6
-              cp = 0x10000 + ((cp0 - 0xd800) << 10) + (lo - 0xdc00)
-            } else if (cp0 >= 0xdc00 && cp0 <= 0xdfff) throw FastMiss
-            writeCodePoint(scratch, cp)
-          case _ => throw FastMiss
-        }
-        run = c.i
-      } else if (x < 0x20) throw FastMiss
-      else if (x < 0x80) c.i += 1
-      else c.i = validUtf8(b, c.i, c.end)
-    }
-  }
-
-  private def hex4(b: Array[Byte], j: Int, end: Int): Int = {
-    if (j + 4 > end) throw FastMiss
-    var v = 0
-    var k = j
-    while (k < j + 4) {
-      val c = b(k) & 0xff
-      val d =
-        if (c >= '0' && c <= '9') c - '0'
-        else if (c >= 'a' && c <= 'f') c - 'a' + 10
-        else if (c >= 'A' && c <= 'F') c - 'A' + 10
-        else throw FastMiss
-      v = (v << 4) | d
-      k += 1
-    }
-    v
-  }
-
-  private def writeCodePoint(out: ByteBuf, cp: Int): Unit = {
-    if (cp < 0x80) out.addByte(cp)
-    else if (cp < 0x800) {
-      out.addByte(0xc0 | (cp >> 6)); out.addByte(0x80 | (cp & 0x3f))
-    } else if (cp < 0x10000) {
-      out.addByte(0xe0 | (cp >> 12)); out.addByte(0x80 | ((cp >> 6) & 0x3f))
-      out.addByte(0x80 | (cp & 0x3f))
-    } else {
-      out.addByte(0xf0 | (cp >> 18)); out.addByte(0x80 | ((cp >> 12) & 0x3f))
-      out.addByte(0x80 | ((cp >> 6) & 0x3f)); out.addByte(0x80 | (cp & 0x3f))
-    }
-  }
-
-  /** Strict JSON number at the cursor → written to `buf`. Grammar:
-    * '-'? ('0' | [1-9][0-9]*) ('.' [0-9]+)? ([eE][+-]? [0-9]+)?.
-    * Integers over 18 digits miss to Jackson (BigInteger/i128 rules). */
+  /** Emit one JSON number through the writer. Integers over 18 digits
+    * miss to Jackson (BigInteger/i128 rules live there). */
   private def fastNumber(c: FastCursor, buf: ByteBuf): Unit = {
     val b = c.b
     val start = c.i
-    var neg = false
-    if (c.peek == '-') { neg = true; c.i += 1 }
-    if (c.i >= c.end) throw FastMiss
-    val dStart = c.i
-    if (b(c.i) == '0') c.i += 1
-    else if (b(c.i) >= '1' && b(c.i) <= '9') {
-      while (c.i < c.end && b(c.i) >= '0' && b(c.i) <= '9') c.i += 1
-    } else throw FastMiss
-    if (c.i > dStart + 1 && b(dStart) == '0') throw FastMiss // leading zero
-    var isInt = true
-    if (c.i < c.end && b(c.i) == '.') {
-      isInt = false
-      c.i += 1
-      val fs = c.i
-      while (c.i < c.end && b(c.i) >= '0' && b(c.i) <= '9') c.i += 1
-      if (c.i == fs) throw FastMiss
-    }
-    if (c.i < c.end && (b(c.i) == 'e' || b(c.i) == 'E')) {
-      isInt = false
-      c.i += 1
-      if (c.i < c.end && (b(c.i) == '+' || b(c.i) == '-')) c.i += 1
-      val es = c.i
-      while (c.i < c.end && b(c.i) >= '0' && b(c.i) <= '9') c.i += 1
-      if (c.i == es) throw FastMiss
-    }
+    val neg = c.peek == '-'
+    val isInt = FastJsonLex.scanNumber(c)
     if (isInt) {
+      val dStart = c.numStart
       val nd = c.i - dStart
-      if (nd > 18) throw FastMiss // could exceed long; Jackson owns BigInteger
+      if (nd > 18) throw FastJsonLex.Miss // could exceed long; Jackson owns BigInteger
       var v = 0L
       var k = dStart
       while (k < c.i) { v = v * 10 + (b(k) - '0'); k += 1 }
@@ -580,36 +421,15 @@ object VariantJsonCodec {
     }
   }
 
-  private def fastLiteral(c: FastCursor, lit: String): Unit = {
-    if (c.i + lit.length > c.end) throw FastMiss
-    var k = 0
-    while (k < lit.length) {
-      if (c.b(c.i + k) != lit.charAt(k)) throw FastMiss
-      k += 1
-    }
-    c.i += lit.length
-  }
-
-  /** Byte-compare a key slice against a stored UTF-8 key. */
-  @inline private def sliceEq(b: Array[Byte], off: Int, len: Int, key: Array[Byte]): Boolean = {
-    if (key.length != len) return false
-    var k = 0
-    while (k < len) {
-      if (b(off + k) != key(k)) return false
-      k += 1
-    }
-    true
-  }
-
   /** Fast-path entry: speculation attempt, then fast-plain. Throws
     * FastMiss to route the row to the Jackson paths. */
   private def fastFromJsonBytes(b: Array[Byte], off: Int, end: Int,
                                 spec: Speculation): (Array[Byte], Array[Byte]) = {
-    val c = new FastCursor(b, off, end)
+    val c = new FastJsonLex.Cursor(b, off, end)
     c.skipWs()
     if (c.i >= end) throw FastMiss // empty → Jackson's "empty input" error
     if (b(c.i) == 'n') { // top-level null → SQL NULL (json.rs:184-196)
-      fastLiteral(c, "null")
+      FastJsonLex.literal(c, "null")
       c.skipWs()
       if (c.i != end) throw FastMiss // trailing → Jackson's error
       return null
@@ -651,21 +471,21 @@ object VariantJsonCodec {
   private def fastConvertSpec(c: FastCursor, buf: ByteBuf,
                               spec: Speculation, st: SpecState,
                               depth: Int = 0): Boolean = {
-    if (depth >= FAST_MAX_DEPTH) throw FastMiss // Jackson's limit governs
+    if (depth >= FastJsonLex.MAX_DEPTH) throw FastMiss // Jackson's limit governs
     val b = c.b
     (c.peek & 0xff) match {
-      case 'n' => fastLiteral(c, "null"); VariantWriter.writeNull(buf); true
-      case 't' => fastLiteral(c, "true"); VariantWriter.writeBoolean(buf, true); true
-      case 'f' => fastLiteral(c, "false"); VariantWriter.writeBoolean(buf, false); true
+      case 'n' => FastJsonLex.literal(c, "null"); VariantWriter.writeNull(buf); true
+      case 't' => FastJsonLex.literal(c, "true"); VariantWriter.writeBoolean(buf, true); true
+      case 'f' => FastJsonLex.literal(c, "false"); VariantWriter.writeBoolean(buf, false); true
       case '"' =>
         c.i += 1
-        val close = scanSimpleString(c)
+        val close = FastJsonLex.scanSimpleString(c)
         if (close >= 0) {
           VariantWriter.writeStringSlice(buf, b, c.i, close - c.i)
           c.i = close + 1
         } else {
           val scratch = new ByteBuf(32)
-          unescapeString(c, scratch)
+          FastJsonLex.unescapeString(c, scratch)
           VariantWriter.writeStringSlice(buf, scratch.rawBytes, 0, scratch.length)
         }
         true
@@ -699,7 +519,7 @@ object VariantJsonCodec {
           while (more) {
             c.skipWs()
             c.expect('"')
-            val close = scanSimpleString(c)
+            val close = FastJsonLex.scanSimpleString(c)
             if (close < 0) throw FastMiss // escaped keys: rare, Jackson path
             val kOff = c.i
             val kLen = close - c.i
@@ -707,12 +527,12 @@ object VariantJsonCodec {
             var id = -1
             var k = 0
             while (id < 0 && k < st.n) {
-              if (sliceEq(b, kOff, kLen, spec.keyBytes(k))) id = spec.finalIds(k)
+              if (FastJsonLex.sliceEq(b, kOff, kLen, spec.keyBytes(k))) id = spec.finalIds(k)
               k += 1
             }
             if (id < 0) {
               if (st.n >= spec.keyBytes.length ||
-                !sliceEq(b, kOff, kLen, spec.keyBytes(st.n))) return false
+                !FastJsonLex.sliceEq(b, kOff, kLen, spec.keyBytes(st.n))) return false
               id = spec.finalIds(st.n)
               st.n += 1
             }
@@ -739,21 +559,21 @@ object VariantJsonCodec {
     * on bytes). */
   private def fastConvertStream(c: FastCursor, buf: ByteBuf, interner: KeyInterner,
                                 depth: Int = 0): Unit = {
-    if (depth >= FAST_MAX_DEPTH) throw FastMiss // Jackson's limit governs
+    if (depth >= FastJsonLex.MAX_DEPTH) throw FastMiss // Jackson's limit governs
     val b = c.b
     (c.peek & 0xff) match {
-      case 'n' => fastLiteral(c, "null"); VariantWriter.writeNull(buf)
-      case 't' => fastLiteral(c, "true"); VariantWriter.writeBoolean(buf, true)
-      case 'f' => fastLiteral(c, "false"); VariantWriter.writeBoolean(buf, false)
+      case 'n' => FastJsonLex.literal(c, "null"); VariantWriter.writeNull(buf)
+      case 't' => FastJsonLex.literal(c, "true"); VariantWriter.writeBoolean(buf, true)
+      case 'f' => FastJsonLex.literal(c, "false"); VariantWriter.writeBoolean(buf, false)
       case '"' =>
         c.i += 1
-        val close = scanSimpleString(c)
+        val close = FastJsonLex.scanSimpleString(c)
         if (close >= 0) {
           VariantWriter.writeStringSlice(buf, b, c.i, close - c.i)
           c.i = close + 1
         } else {
           val scratch = new ByteBuf(32)
-          unescapeString(c, scratch)
+          FastJsonLex.unescapeString(c, scratch)
           VariantWriter.writeStringSlice(buf, scratch.rawBytes, 0, scratch.length)
         }
       case '[' =>
@@ -785,7 +605,7 @@ object VariantJsonCodec {
           while (more) {
             c.skipWs()
             c.expect('"')
-            val close = scanSimpleString(c)
+            val close = FastJsonLex.scanSimpleString(c)
             if (close < 0) throw FastMiss // escaped keys: Jackson path
             val key = new String(c.b, c.i, close - c.i,
               java.nio.charset.StandardCharsets.UTF_8)

@@ -224,6 +224,36 @@ class FusedPropertySpec extends AnyFunSuite {
     assert(!castOnly.isInstanceOf[VariantJsonCodec.JsonParseException], castOnly.toString)
   }
 
+  test("fast-nav edges: misses, sibling validation, escaped keys via fallback") {
+    // the round-7 byte-level navigation: every shape that exercises its
+    // miss/drain logic must agree with the unfused pipeline
+    def both(json: String, path: String, t: org.apache.spark.sql.types.DataType) = {
+      val u = unfused(json, path, t)
+      val f = fused(json, path, t)
+      assert(u == f, s"json=$json path=$path unfused=$u fused=$f")
+      f
+    }
+    assert(both("""{"b": 2}""", "$.a", LongType) == null)          // missing key
+    assert(both("""{"a": [1]}""", "$.a[3]", LongType) == null)     // index OOB
+    assert(both("""{"a": {}}""", "$.a.b", LongType) == null)       // empty object
+    assert(both("""{"a": 5}""", "$.a.b", LongType) == null)        // key step on scalar
+    assert(both("""{"z": [1, {"q": 7}, 3], "a": 2}""", "$.z[1].q", LongType) == 7L)
+    // escaped key in the DOC ({"a": 9}) still matches path $.a via
+    // the Jackson fallback (fast path declines escaped keys)
+    assert(both("{\"\\" + "u0061\": 9}", "$.a", LongType) == 9L)
+    // sibling AFTER the found value is still validated (parse beats cast)
+    intercept[Exception](
+      JsonPathExtract(Literal("""{"a": 1, "b": }"""), "$.a", LongType,
+        parseFailOnError = true, castFailOnError = true).eval(null))
+    // duplicate keys are the documented UB divergence class (fused token
+    // walk takes the FIRST match; the unfused encoding's walk resolves
+    // to the other copy) — pin only that the FAST nav matches the fused
+    // TOKEN nav, not unfused parity
+    assert(fused("""{"a": 1, "a": 2}""", "$.a", LongType) == 1L)
+    // whitespace soup navigation
+    assert(both("  {  \"a\" : [ 10 ,  {\"b\":\t20} ] } ", "$.a[1].b", LongType) == 20L)
+  }
+
   test("fused keys/size equal unfused over random trees") {
     forAllSamples(genNode(3)) { node =>
       val json = mapper.writeValueAsString(node)
