@@ -136,7 +136,7 @@ object VariantJsonCodec {
     * every row the byte lexer declines, and the semantics reference the
     * lexer is differential-fuzzed against (FastJsonSpec).
     */
-  private[variant] def jacksonFromJsonBytes(
+  private[graft] def jacksonFromJsonBytes(
       utf8: Array[Byte], off: Int, len: Int): (Array[Byte], Array[Byte]) = {
     import com.fasterxml.jackson.core.JsonToken
     try {
@@ -388,7 +388,7 @@ object VariantJsonCodec {
 
   /** Test hook: run ONLY the byte lexer (production speculation state),
     * Left(()) when it declines the row. */
-  private[variant] def fastOnlyForTest(
+  private[graft] def fastOnlyForTest(
       utf8: Array[Byte]): Either[Unit, (Array[Byte], Array[Byte])] =
     try Right(fastFromJsonBytes(utf8, 0, utf8.length, lastRowShape.get()))
     catch { case FastJsonLex.Miss => Left(()) }
