@@ -2051,6 +2051,84 @@ object Queries {
              |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Avro source (r7 — closes the one recorded source gap): the
+    // provided classpath ships avro-core but NOT the spark-avro
+    // connector, so the container files are decoded with avro-core's
+    // DataFileReader inside a typed mapPartitions over Spark's
+    // binaryFile scan — the same pack-small-files-into-tasks shape as
+    // mm_binary_source (maxPartitionBytes governs task packing; one
+    // streaming decode per container file). Staged as FOUR container
+    // files so the scan genuinely distributes. At 100 TB with files
+    // larger than a task, the upgrade path is an avro-mapred input
+    // format split on the container sync markers; per-file streaming
+    // decode is the right shape for the many-small-files ingest this
+    // models. Cents are integer-exact, so the oracle hash-matches the
+    // parquet originals.
+    QueryDef("q_avro_source",
+      (s, d) => {
+        import org.apache.avro.Schema
+        import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+        import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+        val schemaJson =
+          """{"type":"record","name":"Cust","fields":[
+            |{"name":"ck","type":"long"},{"name":"mkt","type":"string"},
+            |{"name":"bal_cents","type":"long"}]}""".stripMargin
+        val dir = srcStage.computeIfAbsent(s"avro#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_avro_").toString
+          val rows = customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+              expr("CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)").as("cents"))
+            .collect() // staging only (bounded dim table), not the measured scan
+          val schema = new Schema.Parser().parse(schemaJson)
+          rows.grouped(math.max(1, (rows.length + 3) / 4)).zipWithIndex.foreach {
+            case (chunk, i) =>
+              val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+              w.create(schema, new java.io.File(s"$sd/cust_$i.avro"))
+              chunk.foreach { r =>
+                val rec = new GenericData.Record(schema)
+                rec.put("ck", r.getLong(0))
+                rec.put("mkt", r.getString(1))
+                rec.put("bal_cents", r.getLong(2))
+                w.append(rec)
+              }
+              w.close()
+          }
+          sd
+        })
+        import s.implicits._
+        s.read.format("binaryFile").load(dir)
+          .select(col("content")).as[Array[Byte]]
+          .mapPartitions { files =>
+            files.flatMap { bytes =>
+              // Schema.Parser is not serializable: parse per partition-file
+              val schema = new Schema.Parser().parse(
+                """{"type":"record","name":"Cust","fields":[
+                  |{"name":"ck","type":"long"},{"name":"mkt","type":"string"},
+                  |{"name":"bal_cents","type":"long"}]}""".stripMargin)
+              val reader = DataFileReader.openReader(
+                new SeekableByteArrayInput(bytes),
+                new GenericDatumReader[GenericRecord](schema))
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+              while (reader.hasNext) {
+                val rec = reader.next()
+                out += ((rec.get("ck").asInstanceOf[Long],
+                  rec.get("mkt").toString,
+                  rec.get("bal_cents").asInstanceOf[Long]))
+              }
+              reader.close()
+              out
+            }
+          }
+          .toDF("ck", "mkt", "bal_cents")
+          .groupBy(col("mkt").as("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("ck")).as("key_sum"),
+            sum(col("bal_cents")).as("cents_sum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             |       CAST(SUM(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Corrupt-record-tolerant ingestion: at 100 TB some input lines ARE
     // malformed, and one bad line must neither kill the job (FAILFAST)
     // nor silently vanish (DROPMALFORMED) — PERMISSIVE parses what it
