@@ -281,6 +281,114 @@ object VariantMergePatch {
     * past i128 are JsonParseExceptions.
     */
   def docToVNode(utf8: Array[Byte]): VNode = {
+    // byte-level tree build first (FastJsonLex — same miss-to-Jackson
+    // contract as the encode/extract fast paths; keys with escapes,
+    // >18-digit ints, and any malformed input fall through)
+    if (VariantJsonCodec.fastJsonEnabled) {
+      try return fastDocToVNode(utf8)
+      catch { case graft.variant.FastJsonLex.Miss => () }
+    }
+    jacksonDocToVNode(utf8)
+  }
+
+  private def fastDocToVNode(utf8: Array[Byte]): VNode = {
+    import graft.variant.{FastJsonLex => L}
+    val c = new L.Cursor(utf8, 0, utf8.length)
+    c.skipWs()
+    if (c.i >= c.end) throw L.Miss // empty: Jackson's error
+    val v =
+      if ((c.peek & 0xff) == 'n') { L.literal(c, "null"); null } // top-level null rule
+      else fastVNode(c, 0)
+    c.skipWs()
+    if (c.i != c.end) throw L.Miss // trailing: Jackson's error
+    v
+  }
+
+  private def fastVNode(c: graft.variant.FastJsonLex.Cursor, depth: Int): VNode = {
+    import graft.variant.{FastJsonLex => L}
+    if (depth >= L.MAX_DEPTH) throw L.Miss
+    val b = c.b
+    (c.peek & 0xff) match {
+      case 'n' => L.literal(c, "null"); VNull
+      case 't' => L.literal(c, "true"); VBool(true)
+      case 'f' => L.literal(c, "false"); VBool(false)
+      case '"' =>
+        c.i += 1
+        val close = L.scanSimpleString(c)
+        if (close >= 0) {
+          val s = new String(b, c.i, close - c.i, java.nio.charset.StandardCharsets.UTF_8)
+          c.i = close + 1
+          VStr(s)
+        } else {
+          val scratch = new graft.variant.ByteBuf(32)
+          L.unescapeString(c, scratch)
+          VStr(new String(scratch.rawBytes, 0, scratch.length,
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      case '[' =>
+        c.i += 1
+        val out = Vector.newBuilder[VNode]
+        c.skipWs()
+        if (c.i < c.end && b(c.i) == ']') c.i += 1
+        else {
+          var more = true
+          while (more) {
+            c.skipWs()
+            out += fastVNode(c, depth + 1)
+            c.skipWs()
+            (c.peek & 0xff) match {
+              case ',' => c.i += 1
+              case ']' => c.i += 1; more = false
+              case _ => throw L.Miss
+            }
+          }
+        }
+        VArr(out.result())
+      case '{' =>
+        c.i += 1
+        val out = new scala.collection.mutable.LinkedHashMap[String, VNode]
+        c.skipWs()
+        if (c.i < c.end && b(c.i) == '}') c.i += 1
+        else {
+          var more = true
+          while (more) {
+            c.skipWs()
+            c.expect('"')
+            val close = L.scanSimpleString(c)
+            if (close < 0) throw L.Miss // escaped key: Jackson path
+            val key = new String(b, c.i, close - c.i,
+              java.nio.charset.StandardCharsets.UTF_8)
+            c.i = close + 1
+            c.skipWs()
+            c.expect(':')
+            c.skipWs()
+            out.put(key, fastVNode(c, depth + 1)) // last dup wins, like the tree
+            c.skipWs()
+            (c.peek & 0xff) match {
+              case ',' => c.i += 1
+              case '}' => c.i += 1; more = false
+              case _ => throw L.Miss
+            }
+          }
+        }
+        VObj(out)
+      case x if x == '-' || (x >= '0' && x <= '9') =>
+        val start = c.i
+        val neg = x == '-'
+        val isInt = L.scanNumber(c)
+        if (isInt) {
+          if (c.i - c.numStart > 18) throw L.Miss // BigInteger rules: Jackson
+          var v = 0L
+          var k = c.numStart
+          while (k < c.i) { v = v * 10 + (b(k) - '0'); k += 1 }
+          VLong(if (neg) -v else v)
+        } else VDouble(java.lang.Double.parseDouble(new String(b, start,
+          c.i - start, java.nio.charset.StandardCharsets.US_ASCII)))
+      case _ => throw L.Miss
+    }
+  }
+
+  private def jacksonDocToVNode(utf8: Array[Byte]): VNode = {
     import com.fasterxml.jackson.core.JsonToken
     try {
       val p = JsonPathExtract.factory.createParser(utf8, 0, utf8.length)

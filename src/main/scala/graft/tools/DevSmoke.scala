@@ -321,6 +321,13 @@ object DevSmoke {
     graft.Queries.queryMap("v_agg_build")(spark, sf).show(truncate = false)
     graft.Queries.queryMap("d_interleave_order")(spark, sf).show(3, truncate = false)
 
+    // round-7 additions
+    graft.Queries.queryMap("q_sliding_distinct")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_repeated_ngram_strip")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("mm_bmp_decode")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("mm_wav_decode")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("q_avro_source")(spark, sf).show(truncate = false)
+
     spark.stop()
   }
 }
