@@ -306,6 +306,10 @@ case class JsonTypeOf(child: Expression, parseFailOnError: Boolean)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = JsonFused.toBytes(input)
+    if (VariantJsonCodec.fastJsonEnabled) {
+      try return fastTypeOf(bytes)
+      catch { case graft.variant.FastJsonLex.Miss => () }
+    }
     try {
       val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
       try {
@@ -351,6 +355,43 @@ case class JsonTypeOf(child: Expression, parseFailOnError: Boolean)
     }
   }
 
+  /** Byte-level root-type read: classify off the first byte, validate
+    * the whole document with the lexer, mirror the narrowest-int names.
+    * >18-digit integers miss (decimal(38,0) naming goes with Jackson's
+    * BigInteger path). */
+  private def fastTypeOf(bytes: Array[Byte]): Any = {
+    import graft.variant.{FastJsonLex => L}
+    val c = new L.Cursor(bytes, 0, bytes.length)
+    c.skipWs()
+    if (c.i >= c.end) throw L.Miss // empty: Jackson's error
+    val name: String = (c.peek & 0xff) match {
+      case 'n' => L.literal(c, "null"); null // top-level null → SQL NULL
+      case '{' => L.skipValue(c); "object"
+      case '[' => L.skipValue(c); "array"
+      case '"' => c.i += 1; L.skipString(c); "string"
+      case 't' => L.literal(c, "true"); "boolean"
+      case 'f' => L.literal(c, "false"); "boolean"
+      case x if x == '-' || (x >= '0' && x <= '9') =>
+        val neg = x == '-'
+        if (!L.scanNumber(c)) "double"
+        else {
+          if (c.i - c.numStart > 18) throw L.Miss
+          var v = 0L
+          var k = c.numStart
+          while (k < c.i) { v = v * 10 + (c.b(k) - '0'); k += 1 }
+          if (neg) v = -v
+          if (v >= Byte.MinValue && v <= Byte.MaxValue) "tinyint"
+          else if (v >= Short.MinValue && v <= Short.MaxValue) "smallint"
+          else if (v >= Int.MinValue && v <= Int.MaxValue) "int"
+          else "bigint"
+        }
+      case _ => throw L.Miss
+    }
+    c.skipWs()
+    if (c.i != c.end) throw L.Miss // trailing: Jackson's error
+    if (name == null) null else UTF8String.fromString(name)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -373,6 +414,10 @@ case class JsonKeys(child: Expression, parseFailOnError: Boolean)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = JsonFused.toBytes(input)
+    if (VariantJsonCodec.fastJsonEnabled) {
+      try return fastKeys(bytes)
+      catch { case graft.variant.FastJsonLex.Miss => () }
+    }
     try {
       val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
       try {
@@ -406,6 +451,57 @@ case class JsonKeys(child: Expression, parseFailOnError: Boolean)
     }
   }
 
+  /** Byte-level keys read: collect escape-free root keys, skip values
+    * with full validation, sort like the dictionary would. Any escaped
+    * key misses to Jackson. */
+  private def fastKeys(bytes: Array[Byte]): Any = {
+    import graft.variant.{FastJsonLex => L}
+    val c = new L.Cursor(bytes, 0, bytes.length)
+    c.skipWs()
+    if (c.i >= c.end) throw L.Miss
+    if ((c.peek & 0xff) != '{') {
+      // non-object root (incl. top-level null): validate whole doc → NULL
+      if ((c.peek & 0xff) == 'n') L.literal(c, "null") else L.skipValue(c)
+      c.skipWs()
+      if (c.i != c.end) throw L.Miss
+      return null
+    }
+    c.i += 1
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    c.skipWs()
+    if (c.i < c.end && c.b(c.i) == '}') c.i += 1
+    else {
+      var more = true
+      while (more) {
+        c.skipWs()
+        c.expect('"')
+        val close = L.scanSimpleString(c)
+        if (close < 0) throw L.Miss // escaped key: Jackson path
+        names += new String(c.b, c.i, close - c.i,
+          java.nio.charset.StandardCharsets.UTF_8)
+        c.i = close + 1
+        c.skipWs()
+        c.expect(':')
+        c.skipWs()
+        L.skipValue(c)
+        c.skipWs()
+        (c.peek & 0xff) match {
+          case ',' => c.i += 1
+          case '}' => c.i += 1; more = false
+          case _ => throw L.Miss
+        }
+      }
+    }
+    c.skipWs()
+    if (c.i != c.end) throw L.Miss
+    val arr = names.toArray
+    val order = JsonFused.sortedOrder(arr)
+    val out = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) { out(i) = UTF8String.fromString(arr(order(i))); i += 1 }
+    new GenericArrayData(out)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -427,6 +523,10 @@ case class JsonSize(child: Expression, parseFailOnError: Boolean)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = JsonFused.toBytes(input)
+    if (VariantJsonCodec.fastJsonEnabled) {
+      try return fastSize(bytes)
+      catch { case graft.variant.FastJsonLex.Miss => () }
+    }
     try {
       val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
       try {
@@ -461,6 +561,50 @@ case class JsonSize(child: Expression, parseFailOnError: Boolean)
           throw new VariantJsonCodec.JsonParseException(s"Failed to parse JSON: ${e.getMessage}", e)
         else null
     }
+  }
+
+  /** Byte-level size read: count root members, skip their values with
+    * full validation; scalars validate → NULL. */
+  private def fastSize(bytes: Array[Byte]): Any = {
+    import graft.variant.{FastJsonLex => L}
+    val c = new L.Cursor(bytes, 0, bytes.length)
+    c.skipWs()
+    if (c.i >= c.end) throw L.Miss
+    val first = c.peek & 0xff
+    val out: Any =
+      if (first == '{' || first == '[') {
+        val isObj = first == '{'
+        c.i += 1
+        var n = 0
+        c.skipWs()
+        if (c.i < c.end && (c.b(c.i) & 0xff) == (if (isObj) '}' else ']')) c.i += 1
+        else {
+          var more = true
+          while (more) {
+            c.skipWs()
+            if (isObj) {
+              c.expect('"'); L.skipString(c)
+              c.skipWs(); c.expect(':'); c.skipWs()
+            }
+            L.skipValue(c)
+            n += 1
+            c.skipWs()
+            (c.peek & 0xff) match {
+              case ',' => c.i += 1
+              case '}' if isObj => c.i += 1; more = false
+              case ']' if !isObj => c.i += 1; more = false
+              case _ => throw L.Miss
+            }
+          }
+        }
+        n
+      } else {
+        if (first == 'n') L.literal(c, "null") else L.skipValue(c)
+        null
+      }
+    c.skipWs()
+    if (c.i != c.end) throw L.Miss
+    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -281,7 +281,11 @@ private[graft] object FastJsonLex {
             }
           }
         }
-      case x if x == '-' || (x >= '0' && x <= '9') => scanNumber(c)
+      case x if x == '-' || (x >= '0' && x <= '9') =>
+        // even SKIPPED integers carry the unfused pipeline's i128 bound
+        // (JsonFused.checkIntFits): ≤38 digits always fit i128; anything
+        // longer misses so Jackson applies the bound and its error
+        if (scanNumber(c) && c.i - c.numStart > 38) throw Miss
       case _ => throw Miss
     }
   }
