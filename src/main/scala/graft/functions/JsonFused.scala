@@ -154,6 +154,95 @@ private[functions] object JsonFused {
         throw new VariantJsonCodec.JsonParseException(s"Unsupported JSON token: $other", null)
     }
   }
+
+  /** Byte-level twin of [[inferSchema]] (FastJsonLex miss contract).
+    * Integer classification without materializing: ≤18 digits always
+    * fit i64 → SLong; 20–38 digits always exceed i64 and fit i128 →
+    * SDecimal(0); exactly 19 digits straddle Long.MaxValue and ≥39
+    * digits straddle i128 — both miss so Jackson classifies. Strings
+    * only need validation, never decoding. */
+  def fastInferSchema(c: graft.variant.FastJsonLex.Cursor, depth: Int): SchemaInfer.SType = {
+    import graft.variant.{FastJsonLex => L}
+    import SchemaInfer._
+    if (depth >= L.MAX_DEPTH) throw L.Miss
+    val b = c.b
+    (c.peek & 0xff) match {
+      case 'n' => L.literal(c, "null"); SNull
+      case 't' => L.literal(c, "true"); SBool
+      case 'f' => L.literal(c, "false"); SBool
+      case '"' => c.i += 1; L.skipString(c); SString
+      case '[' =>
+        c.i += 1
+        var elem: SType = SNull
+        c.skipWs()
+        if (c.i < c.end && b(c.i) == ']') c.i += 1
+        else {
+          var more = true
+          while (more) {
+            c.skipWs()
+            elem = merge(elem, fastInferSchema(c, depth + 1))
+            c.skipWs()
+            (c.peek & 0xff) match {
+              case ',' => c.i += 1
+              case ']' => c.i += 1; more = false
+              case _ => throw L.Miss
+            }
+          }
+        }
+        SArray(elem)
+      case '{' =>
+        c.i += 1
+        var fields = scala.collection.immutable.TreeMap.empty[String, SType]
+        c.skipWs()
+        if (c.i < c.end && b(c.i) == '}') c.i += 1
+        else {
+          var more = true
+          while (more) {
+            c.skipWs()
+            c.expect('"')
+            val close = L.scanSimpleString(c)
+            if (close < 0) throw L.Miss // escaped key: Jackson path
+            val key = new String(b, c.i, close - c.i,
+              java.nio.charset.StandardCharsets.UTF_8)
+            c.i = close + 1
+            c.skipWs()
+            c.expect(':')
+            c.skipWs()
+            fields += (key -> fastInferSchema(c, depth + 1)) // last dup wins
+            c.skipWs()
+            (c.peek & 0xff) match {
+              case ',' => c.i += 1
+              case '}' => c.i += 1; more = false
+              case _ => throw L.Miss
+            }
+          }
+        }
+        SObject(fields)
+      case x if x == '-' || (x >= '0' && x <= '9') =>
+        if (L.scanNumber(c)) {
+          val nd = c.i - c.numStart
+          if (nd <= 18) SchemaInfer.SLong
+          else if (nd >= 20 && nd <= 38) SchemaInfer.SDecimal(0)
+          else throw L.Miss
+        } else SchemaInfer.SDouble
+      case _ => throw L.Miss
+    }
+  }
+
+  /** Whole-document byte-level schema inference: Right(SType), or
+    * Right(null) for a top-level JSON null; Miss on anything doubtful. */
+  def fastSchemaOfDoc(bytes: Array[Byte]): SchemaInfer.SType = {
+    import graft.variant.{FastJsonLex => L}
+    val c = new L.Cursor(bytes, 0, bytes.length)
+    c.skipWs()
+    if (c.i >= c.end) throw L.Miss
+    val t =
+      if ((c.peek & 0xff) == 'n') { L.literal(c, "null"); null }
+      else fastInferSchema(c, 0)
+    c.skipWs()
+    if (c.i != c.end) throw L.Miss
+    t
+  }
 }
 
 /** `schema_of_variant(variant_from_json(s))` fused: render the inferred
@@ -174,6 +263,12 @@ case class JsonSchemaOf(child: Expression, parseFailOnError: Boolean)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = JsonFused.toBytes(input)
+    if (VariantJsonCodec.fastJsonEnabled) {
+      try {
+        val t = JsonFused.fastSchemaOfDoc(bytes)
+        return if (t == null) null else UTF8String.fromString(t.render)
+      } catch { case graft.variant.FastJsonLex.Miss => () }
+    }
     try {
       val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
       try {
@@ -239,6 +334,12 @@ case class SchemaOfJsonAgg(
     val in = child.eval(input)
     if (in == null) return buffer
     val bytes = JsonFused.toBytes(in)
+    if (VariantJsonCodec.fastJsonEnabled) {
+      try {
+        val t = JsonFused.fastSchemaOfDoc(bytes)
+        return if (t == null) buffer else SchemaInfer.merge(buffer, t)
+      } catch { case graft.variant.FastJsonLex.Miss => () }
+    }
     try {
       val p = JsonPathExtract.factory.createParser(bytes, 0, bytes.length)
       try {
