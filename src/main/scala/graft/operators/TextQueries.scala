@@ -740,8 +740,13 @@ object TextQueries {
 
     // Repeated-n-gram span stripping (the exact-substring dedup of
     // "Deduplicating Training Data Makes Language Models Better", Lee
-    // et al. 2022, at 8-gram granularity): any 8-word shingle occurring
-    // ≥2 times ANYWHERE in the corpus (cross-doc or within-doc) marks
+    // et al. 2022, at 8-gram granularity). Distinct from d_dup_ngrams
+    // above on BOTH axes: the rule (count ≥2 ANYWHERE — within-doc
+    // repetition strips too, the Lee et al. criterion — vs d_dup_ngrams'
+    // ≥2 DISTINCT docs) and the coverage machinery (gaps-and-islands
+    // running-max over START positions — the shuffle carries one row
+    // per repeated gram, not 8 exploded positions — vs explode+distinct).
+    // Any 8-word shingle occurring ≥2 times in the corpus marks
     // its 8-token span for removal; overlapping spans merge by a
     // gaps-and-islands running-max window, so covered_tokens is the
     // exact union length. Shuffles: one gram-keyed aggregate (map-side
