@@ -202,6 +202,7 @@ private[functions] object JsonFused {
             c.expect('"')
             val close = L.scanSimpleString(c)
             if (close < 0) throw L.Miss // escaped key: Jackson path
+            L.checkName(close - c.i)
             val key = new String(b, c.i, close - c.i,
               java.nio.charset.StandardCharsets.UTF_8)
             c.i = close + 1
@@ -578,6 +579,7 @@ case class JsonKeys(child: Expression, parseFailOnError: Boolean)
         c.expect('"')
         val close = L.scanSimpleString(c)
         if (close < 0) throw L.Miss // escaped key: Jackson path
+        L.checkName(close - c.i)
         names += new String(c.b, c.i, close - c.i,
           java.nio.charset.StandardCharsets.UTF_8)
         c.i = close + 1
@@ -684,7 +686,7 @@ case class JsonSize(child: Expression, parseFailOnError: Boolean)
           while (more) {
             c.skipWs()
             if (isObj) {
-              c.expect('"'); L.skipString(c)
+              c.expect('"'); L.skipName(c)
               c.skipWs(); c.expect(':'); c.skipWs()
             }
             L.skipValue(c)

@@ -120,6 +120,7 @@ case class JsonPathExtract(
                 if (close < 0) throw L.Miss // escaped key: Jackson path
                 val kOff = c.i
                 val kLen = close - c.i
+                L.checkName(kLen)
                 c.i = close + 1
                 c.skipWs()
                 c.expect(':')
@@ -194,7 +195,7 @@ case class JsonPathExtract(
             c.i += 1
             c.skipWs()
             if (open(lvl)) {
-              c.expect('"'); L.skipString(c)
+              c.expect('"'); L.skipName(c)
               c.skipWs(); c.expect(':'); c.skipWs()
             }
             L.skipValue(c)

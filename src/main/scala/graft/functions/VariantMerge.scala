@@ -356,6 +356,7 @@ object VariantMergePatch {
             c.expect('"')
             val close = L.scanSimpleString(c)
             if (close < 0) throw L.Miss // escaped key: Jackson path
+            L.checkName(close - c.i)
             val key = new String(b, c.i, close - c.i,
               java.nio.charset.StandardCharsets.UTF_8)
             c.i = close + 1

@@ -1683,6 +1683,10 @@ object Multimodal {
       val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = u32(bytes, o + 4)
       val body = o + 8
+      // every chunk's size is validated, not just data's: a hostile u32
+      // (negative as Int) would otherwise stall the walk or misparse
+      require(size >= 0 && body.toLong + size <= bytes.length,
+        s"malformed $id chunk size $size")
       id match {
         case "fmt " =>
           require(size >= 16, "short fmt chunk")

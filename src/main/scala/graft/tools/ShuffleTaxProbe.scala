@@ -68,16 +68,21 @@ object ShuffleTaxProbe {
       f"value=${valB / 1e6}%.1f MB json=${jsonB / 1e6}%.1f MB " +
       f"(per-row metadata ${metaB.toDouble / rows}%.1f B)")
 
+    def settle(): Unit = {
+      // listener events land asynchronously; wait until the counter
+      // stops moving so stale task-end events can't leak across windows
+      var prev = -1L
+      while (prev != shuffleBytes.get()) { prev = shuffleBytes.get(); Thread.sleep(200) }
+    }
+
     def measure(label: String)(job: => Unit): (Long, Double) = {
-      job // warm (listener counts it, but we reset before the measured run)
+      job // warm (listener counts it; settle BEFORE resetting so its
+      settle() // async task-end events can't inflate the measured window)
       shuffleBytes.set(0); shuffleRecords.set(0)
       val t0 = System.nanoTime()
       job
       val secs = (System.nanoTime() - t0) / 1e9
-      // listener events land asynchronously (listenerBus is private[spark]);
-      // settle-poll until the counter stops moving
-      var prev = -1L
-      while (prev != shuffleBytes.get()) { prev = shuffleBytes.get(); Thread.sleep(200) }
+      settle()
       val b = shuffleBytes.get()
       println(f"[shuffle-tax] $label%-34s ${b / 1e6}%8.2f MB written  $secs%6.3f s")
       (b, secs)

@@ -40,7 +40,10 @@ private[graft] object FastJsonLex {
     var j = c.i
     while (j < c.end) {
       val x = b(j) & 0xff
-      if (x == '"') return j
+      if (x == '"') {
+        if (j - c.i > MAX_STRING_LEN) throw Miss // Jackson's 20M-char cap governs
+        return j
+      }
       else if (x == '\\') return -1
       else if (x < 0x20) throw Miss // raw control char: Jackson rejects
       else if (x < 0x80) j += 1
@@ -83,11 +86,13 @@ private[graft] object FastJsonLex {
     * Lone surrogates miss (Jackson's lenient substitution owns them). */
   def unescapeString(c: Cursor, scratch: ByteBuf): Unit = {
     val b = c.b
+    val start0 = c.i
     var run = c.i
     while (true) {
       if (c.i >= c.end) throw Miss
       val x = b(c.i) & 0xff
       if (x == '"') {
+        if (c.i - start0 > MAX_STRING_LEN) throw Miss // source bytes ≥ decoded chars: conservative vs Jackson's cap
         scratch.addBytes(b, run, c.i - run)
         c.i += 1
         return
@@ -131,10 +136,14 @@ private[graft] object FastJsonLex {
     * is lenient there on both read and skip.) */
   def skipString(c: Cursor): Unit = {
     val b = c.b
+    val start0 = c.i
     while (true) {
       if (c.i >= c.end) throw Miss
       val x = b(c.i) & 0xff
-      if (x == '"') { c.i += 1; return }
+      if (x == '"') {
+        if (c.i - start0 > MAX_STRING_LEN) throw Miss // Jackson's cap governs (source bytes ≥ chars)
+        c.i += 1; return
+      }
       else if (x == '\\') {
         if (c.i + 1 >= c.end) throw Miss
         (b(c.i + 1) & 0xff) match {
@@ -185,6 +194,7 @@ private[graft] object FastJsonLex {
     * what Jackson rejects. */
   def scanNumber(c: Cursor): Boolean = {
     val b = c.b
+    val tokStart = c.i
     if (c.peek == '-') c.i += 1
     if (c.i >= c.end) throw Miss
     c.numStart = c.i
@@ -208,6 +218,7 @@ private[graft] object FastJsonLex {
       while (c.i < c.end && b(c.i) >= '0' && b(c.i) <= '9') c.i += 1
       if (c.i == es) throw Miss
     }
+    if (c.i - tokStart > MAX_NUM_LEN) throw Miss // Jackson's 1000-char number cap governs
     isInt
   }
 
@@ -268,7 +279,7 @@ private[graft] object FastJsonLex {
           while (more) {
             c.skipWs()
             c.expect('"')
-            skipString(c)
+            skipName(c)
             c.skipWs()
             c.expect(':')
             c.skipWs()
@@ -290,7 +301,32 @@ private[graft] object FastJsonLex {
     }
   }
 
+  /** Skip an object KEY string (cursor AFTER the opening quote),
+    * enforcing Jackson's max-name-length constraint on top of
+    * [[skipString]]'s validation. Source bytes ≥ decoded chars, so the
+    * byte-length check is conservative: anything it passes, Jackson's
+    * char-count check also passes. */
+  def skipName(c: Cursor): Unit = {
+    val start0 = c.i
+    skipString(c)
+    if (c.i - 1 - start0 > MAX_NAME_LEN) throw Miss
+  }
+
+  /** Key-length gate for callers that scan keys with [[scanSimpleString]]
+    * (escape-free, so byte length == char length exactly). */
+  @inline def checkName(len: Int): Unit = if (len > MAX_NAME_LEN) throw Miss
+
   /** Nesting bound mirroring Jackson's default StreamReadConstraints max
     * depth (1000): deeper rows miss, Jackson's error is the behavior. */
   final val MAX_DEPTH = 1000
+
+  /** Jackson 2.x default StreamReadConstraints, mirrored so the fast
+    * path never accepts a document the Jackson fallback would reject:
+    * max number literal length 1000, max field-name length 50k, max
+    * string value length 20M (chars there; enforced on SOURCE bytes here,
+    * which only over-rejects — over-rejection routes to Jackson via Miss
+    * and keeps its error semantics). */
+  final val MAX_NUM_LEN = 1000
+  final val MAX_NAME_LEN = 50000
+  final val MAX_STRING_LEN = 20000000
 }

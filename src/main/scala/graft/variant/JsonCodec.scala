@@ -523,6 +523,7 @@ object VariantJsonCodec {
             if (close < 0) throw FastMiss // escaped keys: rare, Jackson path
             val kOff = c.i
             val kLen = close - c.i
+            FastJsonLex.checkName(kLen)
             c.i = close + 1
             var id = -1
             var k = 0
@@ -607,6 +608,7 @@ object VariantJsonCodec {
             c.expect('"')
             val close = FastJsonLex.scanSimpleString(c)
             if (close < 0) throw FastMiss // escaped keys: Jackson path
+            FastJsonLex.checkName(close - c.i)
             val key = new String(c.b, c.i, close - c.i,
               java.nio.charset.StandardCharsets.UTF_8)
             c.i = close + 1

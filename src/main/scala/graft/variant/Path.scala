@@ -179,10 +179,10 @@ object VariantPath {
             // dictionaries: stored field order (sorted by field id) is
             // NOT key order — sort explicitly so .* emission matches
             // the fused path's canonical sorted-key order
+            val keyBytes = Array.tabulate(n)(j =>
+              metadata.getKey(o.fieldIdAt(j)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
             val idx = (0 until n).sortWith { (a, b) =>
-              VariantMetadata.compareUtf8(
-                metadata.getKey(o.fieldIdAt(a)).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                metadata.getKey(o.fieldIdAt(b)).getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+              VariantMetadata.compareUtf8(keyBytes(a), keyBytes(b)) < 0
             }
             idx.foreach(j => go(o.valueAt(j), i + 1))
           }

@@ -155,6 +155,35 @@ class FastJsonSpec extends AnyFunSuite {
     assert(hits.toDouble / total > 0.95, s"hit rate ${hits.toDouble / total}")
   }
 
+  test("Jackson StreamReadConstraints shapes: oversized numbers/names/strings miss") {
+    // >1000-char number literal (Jackson's max-number-length): the fast
+    // path must MISS so the Jackson fallback's rejection is the behavior
+    val bigNum = "0." + "1" * 1000 // 1002 chars, non-integer
+    assert(VariantJsonCodec.fastOnlyForTest(utf8(bigNum)).isLeft,
+      "fast path accepted a >1000-char number")
+    intercept[Exception](VariantJsonCodec.fromJson(bigNum)) // Jackson rejects it
+    // ...also when the number is merely SKIPPED inside a larger doc
+    assert(VariantJsonCodec.fastOnlyForTest(
+      utf8(s"""{"a": $bigNum, "b": 1}""")).isLeft)
+    // >50k-char object key (Jackson's max-name-length)
+    val bigKey = "k" * 50001
+    assert(VariantJsonCodec.fastOnlyForTest(utf8(s"""{"$bigKey": 1}""")).isLeft,
+      "fast path accepted a >50k-char key")
+    intercept[Exception](VariantJsonCodec.fromJson(s"""{"$bigKey": 1}"""))
+    // >20M-char string value (Jackson's max-string-length)
+    val sb = new java.lang.StringBuilder(20000010)
+    sb.append("\"")
+    var i = 0
+    while (i < 20000001) { sb.append('x'); i += 1 }
+    sb.append("\"")
+    assert(VariantJsonCodec.fastOnlyForTest(utf8(sb.toString)).isLeft,
+      "fast path accepted a >20M-char string")
+    // at/below the bounds the fast path still owns the row, byte-identical
+    assert(check("0." + "1" * 900), "900-char number should stay on the fast path")
+    val okKey = "k" * 50000
+    assert(check(s"""{"$okKey": 1}"""), "50k-char key should stay on the fast path")
+  }
+
   test("full pipeline equality on the existing corpus: fromJson(fast on) round-trips") {
     // end-to-end: text → variant → canonical JSON must equal Jackson's
     // canonical rendering of the same text (the JsonCodecSpec invariant,
