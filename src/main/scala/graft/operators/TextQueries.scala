@@ -1361,11 +1361,46 @@ object TextQueries {
       (s, d) => Multimodal.blobFeatures(s, documents(s, d)),
       None),
 
-    // Multimodal decode→resize→frame-sample pipeline (decode stubbed,
-    // the rest real arithmetic over bytes).
+    // Multimodal decode→resize→frame-sample pipeline (round 8: GATED).
+    // Decodable formats (png by the stub's fmt route) go through the
+    // REAL PNG decoder — the pipeline synthesizes a deterministic RGB8
+    // PNG whose dims derive from (doc_id, n_bytes), decodes it, and
+    // emits dims + a full-coverage pixel sum; jpeg/webp stay on stub
+    // dims (no entropy-coder in-container, documented). Resize uses the
+    // integer half-up arithmetic, frames are pure integer digests — so
+    // the ENTIRE pipeline is analytic in (doc_id, octet_length) and
+    // DuckDB can state it exactly.
     QueryDef("mm_pipeline",
       (s, d) => Multimodal.pipeline(s, documents(s, d)),
-      None),
+      Some("""WITH b AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+             |m AS (
+             |  SELECT doc_id, n,
+             |         CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+             |         CASE WHEN n % 3 = 0 THEN 8 + n % 24 ELSE 64 + n % 512 END AS w,
+             |         CASE WHEN n % 3 = 0 THEN 8 + (n * 7) % 24 ELSE 64 + (n * 7) % 512 END AS h,
+             |         (n + 63) // 64 AS n_frames
+             |  FROM b),
+             |xs AS (
+             |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+             |  FROM m WHERE fmt = 'png'),
+             |xy AS (
+             |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id, SUM(3 * ((x * 7 + y * 13 + doc_id) % 256)) AS psum
+             |  FROM xy GROUP BY doc_id)
+             |SELECT m.doc_id, m.fmt,
+             |       CAST(m.w AS BIGINT) AS w, CAST(m.h AS BIGINT) AS h,
+             |       CAST(CASE WHEN greatest(m.w, m.h) <= 128 THEN m.w
+             |            ELSE greatest(1, (m.w * 128 + greatest(m.w, m.h) // 2) // greatest(m.w, m.h)) END AS BIGINT) AS dst_w,
+             |       CAST(CASE WHEN greatest(m.w, m.h) <= 128 THEN m.h
+             |            ELSE greatest(1, (m.h * 128 + greatest(m.w, m.h) // 2) // greatest(m.w, m.h)) END AS BIGINT) AS dst_h,
+             |       CAST(CASE WHEN greatest(m.w, m.h) <= 128 THEN 1000000
+             |            ELSE 128 * 1000000 // greatest(m.w, m.h) END AS BIGINT) AS scale_ppm,
+             |       CAST(m.n_frames AS BIGINT) AS n_frames,
+             |       CAST((m.n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+             |       CAST(COALESCE(px.psum, 0) AS BIGINT) AS pixel_sum
+             |FROM m LEFT JOIN px USING (doc_id) ORDER BY m.doc_id""".stripMargin)),
 
     // Frame sampling with EXACT oracle: fixed-size frames, every 4th
     // kept — the "video" keyframe-extraction shape. The emitted digests
@@ -1519,20 +1554,73 @@ object TextQueries {
              |       CAST(SUM(v) AS BIGINT) AS sample_sum,
              |       CAST(MAX(abs(v)) AS BIGINT) AS peak,
              |       CAST(16000 AS BIGINT) AS sample_rate
-             |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)))
+             |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)),
+
+    // REAL PNG decode (round 8): encode→decode truecolor RGB8 PNGs with
+    // zero new dependencies — zlib via java.util.zip, chunk CRCs, and
+    // the five scanline filters in byte arithmetic. The encoder cycles
+    // filter type per row (y % 5) and h ≥ 5, so EVERY image exercises
+    // None/Sub/Up/Average/Paeth; distinct per-channel pixel functions
+    // prove R/G/B ordering survives the round-trip. Dims and pixels
+    // derive from doc_id → the oracle reconstructs them analytically;
+    // pixel_sum covers every byte of every channel.
+    QueryDef("mm_png_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (4 + id % 13).toInt
+            val h = (5 + id % 7).toInt // ≥5 rows → all five filter types
+            def r(x: Int, y: Int) = ((x * 7 + y * 13 + id) % 256).toInt
+            def g(x: Int, y: Int) = ((x * 11 + y * 5 + 2 * id) % 256).toInt
+            def b(x: Int, y: Int) = ((x * 3 + y * 17 + 3 * id) % 256).toInt
+            val img = Multimodal.decodePng(Multimodal.encodePngRgb(w, h,
+              (x, y) => (r(x, y) << 16) | (g(x, y) << 8) | b(x, y)))
+            var psum = 0L
+            img.pixels.foreach { p =>
+              psum += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
+            (id, img.width.toLong, img.height.toLong, psum,
+              ((img.pixels(0) >> 16) & 0xff).toLong,
+              (img.pixels(img.width * img.height - 1) & 0xff).toLong)
+          })
+          .toDF("doc_id", "w", "h", "pixel_sum", "top_left_r", "bottom_right_b")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 4 + doc_id % 13 AS w, 5 + doc_id % 7 AS h
+             |  FROM documents WHERE doc_id < 200),
+             |xs AS (
+             |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+             |xy AS (
+             |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |         SUM((x * 7 + y * 13 + doc_id) % 256
+             |           + (x * 11 + y * 5 + 2 * doc_id) % 256
+             |           + (x * 3 + y * 17 + 3 * doc_id) % 256) AS psum
+             |  FROM xy GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             |       CAST(psum AS BIGINT) AS pixel_sum,
+             |       CAST(doc_id % 256 AS BIGINT) AS top_left_r,
+             |       CAST(((w - 1) * 3 + (h - 1) * 17 + 3 * doc_id) % 256 AS BIGINT) AS bottom_right_b
+             |FROM px ORDER BY doc_id""".stripMargin)))
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.
-  * Two REAL decoders ship for the codec-free formats: 24-bit BMP
-  * (bottom-up rows, stride padding) and PCM16 WAV (RIFF chunk walk) —
-  * both pure byte arithmetic, driver-gated hash-exact via analytic
-  * oracles (mm_bmp_decode / mm_wav_decode). The generic decode step for
-  * compressed formats (png/jpeg/webp) remains a deterministic STUB (no
-  * image/audio codec libs in-container); feature extraction, resize
-  * bookkeeping, and frame sampling are real byte-level computations.
-  * The Spark plumbing — binary columns, per-partition batch iteration,
-  * typed output schemas, array-of-binary frames — is the part that
-  * matters at scale.
+  * THREE real decoders ship with zero codec dependencies: 24-bit BMP
+  * (bottom-up rows, stride padding), PCM16 WAV (RIFF chunk walk), and —
+  * round 8 — truecolor RGB8 PNG (zlib via java.util.zip, chunk CRC32
+  * verification, all five scanline filters), each driver-gated
+  * hash-exact via analytic oracles (mm_bmp_decode / mm_wav_decode /
+  * mm_png_decode). Only jpeg/webp decode remains a deterministic STUB —
+  * their entropy coders are genuine codec work, not header+filter
+  * arithmetic, and no image libs ship in-container. Feature extraction,
+  * resize bookkeeping, and frame sampling are real byte-level
+  * computations. The Spark plumbing — binary columns, per-partition
+  * batch iteration, typed output schemas, array-of-binary frames — is
+  * the part that matters at scale.
   */
 object Multimodal {
   case class BlobMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)
@@ -1642,6 +1730,225 @@ object Multimodal {
     BmpImage(width, height, px)
   }
 
+  // -------------------------------------------------------------------
+  // REAL PNG codec (round 8): PNG's only hard dependency is zlib, which
+  // the JDK ships (java.util.zip.Deflater/Inflater — already on the hot
+  // path in deflate_len). Everything else — chunk framing with CRC32,
+  // the five scanline filters (None/Sub/Up/Average/Paeth) — is byte
+  // arithmetic, the same spirit as the BMP/WAV work. Truecolor RGB8
+  // (colour type 2), non-interlaced; anything else throws (strictness
+  // over quiet misparses). JPEG/webp stay honestly out of scope: their
+  // entropy coders are real codec work, not header+filter arithmetic.
+  // -------------------------------------------------------------------
+
+  /** Decoded PNG: pixels top-down row-major, 0xRRGGBB ints. */
+  case class PngImage(width: Int, height: Int, pixels: Array[Int])
+
+  private val PNG_SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  /** PaethPredictor from the PNG spec §9 (a = left, b = above, c = upper-left). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Write a truecolor RGB8 PNG. Each scanline uses filter type y % 5,
+    * so a round-trip exercises ALL FIVE filters; the zlib stream is
+    * split across two IDAT chunks when long enough, so decoders must
+    * concatenate IDAT data rather than assume one chunk.
+    */
+  def encodePngRgb(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowBytes = width * 3
+    val raw = new Array[Byte](height * (1 + rowBytes)) // filtered scanlines
+    val cur = new Array[Int](rowBytes)  // current row, unfiltered, 0-255
+    val prev = new Array[Int](rowBytes) // prior row, unfiltered (zeros for y=0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = px(x, y)
+        cur(x * 3) = (v >> 16) & 0xff; cur(x * 3 + 1) = (v >> 8) & 0xff
+        cur(x * 3 + 2) = v & 0xff
+        x += 1
+      }
+      val f = y % 5
+      val o = y * (1 + rowBytes)
+      raw(o) = f.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val a = if (i >= 3) cur(i - 3) else 0  // left (bpp = 3)
+        val b = prev(i)                        // above
+        val c = if (i >= 3) prev(i - 3) else 0 // upper-left
+        val filtered = f match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) >> 1)
+          case 4 => cur(i) - paeth(a, b, c)
+        }
+        raw(o + 1 + i) = (filtered & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    // zlib-deflate the filtered stream (Deflater's default wrapper IS zlib)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    // worst case ≈ raw + 5 B per 64 KB stored block + zlib framing
+    val zbuf = new Array[Byte](raw.length + (raw.length >> 4) + 64)
+    var zlen = 0
+    while (!defl.finished()) {
+      if (zlen == zbuf.length) throw new IllegalStateException("deflate overrun")
+      zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
+    }
+    defl.end()
+
+    val out = new java.io.ByteArrayOutputStream(zlen + 128)
+    out.write(PNG_SIG, 0, PNG_SIG.length)
+    def chunk(typ: String, data: Array[Byte], off: Int, len: Int): Unit = {
+      val hdr = new Array[Byte](8)
+      putBe32(hdr, 0, len)
+      var k = 0
+      while (k < 4) { hdr(4 + k) = typ.charAt(k).toByte; k += 1 }
+      out.write(hdr, 0, 8)
+      out.write(data, off, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(hdr, 4, 4); crc.update(data, off, len)
+      val tail = new Array[Byte](4)
+      putBe32(tail, 0, crc.getValue.toInt)
+      out.write(tail, 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // colour type: truecolor RGB
+    // ihdr(10..12) = 0: compression, filter method, no interlace
+    chunk("IHDR", ihdr, 0, 13)
+    if (zlen > 64) { // split so decoders must concatenate IDAT chunks
+      chunk("IDAT", zbuf, 0, zlen / 2)
+      chunk("IDAT", zbuf, zlen / 2, zlen - zlen / 2)
+    } else chunk("IDAT", zbuf, 0, zlen)
+    chunk("IEND", Array.emptyByteArray, 0, 0)
+    out.toByteArray
+  }
+
+  /** Parse a truecolor RGB8 non-interlaced PNG: validate the signature,
+    * walk chunks verifying each CRC32, require IHDR first, concatenate
+    * IDAT payloads, zlib-inflate, reverse the per-scanline filter
+    * (None/Sub/Up/Average/Paeth). Throws IllegalArgumentException on
+    * anything unsupported or malformed — bad CRC, unknown filter type,
+    * short or overlong pixel data — because a quiet misparse poisons
+    * every downstream feature.
+    */
+  def decodePng(bytes: Array[Byte]): PngImage = {
+    require(bytes.length >= 8 + 25, "not a PNG: too short")
+    var k = 0
+    while (k < 8) { require(bytes(k) == PNG_SIG(k), "not a PNG: bad signature"); k += 1 }
+    var o = 8
+    var width = -1; var height = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream(bytes.length)
+    while (!seenIend) {
+      require(o + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = be32(bytes, o)
+      require(len >= 0 && o + 12L + len <= bytes.length, s"malformed PNG chunk length $len")
+      val typ = new String(bytes, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, o + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, o + 8 + len), s"bad CRC on $typ chunk")
+      val body = o + 8
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr, "duplicate IHDR")
+          require(len == 13, s"bad IHDR length $len")
+          width = be32(bytes, body); height = be32(bytes, body + 4)
+          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20) &&
+            3L * width * height + height <= Int.MaxValue,
+            s"unsupported PNG dims ${width}x$height")
+          require(bytes(body + 8) == 8, s"unsupported bit depth ${bytes(body + 8)}")
+          require(bytes(body + 9) == 2, s"unsupported colour type ${bytes(body + 9)}")
+          require(bytes(body + 10) == 0 && bytes(body + 11) == 0, "bad compression/filter method")
+          require(bytes(body + 12) == 0, "interlaced PNG unsupported")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, body, len)
+        case "IEND" =>
+          require(len == 0, "non-empty IEND")
+          seenIend = true
+        case _ =>
+          require(seenIhdr, s"$typ before IHDR")
+          // ancillary chunks (tEXt, pHYs, ...): skip, CRC already checked
+      }
+      o = body + len + 4
+    }
+    require(seenIhdr, "missing IHDR")
+    val rowBytes = width * 3
+    val expect = height * (1 + rowBytes)
+    val raw = new Array[Byte](expect)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < expect && !infl.finished()) {
+        val n = infl.inflate(raw, got, expect - got)
+        require(n > 0 || infl.finished(), "truncated zlib stream in IDAT")
+        got += n
+      }
+      require(got == expect, s"short pixel data: $got of $expect bytes")
+      // drain: a conforming stream ends exactly here
+      val spill = new Array[Byte](1)
+      require(infl.finished() || infl.inflate(spill) == 0, "overlong pixel data")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt zlib stream: ${e.getMessage}")
+    } finally infl.end()
+    // reverse the per-row filter in place (raw → unfiltered scanlines)
+    val px = new Array[Int](width * height)
+    val cur = new Array[Int](rowBytes)
+    val prev = new Array[Int](rowBytes)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + rowBytes)
+      val f = raw(rowOff) & 0xff
+      require(f <= 4, s"unknown PNG filter type $f on row $y")
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(rowOff + 1 + i) & 0xff
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = prev(i)
+        val c = if (i >= 3) prev(i - 3) else 0
+        cur(i) = (f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 => x + paeth(a, b, c)
+        }) & 0xff
+        i += 1
+      }
+      var xpx = 0
+      while (xpx < width) {
+        px(y * width + xpx) = (cur(xpx * 3) << 16) | (cur(xpx * 3 + 1) << 8) | cur(xpx * 3 + 2)
+        xpx += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    PngImage(width, height, px)
+  }
+
   /** Write a PCM16 mono WAV. Includes a junk `LIST` chunk between `fmt `
     * and `data` so decoders must actually WALK chunks, not assume fixed
     * offsets.
@@ -1711,8 +2018,11 @@ object Multimodal {
     WavAudio(sampleRate, channels, bits, samples)
   }
 
-  /** STUB decoder: in production this would call an image codec per
-    * batch; here metadata is derived deterministically from the bytes.
+  /** STUB decoder for formats whose entropy coders need a real codec
+    * lib (jpeg/webp; also the fmt ROUTER for [[pipeline]]): metadata is
+    * derived deterministically from the bytes. Formats decodable in
+    * pure byte arithmetic have real decoders — [[decodeBmp24]],
+    * [[decodeWav]], [[decodePng]].
     */
   def decodeStub(id: Long, bytes: Array[Byte]): BlobMeta = {
     val n = bytes.length.toLong
@@ -1824,16 +2134,41 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Full decode→resize→frame-sample pipeline. Round 8: formats the
+    * container can decode for real (png — see [[decodePng]]) route
+    * through the real decoder on a deterministic synthesized image
+    * (dims content-addressed from (doc_id, n_bytes)), with a
+    * full-coverage pixel sum proving the decode ran; jpeg/webp keep the
+    * stub dims (entropy coders are out of scope without codec libs).
+    * Integer resize + integer frame digests keep every column analytic
+    * in (doc_id, octet_length), so the driver's DuckDB oracle gates the
+    * whole pipeline hash-exact.
+    */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     blobs(docs).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val meta = decodeStub(id, bytes)
-        val rs = resizeMeta(meta)
+        val n = bytes.length.toLong
+        val stub = decodeStub(id, bytes)
+        val (w, h, psum) =
+          if (stub.fmt == "png") {
+            val pw = (8 + n % 24).toInt
+            val ph = (8 + (n * 7) % 24).toInt // ≥8 rows: all five filters used
+            val img = decodePng(encodePngRgb(pw, ph,
+              (x, y) => ((x * 7 + y * 13 + id) % 256).toInt * 0x010101))
+            var s = 0L
+            img.pixels.foreach { p =>
+              s += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
+            (img.width.toLong, img.height.toLong, s)
+          } else (stub.width, stub.height, 0L)
+        val rs = resizeMetaInt(BlobMeta(id, n, w, h, stub.fmt))
         val frames = sampleFrames(id, bytes)
-        (id, meta.fmt, rs.dst_w, rs.dst_h, frames.n_frames, frames.sampled.length)
+        (id, stub.fmt, w, h, rs.dst_w, rs.dst_h, rs.scale_ppm,
+          frames.n_frames.toLong, frames.sampled.length.toLong, psum)
       })
-      .toDF("doc_id", "fmt", "dst_w", "dst_h", "n_frames", "n_sampled")
+      .toDF("doc_id", "fmt", "w", "h", "dst_w", "dst_h", "scale_ppm",
+        "n_frames", "n_sampled", "pixel_sum")
       .orderBy(col("doc_id"))
   }
 }

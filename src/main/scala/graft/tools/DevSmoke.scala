@@ -328,6 +328,10 @@ object DevSmoke {
     graft.Queries.queryMap("mm_wav_decode")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("q_avro_source")(spark, sf).show(truncate = false)
 
+    // round-8 additions
+    graft.Queries.queryMap("mm_png_decode")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("mm_pipeline")(spark, sf).show(3, truncate = false)
+
     spark.stop()
   }
 }

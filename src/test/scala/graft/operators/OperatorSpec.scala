@@ -465,5 +465,51 @@ class OperatorSpec extends AnyFunSuite {
       enc(20) = 3 // IEEE-float format tag — unsupported
       Multimodal.decodeWav(enc)
     }
+    // hostile chunk size (negative u32) throws instead of stalling the walk
+    intercept[IllegalArgumentException] {
+      val enc = Multimodal.encodeWavPcm16(8000, edges)
+      enc(16) = 0xf8.toByte; enc(17) = 0xff.toByte
+      enc(18) = 0xff.toByte; enc(19) = 0xff.toByte // fmt size = -8
+      Multimodal.decodeWav(enc)
+    }
+  }
+
+  test("PNG codec: roundtrip exact across all five filters; CRC and malformed inputs rejected") {
+    // every (w, h) with h ≥ 5 exercises filters None/Sub/Up/Average/Paeth
+    for (w <- Seq(1, 2, 3, 7, 16); h <- Seq(5, 6, 9)) {
+      def px(x: Int, y: Int): Int =
+        (((x * 31 + y * 7) % 256) << 16) | (((x * 5 + y * 11 + 3) % 256) << 8) |
+          ((x * 13 + y * 17 + 100) % 256)
+      val img = Multimodal.decodePng(Multimodal.encodePngRgb(w, h, px))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == px(x, y), s"($x,$y) in ${w}x$h")
+    }
+    // short images (not all filters present) still round-trip
+    val one = Multimodal.decodePng(Multimodal.encodePngRgb(1, 1, (_, _) => 0xabcdef))
+    assert(one.pixels.toSeq == Seq(0xabcdef))
+    // a large-ish image forces the two-IDAT split path
+    val big = Multimodal.decodePng(
+      Multimodal.encodePngRgb(64, 64, (x, y) => (x ^ y) * 0x010101))
+    assert(big.pixels(63 * 64 + 21) == ((21 ^ 63) * 0x010101))
+    // malformed inputs throw, never misparse
+    val enc = Multimodal.encodePngRgb(4, 5, (x, y) => x + y)
+    intercept[IllegalArgumentException](Multimodal.decodePng("not a png".getBytes))
+    intercept[IllegalArgumentException] { // corrupted IDAT tail byte → CRC mismatch
+      val bad = enc.clone(); bad(bad.length - 15) = (bad(bad.length - 15) ^ 0x40).toByte
+      Multimodal.decodePng(bad)
+    }
+    intercept[IllegalArgumentException] { // truncated file
+      Multimodal.decodePng(java.util.Arrays.copyOf(enc, enc.length - 6))
+    }
+    intercept[IllegalArgumentException] { // grayscale colour type — unsupported
+      val bad = enc.clone(); bad(8 + 8 + 9) = 0
+      // fix the IHDR CRC so the colour-type check (not CRC) is what fires
+      val crc = new java.util.zip.CRC32(); crc.update(bad, 12, 4 + 13)
+      val v = crc.getValue.toInt
+      bad(29) = (v >>> 24).toByte; bad(30) = (v >>> 16).toByte
+      bad(31) = (v >>> 8).toByte; bad(32) = v.toByte
+      Multimodal.decodePng(bad)
+    }
   }
 }
