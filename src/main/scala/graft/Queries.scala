@@ -802,15 +802,32 @@ object Queries {
              | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 60 SECOND
              |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
 
-    // HLL sketch (approx_count_distinct): approximate by design, so no
-    // byte-exact oracle; the smoke spec bounds its error vs the exact
-    // count instead.
+    // HLL sketch (approx_count_distinct) through a DRIVER-LANE error
+    // gate (round 8, the q_approx_quantile_gate pattern): the sketch
+    // values themselves are engine-private, but the rsd guarantee is
+    // checkable — each group's estimate must sit within 3·rsd of the
+    // exact distinct count. approx_count_distinct is hash-deterministic
+    // for fixed data, so the constant all-true oracle is sound; the
+    // exact side is one countDistinct over the same shuffle.
     QueryDef("q_approx_distinct",
-      (s, d) => lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy(col("l_returnflag")),
-      None),
+      (s, d) => {
+        import s.implicits._
+        val rsd = 0.05
+        val checks = lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), rsd).as("approx"),
+            countDistinct(col("l_partkey")).as("exact"))
+          .collect() // grouped scalar digest (≤3 rows): the gate shape
+          .map { r =>
+            val a = r.getLong(1); val e = r.getLong(2)
+            (r.getString(0), math.abs(a - e) <= math.max(3.0 * rsd * e, 3.0))
+          }
+        checks.toSeq.toDF("l_returnflag", "within_bound")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, true AS within_bound
+             |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // KMV (k-minimum-values) sketch algebra through the EXACT hash gate:
     // approx_count_distinct (above) can only be rows-checked because
