@@ -2146,6 +2146,84 @@ object Queries {
              |       CAST(SUM(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Avro SINK (round 8 — the write direction q_avro_source lacked):
+    // a DISTRIBUTED container write, one file per task exactly like a
+    // real DataSource sink commits one file per partition — each task
+    // serializes its partition through DataFileWriter into container
+    // bytes and writes task-addressed files (no driver collect on the
+    // write path; at cluster scale the same mapPartitions writes to
+    // DFS). The query then reads the directory back through the
+    // q_avro_source decode path and aggregates — a full write→read
+    // container roundtrip, hash-exact against the parquet originals.
+    QueryDef("q_avro_sink",
+      (s, d) => {
+        import org.apache.avro.Schema
+        import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+        import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+        import s.implicits._
+        val schemaJson =
+          """{"type":"record","name":"Ord","fields":[
+            |{"name":"ok","type":"long"},{"name":"status","type":"string"},
+            |{"name":"price_cents","type":"long"}]}""".stripMargin
+        val dir = srcStage.computeIfAbsent(s"avrosink#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_avrosink_").toString
+          orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+              expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("cents"))
+            .repartition(8) // 8 writer tasks -> 8 container files
+            .as[(Long, String, Long)]
+            .mapPartitions { rows =>
+              val schema = new Schema.Parser().parse(schemaJson)
+              val bos = new java.io.ByteArrayOutputStream()
+              val w = new DataFileWriter[GenericRecord](
+                new GenericDatumWriter[GenericRecord](schema))
+              w.create(schema, bos)
+              var n = 0L
+              rows.foreach { case (ok, st, cents) =>
+                val rec = new GenericData.Record(schema)
+                rec.put("ok", ok); rec.put("status", st); rec.put("price_cents", cents)
+                w.append(rec); n += 1
+              }
+              w.close()
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$sd/part_$pid.avro"), bos.toByteArray)
+              Iterator.single(n)
+            }.reduce(_ + _) // action drives the distributed write
+          sd
+        })
+        s.read.format("binaryFile").load(dir)
+          .select(col("content")).as[Array[Byte]]
+          .mapPartitions { files =>
+            files.flatMap { bytes =>
+              val schema = new Schema.Parser().parse(
+                """{"type":"record","name":"Ord","fields":[
+                  |{"name":"ok","type":"long"},{"name":"status","type":"string"},
+                  |{"name":"price_cents","type":"long"}]}""".stripMargin)
+              val reader = DataFileReader.openReader(
+                new SeekableByteArrayInput(bytes),
+                new GenericDatumReader[GenericRecord](schema))
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+              while (reader.hasNext) {
+                val rec = reader.next()
+                out += ((rec.get("ok").asInstanceOf[Long],
+                  rec.get("status").toString,
+                  rec.get("price_cents").asInstanceOf[Long]))
+              }
+              reader.close()
+              out
+            }
+          }
+          .toDF("ok", "status", "price_cents")
+          .groupBy(col("status").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("key_sum"),
+            sum(col("price_cents")).as("cents_sum"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             |       CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Corrupt-record-tolerant ingestion: at 100 TB some input lines ARE
     // malformed, and one bad line must neither kill the job (FAILFAST)
     // nor silently vanish (DROPMALFORMED) — PERMISSIVE parses what it

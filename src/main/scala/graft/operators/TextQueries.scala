@@ -1355,11 +1355,29 @@ object TextQueries {
              |FROM documents WHERE doc_id < 100 ORDER BY h""".stripMargin)),
 
     // Multimodal: byte-histogram features are REAL computation (entropy,
-    // moments); rows-only check (per-byte loops are not SQL-expressible
-    // in the oracle), unit-tested instead.
+    // moments). Round 8: oracle-gated — the documents corpus is ASCII,
+    // so DuckDB recomputes the integer moments per character (ord ==
+    // byte value), and the float entropy rides as a bounds digest.
     QueryDef("mm_features",
       (s, d) => Multimodal.blobFeatures(s, documents(s, d)),
-      None),
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS c
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id, ord(c) AS b, CAST(count(*) AS BIGINT) AS n
+             |  FROM ch GROUP BY 1, 2)
+             |SELECT d.doc_id,
+             |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+             |       CAST(COALESCE(g.byte_sum, 0) AS BIGINT) AS byte_sum,
+             |       CAST(COALESCE(g.distinct_bytes, 0) AS BIGINT) AS distinct_bytes,
+             |       CAST(COALESCE(g.top_byte, 0) AS BIGINT) AS top_byte,
+             |       true AS entropy_ok
+             |FROM documents d
+             |LEFT JOIN (
+             |  SELECT doc_id, sum(b * n) AS byte_sum, count(*) AS distinct_bytes,
+             |         arg_min(b, b - n * 256) AS top_byte
+             |  FROM cnt GROUP BY doc_id) g USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // Multimodal decode→resize→frame-sample pipeline (round 8: GATED).
     // Decodable formats (png by the stub's fmt route) go through the
@@ -1625,7 +1643,8 @@ object TextQueries {
 object Multimodal {
   case class BlobMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)
   case class BlobFeatures(doc_id: Long, entropy: Double, mean_byte: Double,
-                          distinct_bytes: Int, histogram_top: Int)
+                          distinct_bytes: Int, histogram_top: Int,
+                          byte_sum: Long, n_bytes: Long)
   case class ResizedMeta(doc_id: Long, src_w: Long, src_h: Long,
                          dst_w: Long, dst_h: Long, scale: Double)
   case class ResizedInt(doc_id: Long, src_w: Long, src_h: Long,
@@ -2041,7 +2060,7 @@ object Multimodal {
   def extractFeatures(id: Long, bytes: Array[Byte]): BlobFeatures = {
     val hist = new Array[Int](256)
     var i = 0
-    var sum = 0.0
+    var sum = 0L // integer so the digest columns are cross-engine exact
     while (i < bytes.length) {
       hist(bytes(i) & 0xff) += 1
       sum += (bytes(i) & 0xff)
@@ -2061,7 +2080,7 @@ object Multimodal {
       }
       i += 1
     }
-    BlobFeatures(id, entropy, sum / n, distinct, top)
+    BlobFeatures(id, entropy, sum.toDouble / n, distinct, top, sum, bytes.length.toLong)
   }
 
   /** Resize bookkeeping from the stub-decoded dimensions: target fit
@@ -2126,11 +2145,28 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-blob featurizer emitted as DRIVER-GATEABLE digests (round 8):
+    * the integer moments (byte_sum, distinct_bytes, argmax byte with
+    * lowest-value tie-break, n_bytes) are cross-engine exact, so the
+    * DuckDB oracle recomputes them per character; the float entropy —
+    * whose exact value float-summation order makes engine-private — is
+    * emitted as a bounds digest (0 ≤ H ≤ log2(distinct), H = 0 iff one
+    * symbol), with its exact values pinned by the OperatorSpec units.
+    */
   def blobFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     blobs(docs).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => extractFeatures(id, bytes) })
-      .toDF()
+      .mapPartitions(_.map { case (id, bytes) =>
+        val f = extractFeatures(id, bytes)
+        val entropyOk =
+          if (f.distinct_bytes <= 1) f.entropy == 0.0
+          else f.entropy > 0.0 &&
+            f.entropy <= math.log(f.distinct_bytes.toDouble) / math.log(2) + 1e-9
+        (f.doc_id, f.n_bytes, f.byte_sum, f.distinct_bytes.toLong,
+          f.histogram_top.toLong, entropyOk)
+      })
+      .toDF("doc_id", "n_bytes", "byte_sum", "distinct_bytes", "top_byte",
+        "entropy_ok")
       .orderBy(col("doc_id"))
   }
 

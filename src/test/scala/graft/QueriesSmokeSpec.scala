@@ -88,7 +88,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(noOracle.subsetOf(Set(
       "d_minhash_lsh", "d_simhash", "d_winnow", "d_wminhash_lsh",
       "e_ann_lsh", "e_ann_ivf", "e_ann_pq", "e_ann_ivfpq", "e_ann_sq8", "e_semantic_dedup",
-      "d_compress_ratio", "d_ncd_pairs", "mm_features",
+      "d_compress_ratio", "d_ncd_pairs",
       "d_pack_bfd"))) // stateful greedy packing: not SQL-expressible
   }
 }

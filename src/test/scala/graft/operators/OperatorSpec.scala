@@ -360,6 +360,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(uniform.distinct_bytes == 256)
     val constant = Multimodal.extractFeatures(2L, Array.fill[Byte](100)(65))
     assert(constant.entropy == 0.0 && constant.distinct_bytes == 1 && constant.mean_byte == 65.0)
+    assert(constant.byte_sum == 6500L && constant.n_bytes == 100L)
+    assert(uniform.byte_sum == (0 until 256).sum.toLong && uniform.histogram_top == 0)
   }
 
   test("multimodal resize preserves aspect ratio; frame sampling covers the blob") {
