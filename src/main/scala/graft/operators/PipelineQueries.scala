@@ -255,10 +255,15 @@ object PipelineQueries {
     // at one key and both strategies run in plain Scala — BFD sorts
     // (size desc, id) and fills the fullest fitting bin. Reported per
     // source: both bin counts, saved bins, and BFD fill rate against
-    // the ceil(total/cap) lower bound. Rows-only (a stateful greedy is
-    // not SQL-expressible); strategy properties and a classic
-    // NF=3-vs-BFD=2 case are pinned in spec. At 100 TB the grouping
-    // key is the shard, bounding each greedy's input.
+    // the ceil(total/cap) lower bound. The greedy itself is stateful and
+    // not SQL-expressible, so (round 8) the driver-lane gate pairs the
+    // EXACT columns (doc/token totals, the ceil lower bound — DuckDB
+    // recomputes them) with theory digests for the greedy outputs:
+    // lower ≤ BFD ≤ NF (BFD dominates next-fit on identical input) and
+    // NF ≤ 2·lower+1 (next-fit's classic 2-approximation: consecutive
+    // NF bins sum past cap). Strategy value pins (NF=3 vs BFD=2) stay
+    // in PipelineSpec. At 100 TB the grouping key is the shard,
+    // bounding each greedy's input.
     // -----------------------------------------------------------------
     QueryDef("d_pack_bfd",
       (s, d) => {
@@ -272,13 +277,17 @@ object PipelineQueries {
           val total = items.map(_._2).sum
           val (nf, bfd) = packBins(items, 2048L)
           val lower = (total + 2047L) / 2048L
-          (src, items.length.toLong, total, nf, bfd, nf - bfd,
-            total * 1000000L / (bfd * 2048L), lower)
-        }.toDF("source", "n_docs", "total_tokens", "bins_nextfit", "bins_bfd",
-          "saved_bins", "fill_bfd_ppm", "lower_bound")
+          (src, items.length.toLong, total, lower,
+            lower <= bfd && bfd <= nf, nf <= 2L * lower + 1L)
+        }.toDF("source", "n_docs", "total_tokens", "lower_bound",
+          "bfd_between_bounds", "nf_two_approx")
           .orderBy(col("source"))
       },
-      None),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+             |       CAST((SUM(len(regexp_extract_all(text, '\S+'))) + 2047) // 2048 AS BIGINT) AS lower_bound,
+             |       true AS bfd_between_bounds, true AS nf_two_approx
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // -----------------------------------------------------------------
     // Span-corruption masking plan (the T5 pretraining objective's data

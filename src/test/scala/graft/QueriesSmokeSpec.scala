@@ -87,8 +87,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // only the approximate (non-SQL-expressible) operators may omit oracles
     assert(noOracle.subsetOf(Set(
       "d_minhash_lsh", "d_simhash", "d_winnow", "d_wminhash_lsh",
-      "e_ann_lsh", "e_ann_ivf", "e_ann_pq", "e_ann_ivfpq", "e_ann_sq8", "e_semantic_dedup",
-      "d_compress_ratio", "d_ncd_pairs",
-      "d_pack_bfd"))) // stateful greedy packing: not SQL-expressible
+      "e_ann_lsh", "e_ann_ivf", "e_ann_pq", "e_ann_ivfpq", "e_ann_sq8",
+      "e_semantic_dedup"))) // approximate sketch/ANN families:
+             // driver-gated by e_ann_recall / d_minhash_gate digests
   }
 }

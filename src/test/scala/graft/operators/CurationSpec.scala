@@ -85,9 +85,14 @@ class CurationSpec extends AnyFunSuite {
     assert(ncds(1) > ncds(0) + 200000L, s"unrelated NCD ${ncds(1)} vs self ${ncds(0)}")
   }
 
-  test("d_compress_ratio: every ratio positive and bounded; deterministic across partitioning") {
+  test("d_compress_ratio: ratios positive and bounded; digests hold; deterministic across partitioning") {
+    import graft.functions.{VariantFunctions => vf}
+    // the ratio values themselves (now internal to the digest query)
+    val ratios = graft.Tables.documents(spark, SF)
+      .select((vf.deflate_len($"text") * 1000000L / length($"text")).as("ratio_ppm"))
+    assert(ratios.filter($"ratio_ppm" <= 0 || $"ratio_ppm" > 2000000L).count() === 0)
     val res = Queries.queryMap("d_compress_ratio")(spark, SF)
-    assert(res.filter($"ratio_ppm" <= 0 || $"ratio_ppm" > 2000000L).count() === 0)
+    assert(res.filter(!$"bounds_ok" || !$"roundtrip_ok").count() === 0)
     val a = res.collect().map(_.toString).toSeq
     val b = Queries.queryMap("d_compress_ratio")(spark, SF).repartition(7)
       .orderBy($"doc_id").collect().map(_.toString).toSeq

@@ -135,9 +135,8 @@ class PipelineSpec extends AnyFunSuite {
     val rows = q("d_pack_bfd").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (nfB, bfdB, lower) = (r.getLong(3), r.getLong(4), r.getLong(7))
-      assert(bfdB <= nfB, "BFD may never use more bins than next-fit")
-      assert(bfdB >= lower, "no packing beats the volume lower bound")
+      assert(r.getBoolean(4), "lower <= BFD <= NF must hold on corpus data")
+      assert(r.getBoolean(5), "NF must stay within its 2-approximation bound")
     }
   }
 
