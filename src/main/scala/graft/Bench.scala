@@ -24,6 +24,15 @@ object Bench {
     }
     val spark = Tables.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ambient-load marker (VERDICT r7 item 6): the judge separates drift
+    // from regression by comparing /proc/loadavg at start vs end — a
+    // quiet-window builder run and a loaded driver run on identical code
+    // differed 8.6% in r7.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
     // Warm the JVM + file listing once so per-query numbers measure the
     // query, not first-touch class loading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -71,14 +80,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = loadavg()
     val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // The driver keeps only a short stdout tail (~2.2 KB); the detailed
     // per-query record (~2.6 KB) overruns it. Print the detailed record
     // first (for humans / the file copy), then a short total-only record
     // LAST so it always lands inside the tail window and parses.
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     println(detailed)
     println(short)
     java.nio.file.Files.write(

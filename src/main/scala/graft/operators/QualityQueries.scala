@@ -47,6 +47,26 @@ object QualityQueries {
     */
   /** Test hook (HilbertSpec): the same generated chain emitting the raw
     * per-point value instead of the bucket aggregate. */
+  /** q_sliding_distinct body (shared with ScaleProbe's 16x soak):
+    * trailing-24h unique users per (event_type, hour), two-level —
+    * see the QueryDef comment for the scaling rationale.
+    */
+  def slidingDistinctOn(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perUser = e.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h_epoch"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val hourly = perUser.repartition(col("event_type"), col("h_epoch"))
+      .groupBy(col("event_type"), col("h_epoch"))
+      .agg(vf.bitmap_agg(col("user_id")).as("bm"), sum(col("n")).as("n_events"))
+    val wSlide = Window.partitionBy(col("event_type")).orderBy(col("h_epoch"))
+      .rangeBetween(-23L * 3600L, 0L)
+    hourly
+      .withColumn("n_users",
+        vf.bitmap_cardinality(vf.bitmap_or_agg(col("bm")).over(wSlide)))
+      .select(col("event_type"), col("h_epoch"), col("n_events"), col("n_users"))
+  }
+
   def hilbertTestSql: String =
     hilbertSql(sparkDialect = true, aggregate = false)
 
@@ -303,27 +323,22 @@ object QualityQueries {
 
     // -----------------------------------------------------------------
     // Scalable sliding distinct (the 100-TB twin of q_window_distinct):
-    // trailing-24h unique users per (event_type, hour). The ONLY
-    // raw-row shuffle is the (event_type, hour) bitmap pre-aggregate —
-    // parallelism = types × hours, not types — and the sliding merge is
-    // a RANGE-frame bitmap OR over the tiny bucket table (≤24 KB-sized
-    // sketches per row, O(buckets) rows total). Range frame on the hour
-    // epoch, not a rows frame, so sparse hours stay time-correct.
+    // trailing-24h unique users per (event_type, hour). Two-level
+    // build (round-8 ScaleProbe finding): a DIRECT groupBy-bitmap_agg
+    // makes every map task hold a partial bitmap for every (type, hour)
+    // group — memory O(tasks × groups × bitmap), inverse-scaled on the
+    // 16x soak — so level 1 shuffles fine-grained (type, hour, user)
+    // keys instead (codegen'd count, map-side combine, skew-immune:
+    // a hot bucket spreads across its users), and level 2 builds each
+    // bucket's bitmap exactly once from deduped rows (~groups/tasks
+    // groups per task, inside ObjectHashAggregate's hash regime). The
+    // sliding merge is a RANGE-frame bitmap OR over the tiny bucket
+    // table (O(buckets) rows). Range frame on the hour epoch, not a
+    // rows frame, so sparse hours stay time-correct.
     // -----------------------------------------------------------------
     QueryDef("q_sliding_distinct",
-      (s, d) => {
-        val e = events(s, d)
-        val hourly = e.groupBy(col("event_type"),
-            unix_timestamp(date_trunc("hour", col("ts"))).as("h_epoch"))
-          .agg(vf.bitmap_agg(col("user_id")).as("bm"), count(lit(1)).as("n_events"))
-        val wSlide = Window.partitionBy(col("event_type")).orderBy(col("h_epoch"))
-          .rangeBetween(-23L * 3600L, 0L)
-        hourly
-          .withColumn("n_users",
-            vf.bitmap_cardinality(vf.bitmap_or_agg(col("bm")).over(wSlide)))
-          .select(col("event_type"), col("h_epoch"), col("n_events"), col("n_users"))
-          .orderBy(col("event_type"), col("h_epoch"))
-      },
+      (s, d) => slidingDistinctOn(events(s, d))
+        .orderBy(col("event_type"), col("h_epoch")),
       Some("""WITH b AS (
              |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h_epoch,
              |         user_id, COUNT(*) AS n

@@ -155,9 +155,14 @@ object TextQueries {
     * choice); `false` shuffles the gram strings (the oracle's exact
     * formulation).
     */
-  def repeatedNgramStrip(s: SparkSession, d: String, hashKey: Boolean): DataFrame = {
+  def repeatedNgramStrip(s: SparkSession, d: String, hashKey: Boolean): DataFrame =
+    repeatedNgramStripOn(documents(s, d), hashKey)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame — lets
+    * ScaleProbe drive it with an amplified synthetic corpus. */
+  def repeatedNgramStripOn(docsIn: DataFrame, hashKey: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents(s, d).withColumn("t", tokens("text"))
+    val toks = docsIn.withColumn("t", tokens("text"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"))
     val g0 = toks.filter(col("n_tokens") >= 8)
       .select(col("doc_id"), posexplode(expr(

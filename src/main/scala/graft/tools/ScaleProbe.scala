@@ -73,6 +73,36 @@ object ScaleProbe {
           .groupBy(col("qdoc"), col("doc")).agg(sum(col("b")).as("s"))
           .groupBy().agg(sum(col("s")))
       }),
+      ("ngram_strip_x16", () => {
+        // round-8 soak (VERDICT r7 item 7): the repeated-8-gram strip
+        // over a 16x-replicated corpus with doc_id remapped. Replication
+        // makes EVERY gram corpus-repeated — the worst case for this
+        // plan: the semi-join passes every position and the per-doc
+        // coverage window sees full-length hit lists. hashKey=true is
+        // the 100 TB formulation (8-byte shuffle keys).
+        val p = spark.sparkContext.defaultParallelism
+        val docs = graft.Tables.documents(spark, d).repartition(p)
+          .withColumn("rep", explode(expr("sequence(1, 16)")))
+          .select((col("doc_id") * 16 + col("rep")).as("doc_id"), col("text"))
+        graft.operators.TextQueries.repeatedNgramStripOn(docs, hashKey = true)
+          .groupBy().agg(sum(col("kept_tokens")).as("kept"),
+            sum(col("covered_tokens")).as("covered"))
+      }),
+      ("sliding_distinct_x16", () => {
+        // round-8 soak: q_sliding_distinct's production plan over 16x
+        // events with per-replica user offsets (bitmaps grow 16x, the
+        // (event_type, hour) bucket grain stays FIXED). This soak is
+        // what exposed the original direct-bitmap formulation's inverse
+        // scaling (partial bitmaps per map task × all groups) and
+        // motivated the two-level build now in slidingDistinctOn; the
+        // A/B record lives in SlideProbe.
+        val p = spark.sparkContext.defaultParallelism
+        val e = graft.Tables.events(spark, d).repartition(p)
+          .withColumn("rep", explode(expr("sequence(1, 16)")))
+          .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
+        graft.operators.QualityQueries.slidingDistinctOn(e)
+          .groupBy().agg(sum(col("n_users")).as("s"), sum(col("n_events")).as("n"))
+      }),
       ("join_agg_x16", () => {
         val p = spark.sparkContext.defaultParallelism
         val o = graft.Tables.orders(spark, d).repartition(p).withColumn("rep", rep)
