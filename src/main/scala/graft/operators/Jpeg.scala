@@ -1,0 +1,601 @@
+package graft.operators
+
+/** Baseline-sequential JPEG codec (ITU T.81) in pure byte/double
+  * arithmetic — zero codec dependencies, the round-8 sibling of the
+  * BMP/WAV/PNG decoders in [[Multimodal]]. Scope: baseline DCT
+  * (SOF0), 8-bit precision, 1-component (grayscale) or 3-component
+  * YCbCr with 1x1 sampling (4:4:4), standard Annex-K huffman tables,
+  * JFIF container. Progressive (SOF2), subsampled chroma, arithmetic
+  * coding, and restart intervals throw with a clear message — this is
+  * a real entropy decoder for the files the encoder writes (and any
+  * spec-compliant baseline 4:4:4 file), not a stub.
+  *
+  * Losslessness contract used by the `mm_jpeg_decode` oracle: with
+  * all-ones quantization tables (the encoder's choice), a block whose
+  * pixels are CONSTANT has an exactly-representable DC (8·(v−128), a
+  * dyadic rational times an integer) and mathematically-zero AC terms
+  * (cosine sums cancel; double noise ~1e-13 rounds to 0), so
+  * decode(encode(x)) == x bit-exactly for block-constant GRAY images
+  * (gray makes the YCbCr transform the identity: the Cb/Cr
+  * coefficients sum to exactly 0 and the Y coefficients to exactly 1).
+  * Arbitrary images round-trip within a provable error envelope
+  * (≤0.5 per quantized coefficient through the IDCT ≤ ~7.5, plus ±2
+  * color-transform rounding) — pinned in MultimodalSpec.
+  */
+object Jpeg {
+  /** Decoded image: pixels top-down row-major, one Int per pixel
+    * holding 0xRRGGBB (grayscale files replicate Y into all three).
+    */
+  case class JpegImage(width: Int, height: Int, pixels: Array[Int])
+
+  // ---------------------------------------------------------------
+  // Tables (ITU T.81 Annex K — public spec constants)
+  // ---------------------------------------------------------------
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).toArray
+  private val DcChrBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChrVals = (0 to 11).toArray
+
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  private val AcChrBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChrVals: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** cos((2x+1)·u·π/16) — shared by FDCT and IDCT. */
+  private val CosTab: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0); u += 1
+      }
+      x += 1
+    }
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  // ---------------------------------------------------------------
+  // Canonical huffman code construction (T.81 C.2)
+  // ---------------------------------------------------------------
+
+  /** (codes, lengths) indexed by symbol, from a BITS(1..16)/HUFFVAL spec. */
+  private def buildEncodeTable(bits: Array[Int], vals: Array[Int]): (Array[Int], Array[Int]) = {
+    val codes = new Array[Int](256)
+    val lens = new Array[Int](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len)) {
+        codes(vals(k)) = code; lens(vals(k)) = len
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    (codes, lens)
+  }
+
+  /** Decode tables: minCode/maxCode/valPtr per length (T.81 F.2.2.3). */
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len) == 0) { maxCode(len) = -1 }
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len); k += bits(len)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var len = 1
+      var code = br.readBit()
+      while (len < 16 && (maxCode(len) < 0 || code > maxCode(len))) {
+        code = (code << 1) | br.readBit(); len += 1
+      }
+      if (maxCode(len) < 0 || code > maxCode(len))
+        throw new IllegalArgumentException("jpeg: invalid huffman code")
+      vals(valPtr(len) + code - minCode(len))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Bit IO over entropy-coded segments (0xFF byte stuffing)
+  // ---------------------------------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nBits > 0) { // pad with 1s (T.81 F.1.2.3)
+      acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nBits = 0
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def readBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= bytes.length) throw new IllegalArgumentException("jpeg: truncated entropy data")
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) throw new IllegalArgumentException("jpeg: truncated after 0xFF")
+          val m = bytes(pos) & 0xff; pos += 1
+          if (m == 0x00) { /* stuffed byte */ }
+          else if (m == 0xd9) { b = 0 /* EOI inside read: pad zeros */ ; pos -= 2 }
+          else throw new IllegalArgumentException(f"jpeg: unexpected marker 0xFF$m%02X in scan")
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map `n`-bit magnitude bits to signed value. */
+  private def extend(v: Int, n: Int): Int =
+    if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+  private def magnitudeCategory(v: Int): Int = {
+    var a = math.abs(v)
+    var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  // ---------------------------------------------------------------
+  // DCT
+  // ---------------------------------------------------------------
+
+  /** Forward DCT of one level-shifted 8x8 block (in row-major). */
+  private def fdct(in: Array[Double], out: Array[Double]): Unit = {
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          val cy = CosTab(y * 8 + u)
+          while (x < 8) {
+            s += in(y * 8 + x) * cy * CosTab(x * 8 + v); x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        out(u * 8 + v) = 0.25 * cu * cv * s
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Inverse DCT: coefficients (row-major u,v) → spatial samples. */
+  private def idct(in: Array[Double], out: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          val cy = CosTab(y * 8 + u)
+          var v = 0
+          while (v < 8) {
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            s += cu * cv * in(u * 8 + v) * cy * CosTab(x * 8 + v); v += 1
+          }
+          u += 1
+        }
+        out(y * 8 + x) = 0.25 * s
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Encoder
+  // ---------------------------------------------------------------
+
+  private def clamp255(d: Double): Int = {
+    val v = math.round(d).toInt
+    if (v < 0) 0 else if (v > 255) 255 else v
+  }
+
+  /** Encode an RGB image as baseline JFIF (3-component YCbCr 4:4:4,
+    * all-ones quantization tables, standard huffman tables). Pixels
+    * come from `px(x, y) -> 0xRRGGBB`; dims need not be multiples of 8
+    * (edge replication pads the partial blocks).
+    */
+  def encodeJpegRgb(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    // color transform, replicated to block multiples
+    val bw = (width + 7) / 8 * 8
+    val bh = (height + 7) / 8 * 8
+    val yP = new Array[Double](bw * bh)
+    val cbP = new Array[Double](bw * bh)
+    val crP = new Array[Double](bw * bh)
+    var yy = 0
+    while (yy < bh) {
+      val sy = math.min(yy, height - 1)
+      var xx = 0
+      while (xx < bw) {
+        val sx = math.min(xx, width - 1)
+        val p = px(sx, sy)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        val i = yy * bw + xx
+        yP(i) = 0.299 * r + 0.587 * g + 0.114 * b
+        cbP(i) = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        crP(i) = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        xx += 1
+      }
+      yy += 1
+    }
+
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+
+    marker(0xd8) // SOI
+    marker(0xe0); w16(16) // APP0 JFIF
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => w8(c.toInt))
+    w16(0x0101); w8(0); w16(1); w16(1); w8(0); w8(0)
+    // DQT: two all-ones tables (id 0 luma, id 1 chroma)
+    marker(0xdb); w16(2 + 2 * 65)
+    Seq(0, 1).foreach { id => w8(id); (0 until 64).foreach(_ => w8(1)) }
+    // SOF0: 8-bit, 3 components, 1x1 sampling each
+    marker(0xc0); w16(8 + 3 * 3); w8(8); w16(height); w16(width); w8(3)
+    w8(1); w8(0x11); w8(0) // Y → quant 0
+    w8(2); w8(0x11); w8(1) // Cb → quant 1
+    w8(3); w8(0x11); w8(1) // Cr → quant 1
+    // DHT: four standard tables
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); w16(2 + 1 + 16 + vals.length); w8((cls << 4) | id)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    dht(0, 1, DcChrBits, DcChrVals); dht(1, 1, AcChrBits, AcChrVals)
+    // SOS
+    marker(0xda); w16(6 + 2 * 3); w8(3)
+    w8(1); w8(0x00); w8(2); w8(0x11); w8(3); w8(0x11)
+    w8(0); w8(63); w8(0) // Ss/Se/Ah-Al (baseline fixed)
+
+    val (dcLumC, dcLumL) = buildEncodeTable(DcLumBits, DcLumVals)
+    val (acLumC, acLumL) = buildEncodeTable(AcLumBits, AcLumVals)
+    val (dcChrC, dcChrL) = buildEncodeTable(DcChrBits, DcChrVals)
+    val (acChrC, acChrL) = buildEncodeTable(AcChrBits, AcChrVals)
+    val bwr = new BitWriter(out)
+    val block = new Array[Double](64)
+    val coefs = new Array[Double](64)
+    val quant = new Array[Int](64)
+    val prevDc = new Array[Int](3)
+
+    def encodeBlock(plane: Array[Double], bx: Int, by: Int, comp: Int): Unit = {
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          block(j * 8 + i) = plane((by * 8 + j) * bw + bx * 8 + i) - 128.0; i += 1
+        }
+        j += 1
+      }
+      fdct(block, coefs)
+      var k = 0
+      while (k < 64) { quant(k) = math.round(coefs(Zigzag(k))).toInt; k += 1 }
+      val (dcC, dcL, acC, acL) =
+        if (comp == 0) (dcLumC, dcLumL, acLumC, acLumL)
+        else (dcChrC, dcChrL, acChrC, acChrL)
+      val diff = quant(0) - prevDc(comp)
+      prevDc(comp) = quant(0)
+      val cat = magnitudeCategory(diff)
+      bwr.write(dcC(cat), dcL(cat))
+      if (cat > 0) bwr.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      var run = 0
+      var kk = 1
+      while (kk < 64) {
+        val v = quant(kk)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { bwr.write(acC(0xf0), acL(0xf0)); run -= 16 }
+          val sz = magnitudeCategory(v)
+          val sym = (run << 4) | sz
+          bwr.write(acC(sym), acL(sym))
+          bwr.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) bwr.write(acC(0x00), acL(0x00)) // EOB
+    }
+
+    var by = 0
+    while (by < bh / 8) {
+      var bx = 0
+      while (bx < bw / 8) {
+        encodeBlock(yP, bx, by, 0)
+        encodeBlock(cbP, bx, by, 1)
+        encodeBlock(crP, bx, by, 2)
+        bx += 1
+      }
+      by += 1
+    }
+    bwr.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Decoder
+  // ---------------------------------------------------------------
+
+  private final case class Component(id: Int, quantId: Int,
+    var dcTable: Int = 0, var acTable: Int = 0)
+
+  /** Decode a baseline JFIF/JPEG stream. Supports SOF0, 8-bit, 1 or 3
+    * components with 1x1 sampling; throws IllegalArgumentException on
+    * anything else (progressive, subsampling, restart intervals, 12-bit).
+    */
+  def decodeJpeg(bytes: Array[Byte]): JpegImage =
+    try decodeJpeg0(bytes)
+    catch { // any out-of-bounds read is a truncation, not a crash
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("jpeg: truncated stream")
+    }
+
+  private def decodeJpeg0(bytes: Array[Byte]): JpegImage = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "jpeg: missing SOI")
+    var pos = 2
+    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
+    def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
+
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffDecoder](4)
+    val acTables = new Array[HuffDecoder](4)
+    var width = 0
+    var height = 0
+    var comps: Array[Component] = null
+
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (pos + 4 > bytes.length) throw new IllegalArgumentException("jpeg: truncated before SOS")
+      var m = u8()
+      if (m != 0xff) throw new IllegalArgumentException(f"jpeg: expected marker, got 0x$m%02X")
+      m = u8()
+      m match {
+        case 0xd8 => // stray SOI: ignore
+        case 0xd9 => throw new IllegalArgumentException("jpeg: EOI before SOS")
+        case 0xc0 => // SOF0 baseline
+          val segLen0 = u16()
+          val segEnd = pos + segLen0 - 2 // end of segment content
+          val precision = u8()
+          require(precision == 8, s"jpeg: unsupported precision $precision")
+          height = u16(); width = u16()
+          val n = u8()
+          require(n == 1 || n == 3, s"jpeg: unsupported component count $n")
+          comps = Array.fill(n)(null)
+          var i = 0
+          while (i < n) {
+            val id = u8(); val samp = u8(); val q = u8()
+            require(samp == 0x11, f"jpeg: unsupported sampling 0x$samp%02X (only 4:4:4)")
+            comps(i) = Component(id, q); i += 1
+          }
+          pos = segEnd
+        case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
+        case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          throw new IllegalArgumentException(f"jpeg: unsupported SOF 0x$x%02X")
+        case 0xc4 => // DHT (possibly several tables in one segment)
+          val dhtLen = u16()
+          val end = pos + dhtLen - 2
+          while (pos < end) {
+            val tc = u8()
+            val cls = tc >> 4; val id = tc & 0x0f
+            require(id < 4, "jpeg: huffman table id out of range")
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) { bits(l) = u8(); total += bits(l); l += 1 }
+            val vals = new Array[Int](total)
+            var i = 0
+            while (i < total) { vals(i) = u8(); i += 1 }
+            val dec = new HuffDecoder(bits, vals)
+            if (cls == 0) dcTables(id) = dec else acTables(id) = dec
+          }
+        case 0xdb => // DQT
+          val dqtLen = u16()
+          val end = pos + dqtLen - 2
+          while (pos < end) {
+            val pq = u8()
+            require(pq >> 4 == 0, "jpeg: 16-bit quant tables unsupported")
+            val id = pq & 0x0f
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = u8(); i += 1 }
+            quantTables(id) = t
+          }
+        case 0xdd => throw new IllegalArgumentException("jpeg: restart intervals (DRI) unsupported")
+        case 0xda => // SOS
+          val segLen = u16()
+          val n = u8()
+          require(comps != null, "jpeg: SOS before SOF")
+          require(n == comps.length, "jpeg: SOS component count mismatch")
+          var i = 0
+          while (i < n) {
+            val id = u8(); val tt = u8()
+            val c = comps.find(_.id == id).getOrElse(
+              throw new IllegalArgumentException("jpeg: SOS references unknown component"))
+            c.dcTable = tt >> 4; c.acTable = tt & 0x0f
+            i += 1
+          }
+          pos += 3 // Ss, Se, AhAl
+          require(segLen == 6 + 2 * n, "jpeg: bad SOS length")
+          scanStart = pos
+        case x if x >= 0xe0 && x <= 0xef => // APPn: skip len-2 content bytes
+          val l = u16(); pos += l - 2
+        case 0xfe => // COM
+          val l = u16(); pos += l - 2
+        case other => throw new IllegalArgumentException(f"jpeg: unsupported marker 0x$other%02X")
+      }
+    }
+    require(width > 0 && height > 0, "jpeg: missing SOF dims")
+
+    val nComp = comps.length
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    val br = new BitReader(bytes, scanStart)
+    val coefs = new Array[Double](64)
+    val spatial = new Array[Double](64)
+    val prevDc = new Array[Int](nComp)
+
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var ci = 0
+        while (ci < nComp) {
+          val c = comps(ci)
+          val q = quantTables(c.quantId)
+          require(q != null, "jpeg: missing quant table")
+          val dcDec = dcTables(c.dcTable)
+          val acDec = acTables(c.acTable)
+          require(dcDec != null && acDec != null, "jpeg: missing huffman table")
+          java.util.Arrays.fill(coefs, 0.0)
+          val cat = dcDec.decode(br)
+          val diff = extend(br.receive(cat), cat)
+          prevDc(ci) += diff
+          coefs(Zigzag(0)) = prevDc(ci).toDouble * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acDec.decode(br)
+            val run = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (run == 15) k += 16 // ZRL
+              else eob = true // EOB
+            } else {
+              k += run
+              require(k < 64, "jpeg: AC index overflow")
+              coefs(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * q(k)
+              k += 1
+            }
+          }
+          idct(coefs, spatial)
+          val plane = planes(ci)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              plane((by * 8 + j) * (bw * 8) + bx * 8 + i) = clamp255(spatial(j * 8 + i) + 128.0)
+              i += 1
+            }
+            j += 1
+          }
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+
+    val px = new Array[Int](width * height)
+    val stride = bw * 8
+    var yv = 0
+    while (yv < height) {
+      var xv = 0
+      while (xv < width) {
+        val i = yv * stride + xv
+        val p =
+          if (nComp == 1) { val g = planes(0)(i); (g << 16) | (g << 8) | g }
+          else {
+            val y = planes(0)(i).toDouble
+            val cb = planes(1)(i) - 128.0
+            val cr = planes(2)(i) - 128.0
+            val r = clamp255(y + 1.402 * cr)
+            val g = clamp255(y - 0.344136 * cb - 0.714136 * cr)
+            val b = clamp255(y + 1.772 * cb)
+            (r << 16) | (g << 8) | b
+          }
+        px(yv * width + xv) = p
+        xv += 1
+      }
+      yv += 1
+    }
+    JpegImage(width, height, px)
+  }
+}

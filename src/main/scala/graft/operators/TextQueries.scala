@@ -1628,22 +1628,78 @@ object TextQueries {
              |       CAST(psum AS BIGINT) AS pixel_sum,
              |       CAST(doc_id % 256 AS BIGINT) AS top_left_r,
              |       CAST(((w - 1) * 3 + (h - 1) * 17 + 3 * doc_id) % 256 AS BIGINT) AS bottom_right_b
-             |FROM px ORDER BY doc_id""".stripMargin)))
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // REAL JPEG decode (round 8): encode→decode baseline-sequential
+    // JFIF (ITU T.81: forward/inverse DCT, standard Annex-K huffman
+    // tables, 0xFF byte stuffing, YCbCr 4:4:4) with zero codec
+    // dependencies — see graft.operators.Jpeg. The fixture images are
+    // BLOCK-CONSTANT GRAY, which makes the lossy codec exactly
+    // invertible (constant 8x8 blocks have a dyadic-exact DC and
+    // mathematically-zero AC under the encoder's all-ones quant
+    // tables; gray makes the YCbCr transform the identity), so dims,
+    // corner pixels and the full-coverage pixel_sum are analytic in
+    // doc_id and DuckDB states them exactly. Lossy-path error bounds
+    // for ARBITRARY images are pinned in MultimodalSpec.
+    QueryDef("mm_jpeg_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bw = (1 + id % 4).toInt
+            val bh = (1 + id % 3).toInt
+            val w = 8 * bw
+            val h = 8 * bh
+            def gv(bx: Int, by: Int) = ((bx * 37 + by * 59 + id) % 256).toInt
+            def px(x: Int, y: Int) = {
+              val g = gv(x / 8, y / 8); (g << 16) | (g << 8) | g
+            }
+            val img = Jpeg.decodeJpeg(Jpeg.encodeJpegRgb(w, h, px))
+            var psum = 0L
+            img.pixels.foreach { p =>
+              psum += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
+            (id, img.width.toLong, img.height.toLong, psum,
+              (img.pixels(0) & 0xff).toLong,
+              (img.pixels(w * h - 1) & 0xff).toLong)
+          })
+          .toDF("doc_id", "w", "h", "pixel_sum", "top_left_gray", "bottom_right_gray")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+             |  FROM documents WHERE doc_id < 200),
+             |bx AS (
+             |  SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS bx FROM d),
+             |bxy AS (
+             |  SELECT doc_id, bw, bh, bx, unnest(generate_series(0, bh - 1)) AS by FROM bx),
+             |s AS (
+             |  SELECT doc_id, bw, bh,
+             |         SUM(192 * ((bx * 37 + by * 59 + doc_id) % 256)) AS psum
+             |  FROM bxy GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(bw * 8 AS BIGINT) AS w, CAST(bh * 8 AS BIGINT) AS h,
+             |       CAST(psum AS BIGINT) AS pixel_sum,
+             |       CAST(doc_id % 256 AS BIGINT) AS top_left_gray,
+             |       CAST(((bw - 1) * 37 + (bh - 1) * 59 + doc_id) % 256 AS BIGINT) AS bottom_right_gray
+             |FROM s ORDER BY doc_id""".stripMargin)))
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.
-  * THREE real decoders ship with zero codec dependencies: 24-bit BMP
-  * (bottom-up rows, stride padding), PCM16 WAV (RIFF chunk walk), and —
-  * round 8 — truecolor RGB8 PNG (zlib via java.util.zip, chunk CRC32
-  * verification, all five scanline filters), each driver-gated
+  * FOUR real decoders ship with zero codec dependencies: 24-bit BMP
+  * (bottom-up rows, stride padding), PCM16 WAV (RIFF chunk walk),
+  * truecolor RGB8 PNG (zlib via java.util.zip, chunk CRC32
+  * verification, all five scanline filters), and — round 8 — baseline
+  * JPEG (full T.81 entropy codec: DCT, Annex-K huffman, byte
+  * stuffing, YCbCr — see [[graft.operators.Jpeg]]), each driver-gated
   * hash-exact via analytic oracles (mm_bmp_decode / mm_wav_decode /
-  * mm_png_decode). Only jpeg/webp decode remains a deterministic STUB —
-  * their entropy coders are genuine codec work, not header+filter
-  * arithmetic, and no image libs ship in-container. Feature extraction,
-  * resize bookkeeping, and frame sampling are real byte-level
-  * computations. The Spark plumbing — binary columns, per-partition
-  * batch iteration, typed output schemas, array-of-binary frames — is
-  * the part that matters at scale.
+  * mm_png_decode / mm_jpeg_decode). Only webp decode remains a
+  * deterministic STUB (VP8 entropy coding is out of scope; no image
+  * libs ship in-container). Feature extraction, resize bookkeeping,
+  * and frame sampling are real byte-level computations. The Spark
+  * plumbing — binary columns, per-partition batch iteration, typed
+  * output schemas, array-of-binary frames — is the part that matters
+  * at scale.
   */
 object Multimodal {
   case class BlobMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)

@@ -514,4 +514,52 @@ class OperatorSpec extends AnyFunSuite {
       Multimodal.decodePng(bad)
     }
   }
+
+  test("JPEG codec: block-constant gray exact; arbitrary RGB within error envelope; malformed rejected") {
+    // 1. block-constant gray is BIT-EXACT (the mm_jpeg_decode contract):
+    //    constant blocks have dyadic-exact DC and zero AC under all-ones
+    //    quant tables; gray is a fixed point of the YCbCr transform
+    for (bw <- 1 to 4; bh <- 1 to 3) {
+      val (w, h) = (8 * bw, 8 * bh)
+      def px(x: Int, y: Int): Int = {
+        val g = ((x / 8) * 37 + (y / 8) * 59 + 11) % 256
+        (g << 16) | (g << 8) | g
+      }
+      val img = Jpeg.decodeJpeg(Jpeg.encodeJpegRgb(w, h, px))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == px(x, y), s"($x,$y) in ${w}x$h")
+    }
+    // 2. arbitrary RGB (incl. non-multiple-of-8 dims → edge replication):
+    //    per-channel error ≤ 12 (≤0.5/quantized coefficient through the
+    //    IDCT ≤ ~7.5, plus ±2 color-transform rounding)
+    for ((w, h) <- Seq((13, 10), (17, 12), (8, 8), (1, 1), (64, 64))) {
+      def px(x: Int, y: Int): Int =
+        (((x * 7 + y * 13) % 256) << 16) | (((x * 11 + y * 5) % 256) << 8) |
+          ((x * 3 + y * 17) % 256)
+      val img = Jpeg.decodeJpeg(Jpeg.encodeJpegRgb(w, h, px))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w; sh <- Seq(0, 8, 16)) {
+        val err = math.abs(((px(x, y) >> sh) & 0xff) - ((img.pixels(y * w + x) >> sh) & 0xff))
+        assert(err <= 12, s"err $err at ($x,$y) shift $sh in ${w}x$h")
+      }
+    }
+    // 3. malformed inputs throw, never misparse
+    val enc = Jpeg.encodeJpegRgb(16, 8, (x, y) => (x * y) & 0xff)
+    intercept[IllegalArgumentException](Jpeg.decodeJpeg("not a jpeg".getBytes))
+    intercept[IllegalArgumentException]( // truncated mid-scan
+      Jpeg.decodeJpeg(java.util.Arrays.copyOf(enc, enc.length / 2)))
+    intercept[IllegalArgumentException] { // progressive SOF2 — unsupported
+      val bad = enc.clone()
+      val sof = bad.indices.find(i => (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0).get
+      bad(sof + 1) = 0xc2.toByte
+      Jpeg.decodeJpeg(bad)
+    }
+    intercept[IllegalArgumentException] { // subsampled chroma — unsupported
+      val bad = enc.clone()
+      val sof = bad.indices.find(i => (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0).get
+      bad(sof + 11) = 0x22.toByte // Y sampling 2x2 (FF C0 len2 prec h2 w2 n id → samp)
+      Jpeg.decodeJpeg(bad)
+    }
+  }
 }
