@@ -1385,11 +1385,11 @@ object TextQueries {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // Multimodal decode→resize→frame-sample pipeline (round 8: GATED).
-    // Decodable formats (png by the stub's fmt route) go through the
-    // REAL PNG decoder — the pipeline synthesizes a deterministic RGB8
-    // PNG whose dims derive from (doc_id, n_bytes), decodes it, and
-    // emits dims + a full-coverage pixel sum; jpeg/webp stay on stub
-    // dims (no entropy-coder in-container, documented). Resize uses the
+    // Decodable formats go through the REAL decoders: png rows
+    // synthesize+decode a deterministic RGB8 PNG, jpeg rows a
+    // block-constant-gray baseline JPEG (bit-exact by the
+    // mm_jpeg_decode argument); only webp stays on stub dims (VP8 out
+    // of scope, documented). Resize uses the
     // integer half-up arithmetic, frames are pure integer digests — so
     // the ENTIRE pipeline is analytic in (doc_id, octet_length) and
     // DuckDB can state it exactly.
@@ -1400,8 +1400,12 @@ object TextQueries {
              |m AS (
              |  SELECT doc_id, n,
              |         CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
-             |         CASE WHEN n % 3 = 0 THEN 8 + n % 24 ELSE 64 + n % 512 END AS w,
-             |         CASE WHEN n % 3 = 0 THEN 8 + (n * 7) % 24 ELSE 64 + (n * 7) % 512 END AS h,
+             |         CASE WHEN n % 3 = 0 THEN 8 + n % 24
+             |              WHEN n % 3 = 1 THEN 8 * (1 + n % 4)
+             |              ELSE 64 + n % 512 END AS w,
+             |         CASE WHEN n % 3 = 0 THEN 8 + (n * 7) % 24
+             |              WHEN n % 3 = 1 THEN 8 * (1 + (n // 3) % 3)
+             |              ELSE 64 + (n * 7) % 512 END AS h,
              |         (n + 63) // 64 AS n_frames
              |  FROM b),
              |xs AS (
@@ -1411,7 +1415,16 @@ object TextQueries {
              |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
              |px AS (
              |  SELECT doc_id, SUM(3 * ((x * 7 + y * 13 + doc_id) % 256)) AS psum
-             |  FROM xy GROUP BY doc_id)
+             |  FROM xy GROUP BY doc_id),
+             |jx AS (
+             |  SELECT doc_id, w // 8 AS bw, h // 8 AS bh,
+             |         unnest(generate_series(0, w // 8 - 1)) AS bx
+             |  FROM m WHERE fmt = 'jpeg'),
+             |jxy AS (
+             |  SELECT doc_id, bx, unnest(generate_series(0, bh - 1)) AS by FROM jx),
+             |jp AS (
+             |  SELECT doc_id, SUM(192 * ((bx * 37 + by * 59 + doc_id) % 256)) AS psum
+             |  FROM jxy GROUP BY doc_id)
              |SELECT m.doc_id, m.fmt,
              |       CAST(m.w AS BIGINT) AS w, CAST(m.h AS BIGINT) AS h,
              |       CAST(CASE WHEN greatest(m.w, m.h) <= 128 THEN m.w
@@ -1422,8 +1435,9 @@ object TextQueries {
              |            ELSE 128 * 1000000 // greatest(m.w, m.h) END AS BIGINT) AS scale_ppm,
              |       CAST(m.n_frames AS BIGINT) AS n_frames,
              |       CAST((m.n_frames + 3) // 4 AS BIGINT) AS n_sampled,
-             |       CAST(COALESCE(px.psum, 0) AS BIGINT) AS pixel_sum
-             |FROM m LEFT JOIN px USING (doc_id) ORDER BY m.doc_id""".stripMargin)),
+             |       CAST(COALESCE(px.psum, jp.psum, 0) AS BIGINT) AS pixel_sum
+             |FROM m LEFT JOIN px USING (doc_id) LEFT JOIN jp USING (doc_id)
+             |ORDER BY m.doc_id""".stripMargin)),
 
     // Frame sampling with EXACT oracle: fixed-size frames, every 4th
     // kept — the "video" keyframe-extraction shape. The emitted digests
@@ -2253,6 +2267,21 @@ object Multimodal {
             val ph = (8 + (n * 7) % 24).toInt // ≥8 rows: all five filters used
             val img = decodePng(encodePngRgb(pw, ph,
               (x, y) => ((x * 7 + y * 13 + id) % 256).toInt * 0x010101))
+            var s = 0L
+            img.pixels.foreach { p =>
+              s += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
+            (img.width.toLong, img.height.toLong, s)
+          } else if (stub.fmt == "jpeg") {
+            // real JPEG route (round 8): block-constant gray dims from
+            // (id, n) → bit-exact roundtrip (see mm_jpeg_decode)
+            val pw = 8 * (1 + n % 4).toInt
+            val ph = 8 * (1 + (n / 3) % 3).toInt // n≡1 (mod 3) here, so a
+            // multiplicative mix would be constant — divide first
+            val img = Jpeg.decodeJpeg(Jpeg.encodeJpegRgb(pw, ph, (x, y) => {
+              val g = ((x / 8) * 37 + (y / 8) * 59 + id) % 256
+              (g.toInt << 16) | (g.toInt << 8) | g.toInt
+            }))
             var s = 0L
             img.pixels.foreach { p =>
               s += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
