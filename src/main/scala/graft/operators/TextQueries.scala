@@ -1385,11 +1385,12 @@ object TextQueries {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // Multimodal decode→resize→frame-sample pipeline (round 8: GATED).
-    // Decodable formats go through the REAL decoders: png rows
+    // EVERY format goes through a REAL decoder now: png rows
     // synthesize+decode a deterministic RGB8 PNG, jpeg rows a
     // block-constant-gray baseline JPEG (bit-exact by the
-    // mm_jpeg_decode argument); only webp stays on stub dims (VP8 out
-    // of scope, documented). Resize uses the
+    // mm_jpeg_decode argument), webp rows a constant-color lossless
+    // VP8L (psum analytic in O(1); dims span the resize threshold).
+    // Resize uses the
     // integer half-up arithmetic, frames are pure integer digests — so
     // the ENTIRE pipeline is analytic in (doc_id, octet_length) and
     // DuckDB can state it exactly.
@@ -1402,10 +1403,10 @@ object TextQueries {
              |         CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
              |         CASE WHEN n % 3 = 0 THEN 8 + n % 24
              |              WHEN n % 3 = 1 THEN 8 * (1 + n % 4)
-             |              ELSE 64 + n % 512 END AS w,
+             |              ELSE 24 + n % 120 END AS w,
              |         CASE WHEN n % 3 = 0 THEN 8 + (n * 7) % 24
              |              WHEN n % 3 = 1 THEN 8 * (1 + (n // 3) % 3)
-             |              ELSE 64 + (n * 7) % 512 END AS h,
+             |              ELSE 24 + (n * 7) % 120 END AS h,
              |         (n + 63) // 64 AS n_frames
              |  FROM b),
              |xs AS (
@@ -1424,7 +1425,10 @@ object TextQueries {
              |  SELECT doc_id, bx, unnest(generate_series(0, bh - 1)) AS by FROM jx),
              |jp AS (
              |  SELECT doc_id, SUM(192 * ((bx * 37 + by * 59 + doc_id) % 256)) AS psum
-             |  FROM jxy GROUP BY doc_id)
+             |  FROM jxy GROUP BY doc_id),
+             |wp AS (
+             |  SELECT doc_id, 3 * ((n + doc_id) % 256) * w * h AS psum
+             |  FROM m WHERE fmt = 'webp')
              |SELECT m.doc_id, m.fmt,
              |       CAST(m.w AS BIGINT) AS w, CAST(m.h AS BIGINT) AS h,
              |       CAST(CASE WHEN greatest(m.w, m.h) <= 128 THEN m.w
@@ -1435,8 +1439,9 @@ object TextQueries {
              |            ELSE 128 * 1000000 // greatest(m.w, m.h) END AS BIGINT) AS scale_ppm,
              |       CAST(m.n_frames AS BIGINT) AS n_frames,
              |       CAST((m.n_frames + 3) // 4 AS BIGINT) AS n_sampled,
-             |       CAST(COALESCE(px.psum, jp.psum, 0) AS BIGINT) AS pixel_sum
+             |       CAST(COALESCE(px.psum, jp.psum, wp.psum, 0) AS BIGINT) AS pixel_sum
              |FROM m LEFT JOIN px USING (doc_id) LEFT JOIN jp USING (doc_id)
+             |     LEFT JOIN wp USING (doc_id)
              |ORDER BY m.doc_id""".stripMargin)),
 
     // Frame sampling with EXACT oracle: fixed-size frames, every 4th
@@ -1696,24 +1701,74 @@ object TextQueries {
              |       CAST(psum AS BIGINT) AS pixel_sum,
              |       CAST(doc_id % 256 AS BIGINT) AS top_left_gray,
              |       CAST(((bw - 1) * 37 + (bh - 1) * 59 + doc_id) % 256 AS BIGINT) AS bottom_right_gray
-             |FROM s ORDER BY doc_id""".stripMargin)))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // REAL WebP decode (late round 8): encode→decode lossless VP8L
+    // (RIFF container, LSB-first bitstream, canonical prefix codes;
+    // decoder additionally handles color cache, LZ77 refs, simple and
+    // RLE-coded code lengths — graft.operators.Webp). Unlike JPEG no
+    // exactness corner is needed: VP8L is lossless, so ARBITRARY
+    // per-channel pixel functions round-trip bit-exactly and the
+    // oracle states dims/corners/pixel_sum analytically from doc_id.
+    QueryDef("mm_webp_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (3 + id % 14).toInt
+            val h = (2 + id % 9).toInt
+            def r(x: Int, y: Int) = ((x * 7 + y * 13 + id) % 256).toInt
+            def g(x: Int, y: Int) = ((x * 11 + y * 5 + 2 * id) % 256).toInt
+            def b(x: Int, y: Int) = ((x * 3 + y * 17 + 3 * id) % 256).toInt
+            val img = Webp.decodeWebpLossless(Webp.encodeWebpLossless(w, h,
+              (x, y) => (r(x, y) << 16) | (g(x, y) << 8) | b(x, y)))
+            var psum = 0L
+            img.pixels.foreach { p =>
+              psum += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
+            (id, img.width.toLong, img.height.toLong, psum,
+              ((img.pixels(0) >> 16) & 0xff).toLong,
+              (img.pixels(w * h - 1) & 0xff).toLong)
+          })
+          .toDF("doc_id", "w", "h", "pixel_sum", "top_left_r", "bottom_right_b")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 9 AS h
+             |  FROM documents WHERE doc_id < 200),
+             |xs AS (
+             |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+             |xy AS (
+             |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |         SUM((x * 7 + y * 13 + doc_id) % 256
+             |           + (x * 11 + y * 5 + 2 * doc_id) % 256
+             |           + (x * 3 + y * 17 + 3 * doc_id) % 256) AS psum
+             |  FROM xy GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             |       CAST(psum AS BIGINT) AS pixel_sum,
+             |       CAST(doc_id % 256 AS BIGINT) AS top_left_r,
+             |       CAST(((w - 1) * 3 + (h - 1) * 17 + 3 * doc_id) % 256 AS BIGINT) AS bottom_right_b
+             |FROM px ORDER BY doc_id""".stripMargin)))
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.
-  * FOUR real decoders ship with zero codec dependencies: 24-bit BMP
+  * FIVE real decoders ship with zero codec dependencies: 24-bit BMP
   * (bottom-up rows, stride padding), PCM16 WAV (RIFF chunk walk),
   * truecolor RGB8 PNG (zlib via java.util.zip, chunk CRC32
-  * verification, all five scanline filters), and — round 8 — baseline
-  * JPEG (full T.81 entropy codec: DCT, Annex-K huffman, byte
-  * stuffing, YCbCr — see [[graft.operators.Jpeg]]), each driver-gated
-  * hash-exact via analytic oracles (mm_bmp_decode / mm_wav_decode /
-  * mm_png_decode / mm_jpeg_decode). Only webp decode remains a
-  * deterministic STUB (VP8 entropy coding is out of scope; no image
-  * libs ship in-container). Feature extraction, resize bookkeeping,
-  * and frame sampling are real byte-level computations. The Spark
-  * plumbing — binary columns, per-partition batch iteration, typed
-  * output schemas, array-of-binary frames — is the part that matters
-  * at scale.
+  * verification, all five scanline filters), baseline JPEG (full
+  * T.81 entropy codec: DCT, Annex-K huffman, byte stuffing, YCbCr —
+  * [[graft.operators.Jpeg]]), and lossless WebP/VP8L (LSB-first
+  * bitstream, canonical prefix codes, color cache, LZ77 —
+  * [[graft.operators.Webp]]; lossy VP8 and the four pixel transforms
+  * are documented out of scope). Each is driver-gated hash-exact via
+  * analytic oracles (mm_{bmp,wav,png,jpeg,webp}_decode). Feature
+  * extraction, resize bookkeeping, and frame sampling are real
+  * byte-level computations. The Spark plumbing — binary columns,
+  * per-partition batch iteration, typed output schemas,
+  * array-of-binary frames — is the part that matters at scale.
   */
 object Multimodal {
   case class BlobMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)
@@ -2287,7 +2342,21 @@ object Multimodal {
               s += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
             }
             (img.width.toLong, img.height.toLong, s)
-          } else (stub.width, stub.height, 0L)
+          } else {
+            // real WebP route (late round 8): constant-color VP8L —
+            // lossless roundtrip, so psum = 3·c·w·h is O(1) for the
+            // oracle; dims span the >128 resize threshold
+            val pw = (24 + n % 120).toInt
+            val ph = (24 + (n * 7) % 120).toInt
+            val c = ((n + id) % 256).toInt
+            val img = Webp.decodeWebpLossless(Webp.encodeWebpLossless(pw, ph,
+              (_, _) => (c << 16) | (c << 8) | c))
+            var s = 0L
+            img.pixels.foreach { p =>
+              s += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
+            (img.width.toLong, img.height.toLong, s)
+          }
         val rs = resizeMetaInt(BlobMeta(id, n, w, h, stub.fmt))
         val frames = sampleFrames(id, bytes)
         (id, stub.fmt, w, h, rs.dst_w, rs.dst_h, rs.scale_ppm,

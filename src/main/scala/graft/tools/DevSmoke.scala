@@ -331,6 +331,7 @@ object DevSmoke {
     // round-8 additions
     graft.Queries.queryMap("mm_png_decode")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("mm_jpeg_decode")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("mm_webp_decode")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("mm_pipeline")(spark, sf).show(3, truncate = false)
 
     spark.stop()

@@ -562,4 +562,34 @@ class OperatorSpec extends AnyFunSuite {
       Jpeg.decodeJpeg(bad)
     }
   }
+
+  test("WebP codec: VP8L lossless roundtrip exact on arbitrary RGB; malformed/out-of-scope rejected") {
+    // lossless — every pixel function must round-trip bit-exactly,
+    // including 1-pixel images and dims around the 8-bit boundaries
+    for ((w, h) <- Seq((1, 1), (3, 2), (16, 16), (37, 23), (255, 2), (257, 1))) {
+      def px(x: Int, y: Int): Int =
+        (((x * 7 + y * 13) % 256) << 16) | (((x * 11 + y * 5 + 1) % 256) << 8) |
+          ((x * 3 + y * 17 + 2) % 256)
+      val img = Webp.decodeWebpLossless(Webp.encodeWebpLossless(w, h, px))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.pixels(y * w + x) == px(x, y), s"($x,$y) in ${w}x$h")
+    }
+    val enc = Webp.encodeWebpLossless(16, 8, (x, y) => (x * y) & 0xff)
+    intercept[IllegalArgumentException](Webp.decodeWebpLossless("not a webp at all".getBytes))
+    intercept[IllegalArgumentException]( // truncated mid-bitstream
+      Webp.decodeWebpLossless(java.util.Arrays.copyOf(enc, enc.length / 2)))
+    intercept[IllegalArgumentException] { // lossy VP8 chunk — out of scope
+      val bad = enc.clone()
+      bad(12) = 'V'; bad(13) = 'P'; bad(14) = '8'; bad(15) = ' '
+      Webp.decodeWebpLossless(bad)
+    }
+    intercept[IllegalArgumentException] { // a transform bit set — out of scope
+      val bad = enc.clone()
+      // VP8L header: sig byte at 20, then 14+14+1+3 = 32 bits of dims /
+      // alpha / version, so the transform-present bit is bit 0 of byte 25
+      bad(25) = (bad(25) | 0x01).toByte
+      Webp.decodeWebpLossless(bad)
+    }
+  }
 }
