@@ -1500,9 +1500,11 @@ object TextQueries {
              |            ELSE 128 * 1000000 // greatest(w, h) END AS BIGINT) AS scale_ppm
              |FROM m ORDER BY doc_id""".stripMargin)),
 
-    // Multimodal plumbing: opaque binary column + typed metadata via a
-    // stubbed decoder (real image/audio libs absent in this container —
-    // the Spark-side schema/partitioning/batch shape is the real part).
+    // Multimodal plumbing: opaque binary column + typed metadata via
+    // the deterministic metadata contract (dims/format derived from
+    // the blob — the fixture-side stand-in for reading container
+    // headers; real decode lanes are mm_{bmp,wav,png,jpeg,webp}_decode
+    // and mm_pipeline).
     QueryDef("mm_blob_meta",
       (s, d) => Multimodal.blobMeta(s, documents(s, d)),
       Some("""SELECT doc_id,
