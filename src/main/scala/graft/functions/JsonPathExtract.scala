@@ -618,6 +618,10 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
     // variant encode+decode round trips)
     case VariantMergePatch(VariantFromJson(t, failT), VariantFromJson(p, failP)) =>
       JsonMergePatchFused(t, p, failT, failP)
+    // strip over a parse: one token walk into the tree, drop keys, one
+    // canonical encode
+    case VariantStripKeys(VariantFromJson(src, parseFail), keys) =>
+      JsonStripKeysFused(src, keys, parseFail)
   }
 
   /** Fusion THROUGH a Project boundary. CollapseProject refuses to

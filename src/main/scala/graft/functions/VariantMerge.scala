@@ -245,6 +245,68 @@ object JsonMergePatchFused {
   private[functions] val FAILED: AnyRef = new Object
 }
 
+/** Fused `variant_strip_keys(variant_from_json(j), keys)` — the JSON
+  * document parses straight into the value tree (byte-level fast path
+  * with Jackson fallback, same contract as JsonMergePatchFused), the
+  * named top-level keys drop from the tree, and the result encodes
+  * ONCE — the unfused chain's intermediate variant encode+decode
+  * disappears. Installed by [[VariantGetFusionRule]]; semantics match
+  * the unfused pair exactly (top-level JSON null → SQL NULL; parse
+  * failure throws or nulls per the from_json flag; non-objects
+  * re-encode unchanged, canonical bytes either way).
+  */
+case class JsonStripKeysFused(left: Expression, right: Expression, failFast: Boolean)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  import VariantMergePatch._
+
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_strip_keys_fused"
+
+  // same duplication-absorbing memo as the merge fusion: Catalyst copies
+  // the strip into every consumer expression; last-input memoization
+  // collapses the copies to one parse+strip+encode per row. The key set
+  // is almost always a literal, but memo on it anyway for correctness.
+  @transient private lazy val lastStrip: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](3))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val tb = JsonFused.toBytes(l)
+    val keys = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val memo = lastStrip.get()
+    if (memo(0) != null && (memo(1) eq r.asInstanceOf[AnyRef]) &&
+        java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], tb)) {
+      return if (memo(2) eq JsonMergePatchFused.NULL_RESULT) null else memo(2)
+    }
+    val t =
+      try docToVNode(tb)
+      catch { case e: VariantJsonCodec.JsonParseException =>
+        if (failFast) throw e else JsonMergePatchFused.FAILED }
+    val out: AnyRef =
+      if (t eq JsonMergePatchFused.FAILED) null
+      else if (t == null) null // top-level JSON null → SQL NULL
+      else t.asInstanceOf[VNode] match {
+        case VObj(fields) =>
+          val kept = fields.clone()
+          var i = 0
+          while (i < keys.numElements()) {
+            if (!keys.isNullAt(i)) kept.remove(keys.getUTF8String(i).toString)
+            i += 1
+          }
+          encode(VObj(kept))
+        case other => encode(other)
+      }
+    memo(0) = tb.clone(); memo(1) = r.asInstanceOf[AnyRef]
+    memo(2) = if (out == null) JsonMergePatchFused.NULL_RESULT else out
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VariantMergePatch {
   import VariantConst._
 

@@ -54,6 +54,11 @@ class PlanSpec extends AnyFunSuite {
     val fusedExpl = Queries.queryMap("v_explode_kv")(spark, TestSpark.SF)
       .queryExecution.optimizedPlan.toString
     assert(fusedExpl.contains("json_explode_fused"), fusedExpl)
+    // strip over a parse fuses: tree build + key drop + ONE encode
+    val fusedStrip = Queries.queryMap("v_strip_keys")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedStrip.contains("variant_strip_keys_fused"), fusedStrip)
+    assert(!fusedStrip.contains("variant_from_json"), fusedStrip)
     // variant-target extraction keeps the full pipeline (the result IS
     // the encoded variant)
     val unfused = Tables.events(spark, TestSpark.SF)

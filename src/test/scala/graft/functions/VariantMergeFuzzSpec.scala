@@ -160,4 +160,66 @@ class VariantMergeFuzzSpec extends AnyFunSuite {
       failLeft = false, failRight = true).eval(InternalRow.empty)
     assert(tryFused == null)
   }
+
+  // -------------------------------------------------------------------
+  // Strip-keys fusion parity (round 8): same contract as the merge
+  // fusion — fused ≡ unfused byte-for-byte, same SQL-null and error
+  // semantics.
+  // -------------------------------------------------------------------
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def stripPair(j: String, keys: Seq[String]): (Any, Any) = {
+    val lj = Literal.create(j, StringType)
+    val lk = Literal(new GenericArrayData(keys.map(UTF8String.fromString).toArray),
+      org.apache.spark.sql.types.ArrayType(StringType))
+    val unfused = VariantStripKeys(VariantFromJson(lj), lk).eval(InternalRow.empty)
+    val fused = JsonStripKeysFused(lj, lk, failFast = true).eval(InternalRow.empty)
+    (unfused, fused)
+  }
+
+  private def assertStripSame(j: String, keys: Seq[String]): Unit = {
+    val (u, f) = stripPair(j, keys)
+    if (u == null || f == null) {
+      assert(u == null && f == null, s"null mismatch: j=$j keys=$keys")
+    } else {
+      val ur = u.asInstanceOf[InternalRow]; val fr = f.asInstanceOf[InternalRow]
+      assert(java.util.Arrays.equals(ur.getBinary(0), fr.getBinary(0)),
+        s"metadata bytes differ: j=$j keys=$keys")
+      assert(java.util.Arrays.equals(ur.getBinary(1), fr.getBinary(1)),
+        s"value bytes differ: j=$j keys=$keys")
+    }
+  }
+
+  test("fused and unfused strip_keys agree byte-for-byte on 300 random docs") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 300).foreach { _ =>
+      val j = gen(rnd, 0)
+      // strip a mix of hit-or-miss keys (the generator draws keys k0..k9)
+      val keys = Seq("k" + rnd.nextInt(10), "k" + rnd.nextInt(10), "absent")
+      assertStripSame(j, keys)
+    }
+  }
+
+  test("strip_keys fusion parity on edges: top-level null, non-objects, all-keys, errors") {
+    assertStripSame("null", Seq("a"))
+    assertStripSame("42", Seq("a"))
+    assertStripSame("[1,2]", Seq("a"))
+    assertStripSame("""{"a":1,"b":{"a":2}}""", Seq("a")) // nested "a" survives
+    assertStripSame("""{"a":1,"b":2}""", Seq("a", "b")) // empty object result
+    assertStripSame("""{"a":1}""", Seq()) // no-op strip
+    def fusedStripFails(j: String): Boolean =
+      try { JsonStripKeysFused(Literal.create(j, StringType),
+        Literal(new GenericArrayData(Array(UTF8String.fromString("a"))),
+          org.apache.spark.sql.types.ArrayType(StringType)),
+        failFast = true).eval(InternalRow.empty); false }
+      catch { case _: graft.variant.VariantJsonCodec.JsonParseException => true }
+    assert(fusedStripFails("""{"a":}"""))
+    assert(fusedStripFails("""{"a":1} 2"""))
+    val tryFused = JsonStripKeysFused(Literal.create("""{"a":}""", StringType),
+      Literal(new GenericArrayData(Array(UTF8String.fromString("a"))),
+        org.apache.spark.sql.types.ArrayType(StringType)),
+      failFast = false).eval(InternalRow.empty)
+    assert(tryFused == null)
+  }
 }
