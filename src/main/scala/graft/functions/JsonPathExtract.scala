@@ -622,6 +622,9 @@ object VariantGetFusionRule extends Rule[LogicalPlan] {
     // canonical encode
     case VariantStripKeys(VariantFromJson(src, parseFail), keys) =>
       JsonStripKeysFused(src, keys, parseFail)
+    // diff over two parses: mirror of the merge fusion
+    case VariantDiff(VariantFromJson(a, failA), VariantFromJson(b, failB)) =>
+      JsonDiffFused(a, b, failA, failB)
   }
 
   /** Fusion THROUGH a Project boundary. CollapseProject refuses to

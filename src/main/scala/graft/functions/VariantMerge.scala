@@ -245,6 +245,57 @@ object JsonMergePatchFused {
   private[functions] val FAILED: AnyRef = new Object
 }
 
+/** Fused `variant_diff(variant_from_json(a), variant_from_json(b))` —
+  * both documents parse straight into the value tree (byte-level fast
+  * path with Jackson fallback) and the minimal RFC 7386 patch encodes
+  * ONCE — mirror of [[JsonMergePatchFused]] for the diff direction.
+  * Installed by [[VariantGetFusionRule]]; fused ≡ unfused parity is
+  * pinned in VariantMergeFuzzSpec.
+  */
+case class JsonDiffFused(left: Expression, right: Expression,
+                         failLeft: Boolean, failRight: Boolean)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  import VariantMergePatch._
+
+  override def dataType: DataType = VariantSchema.TYPE
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_diff_fused"
+
+  @transient private lazy val lastDiff: ThreadLocal[Array[AnyRef]] =
+    ThreadLocal.withInitial(() => new Array[AnyRef](3))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val ab = JsonFused.toBytes(l)
+    val bb = JsonFused.toBytes(r)
+    val memo = lastDiff.get()
+    if (memo(0) != null &&
+        java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], ab) &&
+        java.util.Arrays.equals(memo(1).asInstanceOf[Array[Byte]], bb)) {
+      return if (memo(2) eq JsonMergePatchFused.NULL_RESULT) null else memo(2)
+    }
+    val a =
+      try docToVNode(ab)
+      catch { case e: VariantJsonCodec.JsonParseException =>
+        if (failLeft) throw e else JsonMergePatchFused.FAILED }
+    val b =
+      try docToVNode(bb)
+      catch { case e: VariantJsonCodec.JsonParseException =>
+        if (failRight) throw e else JsonMergePatchFused.FAILED }
+    val out: AnyRef =
+      if ((a eq JsonMergePatchFused.FAILED) || (b eq JsonMergePatchFused.FAILED) ||
+          a == null || b == null) null
+      else encode(diff(a.asInstanceOf[VNode], b.asInstanceOf[VNode]))
+    memo(0) = ab.clone(); memo(1) = bb.clone()
+    memo(2) = if (out == null) JsonMergePatchFused.NULL_RESULT else out
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused `variant_strip_keys(variant_from_json(j), keys)` — the JSON
   * document parses straight into the value tree (byte-level fast path
   * with Jackson fallback, same contract as JsonMergePatchFused), the

@@ -59,6 +59,11 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(fusedStrip.contains("variant_strip_keys_fused"), fusedStrip)
     assert(!fusedStrip.contains("variant_from_json"), fusedStrip)
+    // diff over two parses fuses like merge-patch
+    val fusedDiff = Queries.queryMap("v_diff")(spark, TestSpark.SF)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedDiff.contains("variant_diff_fused"), fusedDiff)
+    assert(!fusedDiff.contains("variant_from_json"), fusedDiff)
     // variant-target extraction keeps the full pipeline (the result IS
     // the encoded variant)
     val unfused = Tables.events(spark, TestSpark.SF)

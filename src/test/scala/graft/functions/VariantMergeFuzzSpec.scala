@@ -222,4 +222,40 @@ class VariantMergeFuzzSpec extends AnyFunSuite {
       failFast = false).eval(InternalRow.empty)
     assert(tryFused == null)
   }
+
+  // -------------------------------------------------------------------
+  // Diff fusion parity (round 8): mirror of the merge block.
+  // -------------------------------------------------------------------
+  private def diffPair(a: String, b: String): (Any, Any) = {
+    val la = Literal.create(a, StringType)
+    val lb = Literal.create(b, StringType)
+    val unfused = VariantDiff(VariantFromJson(la), VariantFromJson(lb)).eval(InternalRow.empty)
+    val fused = JsonDiffFused(la, lb, failLeft = true, failRight = true).eval(InternalRow.empty)
+    (unfused, fused)
+  }
+
+  test("fused and unfused diff agree byte-for-byte on 300 random pairs") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 300).foreach { _ =>
+      val a = gen(rnd, 0)
+      val b = gen(rnd, 0)
+      val (u, f) = diffPair(a, b)
+      if (u == null || f == null) assert(u == null && f == null, s"null mismatch: a=$a b=$b")
+      else {
+        val ur = u.asInstanceOf[InternalRow]; val fr = f.asInstanceOf[InternalRow]
+        assert(java.util.Arrays.equals(ur.getBinary(0), fr.getBinary(0)), s"metadata differ: a=$a b=$b")
+        assert(java.util.Arrays.equals(ur.getBinary(1), fr.getBinary(1)), s"value differ: a=$a b=$b")
+      }
+    }
+    // edges: top-level nulls, identical docs (empty patch), wholesale replace
+    for ((a, b) <- Seq(("null", """{"x":1}"""), ("""{"x":1}""", "null"),
+        ("""{"x":1,"y":2}""", """{"x":1,"y":2}"""), ("""{"x":1}""", "[1,2]"))) {
+      val (u, f) = diffPair(a, b)
+      if (u == null || f == null) assert(u == null && f == null, s"null mismatch: a=$a b=$b")
+      else {
+        val ur = u.asInstanceOf[InternalRow]; val fr = f.asInstanceOf[InternalRow]
+        assert(java.util.Arrays.equals(ur.getBinary(1), fr.getBinary(1)), s"value differ: a=$a b=$b")
+      }
+    }
+  }
 }
