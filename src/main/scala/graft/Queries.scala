@@ -417,6 +417,32 @@ object Queries {
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS ks
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // NATIVE VariantType parquet interop (round 8): our variant →
+    // to_spark_variant → parquet holding Spark 4.1's native VariantType
+    // (files any stock Spark reader can open) → read back →
+    // from_spark_variant → extract. The file-level half of v_interop's
+    // in-memory bridge: proves the conversion survives the parquet
+    // writer/reader pair, not just the expression evaluator.
+    QueryDef("v_native_parquet",
+      (s, d) => {
+        val dir = srcStage.computeIfAbsent(s"nativevar#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_nvar_").toString
+          parsedEvents(s, d)
+            .select(col("event_id"), vf.to_spark_variant(col("v")).as("sv"))
+            .write.mode("overwrite").parquet(sd)
+          sd
+        })
+        s.read.parquet(dir)
+          .select(col("event_id"),
+            vf.variant_get(vf.from_spark_variant(col("sv")), "$.k", LongType).as("k"),
+            vf.variant_typeof(vf.from_spark_variant(col("sv"))).as("t"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       'object' AS t
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // variant_get over a shredded table: the rewrite rule turns both the
     // predicate and the projection into the typed v_k column, so the
     // parquet scan pushes the filter and never decodes the variant
