@@ -42,10 +42,14 @@ object Webp {
     }
     /** Write a prefix CODE: its bits MSB-first into the LSB-first stream
       * (the decoder reads bit-by-bit, appending at the LSB of the code).
+      * Equivalent to writing the bit-reversed code in one writeBits call.
       */
     def writeCode(code: Int, len: Int): Unit = {
-      var i = len - 1
-      while (i >= 0) { writeBits((code >> i) & 1, 1); i -= 1 }
+      var rev = 0
+      var c = code
+      var i = 0
+      while (i < len) { rev = (rev << 1) | (c & 1); c >>= 1; i += 1 }
+      writeBits(rev, len)
     }
     def toBytes: Array[Byte] = {
       if (nBits > 0) { out.write((acc & 0xff).toInt); acc = 0; nBits = 0 }
@@ -93,33 +97,66 @@ object Webp {
   }
 
   /** Prefix decoder over a lengths array; single-symbol codes cost 0
-    * bits (the VP8L trivial-code rule).
+    * bits (the VP8L trivial-code rule). Canonical min/max/valPtr
+    * arithmetic per length — O(1) per consumed bit, no allocation.
     */
   private final class PrefixDecoder(lengths: Array[Int]) {
-    private val present = lengths.zipWithIndex.filter(_._1 > 0)
-    private val single = if (present.length == 1) present(0)._2 else -1
-    // decode via (len, code) → symbol map; fine at fixture scale
-    private val bySymbol: Map[(Int, Int), Int] =
-      if (single >= 0) Map.empty
-      else {
-        val codes = canonicalCodes(lengths)
-        present.map { case (len, sym) => (len, codes(sym)) -> sym }.toMap
+    private var nPresent = 0
+    private var singleSym = -1
+    private var maxLen = 0
+    locally {
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) > 0) {
+          nPresent += 1; singleSym = s
+          if (lengths(s) > maxLen) maxLen = lengths(s)
+        }
+        s += 1
       }
-    private val maxLen = if (present.isEmpty) 0 else present.map(_._1).max
-    require(present.nonEmpty, "webp: empty prefix code")
-    def decode(br: BitReader): Int = {
-      if (single >= 0) return single
-      var code = 0
-      var len = 0
-      while (len < maxLen) {
-        code = (code << 1) | br.readBits(1)
-        len += 1
-        bySymbol.get((len, code)) match {
-          case Some(sym) => return sym
-          case None =>
+      require(nPresent > 0, "webp: empty prefix code")
+      if (nPresent > 1) singleSym = -1
+    }
+    private val minCode = new Array[Int](maxLen + 1)
+    private val maxCode = new Array[Int](maxLen + 1)
+    private val valPtr = new Array[Int](maxLen + 1)
+    private val sorted = new Array[Int](nPresent) // symbols by (len, symbol)
+    locally {
+      if (singleSym < 0) {
+        val blCount = new Array[Int](maxLen + 1)
+        lengths.foreach(l => if (l > 0) blCount(l) += 1)
+        var code = 0
+        var k = 0
+        var l = 1
+        while (l <= maxLen) {
+          if (blCount(l) == 0) { maxCode(l) = -1 }
+          else {
+            valPtr(l) = k
+            minCode(l) = code
+            code += blCount(l); k += blCount(l)
+            maxCode(l) = code - 1
+          }
+          code <<= 1
+          l += 1
+        }
+        var i = 0
+        var s = 0
+        val next = valPtr.clone()
+        while (s < lengths.length) {
+          if (lengths(s) > 0) { sorted(next(lengths(s))) = s; next(lengths(s)) += 1; i += 1 }
+          s += 1
         }
       }
-      throw new IllegalArgumentException("webp: invalid prefix code")
+    }
+    def decode(br: BitReader): Int = {
+      if (singleSym >= 0) return singleSym
+      var code = br.readBits(1)
+      var len = 1
+      while (maxCode(len) < 0 || code > maxCode(len)) {
+        if (len >= maxLen) throw new IllegalArgumentException("webp: invalid prefix code")
+        code = (code << 1) | br.readBits(1)
+        len += 1
+      }
+      sorted(valPtr(len) + code - minCode(len))
     }
   }
 
@@ -182,9 +219,30 @@ object Webp {
     else { bw.writeBits(1, 1); bw.writeBits(sym, 8) }
   }
 
-  /** Encode an RGB image as lossless WebP (VP8L), alpha = 255. */
+  /** Encode an RGB image as lossless WebP (VP8L), alpha = 255.
+    * Constant-color images take 1-symbol simple codes for every
+    * alphabet — 0 bits per pixel, the format's minimal legal encoding
+    * of a flat image (a production encoder would reach for LZ77; the
+    * 1-symbol form is smaller still and exercises the decoder's
+    * trivial-code rule).
+    */
   def encodeWebpLossless(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 16384 && height <= 16384)
+    val pixels = new Array[Int](width * height)
+    var constant = true
+    locally {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val p = px(x, y) & 0xffffff
+          pixels(y * width + x) = p
+          if (p != pixels(0)) constant = false
+          x += 1
+        }
+        y += 1
+      }
+    }
     val bw = new BitWriter
     bw.writeBits(width - 1, 14)
     bw.writeBits(height - 1, 14)
@@ -193,25 +251,30 @@ object Webp {
     bw.writeBits(0, 1) // no transforms
     bw.writeBits(0, 1) // no color cache
     bw.writeBits(0, 1) // no meta prefix image
-    writeCodeLengths(bw, GreenLengths) // green+length alphabet
-    writeCodeLengths(bw, ByteLengths) // red
-    writeCodeLengths(bw, ByteLengths) // blue
-    writeSingleSymbol(bw, 255) // alpha: constant 255, 0 bits/pixel
-    writeSingleSymbol(bw, 0) // distance: unused (no LZ77)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val p = px(x, y)
+    if (constant) {
+      val p0 = pixels(0)
+      writeSingleSymbol(bw, (p0 >> 8) & 0xff) // green
+      writeSingleSymbol(bw, (p0 >> 16) & 0xff) // red
+      writeSingleSymbol(bw, p0 & 0xff) // blue
+      writeSingleSymbol(bw, 255) // alpha
+      writeSingleSymbol(bw, 0) // distance
+      // every per-pixel symbol is a 0-bit trivial code: no scan bits
+    } else {
+      writeCodeLengths(bw, GreenLengths) // green+length alphabet
+      writeCodeLengths(bw, ByteLengths) // red
+      writeCodeLengths(bw, ByteLengths) // blue
+      writeSingleSymbol(bw, 255) // alpha: constant 255, 0 bits/pixel
+      writeSingleSymbol(bw, 0) // distance: unused (no LZ77)
+      var i = 0
+      val n = width * height
+      while (i < n) {
+        val p = pixels(i)
         val g = (p >> 8) & 0xff
         bw.writeCode(GreenCodes(g), GreenLengths(g))
-        val r = (p >> 16) & 0xff
-        bw.writeCode(ByteCodes(r), 8)
-        val b = p & 0xff
-        bw.writeCode(ByteCodes(b), 8)
-        x += 1
+        bw.writeCode(ByteCodes((p >> 16) & 0xff), 8)
+        bw.writeCode(ByteCodes(p & 0xff), 8)
+        i += 1
       }
-      y += 1
     }
     val payload = bw.toBytes
     // RIFF container: VP8L chunk = signature byte + bitstream

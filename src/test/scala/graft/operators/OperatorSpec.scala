@@ -575,6 +575,14 @@ class OperatorSpec extends AnyFunSuite {
       for (y <- 0 until h; x <- 0 until w)
         assert(img.pixels(y * w + x) == px(x, y), s"($x,$y) in ${w}x$h")
     }
+    // constant-color images take the 1-symbol simple-code path (0 bits
+    // per pixel) — pin the roundtrip and that the stream is tiny
+    for (c <- Seq(0x000000, 0xffffff, 0x3a7f11)) {
+      val e = Webp.encodeWebpLossless(50, 40, (_, _) => c)
+      assert(e.length < 64, s"constant image should be ~header-only, got ${e.length}")
+      val img = Webp.decodeWebpLossless(e)
+      assert(img.width == 50 && img.height == 40 && img.pixels.forall(_ == c))
+    }
     val enc = Webp.encodeWebpLossless(16, 8, (x, y) => (x * y) & 0xff)
     intercept[IllegalArgumentException](Webp.decodeWebpLossless("not a webp at all".getBytes))
     intercept[IllegalArgumentException]( // truncated mid-bitstream
