@@ -719,6 +719,67 @@ object AnalyticsQueries {
              |FROM orders WHERE o_orderkey % 7 = 0
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY o_totalprice, o_orderkey)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Label-propagation community detection over the synthetic link
+    // graph (same %100 edge derivation as d_pagerank, symmetrized) —
+    // the third classic of the graph-curation toolkit after PageRank
+    // and connected components, and EXACT through the hash gate: the
+    // SYNCHRONOUS update (every node recomputes from the previous
+    // round's labels) with the (count DESC, label ASC) tie-break is
+    // fully deterministic, so a fixed 3-round budget produces
+    // bit-identical labels on both engines (the async/random-order LP
+    // of the original paper is what makes people call LP
+    // nondeterministic — pinning sync+tie-break is the standard
+    // reproducible variant). Plan shape per round: edges⋈labels on the
+    // node key → groupBy (node, label) count → per-node argmax window —
+    // the same one-shuffle-per-iteration discipline as d_pagerank, with
+    // the edge list localCheckpointed once so the 3-deep lineage never
+    // re-derives it. At 1000 executors each round shuffles one
+    // (node, label, count) row per distinct neighbor label — bounded by
+    // the edge count, never quadratic.
+    QueryDef("d_label_prop",
+      (s, d) => {
+        val e0 = orders(s, d)
+          .select((col("o_custkey") % 100).as("a"), (col("o_orderkey") % 100).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val und = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+          .distinct().localCheckpoint()
+        val nodes = und.select(col("a").as("node")).distinct().localCheckpoint()
+        var lab = nodes.select(col("node"), col("node").as("lbl"))
+        for (_ <- 1 to 3) {
+          val cnt = und.join(lab, und("b") === lab("node"))
+            .groupBy(und("a"), col("lbl")).agg(count(lit(1)).as("n"))
+          val w = Window.partitionBy(col("a")).orderBy(col("n").desc, col("lbl"))
+          lab = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("a").as("node"), col("lbl"))
+        }
+        lab.orderBy(col("node"))
+      },
+      Some(labelPropOracleSql(3)))
   )
+
+  /** DuckDB oracle for d_label_prop: the iteration CTE chain is
+    * GENERATED for `iters` rounds — one source of truth for the update
+    * rule on both engines (the hitsOracleSql discipline). */
+  private def labelPropOracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey % 100 AS a, o_orderkey % 100 AS b
+        |  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.a, p.lbl, COUNT(*) AS n
+         |  FROM e JOIN l${i - 1} p ON e.b = p.node GROUP BY e.a, p.lbl),
+         |l$i AS (
+         |  SELECT a AS node, lbl FROM (
+         |    SELECT a, lbl,
+         |           ROW_NUMBER() OVER (PARTITION BY a ORDER BY n DESC, lbl) AS rn
+         |    FROM c$i) r WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, lbl FROM l$iters ORDER BY node"
+  }
 }

@@ -1098,6 +1098,89 @@ object PipelineQueries {
              |       COALESCE(p.n_both, 0) * 1000000 // (ta.n + tb.n - COALESCE(p.n_both, 0)) AS jaccard_ppm
              |FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
              |LEFT JOIN pair p ON p.t1 = ta.event_type AND p.t2 = tb.event_type
-             |ORDER BY t1, t2""".stripMargin))
+             |ORDER BY t1, t2""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Second-moment (gram) matrix of the embedding corpus — the
+    // single-pass primitive under PCA whitening / covariance-based
+    // drift detection. Components collapse to integer ppm first (house
+    // rule), so every X_i·X_j entry is an exact BIGINT sum and the
+    // upper triangle hashes identically on both engines. Scale shape:
+    // each row expands to its d(d+1)/2 local products MAP-SIDE (one
+    // codegen'd explode, no join), and partial aggregation bounds the
+    // shuffle at 2 080 rows PER PARTITION regardless of corpus size —
+    // at 1000 executors the reduce side still sees ~2 080 × tasks tiny
+    // longs, never a row-count-proportional shuffle. (A treeAggregate
+    // over Array[Long] is the same economics with worse composability.)
+    // -----------------------------------------------------------------
+    QueryDef("e_gram_matrix",
+      (s, d) => {
+        val x = embeddings(s, d).select(
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+            .as("e"))
+        x.select(explode(expr(
+            """flatten(transform(e, (xi, i) ->
+              |  transform(slice(e, i + 1, size(e) - i), (xj, dj) ->
+              |    named_struct('i', CAST(i AS BIGINT), 'j', CAST(i + dj AS BIGINT),
+              |                 'p', xi * xj))))""".stripMargin)).as("c"))
+          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("p")).as("g_sum"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH q AS (
+             |  SELECT list_transform(embedding,
+             |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT ui.i AS i, uj.j AS j, e[ui.i + 1] * e[uj.j + 1] AS p
+             |  FROM q,
+             |       LATERAL unnest(range(0, len(e))) AS ui(i),
+             |       LATERAL unnest(range(ui.i, len(e))) AS uj(j))
+             |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+             |       CAST(SUM(p) AS BIGINT) AS g_sum
+             |FROM c GROUP BY i, j ORDER BY i, j""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Signed random projection (Johnson–Lindenstrauss / SimHash-for-
+    // vectors): 8 hyperplanes whose ±1 entries come from bit 16 of
+    // (i·8+j+1)·2654435761 — Knuth multiplicative hashing in pure
+    // BIGINT arithmetic, identical on both engines, so the projection
+    // is EXACT through the hash gate (the usual "random projections
+    // aren't reproducible" excuse doesn't apply: production pipelines
+    // pin the seed for exactly this reason). Scale shape: the entire
+    // projection is one per-row `aggregate` over the component array —
+    // NARROW, zero shuffles, the embarrassingly-parallel map a 100 TB
+    // re-embedding pass wants; downstream LSH bucketing (e_ann_lsh)
+    // and near-dup banding consume these 8 longs instead of 64 floats.
+    // -----------------------------------------------------------------
+    QueryDef("e_rand_proj",
+      (s, d) => {
+        val x = embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+            .as("e"))
+        x.select(col("vec_id"), posexplode(expr(
+            """transform(sequence(0, 7), j ->
+              |  aggregate(sequence(0, size(e) - 1), CAST(0 AS BIGINT),
+              |    (acc, i) -> acc + CASE
+              |      WHEN ((CAST(i * 8 + j + 1 AS BIGINT) * CAST(2654435761 AS BIGINT)) div 65536) % 2 = 0
+              |      THEN e[i] ELSE -e[i] END))""".stripMargin)))
+          .select(col("vec_id"), col("pos").cast("long").as("j"),
+            col("col").as("proj_ppm"))
+          .orderBy(col("vec_id"), col("j"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id, uj.j AS j,
+             |         CASE WHEN ((CAST(ui.i * 8 + uj.j + 1 AS BIGINT) * 2654435761) // 65536) % 2 = 0
+             |              THEN e[ui.i + 1] ELSE -e[ui.i + 1] END AS v
+             |  FROM q,
+             |       LATERAL unnest(range(0, 8)) AS uj(j),
+             |       LATERAL unnest(range(0, len(e))) AS ui(i))
+             |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(SUM(v) AS BIGINT) AS proj_ppm
+             |FROM c GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin))
   )
 }

@@ -186,4 +186,28 @@ class GraphTextPropertySpec extends AnyFunSuite {
     assert(r3 == r4, s"round 3 (${r3.size} edges) != round 4 (${r4.size} edges)")
     assert(r3.nonEmpty, "degenerate fixture: empty 2-core")
   }
+
+  test("d_label_prop: distributed rounds match an in-memory synchronous reference") {
+    val lab = graft.Queries.queryMap("d_label_prop")(spark, TestSpark.SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = graft.Tables.orders(spark, TestSpark.SF)
+      .select((col("o_custkey") % 100).as("a"), (col("o_orderkey") % 100).as("b"))
+      .filter(col("a") =!= col("b")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e0 ++ e0.map(_.swap)).distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var ref: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val prev = ref
+      ref = adj.map { case (n, nbrs) =>
+        val best = nbrs.groupBy(prev).map { case (l, xs) => (l, xs.size) }
+          .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        n -> best
+      }
+    }
+    assert(lab === ref)
+    // the fixture graph must actually coarsen: fewer communities than nodes
+    assert(lab.values.toSet.size < lab.size,
+      "degenerate fixture: every node kept its own label")
+  }
 }

@@ -205,4 +205,46 @@ class PipelineSpec extends AnyFunSuite {
       assert(nA === sets(t1).size.toLong && nB === sets(t2).size.toLong)
     }
   }
+
+  test("e_gram_matrix: exact quadratic reference over ppm-quantized vectors") {
+    val got = q("e_gram_matrix").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ppm = vecs.map { case (_, _, v) =>
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    }
+    val d = ppm.head.length
+    assert(got.size === d * (d + 1) / 2, "upper triangle incomplete")
+    for (i <- 0 until d; j <- i until d) {
+      val want = ppm.iterator.map(e => e(i) * e(j)).sum
+      assert(got((i.toLong, j.toLong)) === want, s"gram($i,$j)")
+    }
+  }
+
+  /** The e_rand_proj hyperplane sign: bit 16 of Knuth multiplicative
+    * hashing of the flattened (component, plane) index. */
+  private def rpSign(i: Int, j: Int): Long =
+    if ((((i * 8 + j + 1).toLong * 2654435761L) / 65536L) % 2 == 0) 1L else -1L
+
+  test("e_rand_proj: exact per-row reference; sign table is not degenerate") {
+    val got = q("e_rand_proj").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.size === vecs.size * 8)
+    vecs.foreach { case (id, _, v) =>
+      val e = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      for (j <- 0 until 8) {
+        val want = e.indices.iterator.map(i => rpSign(i, j) * e(i)).sum
+        assert(got((id, j.toLong)) === want, s"proj($id,$j)")
+      }
+    }
+    // guard the hash choice: an LCG-mod-2 would alternate signs
+    // perfectly (structured, correlated planes). Require both signs
+    // well-represented AND no column constant.
+    val table = for (i <- 0 until 64; j <- 0 until 8) yield (j, rpSign(i, j))
+    val plus = table.count(_._2 == 1L)
+    assert(plus > 150 && plus < 362, s"sign table skewed: $plus/512 positive")
+    (0 until 8).foreach { j =>
+      val colSigns = table.filter(_._1 == j).map(_._2).toSet
+      assert(colSigns.size == 2, s"plane $j is a constant sign")
+    }
+  }
 }
