@@ -199,5 +199,88 @@ object DedupQueries {
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
           element_at(col("fps"), 1).as("min_fp"))
         .orderBy(col("doc_id")),
-      None))
+      None),
+
+    // The FULL MinHash-LSH pipeline through the hash gate. The main
+    // lane (d_minhash_lsh) is rows-only because its signature kernel
+    // (xxhash-based, codegen'd) has no cross-engine twin — but the
+    // ALGORITHM is deterministic, and with md5 as the hash family
+    // (bit-identical builtin on both engines; seed k prepended, min
+    // taken over the lexicographic hex ordering both engines share)
+    // every stage is SQL-expressible: 3-gram shingles → 8-slot
+    // signature → 4 banded buckets (md5 of the band's slot pair) →
+    // bucket self-join candidates → exact-Jaccard ppm verification.
+    // So the driver record certifies the PIPELINE end to end —
+    // banding, bucket join, verification — not just a recall floor.
+    // Same scale shape as the main lane: the signature map is the only
+    // corpus-wide pass, the shuffle carries (id, band, bucket) rows,
+    // and verification touches candidate pairs only (md5 is ~3× the
+    // xxhash kernel's cost per shingle, which is why the production
+    // lane keeps xxhash). Threshold 0.5: with r=2, b=4 the candidate
+    // probability at j=0.5 is 1-(1-j²)⁴ ≈ 0.68 — misses are FINE for
+    // parity because the oracle replays the identical banding.
+    QueryDef("d_minhash_md5",
+      (s, d) => {
+        val sh = documents(s, d)
+          .select(col("doc_id").as("id"),
+            expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("id"), expr(
+            "array_distinct(transform(sequence(0, size(w) - 3), " +
+              "i -> concat_ws(' ', slice(w, i + 1, 3))))").as("s"))
+          // the signature map is CPU-heavy; spread a single-file scan
+          .repartition(col("id"))
+          .localCheckpoint() // shingles feed banding AND verification
+        val banded = sh
+          .select(col("id"), expr(
+            """transform(sequence(1, 8), k ->
+              |  array_min(transform(s, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
+              .stripMargin).as("sig"))
+          .select(col("id"), posexplode(expr(
+            """transform(sequence(0, 3), b ->
+              |  md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))))"""
+              .stripMargin)).as(Seq("band", "bucket")))
+        val cand = banded.as("a")
+          .join(banded.as("b"), Seq("band", "bucket"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        cand
+          .join(sh.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+          .join(sh.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("jac_ppm",
+            expr("inter * 1000000 DIV (size(sa) + size(sb) - inter)"))
+          .filter(col("jac_ppm") >= 500000L)
+          .select(col("id_a"), col("id_b"), col("jac_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS w
+             |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 3),
+             |sh AS (
+             |  SELECT id, list_distinct(list_transform(range(0, len(w) - 2),
+             |           i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS s
+             |  FROM t),
+             |sig AS (
+             |  SELECT id, list_transform(range(1, 9), k ->
+             |           list_min(list_transform(s, x -> md5(concat(CAST(k AS VARCHAR), ':', x))))) AS sig
+             |  FROM sh),
+             |banded AS (
+             |  SELECT id, u.b AS band, md5(concat(sig[2 * u.b + 1], sig[2 * u.b + 2])) AS bucket
+             |  FROM sig, LATERAL unnest(range(0, 4)) AS u(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+             |v AS (
+             |  SELECT c.id_a, c.id_b,
+             |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+             |         CAST(len(sa.s) AS BIGINT) AS na, CAST(len(sb.s) AS BIGINT) AS nb
+             |  FROM cand c
+             |  JOIN sh sa ON sa.id = c.id_a
+             |  JOIN sh sb ON sb.id = c.id_b)
+             |SELECT id_a, id_b, inter * 1000000 // (na + nb - inter) AS jac_ppm
+             |FROM v WHERE inter * 1000000 // (na + nb - inter) >= 500000
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

@@ -1181,6 +1181,92 @@ object PipelineQueries {
              |       LATERAL unnest(range(0, 8)) AS uj(j),
              |       LATERAL unnest(range(0, len(e))) AS ui(i))
              |SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(SUM(v) AS BIGINT) AS proj_ppm
-             |FROM c GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin))
+             |FROM c GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Lloyd's k-means EXACT through the hash gate — the training step
+    // under IVF/PQ/SemDeDup (those lanes use Spark ML's float k-means
+    // and are rows-only; this lane pins the ALGORITHM itself): k=4
+    // centroids seeded from vec_id 0..3, two (assign, update) rounds,
+    // final assignment emitted. All arithmetic is exact BIGINT —
+    // squared-L2 over ppm components, argmin tie-broken by centroid id,
+    // and the update mean uses an offset floor-division
+    // ((Σx + n·OFF) div n − OFF with OFF > |x|max, so the numerator is
+    // non-negative and Spark's truncating `div` equals DuckDB's
+    // flooring `//`) — floats never appear, so both engines walk the
+    // identical centroid trajectory. Clusters that lose every member
+    // simply drop out of the next round on BOTH sides (no
+    // re-seeding — deterministic and mirrored). Scale shape per round:
+    // assignment = broadcast of k tiny centroid arrays against the
+    // corpus (narrow, one fold per (vec, cid)); update = posexplode +
+    // one map-combined (cid, dim) aggregate — k·d rows out; the corpus
+    // ppm array localCheckpointed once for all five passes.
+    // -----------------------------------------------------------------
+    QueryDef("e_kmeans",
+      (s, d) => {
+        val OFF = 4194304L
+        val x = embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+            .as("e"))
+          .localCheckpoint()
+        def assign(cent: DataFrame): DataFrame =
+          x.crossJoin(broadcast(cent))
+            .withColumn("dist", expr(
+              """aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),
+                |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("dist"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+        var cent = x.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("e").as("c"))
+        for (_ <- 1 to 2) {
+          val a = assign(cent)
+          cent = a.join(x, "vec_id")
+            .select(col("cid"), posexplode(col("e")).as(Seq("dim", "xp")))
+            .groupBy(col("cid"), col("dim"))
+            .agg(expr(s"(sum(xp) + count(1) * ${OFF}L) div count(1) - ${OFF}L").as("cp"))
+            .groupBy(col("cid"))
+            .agg(expr("transform(array_sort(collect_list(struct(dim, cp))), t -> t.cp)").as("c"))
+        }
+        assign(cent).orderBy(col("vec_id"))
+      },
+      Some(kmeansOracleSql(iters = 2, k = 4, off = 4194304L)))
   )
+
+  /** DuckDB oracle for e_kmeans: the (distance, assign, update) CTE
+    * chain is GENERATED per round — one source of truth for the exact
+    * integer update rule on both engines (the d_hits discipline). */
+  private def kmeansOracleSql(iters: Int, k: Int, off: Long): String = {
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |xp AS (
+         |  SELECT vec_id, u.i AS dim, e[u.i + 1] AS x
+         |  FROM q, LATERAL unnest(range(0, len(e))) AS u(i)),
+         |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM xp WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to (iters + 1)).map { i =>
+      val dist =
+        s"""d$i AS (
+           |  SELECT xp.vec_id, c.cid, CAST(SUM((xp.x - c.c) * (xp.x - c.c)) AS BIGINT) AS dist
+           |  FROM xp JOIN c${i - 1} c ON c.dim = xp.dim
+           |  GROUP BY xp.vec_id, c.cid),
+           |a$i AS (
+           |  SELECT vec_id, cid, dist FROM (
+           |    SELECT vec_id, cid, dist,
+           |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d$i) r WHERE rn = 1)""".stripMargin
+      if (i <= iters)
+        dist + ",\n" +
+          s"""c$i AS (
+             |  SELECT a.cid, xp.dim,
+             |         (SUM(xp.x) + COUNT(*) * $off) // COUNT(*) - $off AS c
+             |  FROM a$i a JOIN xp ON xp.vec_id = a.vec_id
+             |  GROUP BY a.cid, xp.dim)""".stripMargin
+      else dist
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT vec_id, cid, dist FROM a${iters + 1} ORDER BY vec_id"
+  }
 }

@@ -600,4 +600,41 @@ class OperatorSpec extends AnyFunSuite {
       Webp.decodeWebpLossless(bad)
     }
   }
+
+  test("d_minhash_md5: end-to-end LSH pipeline replayed exactly in memory") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh: Map[Long, Vector[String]] = texts.flatMap { case (id, t) =>
+      val w = "\\S+".r.findAllIn(t).toVector
+      if (w.length < 3) None
+      else Some(id -> (0 to w.length - 3)
+        .map(i => w.slice(i, i + 3).mkString(" ")).distinct.toVector)
+    }.toMap
+    val sig: Map[Long, Vector[String]] = sh.map { case (id, s) =>
+      id -> (1 to 8).map(k => s.iterator.map(x => md5hex(s"$k:$x")).min).toVector
+    }
+    // bucket_b = md5(sig[2b] ++ sig[2b+1]) — r=2 rows per band, b=4 bands
+    val cand: Set[(Long, Long)] = sig.toSeq
+      .flatMap { case (id, g) =>
+        (0 until 4).map(b => ((b, md5hex(g(2 * b) + g(2 * b + 1))), id))
+      }
+      .groupBy(_._1).values
+      .flatMap { grp =>
+        val ids = grp.map(_._2).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val want = cand.toSeq.flatMap { case (a, b) =>
+      val sa = sh(a).toSet; val sb = sh(b).toSet
+      val inter = (sa & sb).size.toLong
+      val jac = inter * 1000000L / (sa.size + sb.size - inter)
+      if (jac >= 500000L) Some((a, b, jac)) else None
+    }.sorted
+    val got = graft.Queries.queryMap("d_minhash_md5")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === want)
+    assert(want.nonEmpty, "fixture corpus produced no verified near-dup pairs")
+  }
 }

@@ -247,4 +247,41 @@ class PipelineSpec extends AnyFunSuite {
       assert(colSigns.size == 2, s"plane $j is a constant sign")
     }
   }
+
+  test("e_kmeans: exact integer Lloyd reference (k=4, 2 rounds, offset floor-div update)") {
+    val OFF = 4194304L
+    val x: Map[Long, Array[Long]] = vecs.map { case (id, _, e) =>
+      id -> e.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+    }.toMap
+    // every quantized component must clear the offset bound the update
+    // rule relies on (numerator non-negativity ⇒ trunc-div == floor-div)
+    x.values.foreach(e => e.foreach(v => assert(math.abs(v) < OFF)))
+    def assign(cent: Map[Long, Array[Long]]): Map[Long, (Long, Long)] =
+      x.map { case (id, e) =>
+        val best = cent.toSeq.map { case (cid, c) =>
+          var d = 0L; var i = 0
+          while (i < e.length) { val t = e(i) - c(i); d += t * t; i += 1 }
+          (d, cid)
+        }.min // (dist, cid) lexicographic == min(struct(dist, cid))
+        id -> (best._2, best._1)
+      }
+    var cent: Map[Long, Array[Long]] = x.filter(_._1 < 4)
+    for (_ <- 1 to 2) {
+      val a = assign(cent)
+      cent = a.toSeq.groupBy(_._2._1).map { case (cid, members) =>
+        val es = members.map(m => x(m._1))
+        val n = es.size.toLong
+        cid -> Array.tabulate(es.head.length) { d =>
+          (es.iterator.map(_(d)).sum + n * OFF) / n - OFF
+        }
+      }
+    }
+    val want = assign(cent).toSeq
+      .map { case (id, (cid, dist)) => (id, cid, dist) }.sorted
+    val got = q("e_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === want)
+    // the lane is vacuous if everything collapses into one cluster
+    assert(want.map(_._2).distinct.size >= 2, "k-means degenerated to one cluster")
+  }
 }
