@@ -1204,39 +1204,134 @@ object PipelineQueries {
     // -----------------------------------------------------------------
     QueryDef("e_kmeans",
       (s, d) => {
-        val OFF = 4194304L
-        val x = embeddings(s, d).select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
-            .as("e"))
-          .localCheckpoint()
-        def assign(cent: DataFrame): DataFrame =
-          x.crossJoin(broadcast(cent))
-            .withColumn("dist", expr(
-              """aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),
-                |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
-            .groupBy(col("vec_id"))
-            .agg(min(struct(col("dist"), col("cid"))).as("m"))
-            .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
-        var cent = x.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cid"), col("e").as("c"))
-        for (_ <- 1 to 2) {
-          val a = assign(cent)
-          cent = a.join(x, "vec_id")
-            .select(col("cid"), posexplode(col("e")).as(Seq("dim", "xp")))
-            .groupBy(col("cid"), col("dim"))
-            .agg(expr(s"(sum(xp) + count(1) * ${OFF}L) div count(1) - ${OFF}L").as("cp"))
-            .groupBy(col("cid"))
-            .agg(expr("transform(array_sort(collect_list(struct(dim, cp))), t -> t.cp)").as("c"))
-        }
-        assign(cent).orderBy(col("vec_id"))
+        val x = ppmVecs(s, d)
+        kmAssign(x, lloyd(x, iters = 2)).orderBy(col("vec_id"))
       },
-      Some(kmeansOracleSql(iters = 2, k = 4, off = 4194304L)))
+      Some(kmeansChain(iters = 2, k = 4, off = KmOff) +
+        "\nSELECT vec_id, cid, dist FROM a3 ORDER BY vec_id")),
+
+    // -----------------------------------------------------------------
+    // IVF search EXACT through the hash gate — the serving half of the
+    // mechanism e_kmeans trains (e_ann_ivf stays rows-only on its float
+    // kernels; this twin pins cell pruning + probe + rerank as an
+    // algorithm): corpus assigned to its nearest of the 4 trained
+    // centroids (the inverted file), each probe visits its nprobe=2
+    // nearest cells only, exact BIGINT squared-L2 reranks the visited
+    // candidates, top-5 emitted with the exact distance. Misses against
+    // brute force are BY DESIGN (that's what cell pruning means) and
+    // parity-safe: the oracle replays the identical cells. Scale shape:
+    // training touches a bounded sample in production, assignment is
+    // one broadcast-centroid pass, and the search join fans each probe
+    // out to its candidate lists only — never the corpus.
+    // -----------------------------------------------------------------
+    QueryDef("e_ivf_exact",
+      (s, d) => {
+        val x = ppmVecs(s, d)
+        val cent = lloyd(x, iters = 2).localCheckpoint()
+        val cells = kmAssign(x, cent).select(col("vec_id"), col("cid"))
+        val pw = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        val probeCells = centDists(x.filter(col("vec_id") < 10), cent)
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("cid"))
+        val cand = cells.join(broadcast(probeCells), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"))
+        val rw = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        cand
+          .join(x.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
+          .join(x, Seq("vec_id"))
+          .withColumn("dist", expr(
+            """aggregate(zip_with(e, qe, (a, b) -> (a - b) * (a - b)),
+              |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("rank", row_number().over(rw).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(kmeansChain(iters = 2, k = 4, off = KmOff) +
+        """,
+          |cells AS (SELECT vec_id, cid FROM a3),
+          |pc AS (
+          |  SELECT vec_id AS qid, cid FROM (
+          |    SELECT vec_id, cid,
+          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d3 WHERE vec_id < 10) r WHERE rn <= 2),
+          |cand AS (
+          |  SELECT pc.qid, cells.vec_id
+          |  FROM pc JOIN cells ON cells.cid = pc.cid
+          |  WHERE cells.vec_id <> pc.qid),
+          |cd AS (
+          |  SELECT c.qid, c.vec_id,
+          |         CAST(SUM((xq.x - xv.x) * (xq.x - xv.x)) AS BIGINT) AS dist
+          |  FROM cand c
+          |  JOIN xp xq ON xq.vec_id = c.qid
+          |  JOIN xp xv ON xv.vec_id = c.vec_id AND xv.dim = xq.dim
+          |  GROUP BY c.qid, c.vec_id),
+          |rk AS (
+          |  SELECT qid, vec_id, dist,
+          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+          |  FROM cd)
+          |SELECT qid, rank, vec_id AS neighbor_id, dist
+          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
   )
 
-  /** DuckDB oracle for e_kmeans: the (distance, assign, update) CTE
-    * chain is GENERATED per round — one source of truth for the exact
-    * integer update rule on both engines (the d_hits discipline). */
-  private def kmeansOracleSql(iters: Int, k: Int, off: Long): String = {
+  /** Offset for the exact k-means mean update: > |ppm component|max, so
+    * (Σx + n·OFF) is non-negative and Spark's truncating `div` equals
+    * DuckDB's flooring `//`. MUST stay a compile-time constant (`final`,
+    * no type annotation): `all` above initializes before ordinary vals
+    * in this object, and a non-constant here would bake 0 into the
+    * oracle SQL. */
+  private final val KmOff = 4194304L
+
+  /** Corpus embeddings quantized to exact BIGINT ppm components,
+    * localCheckpointed once — every k-means/IVF pass re-reads it. */
+  private def ppmVecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        .as("e"))
+      .localCheckpoint()
+
+  /** All (vec, centroid) exact squared-L2 distances: broadcast of the k
+    * tiny centroid arrays against the corpus — narrow, one fold each. */
+  private def centDists(x: DataFrame, cent: DataFrame): DataFrame =
+    x.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),
+          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .select(col("vec_id"), col("cid"), col("dist"))
+
+  /** Nearest centroid per vector, argmin tie-broken by centroid id. */
+  private def kmAssign(x: DataFrame, cent: DataFrame): DataFrame =
+    centDists(x, cent)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+  /** `iters` exact Lloyd rounds from centroids seeded at vec_id 0..3:
+    * offset floor-division mean update (see KmOff); emptied clusters
+    * drop out deterministically. Update = posexplode + one map-combined
+    * (cid, dim) aggregate — k·d rows out per round. */
+  private def lloyd(x: DataFrame, iters: Int): DataFrame = {
+    var cent = x.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      cent = kmAssign(x, cent).join(x, "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "xp")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr(s"(sum(xp) + count(1) * ${KmOff}L) div count(1) - ${KmOff}L").as("cp"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cp))), t -> t.cp)").as("c"))
+    }
+    cent
+  }
+
+  /** DuckDB WITH-chain shared by e_kmeans/e_ivf_exact: the (distance,
+    * assign, update) CTEs are GENERATED per round — one source of truth
+    * for the exact integer update rule on both engines (the d_hits
+    * discipline). Ends at d{iters+1}/a{iters+1} (full-corpus distances
+    * and assignment against the final centroids). */
+  private def kmeansChain(iters: Int, k: Int, off: Long): String = {
     val head =
       s"""WITH q AS (
          |  SELECT vec_id, list_transform(embedding,
@@ -1266,7 +1361,6 @@ object PipelineQueries {
              |  GROUP BY a.cid, xp.dim)""".stripMargin
       else dist
     }
-    (head +: steps).mkString(",\n") +
-      s"\nSELECT vec_id, cid, dist FROM a${iters + 1} ORDER BY vec_id"
+    (head +: steps).mkString(",\n")
   }
 }

@@ -284,4 +284,54 @@ class PipelineSpec extends AnyFunSuite {
     // the lane is vacuous if everything collapses into one cluster
     assert(want.map(_._2).distinct.size >= 2, "k-means degenerated to one cluster")
   }
+
+  test("e_ivf_exact: in-memory IVF replay (cells, nprobe=2, exact rerank)") {
+    val OFF = 4194304L
+    val x: Map[Long, Array[Long]] = vecs.map { case (id, _, e) =>
+      id -> e.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    def assign(cent: Map[Long, Array[Long]]): Map[Long, Long] =
+      x.map { case (id, e) =>
+        id -> cent.toSeq.map { case (cid, c) => (d2(e, c), cid) }.min._2
+      }
+    var cent: Map[Long, Array[Long]] = x.filter(_._1 < 4)
+    for (_ <- 1 to 2) {
+      val a = assign(cent)
+      cent = a.toSeq.groupBy(_._2).map { case (cid, members) =>
+        val es = members.map(m => x(m._1))
+        val n = es.size.toLong
+        cid -> Array.tabulate(es.head.length) { d =>
+          (es.iterator.map(_(d)).sum + n * OFF) / n - OFF
+        }
+      }
+    }
+    val cells = assign(cent)
+    val want = x.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val probeCells = cent.toSeq
+        .map { case (cid, c) => (d2(x(qid), c), cid) }.sorted.take(2).map(_._2).toSet
+      x.toSeq
+        .filter { case (id, _) => id != qid && probeCells(cells(id)) }
+        .map { case (id, e) => (d2(x(qid), e), id) }.sorted.take(5)
+        .zipWithIndex
+        .map { case ((dist, id), i) => (qid, (i + 1).toLong, id, dist) }
+    }
+    val got = q("e_ivf_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // cell pruning must actually prune on the fixture: at least one
+    // probe's IVF top-5 differs from the unpruned brute-force top-5,
+    // otherwise the lane silently degenerates into e_ann_l2
+    val bruteDiffers = x.keys.filter(_ < 10).exists { qid =>
+      val brute = x.toSeq.filter(_._1 != qid)
+        .map { case (id, e) => (d2(x(qid), e), id) }.sorted.take(5).map(_._2)
+      val ivf = want.filter(_._1 == qid).sortBy(_._2).map(_._3)
+      brute != ivf
+    }
+    assert(bruteDiffers, "nprobe=2 visited every informative cell — lane is vacuous")
+  }
 }
