@@ -282,5 +282,108 @@ object DedupQueries {
              |  JOIN sh sb ON sb.id = c.id_b)
              |SELECT id_a, id_b, inter * 1000000 // (na + nb - inter) AS jac_ppm
              |FROM v WHERE inter * 1000000 // (na + nb - inter) >= 500000
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Winnowing (Schleimer et al. 2003) through the hash gate — the
+    // production d_winnow keeps the codegen'd rolling-hash kernel and
+    // stays rows-only; this twin pins the SELECTION algorithm with md5
+    // as the gram hash (shared lexicographic hex ordering on both
+    // engines): char 7-grams → per-window-of-4 minimum keyed by
+    // (hash, position) — position zero-padded into the key string so
+    // the min is leftmost-minimal, deterministic and mirrored —
+    // → distinct fingerprint set per doc, emitted as (count, md5
+    // digest of the sorted set) so the gate pins the exact SET without
+    // shipping array cells. Plan is fully NARROW (zero shuffles): every
+    // stage is per-row array arithmetic, the e_rand_proj shape.
+    // Guarantee under test elsewhere (OperatorSpec winnow property):
+    // any match ≥ k + w - 1 = 10 chars shares a fingerprint.
+    QueryDef("d_winnow_md5",
+      (s, d) => documents(s, d)
+        .filter(length(col("text")) >= 10)
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, length(text) - 7), i ->
+            |  concat(md5(substring(text, i + 1, 7)), ':',
+            |         lpad(CAST(i AS STRING), 8, '0')))""".stripMargin).as("g"))
+        .select(col("doc_id"), expr(
+          """array_sort(array_distinct(transform(sequence(0, size(g) - 4),
+            |  j -> array_min(slice(g, j + 1, 4)))))""".stripMargin).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          expr("md5(concat_ws('', fps))").as("fp_digest"))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+             |  SELECT doc_id, list_transform(range(0, len(text) - 6), i ->
+             |           md5(substr(text, i + 1, 7)) || ':' ||
+             |           lpad(CAST(i AS VARCHAR), 8, '0')) AS g
+             |  FROM documents WHERE len(text) >= 10),
+             |f AS (
+             |  SELECT doc_id, list_sort(list_distinct(list_transform(
+             |           range(0, len(g) - 3),
+             |           j -> list_min(list_slice(g, j + 1, j + 4))))) AS fps
+             |  FROM g)
+             |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+             |       md5(array_to_string(fps, '')) AS fp_digest
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // SimHash through the hash gate — the production d_simhash keeps
+    // the codegen'd xxhash 64-bit kernel and stays rows-only; this twin
+    // pins the ALGORITHM (per-bit weighted vote → signature → band
+    // bucketing → Hamming verification) with a 32-bit signature whose
+    // bit j is the sign of the per-token vote Σ±1, where token t votes
+    // +1 on bit j iff hex digit j of md5(t) has an odd value — the md5
+    // hex alphabet is the engine-shared bit source. Banding = the two
+    // 16-bit halves (catch-all for Hamming ≤ 1, probabilistic above —
+    // parity-safe because the oracle replays identical bands); verify =
+    // popcount(xor) ≤ 6 on candidates only. Signature map is the one
+    // corpus-wide pass; the shuffle carries (id, band, bucket, sig).
+    QueryDef("d_simhash_md5",
+      (s, d) => {
+        val sigs = documents(s, d)
+          .select(col("doc_id").as("id"),
+            expr("transform(regexp_extract_all(text, '\\\\S+', 0), t -> md5(t))").as("hs"))
+          .filter(size(col("hs")) > 0)
+          .repartition(col("id")) // CPU-heavy signature map: spread a single-file scan
+          .select(col("id"), expr(
+            """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc +
+              |  IF(aggregate(hs, 0, (a, h) ->
+              |       a + IF(instr('13579bdf', substring(h, j + 1, 1)) > 0, 1, -1)) >= 0,
+              |     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+            .as("sig"))
+          .localCheckpoint() // feeds banding AND the verify join
+        val banded = sigs.select(col("id"), col("sig"),
+          posexplode(expr("array(sig % 65536, sig div 65536)")).as(Seq("band", "bucket")))
+        banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+          .dropDuplicates("id_a", "id_b")
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id,
+             |         list_transform(regexp_extract_all(text, '\S+'), t -> md5(t)) AS hs
+             |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+             |sg AS (
+             |  SELECT id, CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN
+             |           list_sum(list_transform(hs, h -> CASE WHEN
+             |             strpos('13579bdf', substr(h, j + 1, 1)) > 0
+             |             THEN 1 ELSE -1 END)) >= 0
+             |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))
+             |         AS BIGINT) AS sig
+             |  FROM t),
+             |banded AS (
+             |  SELECT id, sig, u.b AS band,
+             |         CASE WHEN u.b = 0 THEN sig % 65536 ELSE sig // 65536 END AS bucket
+             |  FROM sg, LATERAL unnest(range(0, 2)) AS u(b)),
+             |p AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+             |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+             |FROM p WHERE bit_count(xor(sig_a, sig_b)) <= 6
              |ORDER BY id_a, id_b""".stripMargin)))
 }

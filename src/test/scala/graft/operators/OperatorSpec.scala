@@ -637,4 +637,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === want)
     assert(want.nonEmpty, "fixture corpus produced no verified near-dup pairs")
   }
+
+  private def md5hexOf(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("d_winnow_md5: per-doc fingerprint set replayed exactly in memory") {
+    val k = 7; val w = 4
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = texts.filter(_._2.length >= k + w - 1).map { case (id, t) =>
+      val g = (0 to t.length - k)
+        .map(i => md5hexOf(t.substring(i, i + k)) + ":" + f"$i%08d")
+      val fps = (0 to g.length - w).map(j => g.slice(j, j + w).min)
+        .distinct.sorted
+      (id, fps.length.toLong, md5hexOf(fps.mkString("")))
+    }.toSeq.sortBy(_._1)
+    val got = graft.Queries.queryMap("d_winnow_md5")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === want)
+  }
+
+  test("d_simhash_md5: signature, banding, and Hamming verify replayed in memory") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sigs: Map[Long, Long] = texts.flatMap { case (id, t) =>
+      val hs = "\\S+".r.findAllIn(t).map(md5hexOf).toVector
+      if (hs.isEmpty) None
+      else Some(id -> (0 until 32).map { j =>
+        val vote = hs.iterator
+          .map(h => if ("13579bdf".contains(h.charAt(j))) 1 else -1).sum
+        if (vote >= 0) 1L << j else 0L
+      }.sum)
+    }.toMap
+    val byBand = sigs.toSeq
+      .flatMap { case (id, sg) => Seq(((0, sg % 65536), id), ((1, sg / 65536), id)) }
+      .groupBy(_._1).values
+    val cand = byBand.flatMap { grp =>
+      val ids = grp.map(_._2).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val want = cand.toSeq.flatMap { case (a, b) =>
+      val h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      if (h <= 6) Some((a, b, h)) else None
+    }.sorted
+    val got = graft.Queries.queryMap("d_simhash_md5")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === want)
+    assert(want.nonEmpty, "fixture corpus produced no Hamming-verified pairs")
+  }
 }
