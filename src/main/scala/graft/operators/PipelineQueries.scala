@@ -1273,7 +1273,193 @@ object PipelineQueries {
           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
           |  FROM cd)
           |SELECT qid, rank, vec_id AS neighbor_id, dist
-          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+          |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Hyperplane-LSH search EXACT through the hash gate (e_ann_lsh
+    // stays rows-only on its float kernels): the bucket is the 4-bit
+    // sign pattern of the FIRST FOUR e_rand_proj planes (same Knuth
+    // sign table — one shared hyperplane family across the lanes), each
+    // probe visits its own bucket plus the four Hamming-1 neighbors
+    // (multiprobe), exact BIGINT squared-L2 reranks the visited
+    // candidates, top-5 with distances. Misses vs brute force are the
+    // method (bucket pruning); parity-safe because the oracle replays
+    // identical buckets. Scale: the signature map is narrow; the search
+    // join fans each probe to 5 of 16 buckets, never the corpus.
+    // -----------------------------------------------------------------
+    QueryDef("e_lsh_exact",
+      (s, d) => {
+        val x = ppmVecs(s, d)
+        val sg = x.select(col("vec_id"), col("e"), expr(
+          """aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, j) -> acc + IF(
+            |  aggregate(sequence(0, size(e) - 1), CAST(0 AS BIGINT), (a, i) -> a + CASE
+            |    WHEN ((CAST(i * 8 + j + 1 AS BIGINT) * CAST(2654435761 AS BIGINT)) div 65536) % 2 = 0
+            |    THEN e[i] ELSE -e[i] END) >= 0,
+            |  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin).as("sig"))
+          .localCheckpoint() // feeds probe buckets AND the candidate join
+        val pb = sg.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"),
+            explode(expr("transform(array(0, 1, 2, 4, 8), m -> sig ^ m)")).as("pb"))
+        val rw = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        sg.join(broadcast(pb), col("sig") === col("pb"))
+          .filter(col("vec_id") =!= col("qid"))
+          .join(x.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
+          .withColumn("dist", expr(
+            """aggregate(zip_with(e, qe, (a, b) -> (a - b) * (a - b)),
+              |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("rank", row_number().over(rw).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |xp AS (
+             |  SELECT vec_id, u.i AS dim, e[u.i + 1] AS x
+             |  FROM q, LATERAL unnest(range(0, len(e))) AS u(i)),
+             |pr AS (
+             |  SELECT vec_id, uj.j AS j,
+             |         SUM(CASE WHEN ((CAST(xp.dim * 8 + uj.j + 1 AS BIGINT) * 2654435761) // 65536) % 2 = 0
+             |                  THEN xp.x ELSE -xp.x END) AS p
+             |  FROM xp, LATERAL unnest(range(0, 4)) AS uj(j)
+             |  GROUP BY vec_id, uj.j),
+             |sg AS (
+             |  SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN CAST(1 AS BIGINT) << j
+             |                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+             |  FROM pr GROUP BY vec_id),
+             |pb AS (
+             |  SELECT vec_id AS qid, xor(sig, CAST(m.m AS BIGINT)) AS pb
+             |  FROM sg, LATERAL unnest([0, 1, 2, 4, 8]) AS m(m)
+             |  WHERE vec_id < 10),
+             |cand AS (
+             |  SELECT pb.qid, s2.vec_id
+             |  FROM pb JOIN sg s2 ON s2.sig = pb.pb
+             |  WHERE s2.vec_id <> pb.qid),
+             |cd AS (
+             |  SELECT c.qid, c.vec_id,
+             |         CAST(SUM((xq.x - xv.x) * (xq.x - xv.x)) AS BIGINT) AS dist
+             |  FROM cand c
+             |  JOIN xp xq ON xq.vec_id = c.qid
+             |  JOIN xp xv ON xv.vec_id = c.vec_id AND xv.dim = xq.dim
+             |  GROUP BY c.qid, c.vec_id),
+             |rk AS (
+             |  SELECT qid, vec_id, dist,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+             |  FROM cd)
+             |SELECT qid, rank, vec_id AS neighbor_id, dist
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // SQ8 scalar quantization EXACT through the hash gate (e_ann_sq8
+    // stays rows-only on its float kernels): per-dim corpus min/max →
+    // 8-bit code (x − mn) · 255 div (mx − mn) → asymmetric scoring
+    // (full-precision probe vs RECONSTRUCTED candidate, mn + c·(mx −
+    // mn) div 255) — quantize, reconstruct, and ADC rank all in exact
+    // BIGINT (every numerator non-negative, so trunc ≡ floor on both
+    // engines). SQ8 compresses, it does not prune: every probe scores
+    // the full corpus through codes, then top-5. Scale: the per-dim
+    // stats are a d-row broadcast; scoring is one pass over codes.
+    // -----------------------------------------------------------------
+    QueryDef("e_sq8_exact",
+      (s, d) => {
+        val x = ppmVecs(s, d)
+        val xp = x.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "xv")))
+          .localCheckpoint() // feeds stats, codes, and probe sides
+        val stats = xp.groupBy(col("dim"))
+          .agg(min(col("xv")).as("mn"), max(col("xv")).as("mx"))
+        val recon = xp.join(broadcast(stats), Seq("dim"))
+          .withColumn("code", expr(
+            "IF(mx > mn, (xv - mn) * 255 div (mx - mn), CAST(0 AS BIGINT))"))
+          .select(col("vec_id"), col("dim"),
+            expr("mn + code * (mx - mn) div 255").as("rv"))
+        val probes = xp.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("dim"), col("xv").as("qx"))
+        val rw = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        recon.join(broadcast(probes), Seq("dim"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(expr("(qx - rv) * (qx - rv)")).cast("long").as("dist"))
+          .withColumn("rank", row_number().over(rw).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |xp AS (
+             |  SELECT vec_id, u.i AS dim, e[u.i + 1] AS x
+             |  FROM q, LATERAL unnest(range(0, len(e))) AS u(i)),
+             |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM xp GROUP BY dim),
+             |rc AS (
+             |  SELECT xp.vec_id, xp.dim,
+             |         st.mn + (CASE WHEN st.mx > st.mn
+             |                       THEN (xp.x - st.mn) * 255 // (st.mx - st.mn)
+             |                       ELSE 0 END) * (st.mx - st.mn) // 255 AS rv
+             |  FROM xp JOIN st ON st.dim = xp.dim),
+             |cd AS (
+             |  SELECT p.vec_id AS qid, rc.vec_id,
+             |         CAST(SUM((p.x - rc.rv) * (p.x - rc.rv)) AS BIGINT) AS dist
+             |  FROM xp p JOIN rc ON rc.dim = p.dim AND rc.vec_id <> p.vec_id
+             |  WHERE p.vec_id < 10
+             |  GROUP BY p.vec_id, rc.vec_id),
+             |rk AS (
+             |  SELECT qid, vec_id, dist,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+             |  FROM cd)
+             |SELECT qid, rank, vec_id AS neighbor_id, dist
+             |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // SemDeDup EXACT through the hash gate (e_semantic_dedup stays
+    // rows-only: its float-cosine greedy chain is order-dependent).
+    // This twin pins the deterministic DOMINANCE variant of the same
+    // idea: k-means cells bound who is compared (the SemDeDup insight —
+    // never all pairs), and within a cell a vector is a duplicate iff
+    // some LOWER-id cell-mate sits within squared-L2 TAU; dup_of = the
+    // smallest such id, −1 when kept. Unlike the greedy chain (where
+    // removing B can save C), the dominance rule is a pure function of
+    // the pair set — deterministic, partition-invariant, and exactly
+    // SQL-expressible. Scale: the pair stage is per-cell (the cells ARE
+    // the blocking), never corpus-wide.
+    // -----------------------------------------------------------------
+    QueryDef("e_semdedup_exact",
+      (s, d) => {
+        val x = ppmVecs(s, d)
+        val cells = kmAssign(x, lloyd(x, iters = 2)).select(col("vec_id"), col("cid"))
+          .join(x, Seq("vec_id"))
+          .localCheckpoint() // both sides of the per-cell pair join
+        val dup = cells.as("a")
+          .join(cells.as("b"), Seq("cid"))
+          .filter(col("b.vec_id") < col("a.vec_id"))
+          .withColumn("dist", expr(
+            """aggregate(zip_with(a.e, b.e, (p, q) -> (p - q) * (p - q)),
+              |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .filter(col("dist") <= 1200000000000L)
+          .groupBy(col("a.vec_id").as("vec_id"))
+          .agg(min(col("b.vec_id")).as("dup_of"))
+        x.select(col("vec_id")).join(dup, Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+          .orderBy(col("vec_id"))
+      },
+      Some(kmeansChain(iters = 2, k = 4, off = KmOff) +
+        """,
+          |cells AS (
+          |  SELECT a3.vec_id, a3.cid, q.e
+          |  FROM a3 JOIN q ON q.vec_id = a3.vec_id),
+          |pairs AS (
+          |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+          |  FROM cells a JOIN cells b
+          |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+          |  WHERE list_sum(list_transform(list_zip(a.e, b.e),
+          |          z -> (z[1] - z[2]) * (z[1] - z[2]))) <= 1200000000000
+          |  GROUP BY a.vec_id)
+          |SELECT q.vec_id, COALESCE(p.dup_of, -1) AS dup_of
+          |FROM q LEFT JOIN pairs p ON p.vec_id = q.vec_id
+          |ORDER BY q.vec_id""".stripMargin))
   )
 
   /** Offset for the exact k-means mean update: > |ppm component|max, so

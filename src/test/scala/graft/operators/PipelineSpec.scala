@@ -334,4 +334,93 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(bruteDiffers, "nprobe=2 visited every informative cell — lane is vacuous")
   }
+
+  private def ppmOf(e: Array[Float]): Array[Long] =
+    e.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+
+  private def sqDist(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  test("e_lsh_exact: in-memory multiprobe LSH replay (4-plane buckets, exact rerank)") {
+    val x = vecs.map { case (id, _, e) => id -> ppmOf(e) }.toMap
+    // bucket = sign pattern of the first 4 e_rand_proj planes
+    def sig(e: Array[Long]): Long =
+      (0 until 4).map { j =>
+        val p = e.indices.iterator.map(i => rpSign(i, j) * e(i)).sum
+        if (p >= 0) 1L << j else 0L
+      }.sum
+    val sigs = x.map { case (id, e) => id -> sig(e) }
+    val want = x.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val visit = Seq(0L, 1L, 2L, 4L, 8L).map(_ ^ sigs(qid)).toSet
+      x.toSeq
+        .filter { case (id, _) => id != qid && visit(sigs(id)) }
+        .map { case (id, e) => (sqDist(x(qid), e), id) }.sorted.take(5)
+        .zipWithIndex
+        .map { case ((dist, id), i) => (qid, (i + 1).toLong, id, dist) }
+    }
+    val got = q("e_lsh_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // buckets must actually prune: some probe's candidate set is a
+    // strict subset of the corpus
+    assert(sigs.values.toSet.size >= 3, "every vector landed in one LSH bucket")
+  }
+
+  test("e_sq8_exact: quantize/reconstruct/ADC replay; quantization is lossy") {
+    val x = vecs.map { case (id, _, e) => id -> ppmOf(e) }.toMap
+    val dims = x.values.head.length
+    val mn = Array.tabulate(dims)(d => x.values.map(_(d)).min)
+    val mx = Array.tabulate(dims)(d => x.values.map(_(d)).max)
+    def recon(e: Array[Long]): Array[Long] =
+      Array.tabulate(dims) { d =>
+        val code = if (mx(d) > mn(d)) (e(d) - mn(d)) * 255 / (mx(d) - mn(d)) else 0L
+        mn(d) + code * (mx(d) - mn(d)) / 255
+      }
+    val rec = x.map { case (id, e) => id -> recon(e) }
+    val want = x.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      x.keys.filter(_ != qid).toSeq
+        .map(id => (sqDist(x(qid), rec(id)), id)).sorted.take(5)
+        .zipWithIndex
+        .map { case ((dist, id), i) => (qid, (i + 1).toLong, id, dist) }
+    }
+    val got = q("e_sq8_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(x.exists { case (id, e) => !e.sameElements(rec(id)) },
+      "SQ8 reconstruction is lossless on the fixture — lane is vacuous")
+  }
+
+  test("e_semdedup_exact: cells + dominance keep-rule replay; finds and keeps both") {
+    val OFF = 4194304L
+    val x = vecs.map { case (id, _, e) => id -> ppmOf(e) }.toMap
+    def assign(cent: Map[Long, Array[Long]]): Map[Long, Long] =
+      x.map { case (id, e) =>
+        id -> cent.toSeq.map { case (cid, c) => (sqDist(e, c), cid) }.min._2
+      }
+    var cent: Map[Long, Array[Long]] = x.filter(_._1 < 4)
+    for (_ <- 1 to 2) {
+      val a = assign(cent)
+      cent = a.toSeq.groupBy(_._2).map { case (cid, members) =>
+        val es = members.map(m => x(m._1))
+        val n = es.size.toLong
+        cid -> Array.tabulate(es.head.length) { d =>
+          (es.iterator.map(_(d)).sum + n * OFF) / n - OFF
+        }
+      }
+    }
+    val cells = assign(cent)
+    val want = x.keys.toSeq.sorted.map { id =>
+      val doms = x.keys.filter(o => o < id && cells(o) == cells(id) &&
+        sqDist(x(o), x(id)) <= 1200000000000L)
+      (id, if (doms.isEmpty) -1L else doms.min)
+    }
+    val got = q("e_semdedup_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got === want)
+    assert(want.exists(_._2 >= 0L), "no duplicates found — threshold too tight")
+    assert(want.exists(_._2 == -1L), "everything deduplicated — threshold too loose")
+  }
 }
