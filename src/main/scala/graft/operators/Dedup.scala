@@ -385,5 +385,107 @@ object DedupQueries {
              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
              |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
              |FROM p WHERE bit_count(xor(sig_a, sig_b)) <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Weighted MinHash through the hash gate (d_wminhash_lsh keeps the
+    // ICWS-style float kernel, rows-only): for INTEGER weights,
+    // weighted Jaccard over tf multisets equals set Jaccard over the
+    // expansion {(element, occurrence_index)} — so plain md5-MinHash of
+    // the expanded elements IS an exact weighted MinHash, every stage
+    // SQL-expressible. Elements are word BIGRAMS with repeats (the
+    // production lane's choice — see weightedMinhashDedup's comment on
+    // unigram-tf false positives); occurrence index = rank of the
+    // bigram's position among its equals (one per-doc window);
+    // signature/banding identical to d_minhash_md5; verification =
+    // exact Σmin(tf)/Σmax(tf) in ppm on candidates only (the
+    // d_weighted_jaccard full-outer fold). Scale shape: the bigram
+    // explode is the one corpus-wide pass (localCheckpointed — it feeds
+    // occurrence ranks AND tf vectors), the shuffle carries (id, band,
+    // bucket) rows, verification touches candidate pairs only.
+    QueryDef("d_wminhash_md5",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bg = documents(s, d)
+          .select(col("doc_id").as("id"),
+            expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("id"), posexplode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+            .as(Seq("pos", "g")))
+          .repartition(col("id"))
+          .localCheckpoint()
+        val ex = bg
+          .withColumn("o", row_number()
+            .over(Window.partitionBy(col("id"), col("g")).orderBy(col("pos"))) - 1)
+          .select(col("id"), expr("concat(g, '#', CAST(o AS STRING))").as("x"))
+          .groupBy(col("id")).agg(collect_list(col("x")).as("s"))
+        val banded = ex
+          .select(col("id"), expr(
+            """transform(sequence(1, 8), k ->
+              |  array_min(transform(s, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
+              .stripMargin).as("sig"))
+          .select(col("id"), posexplode(expr(
+            """transform(sequence(0, 3), b ->
+              |  md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))))"""
+              .stripMargin)).as(Seq("band", "bucket")))
+        val cand = banded.as("a")
+          .join(banded.as("b"), Seq("band", "bucket"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val tf = bg.groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
+        val a = cand.join(tf, col("id_a") === tf("id"))
+          .select(col("id_a"), col("id_b"), col("g"), col("tf").as("tf_a"))
+        val b = cand.join(tf, col("id_b") === tf("id"))
+          .select(col("id_a").as("bi"), col("id_b").as("bj"),
+            col("g").as("bg"), col("tf").as("tf_b"))
+        a.join(b, col("id_a") === col("bi") && col("id_b") === col("bj") &&
+            col("g") === col("bg"), "full_outer")
+          .select(coalesce(col("id_a"), col("bi")).as("id_a"),
+            coalesce(col("id_b"), col("bj")).as("id_b"),
+            least(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mn"),
+            greatest(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mx"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
+          .filter(col("wj_ppm") >= 500000L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS w
+             |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 2),
+             |bgr AS (
+             |  SELECT id, u.i AS pos,
+             |         array_to_string(list_slice(w, u.i + 1, u.i + 2), ' ') AS g
+             |  FROM t, LATERAL unnest(range(0, len(w) - 1)) AS u(i)),
+             |occ AS (
+             |  SELECT id, g,
+             |         ROW_NUMBER() OVER (PARTITION BY id, g ORDER BY pos) - 1 AS o
+             |  FROM bgr),
+             |ex AS (
+             |  SELECT id, list(g || '#' || CAST(o AS VARCHAR)) AS s
+             |  FROM occ GROUP BY id),
+             |sig AS (
+             |  SELECT id, list_transform(range(1, 9), k ->
+             |           list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS sig
+             |  FROM ex),
+             |banded AS (
+             |  SELECT id, u.b AS band, md5(concat(sig[2 * u.b + 1], sig[2 * u.b + 2])) AS bucket
+             |  FROM sig, LATERAL unnest(range(0, 4)) AS u(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+             |tfc AS (SELECT id, g, COUNT(*) AS tf FROM bgr GROUP BY id, g),
+             |aa AS (SELECT c.id_a, c.id_b, t.g, t.tf FROM cand c JOIN tfc t ON t.id = c.id_a),
+             |bb AS (SELECT c.id_a, c.id_b, t.g, t.tf FROM cand c JOIN tfc t ON t.id = c.id_b),
+             |u2 AS (
+             |  SELECT COALESCE(aa.id_a, bb.id_a) AS id_a, COALESCE(aa.id_b, bb.id_b) AS id_b,
+             |         LEAST(COALESCE(aa.tf, 0), COALESCE(bb.tf, 0)) AS mn,
+             |         GREATEST(COALESCE(aa.tf, 0), COALESCE(bb.tf, 0)) AS mx
+             |  FROM aa FULL OUTER JOIN bb
+             |    ON aa.id_a = bb.id_a AND aa.id_b = bb.id_b AND aa.g = bb.g)
+             |SELECT id_a, id_b, CAST(SUM(mn) * 1000000 // SUM(mx) AS BIGINT) AS wj_ppm
+             |FROM u2 GROUP BY id_a, id_b
+             |HAVING CAST(SUM(mn) * 1000000 // SUM(mx) AS BIGINT) >= 500000
              |ORDER BY id_a, id_b""".stripMargin)))
 }

@@ -1459,7 +1459,47 @@ object PipelineQueries {
           |  GROUP BY a.vec_id)
           |SELECT q.vec_id, COALESCE(p.dup_of, -1) AS dup_of
           |FROM q LEFT JOIN pairs p ON p.vec_id = q.vec_id
-          |ORDER BY q.vec_id""".stripMargin))
+          |ORDER BY q.vec_id""".stripMargin)),
+
+    // -----------------------------------------------------------------
+    // Product quantization EXACT through the hash gate (e_ann_pq /
+    // e_ann_ivfpq stay rows-only on their float kernels): the 64-dim
+    // space splits into M=4 subspaces of 16, each trained by the same
+    // exact integer Lloyd (k=4, 2 rounds) on its slice; a vector's code
+    // is its per-subspace nearest-centroid id (4 × 2 bits), and ADC
+    // scoring is the table lookup PQ is famous for — the probe's
+    // distance to each subspace centroid is computed ONCE (a ≤160-row
+    // table) and a candidate's distance is the sum of 4 lookups by its
+    // code. Quantize, code, and rank all in exact BIGINT; top-5 per
+    // probe with the ADC distance. Scale: codes are one narrow pass,
+    // the lookup tables are a broadcast, scoring never touches the
+    // original vectors.
+    // -----------------------------------------------------------------
+    QueryDef("e_pq_exact",
+      (s, d) => {
+        val x = ppmVecs(s, d)
+        val parts = (0 until 4).map { m =>
+          val xm = x.select(col("vec_id"), expr(s"slice(e, ${m * 16 + 1}, 16)").as("e"))
+          val cent = lloyd(xm, iters = 2)
+          val codes = kmAssign(xm, cent)
+            .select(col("vec_id"), lit(m).as("m"), col("cid"))
+          val dt = centDists(xm.filter(col("vec_id") < 10), cent)
+            .select(col("vec_id").as("qid"), lit(m).as("m"), col("cid"), col("dist"))
+          (codes, dt)
+        }
+        val codes = parts.map(_._1).reduce(_ union _)
+        val dt = parts.map(_._2).reduce(_ union _)
+        val rw = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        codes.join(broadcast(dt), Seq("m", "cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("dist")).cast("long").as("dist"))
+          .withColumn("rank", row_number().over(rw).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(pqOracleSql(m = 4, width = 16)))
   )
 
   /** Offset for the exact k-means mean update: > |ppm component|max, so
@@ -1512,41 +1552,84 @@ object PipelineQueries {
     cent
   }
 
-  /** DuckDB WITH-chain shared by e_kmeans/e_ivf_exact: the (distance,
-    * assign, update) CTEs are GENERATED per round — one source of truth
-    * for the exact integer update rule on both engines (the d_hits
-    * discipline). Ends at d{iters+1}/a{iters+1} (full-corpus distances
-    * and assignment against the final centroids). */
-  private def kmeansChain(iters: Int, k: Int, off: Long): String = {
+  /** `WITH q, xp` prologue shared by every generated-oracle here. MUST
+    * stay a def: `all` above initializes before ordinary vals in this
+    * object (see KmOff). */
+  private def ppmHead: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |xp AS (
+      |  SELECT vec_id, u.i AS dim, e[u.i + 1] AS x
+      |  FROM q, LATERAL unnest(range(0, len(e))) AS u(i))""".stripMargin
+
+  /** DuckDB WITH-chain shared by e_kmeans/e_ivf_exact/e_semdedup_exact:
+    * the (distance, assign, update) CTEs are GENERATED per round — one
+    * source of truth for the exact integer update rule on both engines
+    * (the d_hits discipline). Ends at d{iters+1}/a{iters+1}
+    * (full-corpus distances and assignment against the final
+    * centroids). */
+  private def kmeansChain(iters: Int, k: Int, off: Long): String =
+    ppmHead + ",\n" + lloydCtes(iters, k, off, sfx = "", src = "xp")
+
+  /** One Lloyd CTE chain over `src` (a (vec_id, dim, x) relation) with
+    * every CTE name suffixed — e_pq_exact runs four of these, one per
+    * dim-sliced subspace, next to each other in a single WITH. */
+  private def lloydCtes(iters: Int, k: Int, off: Long,
+                        sfx: String, src: String): String = {
     val head =
-      s"""WITH q AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
-         |  FROM embeddings),
-         |xp AS (
-         |  SELECT vec_id, u.i AS dim, e[u.i + 1] AS x
-         |  FROM q, LATERAL unnest(range(0, len(e))) AS u(i)),
-         |c0 AS (SELECT vec_id AS cid, dim, x AS c FROM xp WHERE vec_id < $k)""".stripMargin
+      s"c0$sfx AS (SELECT vec_id AS cid, dim, x AS c FROM $src WHERE vec_id < $k)"
     val steps = (1 to (iters + 1)).map { i =>
       val dist =
-        s"""d$i AS (
+        s"""d$i$sfx AS (
            |  SELECT xp.vec_id, c.cid, CAST(SUM((xp.x - c.c) * (xp.x - c.c)) AS BIGINT) AS dist
-           |  FROM xp JOIN c${i - 1} c ON c.dim = xp.dim
+           |  FROM $src xp JOIN c${i - 1}$sfx c ON c.dim = xp.dim
            |  GROUP BY xp.vec_id, c.cid),
-           |a$i AS (
+           |a$i$sfx AS (
            |  SELECT vec_id, cid, dist FROM (
            |    SELECT vec_id, cid, dist,
            |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-           |    FROM d$i) r WHERE rn = 1)""".stripMargin
+           |    FROM d$i$sfx) r WHERE rn = 1)""".stripMargin
       if (i <= iters)
         dist + ",\n" +
-          s"""c$i AS (
+          s"""c$i$sfx AS (
              |  SELECT a.cid, xp.dim,
              |         (SUM(xp.x) + COUNT(*) * $off) // COUNT(*) - $off AS c
-             |  FROM a$i a JOIN xp ON xp.vec_id = a.vec_id
+             |  FROM a$i$sfx a JOIN $src xp ON xp.vec_id = a.vec_id
              |  GROUP BY a.cid, xp.dim)""".stripMargin
       else dist
     }
     (head +: steps).mkString(",\n")
+  }
+
+  /** Generated oracle for e_pq_exact: M side-by-side subspace Lloyd
+    * chains, then codes = a3_m, ADC lookup tables = d3_m (the probe→
+    * centroid distances the chain already computed — PQ's table-lookup
+    * structure falls straight out), exact sum + rank. */
+  private def pqOracleSql(m: Int, width: Int): String = {
+    val subs = (0 until m).map { i =>
+      s"""xs$i AS (SELECT vec_id, dim, x FROM xp
+         |         WHERE dim >= ${i * width} AND dim < ${(i + 1) * width})""".stripMargin +
+        ",\n" + lloydCtes(2, 4, KmOff, s"_$i", s"xs$i")
+    }
+    val codes = (0 until m)
+      .map(i => s"SELECT vec_id, $i AS m, cid FROM a3_$i").mkString(" UNION ALL ")
+    val dt = (0 until m)
+      .map(i => s"SELECT vec_id, $i AS m, cid, dist FROM d3_$i").mkString(" UNION ALL ")
+    ppmHead + ",\n" + subs.mkString(",\n") + ",\n" +
+      s"""codes AS ($codes),
+         |dt AS ($dt),
+         |adc AS (
+         |  SELECT dt.vec_id AS qid, c.vec_id, CAST(SUM(dt.dist) AS BIGINT) AS dist
+         |  FROM codes c JOIN dt ON dt.m = c.m AND dt.cid = c.cid
+         |  WHERE dt.vec_id < 10 AND c.vec_id <> dt.vec_id
+         |  GROUP BY dt.vec_id, c.vec_id),
+         |rk AS (
+         |  SELECT qid, vec_id, dist,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+         |  FROM adc)
+         |SELECT qid, rank, vec_id AS neighbor_id, dist
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 }

@@ -686,4 +686,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === want)
     assert(want.nonEmpty, "fixture corpus produced no Hamming-verified pairs")
   }
+
+  test("d_wminhash_md5: weighted-MinHash expansion pipeline replayed in memory") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // bigram multisets and their (g, occurrence) expansions
+    val tf: Map[Long, Map[String, Long]] = texts.flatMap { case (id, t) =>
+      val w = "\\S+".r.findAllIn(t).toVector
+      if (w.length < 2) None
+      else Some(id -> (0 to w.length - 2).map(i => w(i) + " " + w(i + 1))
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong })
+    }.toMap
+    val exp: Map[Long, Vector[String]] = tf.map { case (id, m) =>
+      id -> m.toVector.flatMap { case (g, n) => (0L until n).map(o => s"$g#$o") }
+    }
+    // the identity the lane rests on: set-Jaccard of expansions equals
+    // weighted Jaccard of the tf multisets
+    def wj(a: Map[String, Long], b: Map[String, Long]): (Long, Long) = {
+      val keys = a.keySet ++ b.keySet
+      (keys.iterator.map(k => math.min(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).sum,
+       keys.iterator.map(k => math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).sum)
+    }
+    val ids = tf.keys.toSeq.sorted.take(20)
+    for (i <- ids; j <- ids if i < j) {
+      val (mn, mx) = wj(tf(i), tf(j))
+      val inter = (exp(i).toSet & exp(j).toSet).size.toLong
+      val union = (exp(i).toSet | exp(j).toSet).size.toLong
+      assert(inter === mn && union === mx, s"expansion identity broken for ($i,$j)")
+    }
+    val sig: Map[Long, Vector[String]] = exp.map { case (id, s) =>
+      id -> (1 to 8).map(k => s.iterator.map(x => md5hexOf(s"$k:$x")).min).toVector
+    }
+    val cand: Set[(Long, Long)] = sig.toSeq
+      .flatMap { case (id, g) =>
+        (0 until 4).map(b => ((b, md5hexOf(g(2 * b) + g(2 * b + 1))), id))
+      }
+      .groupBy(_._1).values
+      .flatMap { grp =>
+        val s = grp.map(_._2).sorted
+        for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+      }.toSet
+    val want = cand.toSeq.flatMap { case (a, b) =>
+      val (mn, mx) = wj(tf(a), tf(b))
+      val ppm = mn * 1000000L / mx
+      if (ppm >= 500000L) Some((a, b, ppm)) else None
+    }.sorted
+    val got = graft.Queries.queryMap("d_wminhash_md5")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === want)
+    assert(want.nonEmpty, "fixture corpus produced no weighted near-dup pairs")
+  }
 }

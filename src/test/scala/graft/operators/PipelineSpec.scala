@@ -423,4 +423,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(want.exists(_._2 >= 0L), "no duplicates found — threshold too tight")
     assert(want.exists(_._2 == -1L), "everything deduplicated — threshold too loose")
   }
+
+  test("e_pq_exact: in-memory PQ replay (4 subspace codebooks, ADC lookup)") {
+    val OFF = 4194304L
+    val x = vecs.map { case (id, _, e) => id -> ppmOf(e) }.toMap
+    def lloydRef(xs: Map[Long, Array[Long]]): Map[Long, Array[Long]] = {
+      def assign(cent: Map[Long, Array[Long]]): Map[Long, Long] =
+        xs.map { case (id, e) =>
+          id -> cent.toSeq.map { case (cid, c) => (sqDist(e, c), cid) }.min._2
+        }
+      var cent: Map[Long, Array[Long]] = xs.filter(_._1 < 4)
+      for (_ <- 1 to 2) {
+        val a = assign(cent)
+        cent = a.toSeq.groupBy(_._2).map { case (cid, members) =>
+          val es = members.map(m => xs(m._1))
+          val n = es.size.toLong
+          cid -> Array.tabulate(es.head.length) { d =>
+            (es.iterator.map(_(d)).sum + n * OFF) / n - OFF
+          }
+        }
+      }
+      cent
+    }
+    // per-subspace: codebook, per-vector code, probe lookup tables
+    val subs = (0 until 4).map { m =>
+      val xs = x.map { case (id, e) => id -> e.slice(m * 16, (m + 1) * 16) }
+      val cent = lloydRef(xs)
+      val code = xs.map { case (id, e) =>
+        id -> cent.toSeq.map { case (cid, c) => (sqDist(e, c), cid) }.min._2
+      }
+      (xs, cent, code)
+    }
+    val want = x.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      x.keys.filter(_ != qid).toSeq
+        .map { id =>
+          val adc = subs.iterator.map { case (xs, cent, code) =>
+            sqDist(xs(qid), cent(code(id)))
+          }.sum
+          (adc, id)
+        }.sorted.take(5)
+        .zipWithIndex
+        .map { case ((dist, id), i) => (qid, (i + 1).toLong, id, dist) }
+    }
+    val got = q("e_pq_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // ADC must actually quantize: for some probe the PQ top-5 differs
+    // from exact brute force, else the lane degenerates into e_ann_l2
+    val differs = x.keys.filter(_ < 10).exists { qid =>
+      val brute = x.toSeq.filter(_._1 != qid)
+        .map { case (id, e) => (sqDist(x(qid), e), id) }.sorted.take(5).map(_._2)
+      brute != want.filter(_._1 == qid).sortBy(_._2).map(_._3)
+    }
+    assert(differs, "PQ ADC ranking equals exact ranking on every probe — vacuous")
+  }
 }
