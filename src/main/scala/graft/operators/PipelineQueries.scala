@@ -1499,8 +1499,126 @@ object PipelineQueries {
           .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(pqOracleSql(m = 4, width = 16)))
+      Some(pqOracleSql(m = 4, width = 16))),
+
+    // -----------------------------------------------------------------
+    // IVF-PQ EXACT through the hash gate — the FAISS IVFADC composition
+    // with RESIDUAL encoding, which neither e_ivf_exact nor e_pq_exact
+    // alone pins (e_ann_ivfpq stays rows-only on its float kernels):
+    // coarse cells from the full-space Lloyd; PQ codebooks trained on
+    // the RESIDUALS (x − cell centroid), sliced into M=4 × 16 dims;
+    // each probe visits its nprobe=2 nearest cells, builds a per-cell
+    // ADC table from ITS residual against that cell (q − c_cell), and
+    // scores a candidate as the sum of 4 table lookups by the
+    // candidate's code. All exact BIGINT; top-5 with the ADC distance.
+    // Scale: the residual pass is narrow, the ADC tables are a ≤320-row
+    // broadcast, scoring joins candidates to 4 code rows each — the
+    // original vectors are never touched after encoding.
+    // -----------------------------------------------------------------
+    QueryDef("e_ivfpq_exact",
+      (s, d) => {
+        val x = ppmVecs(s, d)
+        val cent = lloyd(x, iters = 2).localCheckpoint()
+        val cells = kmAssign(x, cent).select(col("vec_id"), col("cid"))
+        val xr = x.join(cells, "vec_id").join(cent, "cid")
+          .select(col("vec_id"), col("cid"),
+            expr("zip_with(e, c, (a, b) -> a - b)").as("e"))
+          .localCheckpoint() // residuals feed 4 trainings + 4 code passes
+        val parts = (0 until 4).map { m =>
+          val xm = xr.select(col("vec_id"), expr(s"slice(e, ${m * 16 + 1}, 16)").as("e"))
+          val cb = lloyd(xm, iters = 2).localCheckpoint() // codebook: codes + ADC tables
+          val codes = kmAssign(xm, cb)
+            .select(col("vec_id"), lit(m).as("m"), col("cid").as("code"))
+          (cb, codes)
+        }
+        val codes = parts.map(_._2).reduce(_ union _)
+        val pw = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        val probeCells = centDists(x.filter(col("vec_id") < 10), cent)
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("cid"))
+        val pr = probeCells
+          .join(x.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
+          .join(cent, Seq("cid"))
+          .select(col("qid"), col("cid"),
+            expr("zip_with(qe, c, (a, b) -> a - b)").as("re"))
+        val dt = parts.zipWithIndex.map { case ((cb, _), m) =>
+          pr.select(col("qid"), col("cid"), expr(s"slice(re, ${m * 16 + 1}, 16)").as("e"))
+            .crossJoin(broadcast(cb.select(col("cid").as("code"), col("c"))))
+            .select(col("qid"), col("cid"), lit(m).as("m"), col("code"), expr(
+              """aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),
+                |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
+        }.reduce(_ union _)
+        val cand = cells.join(broadcast(probeCells), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+        val rw = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(dt), Seq("qid", "cid", "m", "code"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("dist")).cast("long").as("dist"))
+          .withColumn("rank", row_number().over(rw).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(ivfpqOracleSql(m = 4, width = 16)))
   )
+
+  /** Generated oracle for e_ivfpq_exact: the full-space chain gives
+    * cells (a3) and probe-cell ranking (d3); residuals feed M suffixed
+    * subspace chains; per-(probe, visited-cell) ADC tables come from
+    * the probe's residual against each final subspace codebook c2_m. */
+  private def ivfpqOracleSql(m: Int, width: Int): String = {
+    val subs = (0 until m).map { i =>
+      s"""xs$i AS (SELECT vec_id, dim, x FROM xr
+         |         WHERE dim >= ${i * width} AND dim < ${(i + 1) * width})""".stripMargin +
+        ",\n" + lloydCtes(2, 4, KmOff, s"_$i", s"xs$i")
+    }
+    val codes = (0 until m)
+      .map(i => s"SELECT vec_id, $i AS m, cid AS code FROM a3_$i").mkString(" UNION ALL ")
+    val dt = (0 until m)
+      .map(i =>
+        s"""SELECT p.qid, p.cid, $i AS m, cb.cid AS code,
+           |       CAST(SUM((p.x - cb.c) * (p.x - cb.c)) AS BIGINT) AS dist
+           |FROM prx p JOIN c2_$i cb ON cb.dim = p.dim
+           |GROUP BY p.qid, p.cid, cb.cid""".stripMargin)
+      .mkString(" UNION ALL ")
+    kmeansChain(iters = 2, k = 4, off = KmOff) +
+      s""",
+         |xr AS (
+         |  SELECT xp.vec_id, xp.dim, xp.x - c.c AS x
+         |  FROM xp JOIN a3 ON a3.vec_id = xp.vec_id
+         |  JOIN c2 c ON c.cid = a3.cid AND c.dim = xp.dim),
+         |${subs.mkString(",\n")},
+         |codes AS ($codes),
+         |pc AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d3 WHERE vec_id < 10) r WHERE rn <= 2),
+         |prx AS (
+         |  SELECT pc.qid, pc.cid, xp.dim, xp.x - c.c AS x
+         |  FROM pc JOIN xp ON xp.vec_id = pc.qid
+         |  JOIN c2 c ON c.cid = pc.cid AND c.dim = xp.dim),
+         |dt AS ($dt),
+         |cand AS (
+         |  SELECT pc.qid, a3.cid, a3.vec_id
+         |  FROM pc JOIN a3 ON a3.cid = pc.cid
+         |  WHERE a3.vec_id <> pc.qid),
+         |sc AS (
+         |  SELECT cd.qid, cd.vec_id, CAST(SUM(dt.dist) AS BIGINT) AS dist
+         |  FROM cand cd
+         |  JOIN codes co ON co.vec_id = cd.vec_id
+         |  JOIN dt ON dt.qid = cd.qid AND dt.cid = cd.cid
+         |         AND dt.m = co.m AND dt.code = co.code
+         |  GROUP BY cd.qid, cd.vec_id),
+         |rk AS (
+         |  SELECT qid, vec_id, dist,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+         |  FROM sc)
+         |SELECT qid, rank, vec_id AS neighbor_id, dist
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
 
   /** Offset for the exact k-means mean update: > |ppm component|max, so
     * (Σx + n·OFF) is non-negative and Spark's truncating `div` equals
