@@ -300,6 +300,8 @@ object DedupQueries {
     QueryDef("d_winnow_md5",
       (s, d) => documents(s, d)
         .filter(length(col("text")) >= 10)
+        // ~1k md5 calls per doc: spread a single-file scan before the map
+        .repartition(col("doc_id"))
         .select(col("doc_id"), expr(
           """transform(sequence(0, length(text) - 7), i ->
             |  concat(md5(substring(text, i + 1, 7)), ':',

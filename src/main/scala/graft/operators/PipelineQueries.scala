@@ -1432,8 +1432,16 @@ object PipelineQueries {
         val cells = kmAssign(x, lloyd(x, iters = 2)).select(col("vec_id"), col("cid"))
           .join(x, Seq("vec_id"))
           .localCheckpoint() // both sides of the per-cell pair join
-        val dup = cells.as("a")
-          .join(cells.as("b"), Seq("cid"))
+        // salt the pair join: k is fixture-sized (4 cells), so a plain
+        // cid-keyed shuffle caps parallelism at k tasks — the standard
+        // skew salt (one salt per left row, right side replicated)
+        // spreads each cell's pair set across 8·k tasks. At production
+        // scale k grows ∝ √n (SemDeDup uses ~√n cells), bounding
+        // per-cell pair sets; the salt stays useful for hot cells.
+        val a = cells.withColumn("salt", pmod(col("vec_id"), lit(8)))
+        val b = cells.withColumn("salt", explode(expr("sequence(0, 7)")))
+        val dup = a.as("a")
+          .join(b.as("b"), Seq("cid", "salt"))
           .filter(col("b.vec_id") < col("a.vec_id"))
           .withColumn("dist", expr(
             """aggregate(zip_with(a.e, b.e, (p, q) -> (p - q) * (p - q)),
