@@ -229,7 +229,9 @@ object DedupQueries {
             "array_distinct(transform(sequence(0, size(w) - 3), " +
               "i -> concat_ws(' ', slice(w, i + 1, 3))))").as("s"))
           // the signature map is CPU-heavy; spread a single-file scan
-          .repartition(col("id"))
+          // (explicit count: AQE would coalesce a keyed repartition of
+          // this small input back to one partition)
+          .repartition(s.sparkContext.defaultParallelism, col("id"))
           .localCheckpoint() // shingles feed banding AND verification
         val banded = sh
           .select(col("id"), expr(
@@ -300,8 +302,10 @@ object DedupQueries {
     QueryDef("d_winnow_md5",
       (s, d) => documents(s, d)
         .filter(length(col("text")) >= 10)
-        // ~1k md5 calls per doc: spread a single-file scan before the map
-        .repartition(col("doc_id"))
+        // ~1k md5 calls per doc: spread a single-file scan before the
+        // map (explicit count: AQE would coalesce a keyed repartition
+        // of this small input back to one partition)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), expr(
           """transform(sequence(0, length(text) - 7), i ->
             |  concat(md5(substring(text, i + 1, 7)), ':',
@@ -344,7 +348,9 @@ object DedupQueries {
           .select(col("doc_id").as("id"),
             expr("transform(regexp_extract_all(text, '\\\\S+', 0), t -> md5(t))").as("hs"))
           .filter(size(col("hs")) > 0)
-          .repartition(col("id")) // CPU-heavy signature map: spread a single-file scan
+          // CPU-heavy signature map: spread a single-file scan
+          // (explicit count, or AQE coalesces it back to one partition)
+          .repartition(s.sparkContext.defaultParallelism, col("id"))
           .select(col("id"), expr(
             """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc +
               |  IF(aggregate(hs, 0, (a, h) ->
@@ -414,7 +420,8 @@ object DedupQueries {
           .select(col("id"), posexplode(expr(
             "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
             .as(Seq("pos", "g")))
-          .repartition(col("id"))
+          // explicit count, or AQE coalesces it back to one partition
+          .repartition(s.sparkContext.defaultParallelism, col("id"))
           .localCheckpoint()
         val ex = bg
           .withColumn("o", row_number()

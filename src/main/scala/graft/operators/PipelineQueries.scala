@@ -1639,12 +1639,14 @@ object PipelineQueries {
   /** Corpus embeddings quantized to exact BIGINT ppm components,
     * localCheckpointed once — every k-means/IVF pass re-reads it. The
     * repartition spreads the one-file scan so the checkpoint (and every
-    * distance fold over it) is parallel, not single-partition. */
+    * distance fold over it) is parallel, not single-partition; the
+    * count must be EXPLICIT or AQE coalesces the small shuffle back to
+    * one partition. */
   private def ppmVecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
         .as("e"))
-      .repartition(col("vec_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .localCheckpoint()
 
   /** All (vec, centroid) exact squared-L2 distances: broadcast of the k

@@ -280,6 +280,20 @@ object DevSmoke {
     graft.Queries.queryMap("d_entity_resolution")(spark, sf).show(3, truncate = false)
     graft.Queries.queryMap("d_minhash_gate")(spark, sf).show(truncate = false)
 
+    println("=== round 8: exact algorithm twins (md5 LSH family + ANN family) ===")
+    println("minhash md5 pairs: " +
+      graft.Queries.queryMap("d_minhash_md5")(spark, sf).count())
+    println("wminhash md5 pairs: " +
+      graft.Queries.queryMap("d_wminhash_md5")(spark, sf).count())
+    graft.Queries.queryMap("d_simhash_md5")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("d_winnow_md5")(spark, sf).show(3, truncate = false)
+    graft.Queries.queryMap("e_kmeans")(spark, sf).show(3, truncate = false)
+    println("ivf exact rows: " +
+      graft.Queries.queryMap("e_ivf_exact")(spark, sf).count())
+    println("ivfpq exact rows: " +
+      graft.Queries.queryMap("e_ivfpq_exact")(spark, sf).count())
+    graft.Queries.queryMap("e_semdedup_exact")(spark, sf).show(3, truncate = false)
+
     println("=== round 8: hard negatives / maxsim / drift / k-anonymity / bitmap AND ===")
     println("hard negative rows: " +
       graft.Queries.queryMap("e_hard_negatives")(spark, sf).count())
