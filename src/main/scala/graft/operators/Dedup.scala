@@ -70,7 +70,9 @@ object Dedup {
     val toks = raw
       // a small input file arrives as ONE partition; spread rows before
       // the CPU-heavy shingle+signature map or it runs single-threaded
-      .repartition(col("id"))
+      // (explicit count — AQE coalesces a countless keyed repartition
+      // of a small input right back to one partition)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"), sortedShinglesOf("text").as("toks"))
     val cand = minhashCandidates(toks, numHashes, bands)
     cand
@@ -107,7 +109,9 @@ object Dedup {
     // (localCheckpoint): both sides of the bucket self-join AND the
     // tf verification would otherwise re-run the tokenize+signature
     // chain — measured 3 recomputes ≈ 3x the whole query's cost.
-    val toks = raw.repartition(col("id"))
+    val toks = raw
+      // explicit count — see minhashDedup on AQE coalescing
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .withColumn("w", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("w")) >= 2)
       .select(col("id"), shingles("w", 2).as("toks"))
