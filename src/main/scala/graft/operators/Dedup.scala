@@ -415,54 +415,7 @@ object DedupQueries {
     // occurrence ranks AND tf vectors), the shuffle carries (id, band,
     // bucket) rows, verification touches candidate pairs only.
     QueryDef("d_wminhash_md5",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val bg = documents(s, d)
-          .select(col("doc_id").as("id"),
-            expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-          .filter(size(col("w")) >= 2)
-          .select(col("id"), posexplode(expr(
-            "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
-            .as(Seq("pos", "g")))
-          // explicit count, or AQE coalesces it back to one partition
-          .repartition(s.sparkContext.defaultParallelism, col("id"))
-          .localCheckpoint()
-        val ex = bg
-          .withColumn("o", row_number()
-            .over(Window.partitionBy(col("id"), col("g")).orderBy(col("pos"))) - 1)
-          .select(col("id"), expr("concat(g, '#', CAST(o AS STRING))").as("x"))
-          .groupBy(col("id")).agg(collect_list(col("x")).as("s"))
-        val banded = ex
-          .select(col("id"), expr(
-            """transform(sequence(1, 8), k ->
-              |  array_min(transform(s, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
-              .stripMargin).as("sig"))
-          .select(col("id"), posexplode(expr(
-            """transform(sequence(0, 3), b ->
-              |  md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))))"""
-              .stripMargin)).as(Seq("band", "bucket")))
-        val cand = banded.as("a")
-          .join(banded.as("b"), Seq("band", "bucket"))
-          .filter(col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        val tf = bg.groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
-        val a = cand.join(tf, col("id_a") === tf("id"))
-          .select(col("id_a"), col("id_b"), col("g"), col("tf").as("tf_a"))
-        val b = cand.join(tf, col("id_b") === tf("id"))
-          .select(col("id_a").as("bi"), col("id_b").as("bj"),
-            col("g").as("bg"), col("tf").as("tf_b"))
-        a.join(b, col("id_a") === col("bi") && col("id_b") === col("bj") &&
-            col("g") === col("bg"), "full_outer")
-          .select(coalesce(col("id_a"), col("bi")).as("id_a"),
-            coalesce(col("id_b"), col("bj")).as("id_b"),
-            least(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mn"),
-            greatest(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mx"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
-          .filter(col("wj_ppm") >= 500000L)
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, d) => wminhashMd5On(documents(s, d)).orderBy(col("id_a"), col("id_b")),
       Some("""WITH t AS (
              |  SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS w
              |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 2),
@@ -501,4 +454,56 @@ object DedupQueries {
              |FROM u2 GROUP BY id_a, id_b
              |HAVING CAST(SUM(mn) * 1000000 // SUM(mx) AS BIGINT) >= 500000
              |ORDER BY id_a, id_b""".stripMargin)))
+
+  /** The d_wminhash_md5 pipeline over an arbitrary (doc_id, text)
+    * frame (unsorted — the QueryDef adds the oracle's ORDER BY; the
+    * ScaleProbe soak aggregates instead). See the QueryDef comment for
+    * the expansion identity and scale shape. */
+  def wminhashMd5On(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs
+      .select(col("doc_id").as("id"),
+        expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+        .as(Seq("pos", "g")))
+      // explicit count, or AQE coalesces it back to one partition
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .localCheckpoint()
+    val ex = bg
+      .withColumn("o", row_number()
+        .over(Window.partitionBy(col("id"), col("g")).orderBy(col("pos"))) - 1)
+      .select(col("id"), expr("concat(g, '#', CAST(o AS STRING))").as("x"))
+      .groupBy(col("id")).agg(collect_list(col("x")).as("s"))
+    val banded = ex
+      .select(col("id"), expr(
+        """transform(sequence(1, 8), k ->
+          |  array_min(transform(s, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
+          .stripMargin).as("sig"))
+      .select(col("id"), posexplode(expr(
+        """transform(sequence(0, 3), b ->
+          |  md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))))"""
+          .stripMargin)).as(Seq("band", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val tf = bg.groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
+    val a = cand.join(tf, col("id_a") === tf("id"))
+      .select(col("id_a"), col("id_b"), col("g"), col("tf").as("tf_a"))
+    val b = cand.join(tf, col("id_b") === tf("id"))
+      .select(col("id_a").as("bi"), col("id_b").as("bj"),
+        col("g").as("bg"), col("tf").as("tf_b"))
+    a.join(b, col("id_a") === col("bi") && col("id_b") === col("bj") &&
+        col("g") === col("bg"), "full_outer")
+      .select(coalesce(col("id_a"), col("bi")).as("id_a"),
+        coalesce(col("id_b"), col("bj")).as("id_b"),
+        least(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mn"),
+        greatest(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mx"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
+      .filter(col("wj_ppm") >= 500000L)
+  }
 }

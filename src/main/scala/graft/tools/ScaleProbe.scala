@@ -109,11 +109,29 @@ object ScaleProbe {
         val l = graft.Tables.lineitem(spark, d).repartition(p).withColumn("rep", rep)
         l.join(o, l("l_orderkey") === o("o_orderkey") && l("rep") === o("rep"))
           .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      }),
+      ("wminhash_md5_x4", () => {
+        // round-8 soak: the weighted-MinHash twin over a 4x-replicated
+        // corpus with doc_id remapped — the DUP-CLUSTER case: all 4
+        // replicas of a doc are exact duplicates, so every LSH bucket
+        // carries 4-member cliques and the verified pair set grows
+        // ~rep² (the honest dedup answer on a dup-heavy corpus; 16x
+        // was measured quadratically past probe budget — the pair-set
+        // growth is the algorithm's answer size, not a plan defect).
+        // The probe checks the bucket join and the candidate-only
+        // verification still scale with cores under clique load.
+        val p = spark.sparkContext.defaultParallelism
+        val docs = graft.Tables.documents(spark, d).repartition(p)
+          .withColumn("rep", explode(expr("sequence(1, 4)")))
+          .select((col("doc_id") * 4 + col("rep")).as("doc_id"), col("text"))
+        graft.operators.DedupQueries.wminhashMd5On(docs)
+          .groupBy().agg(count(lit(1)).as("pairs"), sum(col("wj_ppm")).as("s"))
       }))
   }
 
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val only = args.drop(1).toSet // optional workload-name filter
     val results = scala.collection.mutable.Map[(String, Int), Double]()
     var names = Seq.empty[String]
     Seq(4, 8, 16, 32).foreach { cores =>
@@ -122,6 +140,7 @@ object ScaleProbe {
         .config("spark.sql.shuffle.partitions", cores)).getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       val ws = workloads(spark, d)
+        .filter { case (n, _) => only.isEmpty || only(n) }
       names = ws.map(_._1)
       ws.foreach { case (n, f) =>   // warm: codegen + listing
         f().write.mode("overwrite").format("noop").save()
