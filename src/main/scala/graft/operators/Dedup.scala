@@ -420,16 +420,13 @@ object DedupQueries {
              |  SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS w
              |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 2),
              |bgr AS (
-             |  SELECT id, u.i AS pos,
-             |         array_to_string(list_slice(w, u.i + 1, u.i + 2), ' ') AS g
+             |  SELECT id, array_to_string(list_slice(w, u.i + 1, u.i + 2), ' ') AS g
              |  FROM t, LATERAL unnest(range(0, len(w) - 1)) AS u(i)),
-             |occ AS (
-             |  SELECT id, g,
-             |         ROW_NUMBER() OVER (PARTITION BY id, g ORDER BY pos) - 1 AS o
-             |  FROM bgr),
+             |tfc AS (SELECT id, g, COUNT(*) AS tf FROM bgr GROUP BY id, g),
              |ex AS (
-             |  SELECT id, list(g || '#' || CAST(o AS VARCHAR)) AS s
-             |  FROM occ GROUP BY id),
+             |  SELECT id, list(g || '#' || CAST(u.j AS VARCHAR)) AS s
+             |  FROM tfc, LATERAL unnest(range(0, tf)) AS u(j)
+             |  GROUP BY id),
              |sig AS (
              |  SELECT id, list_transform(range(1, 9), k ->
              |           list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS sig
@@ -441,7 +438,6 @@ object DedupQueries {
              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
              |  FROM banded a JOIN banded b
              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-             |tfc AS (SELECT id, g, COUNT(*) AS tf FROM bgr GROUP BY id, g),
              |aa AS (SELECT c.id_a, c.id_b, t.g, t.tf FROM cand c JOIN tfc t ON t.id = c.id_a),
              |bb AS (SELECT c.id_a, c.id_b, t.g, t.tf FROM cand c JOIN tfc t ON t.id = c.id_b),
              |u2 AS (
@@ -458,23 +454,26 @@ object DedupQueries {
   /** The d_wminhash_md5 pipeline over an arbitrary (doc_id, text)
     * frame (unsorted — the QueryDef adds the oracle's ORDER BY; the
     * ScaleProbe soak aggregates instead). See the QueryDef comment for
-    * the expansion identity and scale shape. */
+    * the expansion identity and scale shape. The expansion set
+    * {(g, 0..tf-1)} does NOT depend on which occurrence gets which
+    * index, so it comes from the tf aggregate (which the verification
+    * stage needs anyway) instead of a per-position rank — one
+    * map-combined shuffle instead of a window sort plus a separate tf
+    * pass, and the tf table is the single checkpointed artifact. */
   def wminhashMd5On(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bg = docs
+    val tf = docs
       .select(col("doc_id").as("id"),
         expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("id"), posexplode(expr(
+      .select(col("id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
-        .as(Seq("pos", "g")))
-      // explicit count, or AQE coalesces it back to one partition
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .localCheckpoint()
-    val ex = bg
-      .withColumn("o", row_number()
-        .over(Window.partitionBy(col("id"), col("g")).orderBy(col("pos"))) - 1)
-      .select(col("id"), expr("concat(g, '#', CAST(o AS STRING))").as("x"))
+        .as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the expansion AND the verification
+    val ex = tf
+      .select(col("id"), explode(expr(
+        "transform(sequence(CAST(0 AS BIGINT), tf - 1), j -> concat(g, '#', CAST(j AS STRING)))"))
+        .as("x"))
       .groupBy(col("id")).agg(collect_list(col("x")).as("s"))
     val banded = ex
       .select(col("id"), expr(
@@ -490,7 +489,6 @@ object DedupQueries {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val tf = bg.groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
     val a = cand.join(tf, col("id_a") === tf("id"))
       .select(col("id_a"), col("id_b"), col("g"), col("tf").as("tf_a"))
     val b = cand.join(tf, col("id_b") === tf("id"))

@@ -1115,7 +1115,12 @@ object PipelineQueries {
     // -----------------------------------------------------------------
     QueryDef("e_gram_matrix",
       (s, d) => {
-        val x = embeddings(s, d).select(
+        val x = embeddings(s, d)
+          // 2 080 products per row: spread the one-file scan (explicit
+          // count — AQE coalesces a countless repartition of this
+          // small input back to one partition)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(
           expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
             .as("e"))
         x.select(explode(expr(
