@@ -318,15 +318,33 @@ case class JsonStripKeysFused(left: Expression, right: Expression, failFast: Boo
   // same duplication-absorbing memo as the merge fusion: Catalyst copies
   // the strip into every consumer expression; last-input memoization
   // collapses the copies to one parse+strip+encode per row. The key set
-  // is almost always a literal, but memo on it anyway for correctness.
+  // is compared by CONTENT (a snapshot Array[String], like the merge
+  // fusion's byte copy) — an ArrayData instance can be reused with
+  // mutated contents across rows, so reference identity is not a safe
+  // memo key even though the keys are almost always a literal.
   @transient private lazy val lastStrip: ThreadLocal[Array[AnyRef]] =
     ThreadLocal.withInitial(() => new Array[AnyRef](3))
+
+  private def keySnapshot(
+      keys: org.apache.spark.sql.catalyst.util.ArrayData): Array[String] = {
+    val out = new Array[String](keys.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (keys.isNullAt(i)) null else keys.getUTF8String(i).toString
+      i += 1
+    }
+    out
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val tb = JsonFused.toBytes(l)
     val keys = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val keyArr = keySnapshot(keys)
     val memo = lastStrip.get()
-    if (memo(0) != null && (memo(1) eq r.asInstanceOf[AnyRef]) &&
+    if (memo(0) != null &&
+        java.util.Arrays.equals(
+          memo(1).asInstanceOf[Array[String]].asInstanceOf[Array[AnyRef]],
+          keyArr.asInstanceOf[Array[AnyRef]]) &&
         java.util.Arrays.equals(memo(0).asInstanceOf[Array[Byte]], tb)) {
       return if (memo(2) eq JsonMergePatchFused.NULL_RESULT) null else memo(2)
     }
@@ -341,14 +359,14 @@ case class JsonStripKeysFused(left: Expression, right: Expression, failFast: Boo
         case VObj(fields) =>
           val kept = fields.clone()
           var i = 0
-          while (i < keys.numElements()) {
-            if (!keys.isNullAt(i)) kept.remove(keys.getUTF8String(i).toString)
+          while (i < keyArr.length) {
+            if (keyArr(i) != null) kept.remove(keyArr(i))
             i += 1
           }
           encode(VObj(kept))
         case other => encode(other)
       }
-    memo(0) = tb.clone(); memo(1) = r.asInstanceOf[AnyRef]
+    memo(0) = tb.clone(); memo(1) = keyArr
     memo(2) = if (out == null) JsonMergePatchFused.NULL_RESULT else out
     out
   }

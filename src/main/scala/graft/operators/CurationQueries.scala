@@ -355,7 +355,7 @@ object CurationQueries {
           .toDF("doc_id", "raw_len", "bounds_ok", "roundtrip_ok")
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_len,
              |       true AS bounds_ok, true AS roundtrip_ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

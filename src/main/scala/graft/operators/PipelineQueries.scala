@@ -276,7 +276,11 @@ object PipelineQueries {
           val items = it.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
           val total = items.map(_._2).sum
           val (nf, bfd) = packBins(items, 2048L)
-          val lower = (total + 2047L) / 2048L
+          // ceil(total/cap) floored at 1 when any doc exists: a source of
+          // all-zero-token docs still opens one bin, so the raw ceil (0)
+          // would fail lower ≤ BFD spuriously. Same GREATEST on the oracle.
+          val lower = math.max((total + 2047L) / 2048L,
+            if (items.nonEmpty) 1L else 0L)
           (src, items.length.toLong, total, lower,
             lower <= bfd && bfd <= nf, nf <= 2L * lower + 1L)
         }.toDF("source", "n_docs", "total_tokens", "lower_bound",
@@ -285,7 +289,8 @@ object PipelineQueries {
       },
       Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
-             |       CAST((SUM(len(regexp_extract_all(text, '\S+'))) + 2047) // 2048 AS BIGINT) AS lower_bound,
+             |       CAST(GREATEST((SUM(len(regexp_extract_all(text, '\S+'))) + 2047) // 2048,
+             |                     CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lower_bound,
              |       true AS bfd_between_bounds, true AS nf_two_approx
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 

@@ -1360,19 +1360,28 @@ object TextQueries {
              |FROM documents WHERE doc_id < 100 ORDER BY h""".stripMargin)),
 
     // Multimodal: byte-histogram features are REAL computation (entropy,
-    // moments). Round 8: oracle-gated — the documents corpus is ASCII,
-    // so DuckDB recomputes the integer moments per character (ord ==
-    // byte value), and the float entropy rides as a bounds digest.
+    // moments). Round 8: oracle-gated. Round 9 (advisor): the oracle
+    // works in true UTF-8 BYTES — hex(encode(text)) decomposed into
+    // nibble pairs — so parity no longer silently depends on the corpus
+    // being pure ASCII (ord(char) == byte only holds there); the float
+    // entropy rides as a bounds digest.
     QueryDef("mm_features",
       (s, d) => Multimodal.blobFeatures(s, documents(s, d)),
-      Some("""WITH ch AS (
-             |  SELECT doc_id, unnest(string_split(text, '')) AS c
-             |  FROM documents),
+      Some("""WITH hx AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents),
+             |ix AS (
+             |  SELECT doc_id, h,
+             |         unnest(generate_series(1, length(h) // 2)) AS i FROM hx),
+             |bt AS (
+             |  SELECT doc_id,
+             |         16 * (strpos('0123456789abcdef', h[2*i-1]) - 1)
+             |           + (strpos('0123456789abcdef', h[2*i]) - 1) AS b
+             |  FROM ix),
              |cnt AS (
-             |  SELECT doc_id, ord(c) AS b, CAST(count(*) AS BIGINT) AS n
-             |  FROM ch GROUP BY 1, 2)
+             |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+             |  FROM bt GROUP BY 1, 2)
              |SELECT d.doc_id,
-             |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+             |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
              |       CAST(COALESCE(g.byte_sum, 0) AS BIGINT) AS byte_sum,
              |       CAST(COALESCE(g.distinct_bytes, 0) AS BIGINT) AS distinct_bytes,
              |       CAST(COALESCE(g.top_byte, 0) AS BIGINT) AS top_byte,
@@ -2302,14 +2311,15 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Full decode→resize→frame-sample pipeline. Round 8: formats the
-    * container can decode for real (png — see [[decodePng]]) route
-    * through the real decoder on a deterministic synthesized image
-    * (dims content-addressed from (doc_id, n_bytes)), with a
-    * full-coverage pixel sum proving the decode ran; jpeg/webp keep the
-    * stub dims (entropy coders are out of scope without codec libs).
-    * Integer resize + integer frame digests keep every column analytic
-    * in (doc_id, octet_length), so the driver's DuckDB oracle gates the
+  /** Full decode→resize→frame-sample pipeline. Round 8: EVERY format
+    * routes through its real decoder on a deterministic synthesized
+    * image (dims content-addressed from (doc_id, n_bytes)) — png
+    * through [[decodePng]] with a full-coverage pixel sum, jpeg through
+    * [[Jpeg.decode]] on block-constant gray (bit-exact by the
+    * mm_jpeg_decode argument), webp through [[Webp.decode]] on a
+    * constant-color lossless VP8L (O(1) analytic psum). Integer resize
+    * + integer frame digests keep every column analytic in
+    * (doc_id, octet_length), so the driver's DuckDB oracle gates the
     * whole pipeline hash-exact.
     */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -246,7 +246,7 @@ private[graft] object FastJsonLex {
   /** Skip (and fully validate) one JSON value of any shape. Depth-bounded
     * like the encoding walks. */
   def skipValue(c: Cursor, depth: Int = 0): Unit = {
-    if (depth >= MAX_DEPTH) throw Miss
+    if (depth > MAX_DEPTH) throw Miss // entry depth == enclosing containers; Jackson accepts depth MAX, rejects MAX+1
     val b = c.b
     (c.peek & 0xff) match {
       case 'n' => literal(c, "null")

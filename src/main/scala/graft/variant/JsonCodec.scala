@@ -471,7 +471,7 @@ object VariantJsonCodec {
   private def fastConvertSpec(c: FastCursor, buf: ByteBuf,
                               spec: Speculation, st: SpecState,
                               depth: Int = 0): Boolean = {
-    if (depth >= FastJsonLex.MAX_DEPTH) throw FastMiss // Jackson's limit governs
+    if (depth > FastJsonLex.MAX_DEPTH) throw FastMiss // Jackson accepts depth MAX, rejects MAX+1
     val b = c.b
     (c.peek & 0xff) match {
       case 'n' => FastJsonLex.literal(c, "null"); VariantWriter.writeNull(buf); true
@@ -560,7 +560,7 @@ object VariantJsonCodec {
     * on bytes). */
   private def fastConvertStream(c: FastCursor, buf: ByteBuf, interner: KeyInterner,
                                 depth: Int = 0): Unit = {
-    if (depth >= FastJsonLex.MAX_DEPTH) throw FastMiss // Jackson's limit governs
+    if (depth > FastJsonLex.MAX_DEPTH) throw FastMiss // Jackson accepts depth MAX, rejects MAX+1
     val b = c.b
     (c.peek & 0xff) match {
       case 'n' => FastJsonLex.literal(c, "null"); VariantWriter.writeNull(buf)

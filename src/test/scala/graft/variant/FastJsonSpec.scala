@@ -184,6 +184,48 @@ class FastJsonSpec extends AnyFunSuite {
     assert(check(s"""{"$okKey": 1}"""), "50k-char key should stay on the fast path")
   }
 
+  test("cap constants pin Jackson's RUNTIME StreamReadConstraints defaults") {
+    // The fast path's contract is "never accept what Jackson rejects".
+    // The three caps + depth bound are mirrored as compile-time
+    // constants; this pin compares them against the values Jackson
+    // actually ships at RUNTIME, so a Jackson upgrade that changes its
+    // defaults fails here instead of silently drifting the contract.
+    // (A failure means: review — a LOWER Jackson cap would make the fast
+    // path accept what Jackson rejects, which is a correctness bug; a
+    // HIGHER one merely over-rejects and routes rows to the fallback.)
+    val c = com.fasterxml.jackson.core.StreamReadConstraints.defaults()
+    assert(FastJsonLex.MAX_NUM_LEN === c.getMaxNumberLength,
+      "MAX_NUM_LEN drifted from Jackson's runtime maxNumberLength")
+    assert(FastJsonLex.MAX_NAME_LEN === c.getMaxNameLength,
+      "MAX_NAME_LEN drifted from Jackson's runtime maxNameLength")
+    assert(FastJsonLex.MAX_STRING_LEN === c.getMaxStringLength,
+      "MAX_STRING_LEN drifted from Jackson's runtime maxStringLength")
+    assert(FastJsonLex.MAX_DEPTH === c.getMaxNestingDepth,
+      "MAX_DEPTH drifted from Jackson's runtime maxNestingDepth")
+  }
+
+  test("adversarial boundary corpus: depth at/over the limit, near-cap names") {
+    // depth exactly at Jackson's nesting limit: both engines accept and
+    // agree byte-for-byte (check() asserts equality when the fast path
+    // owns the row; a miss would silently weaken this, so pin the hit)
+    val d = FastJsonLex.MAX_DEPTH
+    val atLimit = "[" * d + "1" + "]" * d
+    assert(check(atLimit), s"depth-$d doc should stay on the fast path")
+    // one past the limit: the fast path must MISS (Jackson's error is
+    // the behavior) and Jackson must reject
+    val overLimit = "[" * (d + 1) + "1" + "]" * (d + 1)
+    assert(VariantJsonCodec.fastOnlyForTest(utf8(overLimit)).isLeft,
+      s"fast path accepted depth ${d + 1} > MAX_DEPTH")
+    intercept[Exception](VariantJsonCodec.fromJson(overLimit))
+    // same at object-nesting depth
+    val objOver = """{"k":""" * (d + 1) + "1" + "}" * (d + 1)
+    assert(VariantJsonCodec.fastOnlyForTest(utf8(objOver)).isLeft,
+      "fast path accepted object nesting past MAX_DEPTH")
+    // name one byte under the cap stays on the fast path, byte-identical
+    assert(check(s"""{"${"k" * (FastJsonLex.MAX_NAME_LEN - 1)}": 1}"""),
+      "cap-1 key should stay on the fast path")
+  }
+
   test("full pipeline equality on the existing corpus: fromJson(fast on) round-trips") {
     // end-to-end: text → variant → canonical JSON must equal Jackson's
     // canonical rendering of the same text (the JsonCodecSpec invariant,
