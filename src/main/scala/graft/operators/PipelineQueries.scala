@@ -1215,7 +1215,7 @@ object PipelineQueries {
     QueryDef("e_kmeans",
       (s, d) => {
         val x = ppmVecs(s, d)
-        kmAssign(x, lloyd(x, iters = 2)).orderBy(col("vec_id"))
+        kmAssign(x, lloydFull(s, d)).orderBy(col("vec_id"))
       },
       Some(kmeansChain(iters = 2, k = 4, off = KmOff) +
         "\nSELECT vec_id, cid, dist FROM a3 ORDER BY vec_id")),
@@ -1237,7 +1237,7 @@ object PipelineQueries {
     QueryDef("e_ivf_exact",
       (s, d) => {
         val x = ppmVecs(s, d)
-        val cent = lloyd(x, iters = 2).localCheckpoint()
+        val cent = lloydFull(s, d)
         val cells = kmAssign(x, cent).select(col("vec_id"), col("cid"))
         val pw = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
         val probeCells = centDists(x.filter(col("vec_id") < 10), cent)
@@ -1300,13 +1300,15 @@ object PipelineQueries {
     QueryDef("e_lsh_exact",
       (s, d) => {
         val x = ppmVecs(s, d)
-        val sg = x.select(col("vec_id"), col("e"), expr(
-          """aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, j) -> acc + IF(
-            |  aggregate(sequence(0, size(e) - 1), CAST(0 AS BIGINT), (a, i) -> a + CASE
-            |    WHEN ((CAST(i * 8 + j + 1 AS BIGINT) * CAST(2654435761 AS BIGINT)) div 65536) % 2 = 0
-            |    THEN e[i] ELSE -e[i] END) >= 0,
-            |  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin).as("sig"))
-          .localCheckpoint() // feeds probe buckets AND the candidate join
+        val sg = StageArtifacts.cached(s, s"lsh_sig#$d") {
+          x.select(col("vec_id"), col("e"), expr(
+            """aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, j) -> acc + IF(
+              |  aggregate(sequence(0, size(e) - 1), CAST(0 AS BIGINT), (a, i) -> a + CASE
+              |    WHEN ((CAST(i * 8 + j + 1 AS BIGINT) * CAST(2654435761 AS BIGINT)) div 65536) % 2 = 0
+              |    THEN e[i] ELSE -e[i] END) >= 0,
+              |  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin).as("sig"))
+            .localCheckpoint() // the bucket index: probe buckets AND the candidate join
+        }
         val pb = sg.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"),
             explode(expr("transform(array(0, 1, 2, 4, 8), m -> sig ^ m)")).as("pb"))
@@ -1375,8 +1377,10 @@ object PipelineQueries {
     QueryDef("e_sq8_exact",
       (s, d) => {
         val x = ppmVecs(s, d)
-        val xp = x.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "xv")))
-          .localCheckpoint() // feeds stats, codes, and probe sides
+        val xp = StageArtifacts.cached(s, s"sq8_xp#$d") {
+          x.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "xv")))
+            .localCheckpoint() // feeds stats, codes, and probe sides
+        }
         val stats = xp.groupBy(col("dim"))
           .agg(min(col("xv")).as("mn"), max(col("xv")).as("mx"))
         val recon = xp.join(broadcast(stats), Seq("dim"))
@@ -1439,7 +1443,7 @@ object PipelineQueries {
     QueryDef("e_semdedup_exact",
       (s, d) => {
         val x = ppmVecs(s, d)
-        val cells = kmAssign(x, lloyd(x, iters = 2)).select(col("vec_id"), col("cid"))
+        val cells = kmAssign(x, lloydFull(s, d)).select(col("vec_id"), col("cid"))
           .join(x, Seq("vec_id"))
           .localCheckpoint() // both sides of the per-cell pair join
         // salt the pair join: k is fixture-sized (4 cells), so a plain
@@ -1498,7 +1502,9 @@ object PipelineQueries {
         val x = ppmVecs(s, d)
         val parts = (0 until 4).map { m =>
           val xm = x.select(col("vec_id"), expr(s"slice(e, ${m * 16 + 1}, 16)").as("e"))
-          val cent = lloyd(xm, iters = 2)
+          val cent = StageArtifacts.cached(s, s"pq_cb#$d#$m") {
+            lloyd(xm, iters = 2).localCheckpoint() // subspace codebook = index build
+          }
           val codes = kmAssign(xm, cent)
             .select(col("vec_id"), lit(m).as("m"), col("cid"))
           val dt = centDists(xm.filter(col("vec_id") < 10), cent)
@@ -1536,15 +1542,20 @@ object PipelineQueries {
     QueryDef("e_ivfpq_exact",
       (s, d) => {
         val x = ppmVecs(s, d)
-        val cent = lloyd(x, iters = 2).localCheckpoint()
+        val cent = lloydFull(s, d)
         val cells = kmAssign(x, cent).select(col("vec_id"), col("cid"))
-        val xr = x.join(cells, "vec_id").join(cent, "cid")
-          .select(col("vec_id"), col("cid"),
-            expr("zip_with(e, c, (a, b) -> a - b)").as("e"))
-          .localCheckpoint() // residuals feed 4 trainings + 4 code passes
+        val xr = StageArtifacts.cached(s, s"ivfpq_res#$d") {
+          x.join(kmAssign(x, cent).select(col("vec_id"), col("cid")), "vec_id")
+            .join(cent, "cid")
+            .select(col("vec_id"), col("cid"),
+              expr("zip_with(e, c, (a, b) -> a - b)").as("e"))
+            .localCheckpoint() // residuals feed 4 trainings + 4 code passes
+        }
         val parts = (0 until 4).map { m =>
           val xm = xr.select(col("vec_id"), expr(s"slice(e, ${m * 16 + 1}, 16)").as("e"))
-          val cb = lloyd(xm, iters = 2).localCheckpoint() // codebook: codes + ADC tables
+          val cb = StageArtifacts.cached(s, s"ivfpq_cb#$d#$m") {
+            lloyd(xm, iters = 2).localCheckpoint() // codebook: codes + ADC tables
+          }
           val codes = kmAssign(xm, cb)
             .select(col("vec_id"), lit(m).as("m"), col("cid").as("code"))
           (cb, codes)
@@ -1653,11 +1664,21 @@ object PipelineQueries {
     * count must be EXPLICIT or AQE coalesces the small shuffle back to
     * one partition. */
   private def ppmVecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
-        .as("e"))
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .localCheckpoint()
+    StageArtifacts.cached(s, s"ppm#$d") {
+      embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+          .as("e"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .localCheckpoint()
+    }
+
+  /** Full-space 2-round Lloyd centroids over [[ppmVecs]] — the ONE
+    * training e_kmeans/e_ivf_exact/e_semdedup_exact/e_ivfpq_exact all
+    * share; built once per (session, SF) like any index. */
+  private def lloydFull(s: SparkSession, d: String): DataFrame =
+    StageArtifacts.cached(s, s"lloyd2#$d") {
+      lloyd(ppmVecs(s, d), iters = 2).localCheckpoint()
+    }
 
   /** All (vec, centroid) exact squared-L2 distances: broadcast of the k
     * tiny centroid arrays against the corpus — narrow, one fold each. */
