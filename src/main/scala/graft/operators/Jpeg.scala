@@ -10,17 +10,25 @@ package graft.operators
   * a real entropy decoder for the files the encoder writes (and any
   * spec-compliant baseline 4:4:4 file), not a stub.
   *
-  * Losslessness contract used by the `mm_jpeg_decode` oracle: with
-  * all-ones quantization tables (the encoder's choice), a block whose
-  * pixels are CONSTANT has an exactly-representable DC (8·(v−128), a
-  * dyadic rational times an integer) and mathematically-zero AC terms
-  * (cosine sums cancel; double noise ~1e-13 rounds to 0), so
-  * decode(encode(x)) == x bit-exactly for block-constant GRAY images
-  * (gray makes the YCbCr transform the identity: the Cb/Cr
-  * coefficients sum to exactly 0 and the Y coefficients to exactly 1).
+  * Exactness contracts used by the `mm_jpeg_decode` oracle:
+  *
+  *  1. Block-constant roundtrip — with all-ones quantization tables
+  *     (the encoder's choice), a block whose pixels are CONSTANT has
+  *     an exactly-representable DC (8·(v−128)) and mathematically-zero
+  *     AC terms (cosine sums cancel; double noise ~1e-13 rounds to 0),
+  *     so decode(encode(x)) == x bit-exactly for block-constant GRAY
+  *     images (gray makes the YCbCr transform the identity).
+  *  2. Non-constant-block decode (round 9) — the decoder's IDCT is
+  *     FIXED-POINT INTEGER ([[IdctTab]], single final rounding shift),
+  *     so decode(encodeJpegGrayCoeffs(F)) is a pure integer function
+  *     of the coefficients that a DuckDB oracle replays term-for-term:
+  *     real DCT content (gradient blocks, nonzero AC) goes through the
+  *     hash gate, not just the constant corner.
+  *
   * Arbitrary images round-trip within a provable error envelope
-  * (≤0.5 per quantized coefficient through the IDCT ≤ ~7.5, plus ±2
-  * color-transform rounding) — pinned in MultimodalSpec.
+  * (≤0.5 per quantized coefficient through the IDCT ≤ ~7.5, ±1 IDCT
+  * table quantization, plus ±2 color-transform rounding) — pinned in
+  * MultimodalSpec.
   */
 object Jpeg {
   /** Decoded image: pixels top-down row-major, one Int per pixel
@@ -242,25 +250,59 @@ object Jpeg {
     }
   }
 
-  /** Inverse DCT: coefficients (row-major u,v) → spatial samples. */
-  private def idct(in: Array[Double], out: Array[Double]): Unit = {
+  /** Fixed-point IDCT basis table (round 9): T(y*8+u) = round(2^15 ·
+    * (1/2) · c_u · cos((2y+1)uπ/16)), c_0 = 1/√2. PUBLIC because the
+    * mm_jpeg_decode oracle generator inlines these 64 constants so
+    * DuckDB replays the decoder's exact integer arithmetic. */
+  val IdctTab: Array[Int] = {
+    val t = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        t(y * 8 + u) =
+          math.round(32768.0 * 0.5 * cu * CosTab(y * 8 + u)).toInt
+        u += 1
+      }
+      y += 1
+    }
+    t
+  }
+
+  /** Fixed-point inverse DCT (round 9, replacing the decoder's double
+    * form): direct 64-term sum per sample in Long arithmetic with ONE
+    * final rounding shift —
+    *   out(y,x) = ((Σ_{u,v} F(u,v)·T(y,u)·T(x,v)) + 2^29) >> 30.
+    * A production decoder would use a separable AAN factorization (two
+    * 1-D passes, ~80 mults); the direct single-rounding form is chosen
+    * deliberately: a cross-engine oracle can replay it exactly — one
+    * rounding point, floor semantics shared by Scala's `>>` and
+    * DuckDB's `//` — which is what turns "JPEG decode on non-constant
+    * blocks" into a hash-exact driver gate. Deterministic on any JVM
+    * (pure integer ops). Bit-exact on block-constant input
+    * (T(·,0)²·8c + 2^29 >> 30 == c for |c| ≤ 12192, T(·,0) = 11585)
+    * and within ±1 of the real-valued IDCT elsewhere (each table entry
+    * carries ≤0.5/2^15 quantization) — the MultimodalSpec error
+    * envelope absorbs it. */
+  private def idctInt(in: Array[Int], out: Array[Int]): Unit = {
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        var s = 0.0
+        var s = 0L
         var u = 0
         while (u < 8) {
-          val cu = if (u == 0) InvSqrt2 else 1.0
-          val cy = CosTab(y * 8 + u)
+          val ty = IdctTab(y * 8 + u).toLong
           var v = 0
           while (v < 8) {
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            s += cu * cv * in(u * 8 + v) * cy * CosTab(x * 8 + v); v += 1
+            val f = in(u * 8 + v)
+            if (f != 0) s += f * ty * IdctTab(x * 8 + v)
+            v += 1
           }
           u += 1
         }
-        out(y * 8 + x) = 0.25 * s
+        out(y * 8 + x) = ((s + (1L << 29)) >> 30).toInt
         x += 1
       }
       y += 1
@@ -360,27 +402,7 @@ object Jpeg {
       val (dcC, dcL, acC, acL) =
         if (comp == 0) (dcLumC, dcLumL, acLumC, acLumL)
         else (dcChrC, dcChrL, acChrC, acChrL)
-      val diff = quant(0) - prevDc(comp)
-      prevDc(comp) = quant(0)
-      val cat = magnitudeCategory(diff)
-      bwr.write(dcC(cat), dcL(cat))
-      if (cat > 0) bwr.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
-      var run = 0
-      var kk = 1
-      while (kk < 64) {
-        val v = quant(kk)
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) { bwr.write(acC(0xf0), acL(0xf0)); run -= 16 }
-          val sz = magnitudeCategory(v)
-          val sym = (run << 4) | sz
-          bwr.write(acC(sym), acL(sym))
-          bwr.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
-          run = 0
-        }
-        kk += 1
-      }
-      if (run > 0) bwr.write(acC(0x00), acL(0x00)) // EOB
+      prevDc(comp) = writeEntropyBlock(bwr, quant, prevDc(comp), dcC, dcL, acC, acL)
     }
 
     var by = 0
@@ -390,6 +412,91 @@ object Jpeg {
         encodeBlock(yP, bx, by, 0)
         encodeBlock(cbP, bx, by, 1)
         encodeBlock(crP, bx, by, 2)
+        bx += 1
+      }
+      by += 1
+    }
+    bwr.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Entropy-encode one ZIGZAG-ordered quantized block (T.81 F.1.2):
+    * DC as diff-from-previous in its magnitude category, AC as
+    * run/size pairs with ZRL and EOB. Returns the block's DC value
+    * (the caller's next prevDc). Shared by the pixel-domain encoder
+    * and [[encodeJpegGrayCoeffs]]. */
+  private def writeEntropyBlock(bwr: BitWriter, quant: Array[Int], prevDc: Int,
+      dcC: Array[Int], dcL: Array[Int], acC: Array[Int], acL: Array[Int]): Int = {
+    val diff = quant(0) - prevDc
+    val cat = magnitudeCategory(diff)
+    bwr.write(dcC(cat), dcL(cat))
+    if (cat > 0) bwr.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+    var run = 0
+    var kk = 1
+    while (kk < 64) {
+      val v = quant(kk)
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) { bwr.write(acC(0xf0), acL(0xf0)); run -= 16 }
+        val sz = magnitudeCategory(v)
+        val sym = (run << 4) | sz
+        bwr.write(acC(sym), acL(sym))
+        bwr.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      kk += 1
+    }
+    if (run > 0) bwr.write(acC(0x00), acL(0x00)) // EOB
+    quant(0)
+  }
+
+  /** Write a baseline 1-component (grayscale) JFIF file directly from
+    * QUANTIZED DCT coefficients under all-ones quant tables:
+    * `coef(bx, by)` returns each block's 64 NATURAL-order (u*8+v)
+    * values. This is the DCT-domain construction a transcoder uses —
+    * and the fixture side of the mm_jpeg_decode non-constant-block
+    * exactness pin: baseline entropy coding is exactly invertible, so
+    * decode(encodeJpegGrayCoeffs(F)) is precisely the fixed-point IDCT
+    * of F — a pure integer function the DuckDB oracle replays from
+    * [[IdctTab]]. Dims must be multiples of 8; coefficient magnitudes
+    * must fit their huffman categories (|DC diff| < 2048, |AC| < 1024).
+    */
+  def encodeJpegGrayCoeffs(width: Int, height: Int,
+      coef: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0 &&
+      width <= 0xffff && height <= 0xffff, "jpeg: dims must be 8-multiples")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); w16(16) // APP0 JFIF
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => w8(c.toInt))
+    w16(0x0101); w8(0); w16(1); w16(1); w8(0); w8(0)
+    marker(0xdb); w16(2 + 65); w8(0); (0 until 64).foreach(_ => w8(1)) // all-ones DQT
+    marker(0xc0); w16(8 + 3); w8(8); w16(height); w16(width); w8(1)
+    w8(1); w8(0x11); w8(0) // one component, 1x1, quant 0
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); w16(2 + 1 + 16 + vals.length); w8((cls << 4) | id)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    marker(0xda); w16(6 + 2); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0) // SOS
+    val (dcC, dcL) = buildEncodeTable(DcLumBits, DcLumVals)
+    val (acC, acL) = buildEncodeTable(AcLumBits, AcLumVals)
+    val bwr = new BitWriter(out)
+    val quant = new Array[Int](64)
+    var prevDc = 0
+    var by = 0
+    while (by < height / 8) {
+      var bx = 0
+      while (bx < width / 8) {
+        val cf = coef(bx, by)
+        require(cf.length == 64, "jpeg: coefficient block must have 64 entries")
+        var k = 0
+        while (k < 64) { quant(k) = cf(Zigzag(k)); k += 1 }
+        prevDc = writeEntropyBlock(bwr, quant, prevDc, dcC, dcL, acC, acL)
         bx += 1
       }
       by += 1
@@ -519,8 +626,8 @@ object Jpeg {
     val bh = (height + 7) / 8
     val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
     val br = new BitReader(bytes, scanStart)
-    val coefs = new Array[Double](64)
-    val spatial = new Array[Double](64)
+    val coefs = new Array[Int](64)
+    val spatial = new Array[Int](64)
     val prevDc = new Array[Int](nComp)
 
     var by = 0
@@ -535,11 +642,11 @@ object Jpeg {
           val dcDec = dcTables(c.dcTable)
           val acDec = acTables(c.acTable)
           require(dcDec != null && acDec != null, "jpeg: missing huffman table")
-          java.util.Arrays.fill(coefs, 0.0)
+          java.util.Arrays.fill(coefs, 0)
           val cat = dcDec.decode(br)
           val diff = extend(br.receive(cat), cat)
           prevDc(ci) += diff
-          coefs(Zigzag(0)) = prevDc(ci).toDouble * q(0)
+          coefs(Zigzag(0)) = prevDc(ci) * q(0)
           var k = 1
           var eob = false
           while (k < 64 && !eob) {
@@ -551,17 +658,19 @@ object Jpeg {
             } else {
               k += run
               require(k < 64, "jpeg: AC index overflow")
-              coefs(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * q(k)
+              coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
               k += 1
             }
           }
-          idct(coefs, spatial)
+          idctInt(coefs, spatial)
           val plane = planes(ci)
           var j = 0
           while (j < 8) {
             var i = 0
             while (i < 8) {
-              plane((by * 8 + j) * (bw * 8) + bx * 8 + i) = clamp255(spatial(j * 8 + i) + 128.0)
+              val v = spatial(j * 8 + i) + 128
+              plane((by * 8 + j) * (bw * 8) + bx * 8 + i) =
+                if (v < 0) 0 else if (v > 255) 255 else v
               i += 1
             }
             j += 1

@@ -217,6 +217,70 @@ object TextQueries {
       |       CAST(d.n_tokens - COALESCE(c.covered, 0) AS BIGINT) AS kept_tokens
       |FROM docs d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Generated oracle for mm_jpeg_decode (round 9): the block-constant
+    * roundtrip columns stay analytic in doc_id (round 8); the gradient
+    * columns replay the decoder's FIXED-POINT IDCT term-for-term —
+    * pixel v = ((Σ F·T(py,u)·T(px,v)) + 2^29) // 2^30 + 128 over the
+    * fixture's four nonzero coefficients, with the 64-entry
+    * [[Jpeg.IdctTab]] inlined as a list literal (the d_hits generated-
+    * oracle discipline: one Scala source of truth for the constants on
+    * both engines). `//` floors in DuckDB exactly as `>> 30` floors in
+    * the decoder. A `def`: object-initialization order (the KmOff
+    * lesson) — `all` initializes before ordinary vals. */
+  private def jpegDecodeOracle: String = {
+    val t = Jpeg.IdctTab.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+       |  FROM documents WHERE doc_id < 200),
+       |tt AS (SELECT $t AS t),
+       |bx0 AS (
+       |  SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS bx FROM d),
+       |bxy AS (
+       |  SELECT doc_id, bw, bh, bx, unnest(generate_series(0, bh - 1)) AS by FROM bx0),
+       |s AS (
+       |  SELECT doc_id, bw, bh,
+       |         SUM(192 * ((bx * 37 + by * 59 + doc_id) % 256)) AS psum
+       |  FROM bxy GROUP BY 1, 2, 3),
+       |cf AS (
+       |  SELECT doc_id, bw, bh, bx, by,
+       |         CAST(8 * ((doc_id + 3 * bx + 5 * by) % 25) - 96 AS BIGINT) AS f00,
+       |         CAST((doc_id + bx) % 9 - 4 AS BIGINT) AS f01,
+       |         CAST((doc_id + by) % 7 - 3 AS BIGINT) AS f10,
+       |         CAST((doc_id + bx + by) % 5 - 2 AS BIGINT) AS f22
+       |  FROM bxy),
+       |px0 AS (SELECT cf.*, unnest(generate_series(0, 7)) AS px FROM cf),
+       |pxy AS (SELECT px0.*, unnest(generate_series(0, 7)) AS py FROM px0),
+       |pv AS (
+       |  -- the +32*2^30 / -32 offset makes the numerator non-negative
+       |  -- (|S| < 16*2^30 for this fixture's coefficient ranges), so
+       |  -- DuckDB's truncating // equals the decoder's flooring >> 30
+       |  -- on every pixel (the KmOff discipline)
+       |  SELECT p.doc_id, p.bw, p.bh, p.bx, p.by, p.px, p.py,
+       |         LEAST(255, GREATEST(0,
+       |           (p.f00 * t[py * 8 + 1] * t[px * 8 + 1]
+       |          + p.f01 * t[py * 8 + 1] * t[px * 8 + 2]
+       |          + p.f10 * t[py * 8 + 2] * t[px * 8 + 1]
+       |          + p.f22 * t[py * 8 + 3] * t[px * 8 + 3]
+       |          + 536870912 + 34359738368) // 1073741824 - 32 + 128)) AS v
+       |  FROM pxy p, tt),
+       |g AS (
+       |  SELECT doc_id, SUM(3 * v) AS gsum,
+       |         MAX(CASE WHEN bx = 0 AND by = 0 AND px = 0 AND py = 0
+       |                  THEN v END) AS gtl,
+       |         MAX(CASE WHEN bx = bw - 1 AND by = bh - 1 AND px = 7 AND py = 7
+       |                  THEN v END) AS gbr
+       |  FROM pv GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.bw * 8 AS BIGINT) AS w, CAST(s.bh * 8 AS BIGINT) AS h,
+       |       CAST(s.psum AS BIGINT) AS pixel_sum,
+       |       CAST(s.doc_id % 256 AS BIGINT) AS top_left_gray,
+       |       CAST(((s.bw - 1) * 37 + (s.bh - 1) * 59 + s.doc_id) % 256 AS BIGINT)
+       |         AS bottom_right_gray,
+       |       CAST(g.gsum AS BIGINT) AS grad_pixel_sum,
+       |       CAST(g.gtl AS BIGINT) AS grad_top_left,
+       |       CAST(g.gbr AS BIGINT) AS grad_bottom_right
+       |FROM s JOIN g USING (doc_id) ORDER BY s.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("d_token_stats",
@@ -1660,17 +1724,22 @@ object TextQueries {
              |       CAST(((w - 1) * 3 + (h - 1) * 17 + 3 * doc_id) % 256 AS BIGINT) AS bottom_right_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
-    // REAL JPEG decode (round 8): encode→decode baseline-sequential
-    // JFIF (ITU T.81: forward/inverse DCT, standard Annex-K huffman
-    // tables, 0xFF byte stuffing, YCbCr 4:4:4) with zero codec
-    // dependencies — see graft.operators.Jpeg. The fixture images are
-    // BLOCK-CONSTANT GRAY, which makes the lossy codec exactly
-    // invertible (constant 8x8 blocks have a dyadic-exact DC and
-    // mathematically-zero AC under the encoder's all-ones quant
-    // tables; gray makes the YCbCr transform the identity), so dims,
-    // corner pixels and the full-coverage pixel_sum are analytic in
-    // doc_id and DuckDB states them exactly. Lossy-path error bounds
-    // for ARBITRARY images are pinned in MultimodalSpec.
+    // REAL JPEG decode (round 8; extended round 9): zero-dependency
+    // baseline-sequential JFIF codec — graft.operators.Jpeg. TWO
+    // exactness pins per doc:
+    //  1. Block-constant-gray encode→decode roundtrip (round 8): under
+    //     all-ones quant tables constant blocks have a dyadic-exact DC
+    //     and mathematically-zero AC, so the full RGB pipeline is
+    //     bit-exact and pixel_sum analytic in doc_id.
+    //  2. NON-CONSTANT blocks (round 9): a grayscale file built
+    //     DIRECTLY in the DCT domain (encodeJpegGrayCoeffs: DC gradient
+    //     + three nonzero AC coefficients per block, varying per
+    //     doc/block) goes through the full entropy decoder and the
+    //     FIXED-POINT integer IDCT — whose single-rounding arithmetic
+    //     the generated oracle replays term-for-term with Jpeg.IdctTab
+    //     inlined, so real DCT content is hash-exact, not just the
+    //     constant corner. Lossy-path error bounds for arbitrary
+    //     pixel-domain images stay pinned in MultimodalSpec.
     QueryDef("mm_jpeg_decode",
       (s, d) => {
         import s.implicits._
@@ -1690,29 +1759,33 @@ object TextQueries {
             img.pixels.foreach { p =>
               psum += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
             }
+            // gradient DCT content: 4 nonzero coefficients per block
+            // (natural order: DC, (0,1)=idx 1, (1,0)=idx 8, (2,2)=idx 18)
+            def coef(bx: Int, by: Int): Array[Int] = {
+              val f = new Array[Int](64)
+              f(0) = (8 * ((id + 3 * bx + 5 * by) % 25) - 96).toInt
+              f(1) = ((id + bx) % 9 - 4).toInt
+              f(8) = ((id + by) % 7 - 3).toInt
+              f(18) = ((id + bx + by) % 5 - 2).toInt
+              f
+            }
+            val gr = Jpeg.decodeJpeg(Jpeg.encodeJpegGrayCoeffs(w, h, coef))
+            var gsum = 0L
+            gr.pixels.foreach { p =>
+              gsum += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
             (id, img.width.toLong, img.height.toLong, psum,
               (img.pixels(0) & 0xff).toLong,
-              (img.pixels(w * h - 1) & 0xff).toLong)
+              (img.pixels(w * h - 1) & 0xff).toLong,
+              gsum,
+              (gr.pixels(0) & 0xff).toLong,
+              (gr.pixels(w * h - 1) & 0xff).toLong)
           })
-          .toDF("doc_id", "w", "h", "pixel_sum", "top_left_gray", "bottom_right_gray")
+          .toDF("doc_id", "w", "h", "pixel_sum", "top_left_gray", "bottom_right_gray",
+            "grad_pixel_sum", "grad_top_left", "grad_bottom_right")
           .orderBy(col("doc_id"))
       },
-      Some("""WITH d AS (
-             |  SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
-             |  FROM documents WHERE doc_id < 200),
-             |bx AS (
-             |  SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS bx FROM d),
-             |bxy AS (
-             |  SELECT doc_id, bw, bh, bx, unnest(generate_series(0, bh - 1)) AS by FROM bx),
-             |s AS (
-             |  SELECT doc_id, bw, bh,
-             |         SUM(192 * ((bx * 37 + by * 59 + doc_id) % 256)) AS psum
-             |  FROM bxy GROUP BY 1, 2, 3)
-             |SELECT doc_id, CAST(bw * 8 AS BIGINT) AS w, CAST(bh * 8 AS BIGINT) AS h,
-             |       CAST(psum AS BIGINT) AS pixel_sum,
-             |       CAST(doc_id % 256 AS BIGINT) AS top_left_gray,
-             |       CAST(((bw - 1) * 37 + (bh - 1) * 59 + doc_id) % 256 AS BIGINT) AS bottom_right_gray
-             |FROM s ORDER BY doc_id""".stripMargin)),
+      Some(jpegDecodeOracle)),
 
     // REAL WebP decode (late round 8): encode→decode lossless VP8L
     // (RIFF container, LSB-first bitstream, canonical prefix codes;

@@ -90,6 +90,72 @@ class MediaCodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: coefficient-domain files decode to the exact fixed-point IDCT; " +
+      "integer IDCT within ±1 of the real IDCT") {
+    // independent double-precision IDCT reference (textbook formula,
+    // written here, NOT the decoder's code path)
+    def realIdct(f: Array[Int]): Array[Double] = {
+      val out = new Array[Double](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (u <- 0 until 8; v <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          s += cu * cv * f(u * 8 + v) *
+            math.cos((2 * y + 1) * u * math.Pi / 16) *
+            math.cos((2 * x + 1) * v * math.Pi / 16)
+        }
+        out(y * 8 + x) = 0.25 * s
+      }
+      out
+    }
+    // decoder-formula replica (the same arithmetic the DuckDB oracle
+    // replays from Jpeg.IdctTab)
+    def intIdct(f: Array[Int]): Array[Int] = {
+      val t = Jpeg.IdctTab
+      Array.tabulate(64) { i =>
+        val y = i / 8; val x = i % 8
+        var s = 0L
+        for (u <- 0 until 8; v <- 0 until 8)
+          s += f(u * 8 + v).toLong * t(y * 8 + u) * t(x * 8 + v)
+        ((s + (1L << 29)) >> 30).toInt
+      }
+    }
+    // table pins: DC column constant 11585 = round(2^15/2/sqrt(2))
+    for (y <- 0 until 8) assert(Jpeg.IdctTab(y * 8) == 11585)
+    val coefGen = for {
+      seed <- Gen.choose(1, 1000000)
+      nz <- Gen.choose(1, 12)
+    } yield (seed, nz)
+    forAllSamples(coefGen, n = 60) { case (seed, nz) =>
+      val rnd = new scala.util.Random(seed)
+      val f = new Array[Int](64)
+      f(0) = rnd.nextInt(257) - 128 // DC keeps pixels near mid-range
+      for (_ <- 0 until nz) f(1 + rnd.nextInt(63)) = rnd.nextInt(61) - 30
+      // (a) integer IDCT within ±1 of the real-valued IDCT: the table
+      // quantization bound the Jpeg scaladoc claims
+      val ri = realIdct(f); val ii = intIdct(f)
+      for (i <- 0 until 64)
+        assert(math.abs(ii(i) - ri(i)) <= 1.0,
+          s"idct drift ${ii(i)} vs ${ri(i)} at $i")
+      // (b) entropy coding is exactly invertible: a 2x1-block file of
+      // these coefficients decodes to precisely the formula's pixels
+      val f2 = f.clone(); f2(0) = f(0) - 16 // second block: DC diff path
+      val blocks = Array(f, f2)
+      val img = Jpeg.decodeJpeg(
+        Jpeg.encodeJpegGrayCoeffs(16, 8, (bx, _) => blocks(bx)))
+      assert(img.width == 16 && img.height == 8)
+      for ((blk, bx) <- blocks.zipWithIndex) {
+        val expect = intIdct(blk)
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val e = math.max(0, math.min(255, expect(y * 8 + x) + 128))
+          val got = img.pixels(y * 16 + bx * 8 + x) & 0xff
+          assert(got == e, s"block $bx ($x,$y): $got != $e")
+        }
+      }
+    }
+  }
+
   test("WAV: arbitrary PCM16 sample runs round-trip bit-exactly") {
     val wavGen = for {
       n <- Gen.choose(1, 400)
