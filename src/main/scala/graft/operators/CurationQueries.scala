@@ -234,6 +234,31 @@ object CurationQueries {
              |QUALIFY rank <= 20
              |ORDER BY rank""".stripMargin)),
     // -----------------------------------------------------------------
+    // BPE tokenizer TRAINING (round 9 — completes the family: d_bpe_merge
+    // mines ONE round's candidates, d_bpe_apply applies a fixed table;
+    // this lane runs the full iterative loop): 6 merge rounds, each =
+    // mine pair counts over the CURRENT tokenization → argmax under
+    // (count DESC, pair ASC) → re-tokenize every word with a single
+    // left-to-right pass. Training runs on the (word, freq) TYPE table
+    // (the classical BPE working set — vocabulary-sized, not
+    // corpus-sized), so at 100 TB each round is one map-combined
+    // pair-count shuffle + a 1-row broadcast argmax + a narrow
+    // re-tokenize map; per-round localCheckpoint bounds lineage (the
+    // d_hits discipline). Re-tokenization uses the doubled-space
+    // replace trick — wrap, double every space, replace ' a  b ' with
+    // ' ab ', collapse — whose non-overlapping left-to-right semantics
+    // BOTH engines share and which provably equals the canonical
+    // single-pass list merge (PipelineSpec replays a list-based
+    // reference). Per round the lane emits the merged pair, its count
+    // at selection time, post-merge token/vocab totals, and an md5
+    // digest of the ENTIRE tokenization — so the oracle gate certifies
+    // every round's re-tokenization byte-for-byte, not just the winner.
+    // -----------------------------------------------------------------
+    QueryDef("d_bpe_train",
+      (s, d) => bpeTrain(s, documents(s, d), BpeTrainRounds),
+      Some(bpeTrainOracle(BpeTrainRounds))),
+
+    // -----------------------------------------------------------------
     // RAKE-style keyword extraction: candidate phrases are maximal
     // stopword-free token runs; each word's weight is deg/freq over the
     // phrase corpus (deg = sum of lengths of phrases containing the
@@ -524,5 +549,100 @@ object CurationQueries {
              |       true AS mean_under_60k,
              |       true AS max_under_350k""".stripMargin))
   )
+
+  /** Merge rounds for d_bpe_train. MUST stay a compile-time constant
+    * (`final`, no type annotation): `all` above initializes before
+    * ordinary vals in this object (the KmOff lesson). */
+  final val BpeTrainRounds = 6
+
+  /** The d_bpe_train re-tokenize expression (both engines): wrap cur in
+    * spaces, double every space, replace ' pa  pb ' with ' papb ',
+    * collapse runs, trim. Non-overlapping left-to-right replace — the
+    * canonical single-pass BPE merge (see PipelineSpec's list-based
+    * replay). `pa`/`pb` are column references in scope. */
+  private def retokExpr(collapseFlag: String): String =
+    // Spark's regexp_replace is global by default; DuckDB needs 'g'
+    s"trim(regexp_replace(replace(replace(concat(' ', cur, ' '), ' ', '  '), " +
+      s"concat(' ', pa, '  ', pb, ' '), concat(' ', pa, pb, ' ')), ' +', ' '$collapseFlag))"
+
+  /** Iterative BPE training over the corpus word-type table: `k` rounds
+    * of (pair-count aggregate → 1-row broadcast argmax → narrow
+    * re-tokenize), emitting one certification row per round. See the
+    * QueryDef comment for the scale shape.
+    */
+  def bpeTrain(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    var cur = docs
+      .select(explode(TextAnalysis.tokens("text")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(col("tok").as("word"), col("freq"),
+        expr("array_join(regexp_extract_all(tok, '.', 0), ' ')").as("cur"))
+      .repartition(s.sparkContext.defaultParallelism, col("word"))
+      .localCheckpoint()
+    val rounds = (1 to k).map { r =>
+      val best = cur
+        .filter(size(split(col("cur"), " ")) >= 2)
+        .select(col("freq"), split(col("cur"), " ").as("t"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> named_struct('pa', element_at(t, i + 1), 'pb', element_at(t, i + 2)))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1)
+        .localCheckpoint()
+      cur = cur.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+        .select(col("word"), col("freq"), expr(retokExpr("")).as("cur"))
+        .localCheckpoint()
+      val stats = cur.agg(
+        sum(col("freq") * size(split(col("cur"), " "))).as("n_tokens"),
+        expr("md5(concat_ws(';', transform(array_sort(collect_list(struct(word, cur))), " +
+          "x -> concat(x.word, ':', x.cur))))").as("tok_digest"))
+      val vocab = cur.select(explode(split(col("cur"), " ")).as("t"))
+        .agg(countDistinct(col("t")).as("vocab_size"))
+      best.crossJoin(stats).crossJoin(vocab)
+        .select(lit(r.toLong).as("round"), col("pa"), col("pb"), col("n"),
+          col("n_tokens"), col("vocab_size"), col("tok_digest"))
+    }
+    rounds.reduce(_ union _).orderBy(col("round"))
+  }
+
+  /** Generated DuckDB oracle for d_bpe_train: the per-round (mine,
+    * argmax, re-tokenize, certify) CTE chain is emitted for `k` rounds
+    * — one Scala source of truth for the update rule on both engines
+    * (the d_hits discipline). */
+  private def bpeTrainOracle(k: Int): String = {
+    val head =
+      """WITH w0 AS (
+        |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |         array_to_string(regexp_extract_all(tok, '.'), ' ') AS cur
+        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+        |  GROUP BY tok)""".stripMargin
+    val steps = (1 to k).map { r =>
+      val rtk = "trim(regexp_replace(replace(replace(' ' || cur || ' ', ' ', '  '), " +
+        s"' ' || b$r.pa || '  ' || b$r.pb || ' ', ' ' || b$r.pa || b$r.pb || ' '), " +
+        "' +', ' ', 'g'))"
+      s"""p$r AS (
+         |  SELECT s.t[u.i] AS pa, s.t[u.i + 1] AS pb, CAST(SUM(s.freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, string_split(cur, ' ') AS t FROM w${r - 1}) s,
+         |       LATERAL unnest(range(1, len(s.t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+         |w$r AS (SELECT word, freq, $rtk AS cur FROM w${r - 1}, b$r),
+         |s$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, b$r.pa, b$r.pb, b$r.n,
+         |         (SELECT CAST(SUM(freq * len(string_split(cur, ' '))) AS BIGINT)
+         |          FROM w$r) AS n_tokens,
+         |         (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM
+         |            (SELECT unnest(string_split(cur, ' ')) AS t FROM w$r)) AS vocab_size,
+         |         (SELECT md5(string_agg(word || ':' || cur, ';' ORDER BY word))
+         |          FROM w$r) AS tok_digest
+         |  FROM b$r)""".stripMargin
+    }
+    s"""$head,
+       |${steps.mkString(",\n")}
+       |${(1 to k).map(r => s"SELECT * FROM s$r").mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
 }
 

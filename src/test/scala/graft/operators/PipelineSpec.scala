@@ -544,4 +544,57 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(differs, "IVFADC ranking equals exact ranking on every probe — vacuous")
   }
+
+  test("d_bpe_train: the string-replace merge equals the canonical " +
+      "list-based single-pass BPE on the real corpus") {
+    // in-memory reference: word types with freq, k rounds of
+    // (count adjacent pairs → argmax (n DESC, pair ASC) → single
+    // left-to-right list merge) — written with Vector surgery, no
+    // string tricks, so it is INDEPENDENT of the lane's replace-based
+    // re-tokenization
+    val words: Map[String, Long] =
+      Tables.documents(spark, TestSpark.SF)
+        .select(col("text")).collect()
+        .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    var toks: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val want = (1 to graft.operators.CurationQueries.BpeTrainRounds).map { r =>
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((w, t) <- toks; i <- 0 until t.length - 1)
+        counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + words(w)
+      val (pa, pb) = counts.keys.toSeq
+        .sortBy { case (a, b) => (-counts((a, b)), a, b) }.head
+      val n = counts((pa, pb))
+      toks = toks.map { case (w, t) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == pa && t(i + 1) == pb) {
+            out += (pa + pb); i += 2
+          } else { out += t(i); i += 1 }
+        }
+        w -> out.result()
+      }
+      val nTokens = toks.map { case (w, t) => words(w) * t.length }.sum
+      val vocab = toks.values.flatten.toSet.size.toLong
+      (r.toLong, pa, pb, n, nTokens, vocab)
+    }
+    val got = q("d_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+    // non-vacuous feedback: on a corpus dominated by 'aaaa' the second
+    // round MUST merge the token born in the first ((aa, a) or
+    // (aa, aa)) — re-tokenization feeding back into mining. (The sf
+    // fixture's first 6 merges happen to stay single-char at sf0.001,
+    // so the feedback property is pinned on a synthetic corpus; the
+    // sf0.01 driver run shows it on real data — round 6 merges m+er.)
+    val synth = Seq.fill(50)("aaaa bc").mkString(" ")
+    val sdf = spark.createDataFrame(Seq((0L, synth))).toDF("doc_id", "text")
+    val rounds = graft.operators.CurationQueries.bpeTrain(spark, sdf, 2)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(rounds(0) === ("a", "a"))
+    assert(rounds(1)._1.length > 1, s"round 2 merged ${rounds(1)} — no feedback")
+  }
 }
