@@ -443,6 +443,56 @@ object Queries {
              |       'object' AS t
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // SHREDDED-parquet variant interop (round 9): Spark 4.1 writes
+    // VariantType parquet in the SHREDDING layout by DEFAULT
+    // (typed_value subcolumns beside metadata/value — probe-verified
+    // footer: sv { metadata, value, typed_value { k { value,
+    // typed_value int64 }}}). Both engines-of-record directions:
+    //  A. OUR bytes → Spark's shredder: to_spark_variant output written
+    //     shredded, read back and extracted with SPARK'S OWN VariantGet
+    //     (NativeVariantDispatch routes the shared name there), so
+    //     Spark's PushVariantIntoScan rewrites the scan to read ONLY
+    //     the typed_value subcolumn — PlanSpec pins ReadSchema
+    //     struct<...bigint>, the shredded analogue of PushedFilters.
+    //  B. STOCK parse_json → shredded file → read back through OUR
+    //     codec (from_spark_variant + our variant_get).
+    // Equality of both extractions against the raw JSON is the gate.
+    QueryDef("v_shredded_interop",
+      (s, d) => {
+        val dirA = srcStage.computeIfAbsent(s"shredA#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_shredA_").toString
+          parsedEvents(s, d)
+            .select(col("event_id"), vf.to_spark_variant(col("v")).as("sv"))
+            .write.mode("overwrite").parquet(sd)
+          sd
+        })
+        val dirB = srcStage.computeIfAbsent(s"shredB#$d", { _ =>
+          val sd = java.nio.file.Files.createTempDirectory("graft_shredB_").toString
+          events(s, d)
+            .select(col("event_id"),
+              org.apache.spark.sql.functions.parse_json(col("props")).as("sv"))
+            .write.mode("overwrite").parquet(sd)
+          sd
+        })
+        val a = s.read.parquet(dirA)
+          .filter(vf.variant_get(col("sv"), "$.k", LongType) > 90)
+          .select(col("event_id"),
+            vf.variant_get(col("sv"), "$.k", LongType).as("k_ours_file"))
+        val b = s.read.parquet(dirB)
+          .select(col("event_id"),
+            vf.variant_get(vf.from_spark_variant(col("sv")), "$.k", LongType)
+              .as("k_stock_file"))
+        a.join(b, Seq("event_id"))
+          .select(col("event_id"), col("k_ours_file"), col("k_stock_file"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ours_file,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_stock_file
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+             |ORDER BY event_id""".stripMargin)),
+
     // variant_get over a shredded table: the rewrite rule turns both the
     // predicate and the projection into the typed v_k column, so the
     // parquet scan pushes the filter and never decodes the variant

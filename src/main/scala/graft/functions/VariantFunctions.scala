@@ -322,6 +322,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name, usage),
         builder))
     }
+    // one variant_get name over both representations: native VariantType
+    // children dispatch to Spark's builtin (keeping its shredded-scan
+    // pushdown applicable) or to from_spark_variant + our get
+    ext.injectResolutionRule(_ => NativeVariantDispatch)
     // SURVEY §4.2.2: parse+get fusion (single-pass JSON extraction)
     ext.injectOptimizerRule(_ => VariantGetFusionRule)
     // variant_get over a shredded table → direct column ref (Dremel

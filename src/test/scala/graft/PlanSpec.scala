@@ -122,6 +122,25 @@ class PlanSpec extends AnyFunSuite {
       scans.mkString("\n"))
   }
 
+  test("NATIVE shredded-parquet read prunes to the typed_value subcolumn " +
+      "with PushedFilters (v_shredded_interop direction A)") {
+    // Spark 4.1 writes VariantType parquet SHREDDED by default; with
+    // NativeVariantDispatch routing the shared variant_get name to
+    // Spark's builtin, PushVariantIntoScan must rewrite the scan to a
+    // struct of the requested typed field — never the variant blob —
+    // and push the filter to parquet on that subcolumn.
+    val scans = Queries.queryMap("v_shredded_interop")(spark, TestSpark.SF)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val shredScan = scans.find(_.contains("sv:struct<0:bigint>"))
+    assert(shredScan.isDefined,
+      s"direction-A scan did not prune to the typed subcolumn:\n${scans.mkString("\n")}")
+    assert(shredScan.get.contains("GreaterThan(sv.`0`,90)"),
+      s"filter not pushed onto the shredded subcolumn:\n${shredScan.get}")
+    // direction B reads the full variant for our codec: its scan keeps
+    // the variant type (struct<0:variant> under the same rewrite)
+    assert(scans.exists(_.contains("sv:struct<0:variant>")), scans.mkString("\n"))
+  }
+
   test("shredded pushdown does NOT fire on a type mismatch (decode semantics preserved)") {
     import graft.functions.{VariantFunctions => vf}
     import org.apache.spark.sql.types.StringType
