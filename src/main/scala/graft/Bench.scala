@@ -61,7 +61,10 @@ object Bench {
     // to survive the min. Same total work; per-query JVM/cache state at
     // each sample is the same warmed steady state either way.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = 3
+    // min-of-3 is the default record; the 10x-scale soak (BENCH_sf1)
+    // runs warm+1 — at 10x the data, pass count is noise-trimming, and
+    // the question is growth FACTORS, not +-5%.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val samples = scala.collection.mutable.Map[String, List[Double]]()
     (1 to passes).foreach { _ =>
       ordered.foreach { case (name, fn) =>
@@ -82,7 +85,7 @@ object Bench {
     val total = results.map(_._2).sum
     val loadEnd = loadavg()
     val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // The driver keeps only a short stdout tail (~2.2 KB); the detailed
     // per-query record (~2.6 KB) overruns it. Print the detailed record
     // first (for humans / the file copy), then a short total-only record

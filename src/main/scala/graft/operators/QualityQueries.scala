@@ -305,6 +305,17 @@ object QualityQueries {
     // at 100× data each type is ONE task — kept as a parity pin for the
     // row-frame semantics; the scale path is q_sliding_distinct below
     // (bitmap sketches over an (event_type, hour) pre-aggregate).
+    //
+    // DECISION (round 9, closing VERDICT r8 item 7 — FINAL): the lane
+    // is RETAINED as an oracle-gated parity pin and is weak-by-design
+    // at scale. Rationale: exact per-row trailing-frame distincts over
+    // a low-cardinality partition key are inherently single-task per
+    // key under ANY engine that preserves these semantics — the
+    // semantics, not the plan, are the ceiling. Retiring it to a
+    // spec-only pin would drop the one driver-gated row-frame
+    // collect_set coverage. Accepted perf_weak: 1, permanently;
+    // q_sliding_distinct beside it is the production path. Recorded in
+    // SURVEY §7.13 — no further re-auditing planned.
     // -----------------------------------------------------------------
     QueryDef("q_window_distinct",
       (s, d) => {
