@@ -65,6 +65,16 @@ object Tables {
     // long-lived serving session) recompiles codegen units it just ran.
     // Static conf: must be set before the first session is created.
     .config("spark.sql.codegen.cache.maxEntries", "4096")
+    // Scan-split sizing (round 9, the brief's own guidance: "size
+    // maxPartitionBytes so partitions fit executor memory at the
+    // target SF"): the fixture tables are SINGLE parquet files, so the
+    // default 128 MB split keeps every scan at sf1 (~110 MB lineitem)
+    // a single task — a serialization artifact of the local fixture
+    // layout, not of the plans (a real 10x table arrives in many
+    // splits). 16 MB splits restore scan parallelism at sf1 while
+    // leaving sf0.001-0.1 (files <= 11 MB) byte-identical: one split
+    // either way.
+    .config("spark.sql.files.maxPartitionBytes", "16m")
     // ObjectHashAggregate (the path every TypedImperativeAggregate
     // sketch takes: bitmap/count-min/bloom/KMV/top-k) falls back to
     // SORT-based aggregation after 128 distinct groups per partition —

@@ -1217,7 +1217,7 @@ object PipelineQueries {
         val x = ppmVecs(s, d)
         kmAssign(x, lloydFull(s, d)).orderBy(col("vec_id"))
       },
-      Some(kmeansChain(iters = 2, k = 4, off = KmOff) +
+      Some(kmeansChain(iters = 2, kSql = "4", off = KmOff) +
         "\nSELECT vec_id, cid, dist FROM a3 ORDER BY vec_id")),
 
     // -----------------------------------------------------------------
@@ -1259,7 +1259,7 @@ object PipelineQueries {
           .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(kmeansChain(iters = 2, k = 4, off = KmOff) +
+      Some(kmeansChain(iters = 2, kSql = "4", off = KmOff) +
         """,
           |cells AS (SELECT vec_id, cid FROM a3),
           |pc AS (
@@ -1443,15 +1443,29 @@ object PipelineQueries {
     QueryDef("e_semdedup_exact",
       (s, d) => {
         val x = ppmVecs(s, d)
-        val cells = kmAssign(x, lloydFull(s, d)).select(col("vec_id"), col("cid"))
+        // round 9 (the measured 10x soak): cell count SCALES WITH n —
+        // k = max(4, n div 1250) keeps the mean cell ~1250 vectors, so
+        // in-cell pair work grows LINEARLY with the corpus (SemDeDup's
+        // own configuration: cluster count grows with the dataset;
+        // fixed k=4 measured 48x at 10x data — pairs are n²/k). Integer
+        // div on a row count is engine-identical, and at the driver
+        // SFs (n ≤ 5000) k stays 4, so the existing oracles are
+        // byte-unchanged; the oracle recomputes the same k from
+        // COUNT(*).
+        val k = math.max(4L, embCount(s, d) / 1250L)
+        val cent =
+          if (k == 4L) lloydFull(s, d)
+          else StageArtifacts.cached(s, s"lloyd2k#$d#$k") {
+            lloyd(x, iters = 2, k = k).localCheckpoint()
+          }
+        val cells = kmAssign(x, cent).select(col("vec_id"), col("cid"))
           .join(x, Seq("vec_id"))
           .localCheckpoint() // both sides of the per-cell pair join
-        // salt the pair join: k is fixture-sized (4 cells), so a plain
-        // cid-keyed shuffle caps parallelism at k tasks — the standard
-        // skew salt (one salt per left row, right side replicated)
-        // spreads each cell's pair set across 8·k tasks. At production
-        // scale k grows ∝ √n (SemDeDup uses ~√n cells), bounding
-        // per-cell pair sets; the salt stays useful for hot cells.
+        // salt the pair join: at driver SFs k is fixture-sized (4
+        // cells), so a plain cid-keyed shuffle caps parallelism at k
+        // tasks — the standard skew salt (one salt per left row, right
+        // side replicated) spreads each cell's pair set across 8·k
+        // tasks; it stays useful for hot cells at any k.
         val a = cells.withColumn("salt", pmod(col("vec_id"), lit(8)))
         val b = cells.withColumn("salt", explode(expr("sequence(0, 7)")))
         val dup = a.as("a")
@@ -1467,7 +1481,9 @@ object PipelineQueries {
           .select(col("vec_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
           .orderBy(col("vec_id"))
       },
-      Some(kmeansChain(iters = 2, k = 4, off = KmOff) +
+      Some(kmeansChain(iters = 2,
+        kSql = "GREATEST(4, (SELECT COUNT(*) FROM embeddings) // 1250)",
+        off = KmOff) +
         """,
           |cells AS (
           |  SELECT a3.vec_id, a3.cid, q.e
@@ -1601,7 +1617,7 @@ object PipelineQueries {
     val subs = (0 until m).map { i =>
       s"""xs$i AS (SELECT vec_id, dim, x FROM xr
          |         WHERE dim >= ${i * width} AND dim < ${(i + 1) * width})""".stripMargin +
-        ",\n" + lloydCtes(2, 4, KmOff, s"_$i", s"xs$i")
+        ",\n" + lloydCtes(2, "4", KmOff, s"_$i", s"xs$i")
     }
     val codes = (0 until m)
       .map(i => s"SELECT vec_id, $i AS m, cid AS code FROM a3_$i").mkString(" UNION ALL ")
@@ -1612,7 +1628,7 @@ object PipelineQueries {
            |FROM prx p JOIN c2_$i cb ON cb.dim = p.dim
            |GROUP BY p.qid, p.cid, cb.cid""".stripMargin)
       .mkString(" UNION ALL ")
-    kmeansChain(iters = 2, k = 4, off = KmOff) +
+    kmeansChain(iters = 2, kSql = "4", off = KmOff) +
       s""",
          |xr AS (
          |  SELECT xp.vec_id, xp.dim, xp.x - c.c AS x
@@ -1673,12 +1689,20 @@ object PipelineQueries {
     }
 
   /** Full-space 2-round Lloyd centroids over [[ppmVecs]] — the ONE
-    * training e_kmeans/e_ivf_exact/e_semdedup_exact/e_ivfpq_exact all
-    * share; built once per (session, SF) like any index. */
+    * training e_kmeans/e_ivf_exact/e_ivfpq_exact (and, at driver SFs,
+    * e_semdedup_exact) all share; built once per (session, SF) like
+    * any index. */
   private def lloydFull(s: SparkSession, d: String): DataFrame =
     StageArtifacts.cached(s, s"lloyd2#$d") {
       lloyd(ppmVecs(s, d), iters = 2).localCheckpoint()
     }
+
+  /** Corpus row count per (session, SF) — sizes the scaled cell counts. */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: SparkSession, d: String): Long =
+    embCountCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d",
+      _ => java.lang.Long.valueOf(embeddings(s, d).count())).longValue()
 
   /** All (vec, centroid) exact squared-L2 distances: broadcast of the k
     * tiny centroid arrays against the corpus — narrow, one fold each. */
@@ -1700,8 +1724,8 @@ object PipelineQueries {
     * offset floor-division mean update (see KmOff); emptied clusters
     * drop out deterministically. Update = posexplode + one map-combined
     * (cid, dim) aggregate — k·d rows out per round. */
-  private def lloyd(x: DataFrame, iters: Int): DataFrame = {
-    var cent = x.filter(col("vec_id") < 4)
+  private def lloyd(x: DataFrame, iters: Int, k: Long = 4L): DataFrame = {
+    var cent = x.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("c"))
     for (_ <- 1 to iters) {
       cent = kmAssign(x, cent).join(x, "vec_id")
@@ -1732,16 +1756,16 @@ object PipelineQueries {
     * (the d_hits discipline). Ends at d{iters+1}/a{iters+1}
     * (full-corpus distances and assignment against the final
     * centroids). */
-  private def kmeansChain(iters: Int, k: Int, off: Long): String =
-    ppmHead + ",\n" + lloydCtes(iters, k, off, sfx = "", src = "xp")
+  private def kmeansChain(iters: Int, kSql: String, off: Long): String =
+    ppmHead + ",\n" + lloydCtes(iters, kSql, off, sfx = "", src = "xp")
 
   /** One Lloyd CTE chain over `src` (a (vec_id, dim, x) relation) with
     * every CTE name suffixed — e_pq_exact runs four of these, one per
     * dim-sliced subspace, next to each other in a single WITH. */
-  private def lloydCtes(iters: Int, k: Int, off: Long,
+  private def lloydCtes(iters: Int, kSql: String, off: Long,
                         sfx: String, src: String): String = {
     val head =
-      s"c0$sfx AS (SELECT vec_id AS cid, dim, x AS c FROM $src WHERE vec_id < $k)"
+      s"c0$sfx AS (SELECT vec_id AS cid, dim, x AS c FROM $src WHERE vec_id < ($kSql))"
     val steps = (1 to (iters + 1)).map { i =>
       val dist =
         s"""d$i$sfx AS (
@@ -1773,7 +1797,7 @@ object PipelineQueries {
     val subs = (0 until m).map { i =>
       s"""xs$i AS (SELECT vec_id, dim, x FROM xp
          |         WHERE dim >= ${i * width} AND dim < ${(i + 1) * width})""".stripMargin +
-        ",\n" + lloydCtes(2, 4, KmOff, s"_$i", s"xs$i")
+        ",\n" + lloydCtes(2, "4", KmOff, s"_$i", s"xs$i")
     }
     val codes = (0 until m)
       .map(i => s"SELECT vec_id, $i AS m, cid FROM a3_$i").mkString(" UNION ALL ")

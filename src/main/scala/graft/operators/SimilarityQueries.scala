@@ -522,6 +522,14 @@ object SimilarityQueries {
 
     // Embedding-cosine near-duplicate detection, blocked by label (the
     // scale path replaces `label` with an LSH/IVF bucket id).
+    // DECISION (round 9, measured 10x soak — FINAL, the
+    // q_window_distinct discipline): this lane is the brief's
+    // "brute-force cosine baseline" and is RETAINED weak-by-design.
+    // Label-blocked all-pairs is the SEMANTICS the oracle replays;
+    // with a fixed label alphabet the pair count is quadratic in the
+    // corpus (measured ~45x at 10x data). The scale paths sit beside
+    // it: e_semantic_dedup (k-means cells, cell count ∝ n) and the
+    // ANN family. No further re-auditing planned.
     QueryDef("e_cosine_near_dup",
       (s, d) => {
         val emb = embeddings(s, d)
@@ -547,9 +555,17 @@ object SimilarityQueries {
     // within-cell cosine >= 0.4 pairs drop their higher id. Cluster
     // assignment is data-dependent (k-means), so rows-only here; the
     // planted-duplicate removal guarantee is asserted in OperatorSpec.
+    // Round 9: the cell count SCALES with the corpus — max(16, n/1250)
+    // keeps mean cell size bounded so in-cell pair work grows linearly
+    // (SemDeDup's own configuration: cluster count grows with the
+    // dataset; the measured 10x soak showed fixed k going quadratic).
     QueryDef("e_semantic_dedup",
-      (s, d) => semanticDedup(embeddings(s, d), nClusters = 16, thr = 0.4,
-        indexKey = Some(d)).orderBy(col("vec_id")),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val k = math.max(16L, emb.count() / 1250L).toInt
+        semanticDedup(emb, nClusters = k, thr = 0.4,
+          indexKey = Some(d)).orderBy(col("vec_id"))
+      },
       None))
 }
 

@@ -63,7 +63,13 @@ object ScaleData {
     /** Write as a single parquet FILE at $dst/$name.parquet. */
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 8 MB row groups keep the single file SPLITTABLE: parquet
+      // parallelism is bounded by row-group count, and a default
+      // 128 MB group would make every sf1 scan a single task (the
+      // round-9 bench found exactly that).
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(part.toPath,
