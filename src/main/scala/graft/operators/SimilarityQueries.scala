@@ -474,7 +474,11 @@ object SimilarityQueries {
     // near-tie swaps past the rerank horizon cost it recall).
     QueryDef("e_ann_recall",
       (s, d) => {
+        // the brute-force ground-truth leg folds every corpus vector
+        // against each probe — spread the byte-small single-split scan
+        // before that CPU work (round-9 10x soak: 24x on one task)
         val emb = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         // 50 rows; checkpoint so three hit-joins don't re-scan the corpus

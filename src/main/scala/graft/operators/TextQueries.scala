@@ -297,6 +297,9 @@ object TextQueries {
 
     QueryDef("d_quality_score",
       (s, d) => documents(s, d)
+        // tokenize + stopword scan per doc dwarfs the byte-small scan:
+        // spread it (round-9 10x soak: 19x growth on one scan task)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("toks", tokens("text"))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("n_stop", expr(stopwordFilterSql("toks")))
@@ -508,6 +511,8 @@ object TextQueries {
     // per document (a standard low-quality-text filter).
     QueryDef("d_repetition",
       (s, d) => documents(s, d)
+        // per-doc tokenize + distinct dwarfs the scan: spread (round 9)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("toks", tokens("text"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
@@ -631,6 +636,8 @@ object TextQueries {
     // and RE2 (DuckDB) interpret identically.
     QueryDef("d_bpe_tokens",
       (s, d) => documents(s, d)
+        // the 4-alternative regex pass per doc dwarfs the scan (round 9)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           expr("CAST(size(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS BIGINT)")
             .as("n_bpe"))
@@ -695,6 +702,9 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.sql.graftbridge.Bridge
         documents(s, d)
+          // the per-doc md5 partial aggregate runs in the scan stage:
+          // spread the single-split scan first (round 9)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .groupBy(col("source"))
           .agg(Bridge.column(graft.functions.BottomKByHash(
               Bridge.expression(col("doc_id").cast("string")), 5)
@@ -2339,7 +2349,13 @@ object Multimodal {
   }
 
   private def blobs(docs: DataFrame) =
+    // every consumer runs per-doc codec work (PNG/JPEG/WebP encode +
+    // decode) that dwarfs the scan: spread the single-file scan before
+    // the CPU-heavy map (explicit count — AQE would coalesce a keyed
+    // repartition of this byte-small input back to one partition; the
+    // round-9 10x soak measured mm_pipeline 19x without it)
     docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   def blobMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
