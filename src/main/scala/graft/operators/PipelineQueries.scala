@@ -468,7 +468,10 @@ object PipelineQueries {
     // -----------------------------------------------------------------
     QueryDef("e_hard_negatives",
       (s, d) => {
+        // per-probe cosine folds dwarf the byte-small single-split scan:
+        // spread before the broadcast-probe pass (round-9 10x soak)
         val emb = embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             col("label").as("qlabel"))
