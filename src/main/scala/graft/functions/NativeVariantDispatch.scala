@@ -24,13 +24,29 @@ import org.apache.spark.sql.types.VariantType
   * before scan planning.
   */
 object NativeVariantDispatch extends Rule[LogicalPlan] {
+  private def isNative(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    e.resolved && e.dataType.isInstanceOf[VariantType]
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveExpressions {
-    case VariantGet(child, path, t, fail) if child.resolved &&
-        child.dataType.isInstanceOf[VariantType] =>
+    case VariantGet(child, path, t, fail) if isNative(child) =>
       if (VariantSchema.isVariantStruct(t))
         VariantGet(FromSparkVariant(child), path, t, fail)
       else
         new org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
           child, Literal(path), t, fail, None)
+    // the rest of the unary surface accepts native columns by
+    // conversion (byte-verbatim, so semantics are unchanged): a user
+    // switching a table to Spark's native VariantType keeps every
+    // query spelled with our function names
+    case VariantGetAll(c, path, t) if isNative(c) =>
+      VariantGetAll(FromSparkVariant(c), path, t)
+    case VariantTypeOf(c) if isNative(c) => VariantTypeOf(FromSparkVariant(c))
+    case IsVariantNull(c) if isNative(c) => IsVariantNull(FromSparkVariant(c))
+    case VariantToJson(c) if isNative(c) => VariantToJson(FromSparkVariant(c))
+    case VariantKeys(c) if isNative(c) => VariantKeys(FromSparkVariant(c))
+    case VariantSize(c) if isNative(c) => VariantSize(FromSparkVariant(c))
+    case SchemaOfVariant(c) if isNative(c) => SchemaOfVariant(FromSparkVariant(c))
+    case VariantFlatten(c) if isNative(c) => VariantFlatten(FromSparkVariant(c))
+    case VariantExplode(c) if isNative(c) => VariantExplode(FromSparkVariant(c))
   }
 }

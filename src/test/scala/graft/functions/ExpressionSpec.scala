@@ -549,4 +549,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(df.selectExpr("variant_get_all(v, '$.*', 'bigint') AS r")
       .head().getSeq[Any](0) === Seq(1L, 2L))
   }
+
+  test("NativeVariantDispatch: every unary function accepts a NATIVE VariantType column") {
+    // parse_json (Spark builtin) produces native VariantType; our SQL
+    // names must dispatch on it — concrete-typed gets to Spark's
+    // builtin, everything else through from_spark_variant conversion
+    spark.sql("""SELECT parse_json(j) AS sv FROM VALUES
+      ('{"k": 7, "a": [1, 2]}'), ('{"k": 9}') AS t(j)""")
+      .createOrReplaceTempView("native_v")
+    val r = spark.sql(
+      """SELECT variant_get(sv, '$.k', 'bigint') AS k,
+        |       variant_typeof(sv) AS t,
+        |       is_variant_null(sv) AS isn,
+        |       variant_to_json(sv) AS j,
+        |       variant_keys(sv) AS ks,
+        |       variant_size(sv) AS n,
+        |       schema_of_variant(sv) AS sch,
+        |       variant_get(sv, '$.a', 'array<bigint>') AS arr
+        |FROM native_v ORDER BY k""".stripMargin).collect()
+    assert(r(0).getLong(0) === 7L)
+    assert(r(0).getString(1) === "object")
+    assert(!r(0).getBoolean(2))
+    assert(r(0).getString(3) === """{"a":[1,2],"k":7}""")
+    assert(r(0).getSeq[String](4) === Seq("a", "k"))
+    assert(r(0).getAs[Number](5).longValue === 2L)
+    assert(r(0).getString(6).startsWith("object<"))
+    assert(r(0).getSeq[Long](7) === Seq(1L, 2L))
+    assert(r(1).getLong(0) === 9L)
+    // generators too
+    val ex = spark.sql(
+      "SELECT p.* FROM native_v, LATERAL variant_explode(sv) p WHERE variant_get(sv, '$.k', 'bigint') = 7")
+      .collect()
+    assert(ex.length === 2)
+    // our-variant default target converts and stays in our codec
+    val d = spark.sql("SELECT variant_typeof(variant_get(sv, '$.a')) AS t FROM native_v " +
+      "WHERE variant_get(sv, '$.k', 'bigint') = 7").collect()
+    assert(d(0).getString(0) === "array")
+  }
 }
