@@ -9,7 +9,11 @@ array cells) dies here instead of in CORRECTNESS_r{N}.json.
 
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/vout"
-  python3 devcheck.py /root/testdata/sf0.001 /tmp/vout
+  python3 devcheck.py /root/testdata/sf0.001 /tmp/vout [--json OUT.json] [names...]
+
+--json writes a per-query record in the driver's CORRECTNESS_r{N}.json
+shape (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) —
+used for the committed sf1 gate, CORRECTNESS_sf1.json (VERDICT r9 #1).
 
 This is a DEV tool (python/duckdb are driver-side only); the Spark-side
 half of the same contract is OracleDtypeSpec in sbt test.
@@ -48,8 +52,15 @@ def dtype_problems(name, sp: pd.DataFrame, ora: pd.DataFrame):
 
 
 def main():
-    sf, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf, outdir = argv[0], argv[1]
+    only = set(argv[2:])
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -66,6 +77,13 @@ def main():
             ok = (len(sp) == len(ora)
                   and list(sp.columns) == list(ora.columns)
                   and cell_hash(sp) == cell_hash(ora))
+            record[name] = {
+                "rows_match": len(sp) == len(ora),
+                "schema_match": list(sp.columns) == list(ora.columns),
+                "hash_match": cell_hash(sp) == cell_hash(ora),
+                "spark_rows": len(sp), "oracle_rows": len(ora),
+                "err": "; ".join(probs) if probs else None,
+            }
             if ok and not probs:
                 n_pass += 1
             else:
@@ -82,7 +100,15 @@ def main():
                             print(f"  col {c}: {sp[c][bad].iloc[0]!r} vs {ora[c][bad].iloc[0]!r}")
         except Exception as e:  # noqa: BLE001 — report and keep scanning
             n_fail += 1
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
             print(f"ERR  {name}: {type(e).__name__}: {e}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
     print(f"devcheck: {n_pass} pass, {n_fail} fail "
           f"({len(sqls) - n_pass - n_fail} skipped)")
     sys.exit(1 if n_fail else 0)

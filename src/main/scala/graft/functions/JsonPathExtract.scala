@@ -286,6 +286,9 @@ case class JsonPathExtract(
             java.nio.charset.StandardCharsets.US_ASCII))
           targetType match {
             case DoubleType => dv
+            // truncate-toward-zero, matching VariantExtract.cast
+            case LongType => dv.toLong
+            case IntegerType => Math.toIntExact(dv.toLong)
             case d: DecimalType => toDecimal(java.math.BigDecimal.valueOf(dv), d)
             case _: StringType => UTF8String.fromString(java.lang.Double.toString(dv))
             case _ => mismatch("double")
@@ -415,6 +418,11 @@ case class JsonPathExtract(
         case JsonToken.VALUE_NUMBER_FLOAT =>
           targetType match {
             case DoubleType => p.getDoubleValue
+            // non-integral → integral TRUNCATES toward zero, matching
+            // VariantExtract.cast (round-10 builtin-parity change) so
+            // fused and unfused extraction stay value-identical
+            case LongType => p.getDoubleValue.toLong
+            case IntegerType => Math.toIntExact(p.getDoubleValue.toLong)
             case d: DecimalType => toDecimal(java.math.BigDecimal.valueOf(p.getDoubleValue), d)
             // unfused: codec stores Float64, asString prints Double.toString
             case _: StringType => UTF8String.fromString(java.lang.Double.toString(p.getDoubleValue))

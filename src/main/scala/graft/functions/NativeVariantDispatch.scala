@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.VariantType
   *
   * Runs at resolution so Spark's optimizer sees its own expression
   * before scan planning.
+  *
+  * Cross-representation semantics are pinned by
+  * NativeDispatchDivergenceSpec: the same (json, path, type) must
+  * extract identically whichever route it takes (cast-on-extract incl.
+  * truncating non-integral numerics, missing paths, bracketed/quoted
+  * path segments, lenient-mode NULLs). ONE accepted divergence:
+  * decimal-to-STRING rendering — the builtin strips trailing zeros
+  * ("3"), our codec preserves stored scale ("3.0"), a recorded
+  * deviation (scale round-trips; the reference drops it,
+  * read.rs:48-54) that the DuckDB oracle lanes pin.
   */
 object NativeVariantDispatch extends Rule[LogicalPlan] {
   private def isNative(e: org.apache.spark.sql.catalyst.expressions.Expression) =

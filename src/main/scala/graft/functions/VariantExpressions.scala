@@ -113,7 +113,12 @@ object VariantExtract {
       target match {
         case LongType =>
           if (v.isLong) v.getLong
-          else if (v.isDecimal) v.getDecimal.longValueExact()
+          // non-integral numerics TRUNCATE toward zero — parity with
+          // Spark's builtin VariantGet Cast semantics (probe: 3.7 ->
+          // bigint = 3), pinned by NativeDispatchDivergenceSpec
+          else if (v.isDecimal)
+            v.getDecimal.setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+          else if (v.isDouble) v.getDouble.toLong
           else if (v.isBoolean) (if (v.getBoolean) 1L else 0L)
           else if (v.isString) v.getString.trim.toLong
           else if (v.isDictString) v.getDictKey(meta).trim.toLong
@@ -121,6 +126,23 @@ object VariantExtract {
         case IntegerType =>
           val l = cast(meta, v, LongType, failOnError)
           if (l == null) null else Math.toIntExact(l.asInstanceOf[Long])
+        case ShortType =>
+          val l = cast(meta, v, LongType, failOnError)
+          if (l == null) null
+          else {
+            val x = l.asInstanceOf[Long]
+            if (x == x.toShort.toLong) x.toShort else fail(v, target)
+          }
+        case ByteType =>
+          val l = cast(meta, v, LongType, failOnError)
+          if (l == null) null
+          else {
+            val x = l.asInstanceOf[Long]
+            if (x == x.toByte.toLong) x.toByte else fail(v, target)
+          }
+        case FloatType =>
+          val d = cast(meta, v, DoubleType, failOnError)
+          if (d == null) null else d.asInstanceOf[Double].toFloat
         case DoubleType =>
           if (v.isDouble) v.getDouble
           else if (v.isLong) v.getLong.toDouble
@@ -160,6 +182,49 @@ object VariantExtract {
             (v.typeInfo == VariantConst.P_TIMESTAMP || v.typeInfo == VariantConst.P_TIMESTAMP_NTZ))
             v.getTimestampMicros
           else fail(v, target)
+        case ArrayType(elem, _) =>
+          // element-wise recursive cast — parity with Spark's builtin
+          // VariantGet array targets (NativeDispatchDivergenceSpec)
+          if (!v.isArray) fail(v, target)
+          else {
+            val a = v.getArray
+            val n = a.numElements
+            val out = new Array[Any](n)
+            var i = 0
+            while (i < n) { out(i) = cast(meta, a.elementAt(i), elem, failOnError); i += 1 }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+          }
+        case MapType(_: StringType, valueType, _) =>
+          if (!v.isObject) fail(v, target)
+          else {
+            val o = v.getObject
+            val n = o.numElements
+            val ks = new Array[Any](n)
+            val vs = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              ks(i) = UTF8String.fromString(meta.getKey(o.fieldIdAt(i)))
+              vs(i) = cast(meta, o.valueAt(i), valueType, failOnError)
+              i += 1
+            }
+            org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+          }
+        case st: StructType => // non-variant struct target: match by name
+          if (!v.isObject) fail(v, target)
+          else {
+            val o = v.getObject
+            val out = new Array[Any](st.length)
+            var i = 0
+            while (i < st.length) {
+              val id = meta.findKey(st(i).name)
+              val fv = if (id < 0) null else o.getField(id)
+              out(i) =
+                if (fv == null) null
+                else cast(meta, fv, st(i).dataType, failOnError)
+              i += 1
+            }
+            new GenericInternalRow(out)
+          }
         case other =>
           throw new UnsupportedOperationException(
             s"variant_get target type not supported: ${other.simpleString}")

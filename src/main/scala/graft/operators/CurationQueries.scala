@@ -17,28 +17,18 @@ import graft.functions.{VariantFunctions => vf}
   */
 object CurationQueries {
 
-  /** Shingled-corpus cache (index-build amortization — same model as
-    * TextQueries.shingleCache / ivfModelCache). */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  /** df-ranked token index for the containment join (see
-    * [[rankedTokens]]) — index-build amortization, same model. */
-  private val rankedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  /** Shingle-blocked near-dup pair set for the NCD verifier — index
-    * build, same amortization model. */
-  private val ncdPairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Index-build artifacts (shingled corpus, df-ranked token index, NCD
+  // pair set) live in StageArtifacts: unique session tags + eviction on
+  // ApplicationEnd (round-10 ADVICE fix replacing the per-file maps).
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    shingleCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ =>
+    StageArtifacts.cached(s, s"curShingle#$d") {
       documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           array_distinct(vf.shingle_tokens(col("text"), 3)).as("toks"))
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   /** The DuckDB 3-gram builder shared by every oracle in this file
     * (mirrors d_prefix_join's proven construction). */
@@ -182,9 +172,9 @@ object CurationQueries {
     QueryDef("d_containment_join",
       (s, d) => {
         val docs = shingled(s, d).filter(size(col("toks")) >= 4)
-        val ranked = rankedCache.computeIfAbsent(
-          s"${System.identityHashCode(s)}#$d",
-          _ => rankedTokens(docs).localCheckpoint())
+        val ranked = StageArtifacts.cached(s, s"curRanked#$d") {
+          rankedTokens(docs).localCheckpoint()
+        }
         containmentJoinRanked(docs, ranked, 9, 10)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -405,11 +395,11 @@ object CurationQueries {
     QueryDef("d_ncd_pairs",
       (s, d) => {
         import s.implicits._
-        val pairs = ncdPairCache.computeIfAbsent(
-          s"${System.identityHashCode(s)}#$d",
-          _ => TextQueries.prefixSimilarityJoin(shingled(s, d), 7, 10)
+        val pairs = StageArtifacts.cached(s, s"curNcdPairs#$d") {
+          TextQueries.prefixSimilarityJoin(shingled(s, d), 7, 10)
             .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-            .localCheckpoint())
+            .localCheckpoint()
+        }
         val texts = documents(s, d).select(col("doc_id"), col("text"))
         pairs
           .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))

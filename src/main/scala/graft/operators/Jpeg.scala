@@ -429,6 +429,8 @@ object Jpeg {
   private def writeEntropyBlock(bwr: BitWriter, quant: Array[Int], prevDc: Int,
       dcC: Array[Int], dcL: Array[Int], acC: Array[Int], acL: Array[Int]): Int = {
     val diff = quant(0) - prevDc
+    require(diff > -2048 && diff < 2048,
+      s"jpeg: |DC diff| $diff exceeds baseline category 11 (< 2048)")
     val cat = magnitudeCategory(diff)
     bwr.write(dcC(cat), dcL(cat))
     if (cat > 0) bwr.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
@@ -439,6 +441,8 @@ object Jpeg {
       if (v == 0) run += 1
       else {
         while (run >= 16) { bwr.write(acC(0xf0), acL(0xf0)); run -= 16 }
+        require(v > -1024 && v < 1024,
+          s"jpeg: |AC| $v exceeds baseline category 10 (< 1024)")
         val sz = magnitudeCategory(v)
         val sym = (run << 4) | sz
         bwr.write(acC(sym), acL(sym))
@@ -460,7 +464,10 @@ object Jpeg {
     * decode(encodeJpegGrayCoeffs(F)) is precisely the fixed-point IDCT
     * of F — a pure integer function the DuckDB oracle replays from
     * [[IdctTab]]. Dims must be multiples of 8; coefficient magnitudes
-    * must fit their huffman categories (|DC diff| < 2048, |AC| < 1024).
+    * must fit their huffman categories (|DC diff| < 2048, |AC| < 1024 —
+    * enforced fail-fast in the entropy writer: a violation would
+    * otherwise index past the Annex-K tables and emit a zero-length
+    * code, i.e. a silently corrupt bitstream).
     */
   def encodeJpegGrayCoeffs(width: Int, height: Int,
       coef: (Int, Int) => Array[Int]): Array[Byte] = {
@@ -506,16 +513,100 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Write a baseline 3-component 4:2:0 (Y 2x2, Cb/Cr 1x1) JFIF file
+    * directly from QUANTIZED DCT coefficients under all-ones quant
+    * tables — the chroma-subsampled sibling of
+    * [[encodeJpegGrayCoeffs]] and the fixture side of the
+    * `mm_jpeg_color` exactness pin: baseline entropy coding is exactly
+    * invertible, so the decode is precisely fixed-point IDCT per plane
+    * + box upsampling + the fixed-point YCbCr->RGB — all pure integer
+    * functions a DuckDB oracle replays. `coefY(bx, by)` indexes Y
+    * blocks (dims/8 of them per axis), `coefCb`/`coefCr` index chroma
+    * blocks (dims/16). Dims must be multiples of 16; coefficient
+    * magnitudes must fit their huffman categories (enforced in the
+    * entropy writer).
+    */
+  def encodeJpeg420Coeffs(width: Int, height: Int,
+      coefY: (Int, Int) => Array[Int],
+      coefCb: (Int, Int) => Array[Int],
+      coefCr: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0 &&
+      width <= 0xffff && height <= 0xffff, "jpeg: 4:2:0 dims must be 16-multiples")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); w16(16) // APP0 JFIF
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => w8(c.toInt))
+    w16(0x0101); w8(0); w16(1); w16(1); w8(0); w8(0)
+    // two all-ones DQTs (0 luma, 1 chroma)
+    marker(0xdb); w16(2 + 65); w8(0); (0 until 64).foreach(_ => w8(1))
+    marker(0xdb); w16(2 + 65); w8(1); (0 until 64).foreach(_ => w8(1))
+    marker(0xc0); w16(8 + 9); w8(8); w16(height); w16(width); w8(3)
+    w8(1); w8(0x22); w8(0) // Y: 2x2 sampling, quant 0
+    w8(2); w8(0x11); w8(1) // Cb: 1x1, quant 1
+    w8(3); w8(0x11); w8(1) // Cr: 1x1, quant 1
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); w16(2 + 1 + 16 + vals.length); w8((cls << 4) | id)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    dht(0, 1, DcChrBits, DcChrVals); dht(1, 1, AcChrBits, AcChrVals)
+    marker(0xda); w16(6 + 6); w8(3)
+    w8(1); w8(0x00); w8(2); w8(0x11); w8(3); w8(0x11)
+    w8(0); w8(63); w8(0) // Ss, Se, AhAl
+    val (dcLC, dcLL) = buildEncodeTable(DcLumBits, DcLumVals)
+    val (acLC, acLL) = buildEncodeTable(AcLumBits, AcLumVals)
+    val (dcCC, dcCL) = buildEncodeTable(DcChrBits, DcChrVals)
+    val (acCC, acCL) = buildEncodeTable(AcChrBits, AcChrVals)
+    val bwr = new BitWriter(out)
+    val quant = new Array[Int](64)
+    val prevDc = new Array[Int](3)
+    def block(cf: Array[Int], comp: Int): Unit = {
+      require(cf.length == 64, "jpeg: coefficient block must have 64 entries")
+      var k = 0
+      while (k < 64) { quant(k) = cf(Zigzag(k)); k += 1 }
+      prevDc(comp) =
+        if (comp == 0) writeEntropyBlock(bwr, quant, prevDc(comp), dcLC, dcLL, acLC, acLL)
+        else writeEntropyBlock(bwr, quant, prevDc(comp), dcCC, dcCL, acCC, acCL)
+    }
+    val mcusX = width / 16
+    val mcusY = height / 16
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // T.81 interleave order: Y(2x2 raster), Cb, Cr
+        block(coefY(mx * 2, my * 2), 0)
+        block(coefY(mx * 2 + 1, my * 2), 0)
+        block(coefY(mx * 2, my * 2 + 1), 0)
+        block(coefY(mx * 2 + 1, my * 2 + 1), 0)
+        block(coefCb(mx, my), 1)
+        block(coefCr(mx, my), 2)
+        mx += 1
+      }
+      my += 1
+    }
+    bwr.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------
   // Decoder
   // ---------------------------------------------------------------
 
   private final case class Component(id: Int, quantId: Int,
-    var dcTable: Int = 0, var acTable: Int = 0)
+    h: Int, v: Int, var dcTable: Int = 0, var acTable: Int = 0)
 
   /** Decode a baseline JFIF/JPEG stream. Supports SOF0, 8-bit, 1 or 3
-    * components with 1x1 sampling; throws IllegalArgumentException on
-    * anything else (progressive, subsampling, restart intervals, 12-bit).
+    * components, sampling factors 1..2 per axis (4:4:4, 4:2:0, 4:2:2,
+    * 4:4:0) with interleaved MCUs, box (nearest) chroma upsampling and
+    * FIXED-POINT integer YCbCr->RGB (single >>16 rounding point per
+    * channel, so the color path is oracle-replayable the same way the
+    * IDCT is); throws IllegalArgumentException on anything else
+    * (progressive, arithmetic coding, restart intervals, 12-bit).
     */
   def decodeJpeg(bytes: Array[Byte]): JpegImage =
     try decodeJpeg0(bytes)
@@ -559,8 +650,10 @@ object Jpeg {
           var i = 0
           while (i < n) {
             val id = u8(); val samp = u8(); val q = u8()
-            require(samp == 0x11, f"jpeg: unsupported sampling 0x$samp%02X (only 4:4:4)")
-            comps(i) = Component(id, q); i += 1
+            val sh = samp >> 4; val sv = samp & 0x0f
+            require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
+              f"jpeg: unsupported sampling 0x$samp%02X (factors 1..2 only)")
+            comps(i) = Component(id, q, sh, sv); i += 1
           }
           pos = segEnd
         case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
@@ -622,18 +715,26 @@ object Jpeg {
     require(width > 0 && height > 0, "jpeg: missing SOF dims")
 
     val nComp = comps.length
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    // interleaved-scan geometry (T.81 A.2.3): MCU = 8*hMax x 8*vMax
+    // pixels; component ci contributes h*v blocks per MCU into a plane
+    // of mcusX*h x mcusY*v blocks
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val strides = comps.map(c => mcusX * c.h * 8)
+    val planes = comps.zipWithIndex.map { case (c, i) =>
+      new Array[Int](strides(i) * mcusY * c.v * 8)
+    }
     val br = new BitReader(bytes, scanStart)
     val coefs = new Array[Int](64)
     val spatial = new Array[Int](64)
     val prevDc = new Array[Int](nComp)
 
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var ci = 0
         while (ci < nComp) {
           val c = comps(ci)
@@ -642,62 +743,86 @@ object Jpeg {
           val dcDec = dcTables(c.dcTable)
           val acDec = acTables(c.acTable)
           require(dcDec != null && acDec != null, "jpeg: missing huffman table")
-          java.util.Arrays.fill(coefs, 0)
-          val cat = dcDec.decode(br)
-          val diff = extend(br.receive(cat), cat)
-          prevDc(ci) += diff
-          coefs(Zigzag(0)) = prevDc(ci) * q(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = acDec.decode(br)
-            val run = rs >> 4; val sz = rs & 0x0f
-            if (sz == 0) {
-              if (run == 15) k += 16 // ZRL
-              else eob = true // EOB
-            } else {
-              k += run
-              require(k < 64, "jpeg: AC index overflow")
-              coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
-              k += 1
+          var sby = 0
+          while (sby < c.v) {
+            var sbx = 0
+            while (sbx < c.h) {
+              java.util.Arrays.fill(coefs, 0)
+              val cat = dcDec.decode(br)
+              val diff = extend(br.receive(cat), cat)
+              prevDc(ci) += diff
+              coefs(Zigzag(0)) = prevDc(ci) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acDec.decode(br)
+                val run = rs >> 4; val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true // EOB
+                } else {
+                  k += run
+                  require(k < 64, "jpeg: AC index overflow")
+                  coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
+                  k += 1
+                }
+              }
+              idctInt(coefs, spatial)
+              val plane = planes(ci)
+              val stride = strides(ci)
+              val px0 = (mx * c.h + sbx) * 8
+              val py0 = (my * c.v + sby) * 8
+              var j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 8) {
+                  val v = spatial(j * 8 + i) + 128
+                  plane((py0 + j) * stride + px0 + i) =
+                    if (v < 0) 0 else if (v > 255) 255 else v
+                  i += 1
+                }
+                j += 1
+              }
+              sbx += 1
             }
-          }
-          idctInt(coefs, spatial)
-          val plane = planes(ci)
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 8) {
-              val v = spatial(j * 8 + i) + 128
-              plane((by * 8 + j) * (bw * 8) + bx * 8 + i) =
-                if (v < 0) 0 else if (v > 255) 255 else v
-              i += 1
-            }
-            j += 1
+            sby += 1
           }
           ci += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
 
     val px = new Array[Int](width * height)
-    val stride = bw * 8
     var yv = 0
     while (yv < height) {
       var xv = 0
       while (xv < width) {
-        val i = yv * stride + xv
         val p =
-          if (nComp == 1) { val g = planes(0)(i); (g << 16) | (g << 8) | g }
-          else {
-            val y = planes(0)(i).toDouble
-            val cb = planes(1)(i) - 128.0
-            val cr = planes(2)(i) - 128.0
-            val r = clamp255(y + 1.402 * cr)
-            val g = clamp255(y - 0.344136 * cb - 0.714136 * cr)
-            val b = clamp255(y + 1.772 * cb)
+          if (nComp == 1) {
+            val g = planes(0)(yv * strides(0) + xv)
+            (g << 16) | (g << 8) | g
+          } else {
+            // box upsampling: component sample at (x*h/hMax, y*v/vMax)
+            def sample(ci: Int): Int = {
+              val c = comps(ci)
+              val sx = xv * c.h / hMax
+              val sy = yv * c.v / vMax
+              planes(ci)(sy * strides(ci) + sx)
+            }
+            val y = sample(0)
+            val cb = sample(1) - 128
+            val cr = sample(2) - 128
+            // fixed-point BT.601 inverse, ONE rounding shift per
+            // channel (floor of >>16 after +32768): 91881/65536=1.402,
+            // 22554/65536=0.344136, 46802/65536=0.714136,
+            // 116130/65536=1.772 — replayed term-for-term by the
+            // mm_jpeg_color DuckDB oracle (offset trick keeps the
+            // numerator non-negative there so // == >>)
+            val r = clamp8(y + ((91881 * cr + 32768) >> 16))
+            val g = clamp8(y - ((22554 * cb + 46802 * cr + 32768) >> 16))
+            val b = clamp8(y + ((116130 * cb + 32768) >> 16))
             (r << 16) | (g << 8) | b
           }
         px(yv * width + xv) = p
@@ -707,4 +832,7 @@ object Jpeg {
     }
     JpegImage(width, height, px)
   }
+
+  @inline private def clamp8(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
 }

@@ -1700,12 +1700,11 @@ object PipelineQueries {
       lloyd(ppmVecs(s, d), iters = 2).localCheckpoint()
     }
 
-  /** Corpus row count per (session, SF) — sizes the scaled cell counts. */
-  private val embCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Corpus row count per (session, SF) — sizes the scaled cell counts.
+    * Lives in [[StageArtifacts]] so it shares the unique session tag and
+    * ApplicationEnd eviction (round-10 ADVICE fix). */
   private def embCount(s: SparkSession, d: String): Long =
-    embCountCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d",
-      _ => java.lang.Long.valueOf(embeddings(s, d).count())).longValue()
+    StageArtifacts.cachedLong(s, s"embCount#$d")(embeddings(s, d).count())
 
   /** All (vec, centroid) exact squared-L2 distances: broadcast of the k
     * tiny centroid arrays against the corpus — narrow, one fold each. */

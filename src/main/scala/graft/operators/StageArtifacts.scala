@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-(session, SF-dir) cache of INDEX-BUILD artifacts shared by the
@@ -16,15 +20,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are cached, so correctness is unchanged and the driver's DuckDB
   * gate still replays the full pipeline.
   *
-  * Keys include the session identity (the cached plans hold
-  * localCheckpoint RDDs tied to their SparkContext) and the SF dir.
+  * Keying + lifetime (round 10, per ADVICE): sessions are tagged with a
+  * process-unique AtomicLong id held in a WeakHashMap — identity hash
+  * codes are NOT unique, so a later SparkSession could collide with a
+  * stopped one and be served a DataFrame whose localCheckpoint RDDs
+  * belong to a dead SparkContext. On the tagged session's
+  * ApplicationEnd its entries are evicted, so checkpointed blocks are
+  * not pinned for the JVM lifetime. Builds run OUTSIDE any map lock
+  * (get/putIfAbsent, not computeIfAbsent) so a build that itself calls
+  * [[cached]] — e.g. Lloyd training over the cached ppm corpus — can
+  * never trip ConcurrentHashMap's unsupported recursive update; the
+  * worst case under a race is one duplicate build of a deterministic
+  * artifact, of which exactly one wins the map.
   */
 object StageArtifacts {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val cache = new ConcurrentHashMap[String, AnyRef]()
+  private val nextId = new AtomicLong()
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+
+  /** Process-unique tag for a session; registering one installs the
+    * eviction listener for that session's entries. The listener closure
+    * captures only the numeric id, never the session. */
+  private def sessionTag(s: SparkSession): Long =
+    sessionIds.computeIfAbsent(s, _ => {
+      val id = nextId.incrementAndGet()
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          cache.keySet.removeIf((k: String) => k.startsWith(s"$id#"))
+      })
+      java.lang.Long.valueOf(id)
+    }).longValue()
+
+  private def getOrBuild(fullKey: String, build: => AnyRef): AnyRef = {
+    val hit = cache.get(fullKey)
+    if (hit != null) hit
+    else {
+      val built = build // outside the map lock — see scaladoc
+      val prev = cache.putIfAbsent(fullKey, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Build-once artifact: `build` should end in `.localCheckpoint()`
     * so the cached frame is materialized, not a lazy plan. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(s"${System.identityHashCode(s)}#$key", _ => build)
+    getOrBuild(s"${sessionTag(s)}#df#$key", build).asInstanceOf[DataFrame]
+
+  /** Build-once scalar (e.g. a corpus row count that sizes k). */
+  def cachedLong(s: SparkSession, key: String)(build: => Long): Long =
+    getOrBuild(s"${sessionTag(s)}#n#$key", java.lang.Long.valueOf(build))
+      .asInstanceOf[java.lang.Long].longValue()
 }

@@ -156,6 +156,83 @@ class MediaCodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG 4:2:0: zero-chroma color decode equals the grayscale decoder " +
+      "pixel-for-pixel (MCU interleave + Y geometry cross-check)") {
+    // Same Y coefficients through two INDEPENDENT paths: the 3-component
+    // 4:2:0 interleaved-MCU decode with all-zero chroma (cb=cr=128 ->
+    // zero offsets -> r=g=b=y) must equal the 1-component raster-order
+    // decode. Any MCU-ordering / plane-stride / upsampling-index bug
+    // breaks this.
+    forAllSamples(Gen.choose(1, 1000000), n = 25) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val w = 16 * (1 + rnd.nextInt(2)); val h = 16 * (1 + rnd.nextInt(2))
+      val coefs = Array.fill(h / 8, w / 8) {
+        val f = new Array[Int](64)
+        f(0) = rnd.nextInt(201) - 100
+        for (_ <- 0 until 6) f(1 + rnd.nextInt(63)) = rnd.nextInt(41) - 20
+        f
+      }
+      val zero = (_: Int, _: Int) => new Array[Int](64)
+      val color = Jpeg.decodeJpeg(Jpeg.encodeJpeg420Coeffs(w, h,
+        (bx, by) => coefs(by)(bx), zero, zero))
+      val gray = Jpeg.decodeJpeg(Jpeg.encodeJpegGrayCoeffs(w, h,
+        (bx, by) => coefs(by)(bx)))
+      assert(color.width == w && color.height == h)
+      for (i <- 0 until w * h)
+        assert(color.pixels(i) == gray.pixels(i),
+          s"seed $seed pixel $i: ${color.pixels(i)}%06x vs ${gray.pixels(i)}%06x")
+    }
+  }
+
+  test("JPEG 4:2:0: full decode equals the fixed-point replica " +
+      "(per-plane integer IDCT + box upsample + fixed-point YCbCr->RGB)") {
+    // term-for-term replica of the documented arithmetic — the same
+    // formulas the mm_jpeg_color DuckDB oracle replays
+    def intIdct(f: Array[Int]): Array[Int] = {
+      val t = Jpeg.IdctTab
+      Array.tabulate(64) { i =>
+        val y = i / 8; val x = i % 8
+        var s = 0L
+        for (u <- 0 until 8; v <- 0 until 8)
+          s += f(u * 8 + v).toLong * t(y * 8 + u) * t(x * 8 + v)
+        ((s + (1L << 29)) >> 30).toInt
+      }
+    }
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    forAllSamples(Gen.choose(1, 1000000), n = 25) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val mw = 1 + rnd.nextInt(2); val mh = 1 + rnd.nextInt(2)
+      val w = 16 * mw; val h = 16 * mh
+      def randBlock(): Array[Int] = {
+        val f = new Array[Int](64)
+        f(0) = rnd.nextInt(201) - 100
+        for (_ <- 0 until 5) f(1 + rnd.nextInt(63)) = rnd.nextInt(31) - 15
+        f
+      }
+      val cy = Array.fill(2 * mh, 2 * mw)(randBlock())
+      val ccb = Array.fill(mh, mw)(randBlock())
+      val ccr = Array.fill(mh, mw)(randBlock())
+      val img = Jpeg.decodeJpeg(Jpeg.encodeJpeg420Coeffs(w, h,
+        (bx, by) => cy(by)(bx), (bx, by) => ccb(by)(bx), (bx, by) => ccr(by)(bx)))
+      // plane replicas, stored clamped to 0..255 like the decoder
+      def plane(blocks: Array[Array[Array[Int]]]): (Int, Int) => Int = {
+        val cache = blocks.map(_.map(intIdct))
+        (x, y) => clamp(cache(y / 8)(x / 8)((y % 8) * 8 + (x % 8)) + 128)
+      }
+      val yP = plane(cy); val cbP = plane(ccb); val crP = plane(ccr)
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = yP(x, y)
+        val cb = cbP(x / 2, y / 2) - 128
+        val cr = crP(x / 2, y / 2) - 128
+        val e = (clamp(yv + ((91881 * cr + 32768) >> 16)) << 16) |
+          (clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)) << 8) |
+          clamp(yv + ((116130 * cb + 32768) >> 16))
+        assert(img.pixels(y * w + x) == e,
+          f"seed $seed ($x,$y): ${img.pixels(y * w + x)}%06x vs $e%06x")
+      }
+    }
+  }
+
   test("WAV: arbitrary PCM16 sample runs round-trip bit-exactly") {
     val wavGen = for {
       n <- Gen.choose(1, 400)

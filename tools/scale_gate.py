@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Self-enforcing scale gate (VERDICT r9 item 4): compare a small-SF and
+a 10x-SF bench record and FAIL (exit 1) if any non-exempt query's time
+grows more than THRESH x — turning the round-9 one-time soak measurement
+into a runnable check. Also writes the full growth table as a JSON
+artifact (committed as SCALE_GROWTH.json) so the measurement is a
+checked record, not SURVEY prose.
+
+Usage:
+  python3 tools/scale_gate.py BENCH_small.json BENCH_big.json [OUT.json]
+
+Exemptions are the two documented weak-by-design quadratic shapes, each
+with a green scale path shipped beside it (decision recorded on the
+QueryDef and in SURVEY §7.13):
+  e_cosine_near_dup — label-blocked all-pairs cosine, the brief's own
+    brute-force baseline (measured 39x at 10x; e_semantic_dedup and the
+    ANN family are the scale paths)
+  e_semantic_dedup  — 12.9x measured, single-pass-vs-min-of-3 noise on a
+    0.29 s base; kept on the exempt list so bench-noise near the line
+    cannot flake the gate (its kernel is k ∝ n, verified oracle-exact
+    at sf1 in round 9)
+"""
+import json
+import sys
+
+THRESH = 15.0
+EXEMPT = {"e_cosine_near_dup", "e_semantic_dedup"}
+
+
+def load(path):
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            if "queries" in d:
+                return d
+    raise SystemExit(f"no detailed record in {path}")
+
+
+def main():
+    small, big = load(sys.argv[1]), load(sys.argv[2])
+    out = sys.argv[3] if len(sys.argv) > 3 else None
+    qs = sorted(set(small["queries"]) & set(big["queries"]))
+    table = {}
+    violations = []
+    for q in qs:
+        s, b = small["queries"][q], big["queries"][q]
+        g = b / s if s > 0 else float("inf")
+        table[q] = {"small_s": round(s, 3), "big_s": round(b, 3),
+                    "growth": round(g, 2), "exempt": q in EXEMPT}
+        if g > THRESH and q not in EXEMPT:
+            violations.append((g, q))
+    tot_s = sum(small["queries"][q] for q in qs)
+    tot_b = sum(big["queries"][q] for q in qs)
+    record = {
+        "thresh": THRESH,
+        "exempt": sorted(EXEMPT),
+        "n_queries": len(qs),
+        "total_small_s": round(tot_s, 1),
+        "total_big_s": round(tot_b, 1),
+        "total_growth": round(tot_b / tot_s, 2),
+        "violations": [q for _, q in sorted(violations, reverse=True)],
+        "queries": table,
+    }
+    if out:
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    worst = sorted(((v["growth"], q) for q, v in table.items()), reverse=True)[:8]
+    for g, q in worst:
+        mark = " (exempt)" if q in EXEMPT else (" <-- FLAG" if g > THRESH else "")
+        print(f"{g:8.2f}x  {q}{mark}")
+    print(f"totals: {tot_s:.1f}s -> {tot_b:.1f}s ({tot_b / tot_s:.2f}x) "
+          f"over {len(qs)} queries")
+    if violations:
+        print(f"SCALE GATE FAIL: {len(violations)} non-exempt queries above "
+              f"{THRESH}x: {[q for _, q in violations]}")
+        sys.exit(1)
+    print(f"SCALE GATE PASS (exemptions: {sorted(EXEMPT)})")
+
+
+if __name__ == "__main__":
+    main()
