@@ -601,8 +601,22 @@ object StreamingQueries {
     // sizes the per-partition native DB open/commit outweighs the tiny
     // delta-file commits of the map provider; RocksDB's point is LARGE
     // state (constant-memory incremental checkpoints), the opposite
-    // regime — the default provider stays. Fewer state partitions was
-    // measured too (4 parts: 16.2 s) — 8 stays.
+    // regime — the default provider stays.
+    //
+    // Partition sizing is PER-LANE as of round 10, from a tmpfs-scratch
+    // p8-vs-p2 sweep over all 22 lanes (min-of-2 each): 10 lanes whose
+    // state work is floor-dominated won 0.11-0.44 s at 2 partitions
+    // (outer/stream joins, pattern match, sliding/append counts,
+    // session timeout, transformWithState value-state, variant diff,
+    // dedup watermark, schema agg) and run at n=2; the rest stay at 8 —
+    // s_minhash_dedup regressed +0.44 s at p2 (its banded-signature
+    // shuffle wants the parallelism) and the window/session/map-state
+    // lanes were neutral-to-worse. Phase accounting (StreamPhaseProbe,
+    // Spark's own durationMs buckets) shows the per-batch time is ~80%
+    // addBatch (real stateful execution), ~11% queryPlanning, ~8%
+    // offset/WAL commits — the "fixed overhead" is mostly genuine work
+    // at this fixture size, which is why partition count, not provider
+    // or trigger, is the only knob that moved it.
     val key = "spark.sql.shuffle.partitions"
     val nd = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
@@ -680,7 +694,7 @@ object StreamingQueries {
           .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val qname = s"s_sliding_counts_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8, noDataBatches = false) {
+        withStatePartitions(s, 2, noDataBatches = false) {
           val q = agg.writeStream.outputMode("complete")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -721,7 +735,7 @@ object StreamingQueries {
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val qname = s"s_append_counts_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8) {
+        withStatePartitions(s, 2) {
           val q = stream.writeStream.outputMode("append")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -857,7 +871,7 @@ object StreamingQueries {
         val stream = s.readStream.schema(staticSchema).parquet(stageDir)
           .agg(vf.schema_of_variant_agg(vf.variant_from_json(col("props"))).as("sch"))
         val qname = s"s_schema_agg_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8, noDataBatches = false) {
+        withStatePartitions(s, 2, noDataBatches = false) {
           val q = stream.writeStream.outputMode("complete")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -980,7 +994,7 @@ object StreamingQueries {
           .transform(graft.Tables.tsToTimestamp)
         val sessions = StreamingSession.sessionize(stream)
         val qname = s"s_session_timeout_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8) { // no-data batch ON: the timer IS the point
+        withStatePartitions(s, 2) { // no-data batch ON: the timer IS the point
           val q = sessions.writeStream.outputMode("append")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -1150,7 +1164,7 @@ object StreamingQueries {
           .transform(graft.Tables.tsToTimestamp)
         val joined = StreamingJoins.viewPurchaseJoin(stream)
         val qname = s"s_stream_join_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8, noDataBatches = false) {
+        withStatePartitions(s, 2, noDataBatches = false) {
           val q = joined.writeStream.outputMode("append")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -1220,7 +1234,7 @@ object StreamingQueries {
         val prevProvider = s.conf.getOption(pk)
         s.conf.set(pk,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try withStatePartitions(s, 8, noDataBatches = false) {
+        try withStatePartitions(s, 2, noDataBatches = false) {
           val q = out.writeStream.outputMode("update")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -1378,7 +1392,7 @@ object StreamingQueries {
         val prevProvider = s.conf.getOption(pk)
         s.conf.set(pk,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try withStatePartitions(s, 8, noDataBatches = false) {
+        try withStatePartitions(s, 2, noDataBatches = false) {
           val q = out.writeStream.outputMode("update")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -1443,7 +1457,7 @@ object StreamingQueries {
         val prevProvider = s.conf.getOption(pk)
         s.conf.set(pk,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try withStatePartitions(s, 8, noDataBatches = false) {
+        try withStatePartitions(s, 2, noDataBatches = false) {
           val q = out.writeStream.outputMode("update")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -1489,7 +1503,7 @@ object StreamingQueries {
           .transform(graft.Tables.tsToTimestamp)
         val joined = StreamingJoins.viewPurchaseLeftOuter(stream)
         val qname = s"s_outer_join_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8) { // no-data batch ON: eviction IS the point
+        withStatePartitions(s, 2) { // no-data batch ON: eviction IS the point
           val q = joined.writeStream.outputMode("append")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()
@@ -1548,7 +1562,7 @@ object StreamingQueries {
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select(col("user_id"), col("event_type"))
         val qname = s"s_dedup_watermark_${runCounter.incrementAndGet()}"
-        withStatePartitions(s, 8) {
+        withStatePartitions(s, 2) {
           val q = stream.writeStream.outputMode("append")
             .format("memory").queryName(qname).start()
           q.processAllAvailable()

@@ -11,10 +11,18 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val d = args.head
     val names = args.tail.toSeq
-    val spark = Tables.configure(SparkSession.builder()
+    // same tmpfs scratch + parked state maintenance as graft.Bench, so
+    // per-query timings here predict the bench, not the disk
+    var builder = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32"))
-      .getOrCreate()
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    val shm = new java.io.File("/dev/shm/graft_bench_scratch")
+    if (shm.isDirectory || shm.mkdirs()) {
+      System.setProperty("java.io.tmpdir", shm.toString)
+      builder = builder.config("spark.local.dir", shm.toString)
+    }
+    val spark = Tables.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.entry(spark).count() // warm
     names.foreach { name =>
