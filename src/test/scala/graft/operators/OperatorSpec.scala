@@ -555,10 +555,10 @@ class OperatorSpec extends AnyFunSuite {
       bad(sof + 1) = 0xc2.toByte
       Jpeg.decodeJpeg(bad)
     }
-    intercept[IllegalArgumentException] { // subsampled chroma — unsupported
+    intercept[IllegalArgumentException] { // sampling factor 4 — out of the 1..2 scope
       val bad = enc.clone()
       val sof = bad.indices.find(i => (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0).get
-      bad(sof + 11) = 0x22.toByte // Y sampling 2x2 (FF C0 len2 prec h2 w2 n id → samp)
+      bad(sof + 11) = 0x44.toByte // Y sampling 4x4 (FF C0 len2 prec h2 w2 n id → samp)
       Jpeg.decodeJpeg(bad)
     }
   }
