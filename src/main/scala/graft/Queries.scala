@@ -3722,11 +3722,18 @@ object Queries {
              |         SUM(x) AS sx, SUM(y) AS sy,
              |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
              |  FROM o GROUP BY seg)
+             |-- decimal -> double goes THROUGH VARCHAR: DuckDB's direct
+             |-- decimal cast double-rounds (unscaled -> double, then /10^s)
+             |-- once the unscaled value passes 2^53 (sf1's sxy does), while
+             |-- the string parse is correctly rounded like Spark's
+             |-- BigDecimal.doubleValue — found by the sf1 oracle gate, where
+             |-- the slope's catastrophic cancellation amplified the 1-ulp
+             |-- difference 1e5x
              |SELECT seg, n AS n_orders,
-             |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-             |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-             |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+             |       (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+             |          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             |         / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+             |              - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS slope
              |FROM a ORDER BY seg""".stripMargin)),
 
     // Declarative data-quality audit (the Deequ/dbt-test shape): one

@@ -189,6 +189,19 @@ object Similarity {
       case Some(key) => pqModelCache.computeIfAbsent((key, m, ksub), _ => train())
       case None => train()
     }
+    // The rerank pool scales with corpus size (sqrt law, baseline 2000
+    // vectors): a FIXED k*rerank pool loses recall as the space
+    // densifies — the round-10 sf1 oracle gate measured pq recall@5
+    // dropping below its .70 floor at 10x corpus with the fixed pool.
+    // sqrt growth keeps the exact-rerank join sublinear in n (at sf1:
+    // 4x the pool = 160 candidates, 0.8% of the corpus) while the ADC
+    // scan — the actual approximate stage — still touches codes only.
+    val nCorpus = indexKey match {
+      case Some(key) => graft.operators.StageArtifacts.cachedLong(
+        corpus.sparkSession, s"pqCorpusN#$key")(corpus.count())
+      case None => corpus.count()
+    }
+    val rerankEff = rerank * math.max(1, math.ceil(math.sqrt(nCorpus / 2000.0)).toInt)
     val coded = corpus.select(col("vec_id"),
       fn.pq_encode(col("embedding"), cb, m, ksub).as("codes"))
     val tabled = probes.select(col("qid"),
@@ -198,7 +211,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("asim", fn.pq_adc_lookup(col("codes"), col("qtab"), cb, m, ksub))
       .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= k * rerank)
+      .filter(col("arank") <= k * rerankEff)
       .select(col("qid"), col("vec_id"))
     val wExact = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     candidates

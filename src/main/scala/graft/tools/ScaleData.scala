@@ -49,6 +49,15 @@ object ScaleData {
 
     def shifted(c: String, r: Int) = (col(c) + lit(Shift * r)).as(c)
 
+    /** Entity NAMES stay 1:1 with their keys across replicas, as real
+      * TPC-H data is at every SF (dbgen derives names from keys).
+      * Replica 0 keeps the original name; later replicas suffix it —
+      * without this, name-grouped queries (Q21's GROUP BY s_name)
+      * change cardinality on the derived corpus while key-grouped
+      * plans do not, a pure data artifact the sf1 oracle gate caught. */
+    def renamed(c: String, r: Int) =
+      (if (r == 0) col(c) else concat(col(c), lit(s"#R$r"))).as(c)
+
     /** Per-replica substitution cipher over printable ASCII 33..126;
       * replica 0 is the identity. Whitespace untouched. */
     def cipher(c: String, r: Int) = {
@@ -85,17 +94,17 @@ object ScaleData {
     writeOne(read("nation"), "nation")
 
     writeOne(reps(read("customer")) { (df, r) =>
-      df.select(shifted("c_custkey", r), col("c_name"), col("c_nationkey"),
+      df.select(shifted("c_custkey", r), renamed("c_name", r), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
     }, "customer")
 
     writeOne(reps(read("supplier")) { (df, r) =>
-      df.select(shifted("s_suppkey", r), col("s_name"), col("s_nationkey"),
+      df.select(shifted("s_suppkey", r), renamed("s_name", r), col("s_nationkey"),
         col("s_acctbal"))
     }, "supplier")
 
     writeOne(reps(read("part")) { (df, r) =>
-      df.select(shifted("p_partkey", r), col("p_name"), col("p_brand"),
+      df.select(shifted("p_partkey", r), renamed("p_name", r), col("p_brand"),
         col("p_type"), col("p_size"), col("p_retailprice"))
     }, "part")
 

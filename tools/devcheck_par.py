@@ -23,12 +23,15 @@ devcheck = os.path.join(os.path.dirname(here), "devcheck.py")
 
 names = sorted(json.load(open(f"{outdir}/oracle_sql.json")))
 record = {}
+# resume: completed rows are kept; timeout rows are retried only when
+# DEVCHECK_RETRY_TIMEOUTS=1 (a retry burns the full budget again)
+retry_t = os.environ.get("DEVCHECK_RETRY_TIMEOUTS", "0") == "1"
 if os.path.exists(record_path):
     record = json.load(open(record_path))
     done = {k for k, v in record.items()
-            if v.get("err") != "oracle_timeout" and not v.get("err", "").startswith("Timeout")}
+            if not (retry_t and str(v.get("err") or "") == "oracle_timeout")}
     names = [n for n in names if n not in done]
-    print(f"resume: {len(done)} done, {len(names)} to go")
+    print(f"resume: {len(done)} done, {len(names)} to go", flush=True)
 
 def run(name):
     tmp = f"/tmp/devcheck_one_{name}.json"
