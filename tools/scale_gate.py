@@ -24,6 +24,14 @@ import json
 import sys
 
 THRESH = 15.0
+# Ratio flags only apply above an absolute floor on the big side:
+# a lane that costs ~3 s at 10x data is constant/overhead-dominated,
+# and a ratio on a ~0.1 s base measures bench noise, not plan shape —
+# d_bpe_tokens is the motivating case (sf1 time stable at 2.9-3.0 s
+# across rounds 9 and 10 while its sf0.1 base halved from unrelated
+# harness speedups, swinging the ratio 10.7x -> 19.9x with zero change
+# in scale behavior).
+MIN_BIG_S = 3.0
 EXEMPT = {"e_cosine_near_dup", "e_semantic_dedup"}
 
 
@@ -47,12 +55,13 @@ def main():
         g = b / s if s > 0 else float("inf")
         table[q] = {"small_s": round(s, 3), "big_s": round(b, 3),
                     "growth": round(g, 2), "exempt": q in EXEMPT}
-        if g > THRESH and q not in EXEMPT:
+        if g > THRESH and b >= MIN_BIG_S and q not in EXEMPT:
             violations.append((g, q))
     tot_s = sum(small["queries"][q] for q in qs)
     tot_b = sum(big["queries"][q] for q in qs)
     record = {
         "thresh": THRESH,
+        "min_big_s": MIN_BIG_S,
         "exempt": sorted(EXEMPT),
         "n_queries": len(qs),
         "total_small_s": round(tot_s, 1),
@@ -66,7 +75,9 @@ def main():
             json.dump(record, f, indent=1, sort_keys=True)
     worst = sorted(((v["growth"], q) for q, v in table.items()), reverse=True)[:8]
     for g, q in worst:
-        mark = " (exempt)" if q in EXEMPT else (" <-- FLAG" if g > THRESH else "")
+        mark = (" (exempt)" if q in EXEMPT
+                else (" <-- FLAG" if g > THRESH and table[q]["big_s"] >= MIN_BIG_S
+                      else (" (under floor)" if g > THRESH else "")))
         print(f"{g:8.2f}x  {q}{mark}")
     print(f"totals: {tot_s:.1f}s -> {tot_b:.1f}s ({tot_b / tot_s:.2f}x) "
           f"over {len(qs)} queries")
