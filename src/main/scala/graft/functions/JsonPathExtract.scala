@@ -286,9 +286,11 @@ case class JsonPathExtract(
             java.nio.charset.StandardCharsets.US_ASCII))
           targetType match {
             case DoubleType => dv
-            // truncate-toward-zero, matching VariantExtract.cast
-            case LongType => dv.toLong
-            case IntegerType => Math.toIntExact(dv.toLong)
+            // truncate-toward-zero, matching VariantExtract.cast;
+            // out-of-range/NaN throws instead of saturating (builtin
+            // parity — lenient mode maps the throw to NULL)
+            case LongType => VariantExtract.doubleToLongExact(dv)
+            case IntegerType => Math.toIntExact(VariantExtract.doubleToLongExact(dv))
             case d: DecimalType => toDecimal(java.math.BigDecimal.valueOf(dv), d)
             case _: StringType => UTF8String.fromString(java.lang.Double.toString(dv))
             case _ => mismatch("double")
@@ -420,9 +422,10 @@ case class JsonPathExtract(
             case DoubleType => p.getDoubleValue
             // non-integral → integral TRUNCATES toward zero, matching
             // VariantExtract.cast (round-10 builtin-parity change) so
-            // fused and unfused extraction stay value-identical
-            case LongType => p.getDoubleValue.toLong
-            case IntegerType => Math.toIntExact(p.getDoubleValue.toLong)
+            // fused and unfused extraction stay value-identical;
+            // out-of-range/NaN throws instead of saturating
+            case LongType => VariantExtract.doubleToLongExact(p.getDoubleValue)
+            case IntegerType => Math.toIntExact(VariantExtract.doubleToLongExact(p.getDoubleValue))
             case d: DecimalType => toDecimal(java.math.BigDecimal.valueOf(p.getDoubleValue), d)
             // unfused: codec stores Float64, asString prints Double.toString
             case _: StringType => UTF8String.fromString(java.lang.Double.toString(p.getDoubleValue))

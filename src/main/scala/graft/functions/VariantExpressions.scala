@@ -118,7 +118,7 @@ object VariantExtract {
           // bigint = 3), pinned by NativeDispatchDivergenceSpec
           else if (v.isDecimal)
             v.getDecimal.setScale(0, java.math.RoundingMode.DOWN).longValueExact()
-          else if (v.isDouble) v.getDouble.toLong
+          else if (v.isDouble) doubleToLongExact(v.getDouble)
           else if (v.isBoolean) (if (v.getBoolean) 1L else 0L)
           else if (v.isString) v.getString.trim.toLong
           else if (v.isDictString) v.getDictKey(meta).trim.toLong
@@ -238,6 +238,19 @@ object VariantExtract {
   private def fail(v: VariantView, target: DataType): Any =
     throw new IllegalArgumentException(
       s"Cannot cast variant ${v.typeName} to ${target.simpleString}")
+
+  /** Scala's `.toLong` SATURATES out-of-range doubles (1e300 ->
+    * Long.MaxValue) and maps NaN -> 0, while Spark's builtin VariantGet
+    * errors in strict mode / NULLs under try_variant_get (probed:
+    * INVALID_VARIANT_CAST for 1e300, NaN, Infinity -> bigint/int).
+    * Throwing here routes through the enclosing lenient-mode catch, so
+    * both dispatch routes agree (NativeDispatchDivergenceSpec).
+    */
+  private[functions] def doubleToLongExact(d: Double): Long = {
+    if (d.isNaN || d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble)
+      throw new ArithmeticException(s"double $d out of bigint range")
+    d.toLong
+  }
 
   /** Scalar → bare string; object/array → compact JSON. */
   def asString(meta: MetadataView, v: VariantView): String = {

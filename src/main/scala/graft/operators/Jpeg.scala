@@ -653,7 +653,15 @@ object Jpeg {
             val sh = samp >> 4; val sv = samp & 0x0f
             require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
               f"jpeg: unsupported sampling 0x$samp%02X (factors 1..2 only)")
-            comps(i) = Component(id, q, sh, sv); i += 1
+            // T.81 A.2.2: a single-component scan is NON-interleaved —
+            // one data unit per MCU in raster order over ceil(w/8) x
+            // ceil(h/8) blocks; the declared sampling factors do not
+            // shape the scan. Forcing 1x1 here makes the interleaved
+            // MCU loop below degenerate to exactly that geometry
+            // (decoding 2x2-declared grayscale as h*v blocks/MCU would
+            // garble any image wider than one MCU).
+            comps(i) = if (n == 1) Component(id, q, 1, 1) else Component(id, q, sh, sv)
+            i += 1
           }
           pos = segEnd
         case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")

@@ -31,7 +31,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[cached]] — e.g. Lloyd training over the cached ppm corpus — can
   * never trip ConcurrentHashMap's unsupported recursive update; the
   * worst case under a race is one duplicate build of a deterministic
-  * artifact, of which exactly one wins the map.
+  * artifact, of which exactly one wins the map — and the loser's
+  * checkpoint blocks are unpersisted immediately (round-11 ADVICE).
+  * Known, accepted residual: a session GC'd WITHOUT stop() never fires
+  * ApplicationEnd, so its tagged entries stay pinned for the JVM
+  * lifetime — acceptable for a bench/driver harness where sessions are
+  * always stopped; a long-lived serving process should stop sessions.
   */
 object StageArtifacts {
   private val cache = new ConcurrentHashMap[String, AnyRef]()
@@ -58,7 +63,15 @@ object StageArtifacts {
     else {
       val built = build // outside the map lock — see scaladoc
       val prev = cache.putIfAbsent(fullKey, built)
-      if (prev != null) prev else built
+      if (prev != null) {
+        // the duplicate build lost the race: release its checkpointed
+        // blocks now, or they leak until ApplicationEnd (round-11 ADVICE)
+        built match {
+          case df: DataFrame => try df.unpersist() catch { case _: Exception => () }
+          case _ => ()
+        }
+        prev
+      } else built
     }
   }
 

@@ -159,6 +159,29 @@ class NativeDispatchDivergenceSpec extends AnyFunSuite {
     agree("variant_get", doc, "$.f", "bigint")
   }
 
+  test("divergence matrix: overflow/NaN doubles to integral agree (round-11 ADVICE)") {
+    // Scala .toLong SATURATES (1e300 -> Long.MaxValue) where the builtin
+    // NULLs under try-semantics — the class of gap this matrix exists
+    // for. Both routes must yield NULL for out-of-range doubles and
+    // both must keep in-range extremes exact.
+    val ovDoc = """{"huge": 1e300, "nhuge": -1e300, "over": 1e40,
+      |"edge": 9.007199254740992e15, "dhuge": 1.0E300}""".stripMargin.replace("\n", " ")
+    for ((path, tpe) <- Seq(
+      ("$.huge", "bigint"), ("$.huge", "int"), ("$.huge", "smallint"),
+      ("$.nhuge", "bigint"), ("$.over", "bigint"), ("$.over", "int"),
+      ("$.edge", "bigint"),       // 2^53 — in range, exact
+      ("$.huge", "double")))      // double target unaffected
+      agree("variant_get", ovDoc, path, tpe)
+    // and the overflow rows are NULL (not saturated) through both routes
+    for (native <- Seq(true, false)) {
+      assert(route("try_variant_get", ovDoc, "$.huge", "bigint", native) === Right(null),
+        s"1e300->bigint native=$native must be NULL, not Long.MaxValue")
+      assert(route("try_variant_get", ovDoc, "$.nhuge", "bigint", native) === Right(null))
+    }
+    assert(route("variant_get", ovDoc, "$.edge", "bigint", native = false)
+      === Right(9007199254740992L))
+  }
+
   test("divergence matrix: malformed paths reject in both routes") {
     for (path <- Seq("", "$.", "$[", "$[x]", "k", "$..k"))
       agree("variant_get", doc, path, "bigint")

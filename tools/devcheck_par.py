@@ -34,7 +34,9 @@ if os.path.exists(record_path):
     print(f"resume: {len(done)} done, {len(names)} to go", flush=True)
 
 def run(name):
-    tmp = f"/tmp/devcheck_one_{name}.json"
+    # PID-keyed so two concurrent gate runs (e.g. sf0.1 and sf1 in
+    # parallel) never read each other's per-query files (round-11 ADVICE)
+    tmp = f"/tmp/devcheck_one_{os.getpid()}_{name}.json"
     try:
         p = subprocess.run(
             [sys.executable, devcheck, sf, outdir, "--json", tmp, name],
