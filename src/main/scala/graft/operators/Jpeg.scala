@@ -594,6 +594,318 @@ object Jpeg {
   }
 
   // ---------------------------------------------------------------
+  // Progressive encoding (ITU T.81 Annex G.1) — fixture side of the
+  // mm_jpeg_progressive exactness pin
+  // ---------------------------------------------------------------
+
+  /** Huffman table for progressive AC scans: all 176 symbols
+    * (r << 4) | s for r 0..15, s 0..10 — EOBn (s=0, r<=14), ZRL
+    * (0xF0) and every run/size a |AC| < 1024 stream can emit — coded
+    * at a uniform 8 bits. Annex K's AC tables lack the EOBn symbols
+    * progressive needs (they only define EOB0), so a custom table is
+    * mandatory; a uniform-length one keeps construction trivially
+    * canonical (codes 0..175, the all-ones code unused per C.2).
+    */
+  private val ProgAcBits: Array[Int] = { val b = new Array[Int](17); b(8) = 176; b }
+  private val ProgAcVals: Array[Int] =
+    (for (r <- 0 until 16; s <- 0 to 10) yield (r << 4) | s).toArray
+
+  /** Entropy writer for progressive AC scans (T.81 G.1.2.2/G.1.2.3,
+    * the libjpeg-style EOB-run + buffered-correction-bit procedure —
+    * reimplemented from the spec figures, not copied): `firstBlock`
+    * codes the band at precision Al with EOB runs across blocks;
+    * `refineBlock` emits newly-significant coefficients as (run,1)
+    * codes with sign bits and buffers correction bits of
+    * already-significant coefficients until the next emitted symbol
+    * (or the pending EOB run). `endScan` MUST be called before the
+    * byte-align flush.
+    */
+  private final class ProgAcWriter(bwr: BitWriter, acC: Array[Int], acL: Array[Int]) {
+    private var eobrun = 0
+    private val beBits = new scala.collection.mutable.ArrayBuffer[Int]()
+
+    private def emitEobrun(): Unit = if (eobrun > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+      require(nbits <= 14, "jpeg: EOB run exceeds EOB14")
+      bwr.write(acC(nbits << 4), acL(nbits << 4))
+      if (nbits > 0) bwr.write(eobrun - (1 << nbits), nbits)
+      eobrun = 0
+      beBits.foreach(b => bwr.write(b, 1))
+      beBits.clear()
+    }
+
+    def firstBlock(cf: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val v = cf(Zigzag(k))
+        // AC point transform: divide by 2^Al truncating toward zero
+        val t = if (v < 0) -((-v) >> al) else v >> al
+        if (t == 0) r += 1
+        else {
+          emitEobrun()
+          while (r > 15) { bwr.write(acC(0xf0), acL(0xf0)); r -= 16 }
+          val s = magnitudeCategory(t)
+          require(s <= 10, s"jpeg: |AC| ${t} exceeds category 10")
+          bwr.write(acC((r << 4) | s), acL((r << 4) | s))
+          bwr.write(if (t < 0) t + (1 << s) - 1 else t, s)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+    }
+
+    def refineBlock(cf: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+      // pre-pass: magnitudes at this precision + last newly-significant
+      var eobPos = ss - 1
+      val absv = new Array[Int](se + 1)
+      var k = ss
+      while (k <= se) {
+        val a = math.abs(cf(Zigzag(k))) >> al
+        absv(k) = a
+        if (a == 1) eobPos = k
+        k += 1
+      }
+      var r = 0 // run length counts ZERO-HISTORY coefficients only
+      val brBits = new scala.collection.mutable.ArrayBuffer[Int]()
+      k = ss
+      while (k <= se) {
+        val t = absv(k)
+        if (t == 0) r += 1
+        else {
+          // ZRLs not emittable past the last newly-significant coef:
+          // trailing runs fold into the EOB run instead
+          while (r > 15 && k <= eobPos) {
+            emitEobrun()
+            bwr.write(acC(0xf0), acL(0xf0)); r -= 16
+            brBits.foreach(b => bwr.write(b, 1)); brBits.clear()
+          }
+          if (t > 1) brBits += (t & 1) // already significant: correction bit
+          else { // newly significant: (run,1) + sign + buffered bits
+            emitEobrun()
+            bwr.write(acC((r << 4) | 1), acL((r << 4) | 1))
+            bwr.write(if (cf(Zigzag(k)) < 0) 0 else 1, 1)
+            brBits.foreach(b => bwr.write(b, 1)); brBits.clear()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || brBits.nonEmpty) {
+        eobrun += 1
+        beBits ++= brBits
+        if (eobrun == 0x7fff) emitEobrun()
+      }
+    }
+
+    def endScan(): Unit = emitEobrun()
+  }
+
+  /** Progressive (SOF2) sibling of [[encodeJpeg420Coeffs]]: the SAME
+    * quantized-coefficient fixture written as a 10-scan progressive
+    * stream — interleaved DC first at Al=1, spectral-selection AC
+    * first scans (Y split 1-5 / 6-63, chroma 1-63) at Al=1, the four
+    * AC refinements to Al=0, and the interleaved DC refinement.
+    * Baseline entropy coding and the progressive scan script are both
+    * exactly invertible, so decode(progressive) must equal
+    * decode(baseline) pixel-for-pixel — the mm_jpeg_progressive lane
+    * reuses mm_jpeg_color's generated oracle unchanged, and
+    * MediaCodecPropertySpec pins the equality on random fixtures.
+    */
+  def encodeJpeg420ProgCoeffs(width: Int, height: Int,
+      coefY: (Int, Int) => Array[Int],
+      coefCb: (Int, Int) => Array[Int],
+      coefCr: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0 &&
+      width <= 0xffff && height <= 0xffff, "jpeg: 4:2:0 dims must be 16-multiples")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); w16(16) // APP0 JFIF
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => w8(c.toInt))
+    w16(0x0101); w8(0); w16(1); w16(1); w8(0); w8(0)
+    marker(0xdb); w16(2 + 65); w8(0); (0 until 64).foreach(_ => w8(1))
+    marker(0xdb); w16(2 + 65); w8(1); (0 until 64).foreach(_ => w8(1))
+    marker(0xc2); w16(8 + 9); w8(8); w16(height); w16(width); w8(3) // SOF2
+    w8(1); w8(0x22); w8(0) // Y: 2x2 sampling, quant 0
+    w8(2); w8(0x11); w8(1) // Cb
+    w8(3); w8(0x11); w8(1) // Cr
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); w16(2 + 1 + 16 + vals.length); w8((cls << 4) | id)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, 0, DcLumBits, DcLumVals)
+    dht(0, 1, DcChrBits, DcChrVals)
+    dht(1, 0, ProgAcBits, ProgAcVals) // shared progressive AC table
+    val (dcLC, dcLL) = buildEncodeTable(DcLumBits, DcLumVals)
+    val (dcCC, dcCL) = buildEncodeTable(DcChrBits, DcChrVals)
+    val (acC, acL) = buildEncodeTable(ProgAcBits, ProgAcVals)
+    val mcusX = width / 16
+    val mcusY = height / 16
+
+    def sos(compIds: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); w16(6 + 2 * compIds.length); w8(compIds.length)
+      compIds.foreach { case (id, tt) => w8(id); w8(tt) }
+      w8(ss); w8(se); w8((ah << 4) | al)
+    }
+
+    /** One block per Y position in T.81 interleave order with `f`. */
+    def mcuLoop(f: (Int, Array[Int]) => Unit): Unit = {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          f(0, coefY(mx * 2, my * 2)); f(0, coefY(mx * 2 + 1, my * 2))
+          f(0, coefY(mx * 2, my * 2 + 1)); f(0, coefY(mx * 2 + 1, my * 2 + 1))
+          f(1, coefCb(mx, my)); f(2, coefCr(mx, my))
+          mx += 1
+        }
+        my += 1
+      }
+    }
+
+    // scan 1: DC first, interleaved, Al=1 (arithmetic shift — G.1.2.1)
+    sos(Seq((1, 0x00), (2, 0x10), (3, 0x10)), 0, 0, 0, 1)
+    locally {
+      val bwr = new BitWriter(out)
+      val prevDc = new Array[Int](3)
+      mcuLoop { (comp, cf) =>
+        val dcv = cf(0) >> 1
+        val diff = dcv - prevDc(comp)
+        prevDc(comp) = dcv
+        val cat = magnitudeCategory(diff)
+        val (c, l) = if (comp == 0) (dcLC, dcLL) else (dcCC, dcCL)
+        bwr.write(c(cat), l(cat))
+        if (cat > 0) bwr.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      }
+      bwr.flush()
+    }
+
+    /** AC scan over one component's full block raster. */
+    def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(Seq((comp + 1, 0x00)), ss, se, ah, al) // Ta = prog AC table 0
+      val bwr = new BitWriter(out)
+      val w = new ProgAcWriter(bwr, acC, acL)
+      val (bw, bh) = if (comp == 0) (mcusX * 2, mcusY * 2) else (mcusX, mcusY)
+      def cf(bx: Int, by: Int) = comp match {
+        case 0 => coefY(bx, by)
+        case 1 => coefCb(bx, by)
+        case _ => coefCr(bx, by)
+      }
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (ah == 0) w.firstBlock(cf(bx, by), ss, se, al)
+          else w.refineBlock(cf(bx, by), ss, se, al)
+          bx += 1
+        }
+        by += 1
+      }
+      w.endScan()
+      bwr.flush()
+    }
+
+    acScan(0, 1, 5, 0, 1); acScan(0, 6, 63, 0, 1) // Y spectral bands, first
+    acScan(1, 1, 63, 0, 1); acScan(2, 1, 63, 0, 1) // chroma, first
+    acScan(0, 1, 5, 1, 0); acScan(0, 6, 63, 1, 0) // Y refinements
+    acScan(1, 1, 63, 1, 0); acScan(2, 1, 63, 1, 0) // chroma refinements
+
+    // final scan: DC refinement, interleaved, raw bits (no tables)
+    sos(Seq((1, 0x00), (2, 0x00), (3, 0x00)), 0, 0, 1, 0)
+    locally {
+      val bwr = new BitWriter(out)
+      mcuLoop { (_, cf) => bwr.write(cf(0) & 1, 1) }
+      bwr.flush()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Progressive grayscale sibling of [[encodeJpegGrayCoeffs]] — same
+    * coefficient fixture, 6-scan progressive script with NON-interleaved
+    * DC scans (the single-component layout real grayscale progressive
+    * files use). decode ≡ the baseline decode of the same coefficients.
+    */
+  def encodeJpegGrayProgCoeffs(width: Int, height: Int,
+      coef: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0 &&
+      width <= 0xffff && height <= 0xffff, "jpeg: dims must be 8-multiples")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xe0); w16(16)
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => w8(c.toInt))
+    w16(0x0101); w8(0); w16(1); w16(1); w8(0); w8(0)
+    marker(0xdb); w16(2 + 65); w8(0); (0 until 64).foreach(_ => w8(1))
+    marker(0xc2); w16(8 + 3); w8(8); w16(height); w16(width); w8(1) // SOF2
+    w8(1); w8(0x11); w8(0)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); w16(2 + 1 + 16 + vals.length); w8((cls << 4) | id)
+      (1 to 16).foreach(l => w8(bits(l))); vals.foreach(w8)
+    }
+    dht(0, 0, DcLumBits, DcLumVals)
+    dht(1, 0, ProgAcBits, ProgAcVals)
+    val (dcC, dcL) = buildEncodeTable(DcLumBits, DcLumVals)
+    val (acC, acL) = buildEncodeTable(ProgAcBits, ProgAcVals)
+    val bw = width / 8
+    val bh = height / 8
+
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); w16(8); w8(1); w8(1); w8(0x00)
+      w8(ss); w8(se); w8((ah << 4) | al)
+    }
+    def raster(f: Array[Int] => Unit): Unit = {
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) { f(coef(bx, by)); bx += 1 }
+        by += 1
+      }
+    }
+
+    sos(0, 0, 0, 1) // DC first at Al=1
+    locally {
+      val bwr = new BitWriter(out)
+      var prevDc = 0
+      raster { cf =>
+        val dcv = cf(0) >> 1
+        val diff = dcv - prevDc
+        prevDc = dcv
+        val cat = magnitudeCategory(diff)
+        bwr.write(dcC(cat), dcL(cat))
+        if (cat > 0) bwr.write(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      }
+      bwr.flush()
+    }
+    def acScan(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(ss, se, ah, al)
+      val bwr = new BitWriter(out)
+      val w = new ProgAcWriter(bwr, acC, acL)
+      raster { cf =>
+        if (ah == 0) w.firstBlock(cf, ss, se, al) else w.refineBlock(cf, ss, se, al)
+      }
+      w.endScan()
+      bwr.flush()
+    }
+    acScan(1, 5, 0, 1); acScan(6, 63, 0, 1)
+    acScan(1, 5, 1, 0); acScan(6, 63, 1, 0)
+    sos(0, 0, 1, 0) // DC refinement: raw bits
+    locally {
+      val bwr = new BitWriter(out)
+      raster { cf => bwr.write(cf(0) & 1, 1) }
+      bwr.flush()
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
   // Decoder
   // ---------------------------------------------------------------
 
@@ -628,17 +940,29 @@ object Jpeg {
     var width = 0
     var height = 0
     var comps: Array[Component] = null
+    var progressive = false
 
-    var scanStart = -1
-    while (scanStart < 0) {
-      if (pos + 4 > bytes.length) throw new IllegalArgumentException("jpeg: truncated before SOS")
+    // progressive state, initialized at the first SOS: per-component
+    // RAW coefficient planes (natural order, padded to the MCU grid;
+    // dequantization happens once, at IDCT time after ALL scans)
+    var pHMax = 0; var pVMax = 0; var pMcusX = 0; var pMcusY = 0
+    var coefPlanes: Array[Array[Int]] = null
+    var padW: Array[Int] = null // blocks per padded row, per component
+
+    var scanStart = -1 // baseline: entropy start; progressive decodes in-loop
+    var headerDone = false
+    while (!headerDone) {
+      if (pos + 2 > bytes.length) throw new IllegalArgumentException("jpeg: truncated before SOS")
       var m = u8()
       if (m != 0xff) throw new IllegalArgumentException(f"jpeg: expected marker, got 0x$m%02X")
       m = u8()
       m match {
         case 0xd8 => // stray SOI: ignore
-        case 0xd9 => throw new IllegalArgumentException("jpeg: EOI before SOS")
-        case 0xc0 => // SOF0 baseline
+        case 0xd9 =>
+          if (progressive && coefPlanes != null) headerDone = true // EOI ends the scan loop
+          else throw new IllegalArgumentException("jpeg: EOI before SOS")
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = m == 0xc2
           val segLen0 = u16()
           val segEnd = pos + segLen0 - 2 // end of segment content
           val precision = u8()
@@ -658,13 +982,12 @@ object Jpeg {
             // ceil(h/8) blocks; the declared sampling factors do not
             // shape the scan. Forcing 1x1 here makes the interleaved
             // MCU loop below degenerate to exactly that geometry
-            // (decoding 2x2-declared grayscale as h*v blocks/MCU would
-            // garble any image wider than one MCU).
+            // (decoding 2x2-declared grayscale as h*v blocks per MCU
+            // would garble any image wider than one MCU).
             comps(i) = if (n == 1) Component(id, q, 1, 1) else Component(id, q, sh, sv)
             i += 1
           }
           pos = segEnd
-        case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
         case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
           throw new IllegalArgumentException(f"jpeg: unsupported SOF 0x$x%02X")
         case 0xc4 => // DHT (possibly several tables in one segment)
@@ -701,18 +1024,52 @@ object Jpeg {
           val segLen = u16()
           val n = u8()
           require(comps != null, "jpeg: SOS before SOF")
-          require(n == comps.length, "jpeg: SOS component count mismatch")
-          var i = 0
-          while (i < n) {
-            val id = u8(); val tt = u8()
-            val c = comps.find(_.id == id).getOrElse(
-              throw new IllegalArgumentException("jpeg: SOS references unknown component"))
-            c.dcTable = tt >> 4; c.acTable = tt & 0x0f
-            i += 1
-          }
-          pos += 3 // Ss, Se, AhAl
           require(segLen == 6 + 2 * n, "jpeg: bad SOS length")
-          scanStart = pos
+          if (!progressive) {
+            require(n == comps.length, "jpeg: SOS component count mismatch")
+            var i = 0
+            while (i < n) {
+              val id = u8(); val tt = u8()
+              val c = comps.find(_.id == id).getOrElse(
+                throw new IllegalArgumentException("jpeg: SOS references unknown component"))
+              c.dcTable = tt >> 4; c.acTable = tt & 0x0f
+              i += 1
+            }
+            pos += 3 // Ss, Se, AhAl
+            scanStart = pos
+            headerDone = true
+          } else {
+            // progressive scan: decode it here, then resume the marker
+            // loop at the next marker (T.81 G.2)
+            if (coefPlanes == null) {
+              pHMax = comps.map(_.h).max; pVMax = comps.map(_.v).max
+              pMcusX = (width + 8 * pHMax - 1) / (8 * pHMax)
+              pMcusY = (height + 8 * pVMax - 1) / (8 * pVMax)
+              padW = comps.map(c => pMcusX * c.h)
+              coefPlanes = comps.zipWithIndex.map { case (c, i) =>
+                new Array[Int](padW(i) * pMcusY * c.v * 64)
+              }
+            }
+            val scanComps = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val id = u8(); val tt = u8()
+              val ci = comps.indexWhere(_.id == id)
+              require(ci >= 0, "jpeg: SOS references unknown component")
+              comps(ci).dcTable = tt >> 4; comps(ci).acTable = tt & 0x0f
+              scanComps(i) = ci; i += 1
+            }
+            val ss = u8(); val se = u8(); val ahAl = u8()
+            val br = new BitReader(bytes, pos)
+            decodeProgScan(br, comps, scanComps, ss, se, ahAl >> 4, ahAl & 0x0f,
+              coefPlanes, padW, pMcusX, pMcusY, pHMax, pVMax, width, height,
+              dcTables, acTables)
+            // resume at the next non-stuffed marker
+            var p = br.pos
+            while (p + 1 < bytes.length &&
+              !((bytes(p) & 0xff) == 0xff && bytes(p + 1) != 0x00)) p += 1
+            pos = p
+          }
         case x if x >= 0xe0 && x <= 0xef => // APPn: skip len-2 content bytes
           val l = u16(); pos += l - 2
         case 0xfe => // COM
@@ -734,72 +1091,108 @@ object Jpeg {
     val planes = comps.zipWithIndex.map { case (c, i) =>
       new Array[Int](strides(i) * mcusY * c.v * 8)
     }
-    val br = new BitReader(bytes, scanStart)
     val coefs = new Array[Int](64)
     val spatial = new Array[Int](64)
-    val prevDc = new Array[Int](nComp)
 
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        var ci = 0
-        while (ci < nComp) {
-          val c = comps(ci)
-          val q = quantTables(c.quantId)
-          require(q != null, "jpeg: missing quant table")
-          val dcDec = dcTables(c.dcTable)
-          val acDec = acTables(c.acTable)
-          require(dcDec != null && acDec != null, "jpeg: missing huffman table")
-          var sby = 0
-          while (sby < c.v) {
-            var sbx = 0
-            while (sbx < c.h) {
-              java.util.Arrays.fill(coefs, 0)
-              val cat = dcDec.decode(br)
-              val diff = extend(br.receive(cat), cat)
-              prevDc(ci) += diff
-              coefs(Zigzag(0)) = prevDc(ci) * q(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = acDec.decode(br)
-                val run = rs >> 4; val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else eob = true // EOB
-                } else {
-                  k += run
-                  require(k < 64, "jpeg: AC index overflow")
-                  coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
-                  k += 1
-                }
-              }
-              idctInt(coefs, spatial)
-              val plane = planes(ci)
-              val stride = strides(ci)
-              val px0 = (mx * c.h + sbx) * 8
-              val py0 = (my * c.v + sby) * 8
-              var j = 0
-              while (j < 8) {
-                var i = 0
-                while (i < 8) {
-                  val v = spatial(j * 8 + i) + 128
-                  plane((py0 + j) * stride + px0 + i) =
-                    if (v < 0) 0 else if (v > 255) 255 else v
-                  i += 1
-                }
-                j += 1
-              }
-              sbx += 1
-            }
-            sby += 1
-          }
-          ci += 1
+    /** IDCT one natural-order coefficient block into the pixel plane. */
+    def storeBlock(ci: Int, bxBlocks: Int, byBlocks: Int): Unit = {
+      idctInt(coefs, spatial)
+      val plane = planes(ci)
+      val stride = strides(ci)
+      val px0 = bxBlocks * 8
+      val py0 = byBlocks * 8
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val v = spatial(j * 8 + i) + 128
+          plane((py0 + j) * stride + px0 + i) =
+            if (v < 0) 0 else if (v > 255) 255 else v
+          i += 1
         }
-        mx += 1
+        j += 1
       }
-      my += 1
+    }
+
+    if (!progressive) {
+      val br = new BitReader(bytes, scanStart)
+      val prevDc = new Array[Int](nComp)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < nComp) {
+            val c = comps(ci)
+            val q = quantTables(c.quantId)
+            require(q != null, "jpeg: missing quant table")
+            val dcDec = dcTables(c.dcTable)
+            val acDec = acTables(c.acTable)
+            require(dcDec != null && acDec != null, "jpeg: missing huffman table")
+            var sby = 0
+            while (sby < c.v) {
+              var sbx = 0
+              while (sbx < c.h) {
+                java.util.Arrays.fill(coefs, 0)
+                val cat = dcDec.decode(br)
+                val diff = extend(br.receive(cat), cat)
+                prevDc(ci) += diff
+                coefs(Zigzag(0)) = prevDc(ci) * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = acDec.decode(br)
+                  val run = rs >> 4; val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (run == 15) k += 16 // ZRL
+                    else eob = true // EOB
+                  } else {
+                    k += run
+                    require(k < 64, "jpeg: AC index overflow")
+                    coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
+                    k += 1
+                  }
+                }
+                storeBlock(ci, mx * c.h + sbx, my * c.v + sby)
+                sbx += 1
+              }
+              sby += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // progressive: all scans already accumulated RAW coefficients in
+      // coefPlanes — dequantize and IDCT each padded block once
+      require(coefPlanes != null, "jpeg: progressive stream had no scans")
+      var ci = 0
+      while (ci < nComp) {
+        val c = comps(ci)
+        val q = quantTables(c.quantId)
+        require(q != null, "jpeg: missing quant table")
+        val raw = coefPlanes(ci)
+        val bw = padW(ci)
+        val bh = pMcusY * c.v
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val off = (by * bw + bx) * 64
+            var k = 0
+            while (k < 64) {
+              // raw plane is natural-order; quant table zigzag-order
+              coefs(Zigzag(k)) = raw(off + Zigzag(k)) * q(k); k += 1
+            }
+            storeBlock(ci, bx, by)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
     }
 
     val px = new Array[Int](width * height)
@@ -843,4 +1236,176 @@ object Jpeg {
 
   @inline private def clamp8(v: Int): Int =
     if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ---------------------------------------------------------------
+  // Progressive scan decoding (ITU T.81 Annex G.2)
+  // ---------------------------------------------------------------
+
+  /** Decode ONE progressive scan's entropy data into the raw
+    * (natural-order, un-dequantized) coefficient planes. Covers all
+    * four scan kinds: DC first (interleaved or single-component), DC
+    * refinement (one raw bit per block), AC first with EOB runs
+    * (G.2.2), and AC successive-approximation refinement with
+    * correction bits (the figure-G.7 procedure). Coefficients
+    * accumulate across scans; dequantization happens once at IDCT
+    * time, after EOI.
+    */
+  private def decodeProgScan(br: BitReader, comps: Array[Component],
+      scanComps: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+      coefPlanes: Array[Array[Int]], padW: Array[Int],
+      mcusX: Int, mcusY: Int, hMax: Int, vMax: Int, width: Int, height: Int,
+      dcTables: Array[HuffDecoder], acTables: Array[HuffDecoder]): Unit = {
+    require(ss >= 0 && se <= 63 && ss <= se, "jpeg: bad spectral band")
+    require(ah >= 0 && ah <= 13 && al >= 0 && al <= 13, "jpeg: bad successive approximation")
+
+    /** Exact (non-interleaved) data-unit grid of component ci —
+      * ceil(compDim/8) per T.81 A.2.2, NOT the MCU-padded grid. */
+    def exactW(ci: Int): Int = ((width * comps(ci).h + hMax - 1) / hMax + 7) / 8
+    def exactH(ci: Int): Int = ((height * comps(ci).v + vMax - 1) / vMax + 7) / 8
+    def blockOff(ci: Int, bx: Int, by: Int): Int = (by * padW(ci) + bx) * 64
+
+    if (ss == 0) {
+      require(se == 0, "jpeg: progressive DC scan must have Se=0 (T.81 G.1.1.1.1)")
+      val prevDc = new Array[Int](comps.length)
+      def dcUnit(ci: Int, bx: Int, by: Int): Unit = {
+        val plane = coefPlanes(ci)
+        val off = blockOff(ci, bx, by)
+        if (ah == 0) { // first pass: baseline-style diff, shifted by Al
+          val dcDec = dcTables(comps(ci).dcTable)
+          require(dcDec != null, "jpeg: missing huffman table")
+          val cat = dcDec.decode(br)
+          val diff = extend(br.receive(cat), cat)
+          prevDc(ci) += diff
+          plane(off) = prevDc(ci) << al
+        } else { // refinement: one raw bit per block
+          if (br.readBit() != 0) plane(off) |= 1 << al
+        }
+      }
+      if (scanComps.length > 1) { // interleaved MCU order
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            var si = 0
+            while (si < scanComps.length) {
+              val ci = scanComps(si)
+              val c = comps(ci)
+              var sby = 0
+              while (sby < c.v) {
+                var sbx = 0
+                while (sbx < c.h) {
+                  dcUnit(ci, mx * c.h + sbx, my * c.v + sby); sbx += 1
+                }
+                sby += 1
+              }
+              si += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // single component: raster over the exact grid
+        val ci = scanComps(0)
+        val (ew, eh) = (exactW(ci), exactH(ci))
+        var by = 0
+        while (by < eh) {
+          var bx = 0
+          while (bx < ew) { dcUnit(ci, bx, by); bx += 1 }
+          by += 1
+        }
+      }
+    } else { // AC scan: always non-interleaved, one component
+      require(scanComps.length == 1, "jpeg: progressive AC scans are non-interleaved")
+      val ci = scanComps(0)
+      val plane = coefPlanes(ci)
+      val acDec = acTables(comps(ci).acTable)
+      require(acDec != null, "jpeg: missing huffman table")
+      val (ew, eh) = (exactW(ci), exactH(ci))
+      var eobrun = 0
+      val p1 = 1 << al
+      val m1 = -1 << al
+
+      def acFirstBlock(off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = acDec.decode(br)
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s != 0) {
+            k += r
+            require(k <= se, "jpeg: AC index past band end")
+            plane(off + Zigzag(k)) = extend(br.receive(s), s) << al
+            k += 1
+          } else {
+            if (r != 15) { // EOBn: run of 2^r + ext - 1 FURTHER blocks
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.receive(r)
+              return
+            }
+            k += 16 // ZRL
+          }
+        }
+      }
+
+      def acRefineBlock(off: Int): Unit = {
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = acDec.decode(br)
+            var r = rs >> 4; val s = rs & 0x0f
+            var newVal = 0
+            if (s != 0) {
+              require(s == 1, "jpeg: refinement scan size must be 1 (G.1.2.3)")
+              newVal = if (br.readBit() != 0) p1 else m1
+            } else if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              done = true
+            }
+            if (!done) {
+              // advance over r zero-HISTORY coefficients, applying
+              // correction bits to already-nonzero ones passed over
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = off + Zigzag(k)
+                if (plane(idx) != 0) {
+                  if (br.readBit() != 0 && (plane(idx) & p1) == 0)
+                    plane(idx) += (if (plane(idx) >= 0) p1 else m1)
+                  k += 1
+                } else if (r == 0) {
+                  if (newVal != 0) { plane(idx) = newVal; k += 1 }
+                  else k += 1 // ZRL consumed its 16th zero-history coef
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // whole remaining band: correction bits on nonzero history
+          while (k <= se) {
+            val idx = off + Zigzag(k)
+            if (plane(idx) != 0) {
+              if (br.readBit() != 0 && (plane(idx) & p1) == 0)
+                plane(idx) += (if (plane(idx) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      var by = 0
+      while (by < eh) {
+        var bx = 0
+        while (bx < ew) {
+          val off = blockOff(ci, bx, by)
+          if (ah == 0) acFirstBlock(off) else acRefineBlock(off)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+  }
 }

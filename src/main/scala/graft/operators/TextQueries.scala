@@ -93,6 +93,33 @@ object TextQueries {
     * in PrefixJoinPropertySpec — the same DataFrame code path as the
     * `d_prefix_join` driver query.
     */
+  /** Body of d_fuzzy_join over an explicit documents frame — factored
+    * out so the sf1 SAMPLED oracle gate (tools/SampledLanes +
+    * tools/sampled_gate.py) can run the IDENTICAL code path on a
+    * content-keyed doc subset: the lane's output is aggregated over
+    * all pairs, so unlike the pair-output lanes its full-corpus output
+    * cannot be sliced to the sample after the fact.
+    */
+  def fuzzyJoinAgg(docsDf: DataFrame): DataFrame = {
+    val p = docsDf
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
+    val keyed = p.select(col("doc_id"), col("p"),
+      explode(expr(
+        """array_distinct(transform(sequence(0, length(p)),
+          |  i -> IF(i = 0, p,
+          |          concat(substring(p, 1, i - 1), substring(p, i + 1)))))""".stripMargin))
+        .as("k"))
+    val a = keyed.select(col("doc_id").as("i"), col("p").as("pa"), col("k"))
+    val b = keyed.select(col("doc_id").as("j"), col("p").as("pb"), col("k"))
+    a.join(b, Seq("k")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("pa"), col("pb")).distinct()
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("i") + col("j")).as("id_sum"))
+      .orderBy(col("dist"))
+  }
+
   def prefixSimilarityJoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
     // document frequency via groupBy + join-back, NOT a window over
@@ -286,18 +313,27 @@ object TextQueries {
     * replayed as `(…+16777216)//65536 − 256`, exact because
     * |91881·cr| ≤ 11.8M < 2^24 keeps the numerator non-negative — the
     * KmOff floor-vs-truncate discipline). */
-  private def jpegColorOracle: String = {
+  private def jpegColorOracle: String = jpegColorOracleFor("doc_id")
+
+  /** The 4:2:0 replay parameterized by the FIXTURE id expression —
+    * `doc_id` for mm_jpeg_color, `doc_id + 131` for mm_jpeg_progressive
+    * (same decode pipeline, distinct coefficient content, so the
+    * progressive lane carries its own signal instead of duplicating
+    * the baseline lane's values).
+    */
+  private def jpegColorOracleFor(idExpr: String): String = {
     val t = Jpeg.IdctTab.mkString("[", ", ", "]")
     s"""WITH d AS (
-       |  SELECT doc_id, 1 + doc_id % 2 AS mw, 1 + (doc_id // 2) % 2 AS mh
+       |  SELECT doc_id, $idExpr AS fid,
+       |         1 + ($idExpr) % 2 AS mw, 1 + (($idExpr) // 2) % 2 AS mh
        |  FROM documents WHERE doc_id < 200),
        |tt AS (SELECT $t AS t),
        |xs AS (
-       |  SELECT doc_id, mw, mh, unnest(generate_series(0, mw * 16 - 1)) AS x FROM d),
+       |  SELECT doc_id, fid, mw, mh, unnest(generate_series(0, mw * 16 - 1)) AS x FROM d),
        |xy AS (
-       |  SELECT doc_id, mw, mh, x, unnest(generate_series(0, mh * 16 - 1)) AS y FROM xs),
+       |  SELECT doc_id, fid, mw, mh, x, unnest(generate_series(0, mh * 16 - 1)) AS y FROM xs),
        |idx AS (
-       |  SELECT doc_id, mw, mh, x, y,
+       |  SELECT doc_id, fid, mw, mh, x, y,
        |         x // 8 AS bx, y // 8 AS by, x % 8 AS px, y % 8 AS py,
        |         x // 16 AS mx, y // 16 AS my,
        |         (x // 2) % 8 AS cpx, (y // 2) % 8 AS cpy
@@ -305,21 +341,21 @@ object TextQueries {
        |pl AS (
        |  SELECT i.*,
        |    LEAST(255, GREATEST(0,
-       |      (CAST(8 * ((doc_id + 3 * bx + 5 * by) % 25) - 96 AS BIGINT)
+       |      (CAST(8 * ((fid + 3 * bx + 5 * by) % 25) - 96 AS BIGINT)
        |         * t[py * 8 + 1] * t[px * 8 + 1]
-       |     + CAST((doc_id + bx) % 9 - 4 AS BIGINT) * t[py * 8 + 1] * t[px * 8 + 2]
-       |     + CAST((doc_id + by) % 7 - 3 AS BIGINT) * t[py * 8 + 2] * t[px * 8 + 1]
-       |     + CAST((doc_id + bx + by) % 5 - 2 AS BIGINT) * t[py * 8 + 3] * t[px * 8 + 3]
+       |     + CAST((fid + bx) % 9 - 4 AS BIGINT) * t[py * 8 + 1] * t[px * 8 + 2]
+       |     + CAST((fid + by) % 7 - 3 AS BIGINT) * t[py * 8 + 2] * t[px * 8 + 1]
+       |     + CAST((fid + bx + by) % 5 - 2 AS BIGINT) * t[py * 8 + 3] * t[px * 8 + 3]
        |     + 536870912 + 34359738368) // 1073741824 - 32 + 128)) AS yv,
        |    LEAST(255, GREATEST(0,
-       |      (CAST(4 * ((doc_id + 7 * mx + 11 * my) % 33) - 64 AS BIGINT)
+       |      (CAST(4 * ((fid + 7 * mx + 11 * my) % 33) - 64 AS BIGINT)
        |         * t[cpy * 8 + 1] * t[cpx * 8 + 1]
-       |     + CAST((doc_id + mx) % 7 - 3 AS BIGINT) * t[cpy * 8 + 1] * t[cpx * 8 + 2]
+       |     + CAST((fid + mx) % 7 - 3 AS BIGINT) * t[cpy * 8 + 1] * t[cpx * 8 + 2]
        |     + 536870912 + 34359738368) // 1073741824 - 32 + 128)) - 128 AS cb,
        |    LEAST(255, GREATEST(0,
-       |      (CAST(4 * ((2 * doc_id + 5 * mx + 3 * my) % 33) - 64 AS BIGINT)
+       |      (CAST(4 * ((2 * fid + 5 * mx + 3 * my) % 33) - 64 AS BIGINT)
        |         * t[cpy * 8 + 1] * t[cpx * 8 + 1]
-       |     + CAST((doc_id + my) % 5 - 2 AS BIGINT) * t[cpy * 8 + 2] * t[cpx * 8 + 1]
+       |     + CAST((fid + my) % 5 - 2 AS BIGINT) * t[cpy * 8 + 2] * t[cpx * 8 + 1]
        |     + 536870912 + 34359738368) // 1073741824 - 32 + 128)) - 128 AS cr
        |  FROM idx i, tt),
        |rgb AS (
@@ -1160,25 +1196,7 @@ object TextQueries {
     // block-then-verify economics as MinHash, but exact for k=1 typo
     // dedup of titles/URLs/short keys.
     QueryDef("d_fuzzy_join",
-      (s, d) => {
-        val p = documents(s, d)
-          .select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
-        val keyed = p.select(col("doc_id"), col("p"),
-          explode(expr(
-            """array_distinct(transform(sequence(0, length(p)),
-              |  i -> IF(i = 0, p,
-              |          concat(substring(p, 1, i - 1), substring(p, i + 1)))))""".stripMargin))
-            .as("k"))
-        val a = keyed.select(col("doc_id").as("i"), col("p").as("pa"), col("k"))
-        val b = keyed.select(col("doc_id").as("j"), col("p").as("pb"), col("k"))
-        a.join(b, Seq("k")).filter(col("i") < col("j"))
-          .select(col("i"), col("j"), col("pa"), col("pb")).distinct()
-          .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
-          .filter(col("dist") <= 1)
-          .groupBy(col("dist"))
-          .agg(count(lit(1)).as("n_pairs"), sum(col("i") + col("j")).as("id_sum"))
-          .orderBy(col("dist"))
-      },
+      (s, d) => fuzzyJoinAgg(documents(s, d)),
       Some("""WITH p AS (SELECT doc_id, substr(text, 1, 16) AS p FROM documents),
              |pairs AS (
              |  SELECT a.doc_id AS i, b.doc_id AS j,
@@ -1917,6 +1935,68 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some(jpegColorOracle)),
+
+    // PROGRESSIVE (SOF2) color JPEG (round 11; VERDICT r10 item 3):
+    // the scan layout most real web photos actually use. The fixture
+    // is a 10-scan progressive stream written in the DCT domain
+    // (encodeJpeg420ProgCoeffs: interleaved DC first at Al=1,
+    // spectral-selection AC first scans, successive-approximation AC
+    // refinements with EOB runs + correction bits per T.81 G.1.2, and
+    // the raw-bit DC refinement); the decoder accumulates raw
+    // coefficients across scans (G.2) and dequantizes once at IDCT
+    // time. Progressive entropy coding is exactly invertible, so the
+    // decode is the SAME pure integer function of the coefficients as
+    // the baseline path — the oracle is jpegColorOracleFor with the
+    // lane's shifted fixture id, and MediaCodecPropertySpec pins
+    // progressive ≡ baseline on random fixtures (gray + color).
+    QueryDef("mm_jpeg_progressive",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { docId =>
+            val id = docId + 131 // distinct fixture content vs mm_jpeg_color
+            val mw = (1 + id % 2).toInt
+            val mh = (1 + (id / 2) % 2).toInt
+            val w = 16 * mw
+            val h = 16 * mh
+            def coefY(bx: Int, by: Int): Array[Int] = {
+              val f = new Array[Int](64)
+              f(0) = (8 * ((id + 3 * bx + 5 * by) % 25) - 96).toInt
+              f(1) = ((id + bx) % 9 - 4).toInt
+              f(8) = ((id + by) % 7 - 3).toInt
+              f(18) = ((id + bx + by) % 5 - 2).toInt
+              f
+            }
+            def coefCb(mx: Int, my: Int): Array[Int] = {
+              val f = new Array[Int](64)
+              f(0) = (4 * ((id + 7 * mx + 11 * my) % 33) - 64).toInt
+              f(1) = ((id + mx) % 7 - 3).toInt
+              f
+            }
+            def coefCr(mx: Int, my: Int): Array[Int] = {
+              val f = new Array[Int](64)
+              f(0) = (4 * ((2 * id + 5 * mx + 3 * my) % 33) - 64).toInt
+              f(8) = ((id + my) % 5 - 2).toInt
+              f
+            }
+            val img = Jpeg.decodeJpeg(
+              Jpeg.encodeJpeg420ProgCoeffs(w, h, coefY, coefCb, coefCr))
+            var rgbSum = 0L
+            img.pixels.foreach { p =>
+              rgbSum += (p & 0xff) + ((p >> 8) & 0xff) + ((p >> 16) & 0xff)
+            }
+            val tl = img.pixels(0)
+            val br = img.pixels(w * h - 1)
+            (docId, w.toLong, h.toLong, rgbSum,
+              ((tl >> 16) & 0xff).toLong, ((tl >> 8) & 0xff).toLong, (tl & 0xff).toLong,
+              ((br >> 16) & 0xff).toLong, ((br >> 8) & 0xff).toLong, (br & 0xff).toLong)
+          })
+          .toDF("doc_id", "w", "h", "rgb_sum",
+            "r_tl", "g_tl", "b_tl", "r_br", "g_br", "b_br")
+          .orderBy(col("doc_id"))
+      },
+      Some(jpegColorOracleFor("doc_id + 131"))),
 
     // REAL WebP decode (late round 8): encode→decode lossless VP8L
     // (RIFF container, LSB-first bitstream, canonical prefix codes;

@@ -233,6 +233,54 @@ class MediaCodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG progressive: decode equals baseline decode of the same coefficients " +
+    "(gray non-interleaved + 4:2:0 interleaved scans, random fixtures)") {
+    // Progressive entropy coding (T.81 G: spectral selection,
+    // successive approximation with EOB runs and correction bits) is
+    // exactly invertible, so the accumulated coefficients — and hence
+    // every decoded pixel — must match the baseline encoding of the
+    // SAME blocks bit for bit. Random sparse coefficient fixtures
+    // exercise EOBn runs across blocks, ZRL in both scan kinds, sign
+    // bits and correction-bit buffering.
+    val gen = for {
+      bw <- Gen.choose(1, 5)
+      bh <- Gen.choose(1, 4)
+      seed <- Gen.choose(0, 1000000)
+    } yield (bw, bh, seed)
+    forAllSamples(gen, n = 25) { case (bw, bh, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val blocks = Array.fill(bw * bh) {
+        val f = new Array[Int](64)
+        f(0) = rnd.nextInt(401) - 200
+        for (_ <- 0 until rnd.nextInt(12)) f(rnd.nextInt(63) + 1) = rnd.nextInt(19) - 9
+        f
+      }
+      def coef(bx: Int, by: Int) = blocks(by * bw + bx)
+      val base = Jpeg.decodeJpeg(Jpeg.encodeJpegGrayCoeffs(bw * 8, bh * 8, coef))
+      val prog = Jpeg.decodeJpeg(Jpeg.encodeJpegGrayProgCoeffs(bw * 8, bh * 8, coef))
+      assert(java.util.Arrays.equals(base.pixels, prog.pixels),
+        s"gray progressive != baseline at ${bw}x$bh seed=$seed")
+    }
+    forAllSamples(gen, n = 15) { case (mw0, mh0, seed) =>
+      val mw = 1 + mw0 % 3; val mh = 1 + mh0 % 3
+      val rnd = new scala.util.Random(seed + 7)
+      def mk(n: Int): Array[Array[Int]] = Array.fill(n) {
+        val f = new Array[Int](64)
+        f(0) = rnd.nextInt(401) - 200
+        for (_ <- 0 until rnd.nextInt(10)) f(rnd.nextInt(63) + 1) = rnd.nextInt(19) - 9
+        f
+      }
+      val yB = mk(mw * 2 * mh * 2); val cbB = mk(mw * mh); val crB = mk(mw * mh)
+      def cy(bx: Int, by: Int) = yB(by * mw * 2 + bx)
+      def ccb(mx: Int, my: Int) = cbB(my * mw + mx)
+      def ccr(mx: Int, my: Int) = crB(my * mw + mx)
+      val base = Jpeg.decodeJpeg(Jpeg.encodeJpeg420Coeffs(mw * 16, mh * 16, cy, ccb, ccr))
+      val prog = Jpeg.decodeJpeg(Jpeg.encodeJpeg420ProgCoeffs(mw * 16, mh * 16, cy, ccb, ccr))
+      assert(java.util.Arrays.equals(base.pixels, prog.pixels),
+        s"4:2:0 progressive != baseline at ${mw}x$mh MCUs seed=$seed")
+    }
+  }
+
   test("WAV: arbitrary PCM16 sample runs round-trip bit-exactly") {
     val wavGen = for {
       n <- Gen.choose(1, 400)
