@@ -43,9 +43,15 @@ object Bench {
     // first-touch codegen/JIT and read 2-11x its steady state on
     // whichever queries landed in a cold or GC-heavy region. The warm
     // pass moves ALL first-touch cost outside the timed region.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+    // Subset mode for targeted soaks (the 30x growth-curve runs time a
+    // dozen lanes at three SFs — rerunning all 304 per point would make
+    // the curve unaffordable): comma-separated names, empty = all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.forall(_.contains(name)))
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
     }
     // Timed runs, report the min-of-3 per query: first touch pays
     // JIT/classload noise that says nothing about the plan, and a forced
@@ -61,6 +67,7 @@ object Bench {
     // to survive the min. Same total work; per-query JVM/cache state at
     // each sample is the same warmed steady state either way.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // min-of-3 is the default record; the 10x-scale soak (BENCH_sf1)
     // runs warm+1 — at 10x the data, pass count is noise-trimming, and
     // the question is growth FACTORS, not +-5%.

@@ -88,5 +88,85 @@ def main():
     print(f"SCALE GATE PASS (exemptions: {sorted(EXEMPT)})")
 
 
+# ---------------------------------------------------------------------------
+# Curve mode (VERDICT r10 item 4): a 2-point 10x ratio can hide an n^2
+# term behind a constant floor — a lane 80% overhead + 20% quadratic
+# shows ~2.5x at 10x and "passes". Three points expose curvature: fit
+# the growth EXPONENT p between the two LARGEST factors (where the
+# constant floor is most amortized): p = log(t_hi/t_mid)/log(f_hi/f_mid).
+# Linear -> p ~= 1, quadratic -> p ~= 2. Fail on p > P_THRESH for lanes
+# whose biggest-point time clears an absolute floor (a ratio on a 2 s
+# base at 30x data still measures overhead, not plan shape).
+#
+# Usage:
+#   python3 tools/scale_gate.py curve SMALL.json:1 MID.json:10 BIG.json:30 \
+#       [OUT.json]
+# OUT.json gains a "curve" table: per-lane times at each factor, the
+# 10x and 30x growth columns, and the fitted tail exponent.
+
+P_THRESH = 1.5
+CURVE_MIN_BIG_S = 5.0
+
+
+def curve_main(argv):
+    import math
+    pts = []          # (factor, record) sorted by factor
+    out = None
+    for a in argv:
+        if ":" in a and a.rsplit(":", 1)[1].replace(".", "").isdigit():
+            path, f = a.rsplit(":", 1)
+            pts.append((float(f), load(path)))
+        else:
+            out = a
+    pts.sort(key=lambda x: x[0])
+    if len(pts) < 3:
+        raise SystemExit("curve mode needs >= 3 FILE:factor points")
+    factors = [f for f, _ in pts]
+    qs = sorted(set.intersection(*(set(r["queries"]) for _, r in pts)))
+    table = {}
+    violations = []
+    for q in qs:
+        ts = [r["queries"][q] for _, r in pts]
+        (f_mid, t_mid), (f_hi, t_hi) = (factors[-2], ts[-2]), (factors[-1], ts[-1])
+        p = (math.log(t_hi / t_mid) / math.log(f_hi / f_mid)
+             if t_mid > 0 and t_hi > 0 else float("inf"))
+        row = {"factors": factors,
+               "times_s": [round(t, 3) for t in ts],
+               "growth_mid": round(ts[-2] / ts[0], 2) if ts[0] > 0 else None,
+               "growth_big": round(ts[-1] / ts[0], 2) if ts[0] > 0 else None,
+               "tail_exponent": round(p, 3),
+               "exempt": q in EXEMPT}
+        table[q] = row
+        if p > P_THRESH and t_hi >= CURVE_MIN_BIG_S and q not in EXEMPT:
+            violations.append((p, q))
+    print(f"{'p(tail)':>8} {'t@'+str(int(factors[0])):>8} "
+          f"{'t@'+str(int(factors[-2])):>8} {'t@'+str(int(factors[-1])):>8}  query")
+    for q in sorted(table, key=lambda q: -table[q]["tail_exponent"]):
+        r = table[q]
+        mark = ""
+        if r["tail_exponent"] > P_THRESH:
+            mark = (" (exempt)" if r["exempt"]
+                    else (" <-- FLAG" if r["times_s"][-1] >= CURVE_MIN_BIG_S
+                          else " (under floor)"))
+        print(f"{r['tail_exponent']:8.3f} {r['times_s'][0]:8.3f} "
+              f"{r['times_s'][-2]:8.3f} {r['times_s'][-1]:8.3f}  {q}{mark}")
+    if out:
+        record = {"p_thresh": P_THRESH, "min_big_s": CURVE_MIN_BIG_S,
+                  "factors": factors, "n_queries": len(qs),
+                  "violations": [q for _, q in sorted(violations, reverse=True)],
+                  "queries": table}
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    if violations:
+        print(f"CURVE GATE FAIL: {len(violations)} non-exempt lanes with tail "
+              f"exponent > {P_THRESH}: {[q for _, q in violations]}")
+        sys.exit(1)
+    print(f"CURVE GATE PASS over {len(qs)} lanes "
+          f"(p_thresh={P_THRESH}, floor={CURVE_MIN_BIG_S}s)")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "curve":
+        curve_main(sys.argv[2:])
+    else:
+        main()
