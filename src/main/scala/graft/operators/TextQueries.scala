@@ -379,6 +379,111 @@ object TextQueries {
        |FROM rgb GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Generated oracle for mm_webp_lossy: replays the VP8 fixture decode
+    * stage-for-stage in SQL — dequantization through the RFC 14.1
+    * lookup tables (inlined as list literals, the IdctTab discipline),
+    * the inverse WHT closed form for the fixture's (DC, first-AC) Y2
+    * pair, the exact two-pass integer IDCT for coefficients at scan
+    * positions 1 and 2 (raster (0,1) and (1,0), so each pass touches
+    * one nontrivial term: pixel = ((dc ± MUL(d)) ± MUL(c) + 4) >> 3
+    * with MUL1(v) = v + (v·20091 >> 16), MUL2(v) = v·35468 >> 16), and
+    * the DC_PRED-no-neighbors base of 128. Floors replay as the usual
+    * non-negative-numerator `//` construction (the KmOff discipline):
+    * every >> k becomes (x + OFF·2^k) // 2^k − OFF with |x| < OFF·2^k.
+    */
+  private def webpLossyOracle: String = {
+    val dcq = Vp8Tables.DcQLookup.mkString("[", ", ", "]")
+    val acq = Vp8Tables.AcQLookup.mkString("[", ", ", "]")
+    // s1(r)/s2(c): +MUL1, +MUL2, -MUL2, -MUL1 for index 0..3
+    def mulSql(v: String): (String, String) = (
+      s"($v + (($v) * 20091 + 2147483648) // 65536 - 32768)",
+      s"((($v) * 35468 + 2147483648) // 65536 - 32768)")
+    val (m1d, m2d) = mulSql("dv")
+    val (m1c, m2c) = mulSql("cv")
+    val (m1u, m2u) = mulSql("uv1")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         LEAST(127, GREATEST(0, doc_id % 128)) AS qi,
+       |         doc_id % 7 - 3 AS ydcd, (doc_id // 2) % 7 - 3 AS y2dcd,
+       |         (doc_id // 3) % 5 - 2 AS y2acd, (doc_id // 4) % 7 - 3 AS uvdcd,
+       |         (doc_id // 5) % 5 - 2 AS uvacd
+       |  FROM documents WHERE doc_id < 200),
+       |qt AS (SELECT $dcq AS dcq, $acq AS acq),
+       |q AS (
+       |  SELECT doc_id,
+       |         dcq[LEAST(127, GREATEST(0, qi + ydcd)) + 1] AS y1dc,
+       |         acq[qi + 1] AS y1ac,
+       |         dcq[LEAST(127, GREATEST(0, qi + y2dcd)) + 1] * 2 AS y2dc,
+       |         GREATEST(8, acq[LEAST(127, GREATEST(0, qi + y2acd)) + 1] * 155 // 100) AS y2ac,
+       |         dcq[LEAST(117, GREATEST(0, qi + uvdcd)) + 1] AS uvdc,
+       |         acq[LEAST(127, GREATEST(0, qi + uvacd)) + 1] AS uvac
+       |  FROM d, qt),
+       |-- luma: 16 blocks x 4x4 pixels; Y2 (A,B) -> per-block DC via the
+       |-- inverse WHT closed form (columns 0,1 carry A+B, columns 2,3 A-B)
+       |yb AS (
+       |  SELECT q.*, sb, r, c,
+       |         (doc_id % 21 - 10) * y2dc AS wa,
+       |         ((doc_id // 3) % 9 - 4) * y2ac AS wb,
+       |         ((doc_id + 5 * sb) % 9 - 4) * y1ac AS cv,
+       |         ((doc_id + 3 * sb) % 5 - 2) * y1ac AS dv
+       |  FROM q,
+       |       unnest(generate_series(0, 15)) AS t1(sb),
+       |       unnest(generate_series(0, 3)) AS t2(r),
+       |       unnest(generate_series(0, 3)) AS t3(c)),
+       |ydc AS (
+       |  SELECT yb.*,
+       |         (CASE WHEN sb % 4 < 2 THEN wa + wb ELSE wa - wb END
+       |          + 3 + 8388608) // 8 - 1048576 AS dc0
+       |  FROM yb),
+       |ypx AS (
+       |  SELECT doc_id, sb, r, c,
+       |         LEAST(255, GREATEST(0, 128 +
+       |           ((dc0 + (CASE r WHEN 0 THEN $m1d WHEN 1 THEN $m2d
+       |                           WHEN 2 THEN -($m2d) ELSE -($m1d) END))
+       |            + (CASE c WHEN 0 THEN $m1c WHEN 1 THEN $m2c
+       |                      WHEN 2 THEN -($m2c) ELSE -($m1c) END)
+       |            + 4 + 8388608) // 8 - 1048576)) AS pv
+       |  FROM ydc),
+       |ya AS (
+       |  SELECT doc_id, SUM(pv) AS y_sum,
+       |         MAX(CASE WHEN sb = 0 AND r = 0 AND c = 0 THEN pv END) AS y_tl,
+       |         MAX(CASE WHEN sb = 15 AND r = 3 AND c = 3 THEN pv END) AS y_br
+       |  FROM ypx GROUP BY doc_id),
+       |-- chroma: 2 planes x 4 blocks x 4x4; rows are constant (the AC
+       |-- term lives at raster (0,1), so only the column index matters)
+       |cb0 AS (
+       |  SELECT q.*, pl, cb, r, c,
+       |         CASE WHEN pl = 0 THEN ((doc_id + cb) % 17 - 8) * uvdc
+       |              ELSE ((2 * doc_id + cb) % 17 - 8) * uvdc END AS dcu,
+       |         CASE WHEN pl = 0 THEN (((doc_id // 2) + cb) % 5 - 2) * uvac
+       |              ELSE (((doc_id // 4) + cb) % 5 - 2) * uvac END AS uv1
+       |  FROM q,
+       |       unnest(generate_series(0, 1)) AS t1(pl),
+       |       unnest(generate_series(0, 3)) AS t2(cb),
+       |       unnest(generate_series(0, 3)) AS t3(r),
+       |       unnest(generate_series(0, 3)) AS t4(c)),
+       |cpx AS (
+       |  SELECT doc_id, pl, cb, r, c,
+       |         LEAST(255, GREATEST(0, 128 +
+       |           (dcu + (CASE c WHEN 0 THEN $m1u WHEN 1 THEN $m2u
+       |                          WHEN 2 THEN -($m2u) ELSE -($m1u) END)
+       |            + 4 + 8388608) // 8 - 1048576)) AS pv
+       |  FROM cb0),
+       |ca AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN pl = 0 THEN pv ELSE 0 END) AS u_sum,
+       |         SUM(CASE WHEN pl = 1 THEN pv ELSE 0 END) AS v_sum,
+       |         MAX(CASE WHEN pl = 0 AND cb = 0 AND r = 0 AND c = 0 THEN pv END) AS u_tl,
+       |         MAX(CASE WHEN pl = 1 AND cb = 3 AND r = 3 AND c = 3 THEN pv END) AS v_br
+       |  FROM cpx GROUP BY doc_id)
+       |SELECT ya.doc_id, CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+       |       CAST(y_sum AS BIGINT) AS y_sum, CAST(u_sum AS BIGINT) AS u_sum,
+       |       CAST(v_sum AS BIGINT) AS v_sum, CAST(y_tl AS BIGINT) AS y_tl,
+       |       CAST(y_br AS BIGINT) AS y_br, CAST(u_tl AS BIGINT) AS u_tl,
+       |       CAST(v_br AS BIGINT) AS v_br
+       |FROM ya JOIN ca USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("d_token_stats",
@@ -2046,7 +2151,69 @@ object TextQueries {
              |       CAST(psum AS BIGINT) AS pixel_sum,
              |       CAST(doc_id % 256 AS BIGINT) AS top_left_r,
              |       CAST(((w - 1) * 3 + (h - 1) * 17 + 3 * doc_id) % 256 AS BIGINT) AS bottom_right_b
-             |FROM px ORDER BY doc_id""".stripMargin)))
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // LOSSY WebP — VP8 key-frame decode (round 11; VERDICT r10 "widest
+    // remaining multimodal gap"). The fixture is a real VP8 bitstream
+    // written directly in the quantized-coefficient domain
+    // (Vp8.encodeVp8Fixture: boolean-coded headers, default token
+    // probabilities, Y2 DC+AC, per-block luma ACs at scan positions
+    // 1-2, chroma DC+AC, quantizer index and all five dequant deltas
+    // varying per doc so the full RFC 14.1 lookup tables are
+    // exercised across the corpus). Decode runs the complete RFC 6386
+    // pipeline — bool decoder, token trees, dequant, inverse WHT+DCT,
+    // DC prediction — all pure integer, so the generated oracle
+    // (webpLossyOracle) replays it term-for-term and the lane is
+    // hash-exact at every SF. Real-encoder coverage (all intra modes,
+    // both loop filters, multi-partition, segmentation) is pinned by
+    // Vp8RealStreamSpec against the system libwebp bit-for-bit.
+    QueryDef("mm_webp_lossy",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = Vp8.encodeVp8Fixture(16, 16,
+              qi = (id % 128).toInt,
+              yDcDelta = (id % 7).toInt - 3,
+              y2DcDelta = ((id / 2) % 7).toInt - 3,
+              y2AcDelta = ((id / 3) % 5).toInt - 2,
+              uvDcDelta = ((id / 4) % 7).toInt - 3,
+              uvAcDelta = ((id / 5) % 5).toInt - 2,
+              levels = (_, _) => {
+                val blk = Array.fill(25)(new Array[Int](16))
+                blk(24)(0) = (id % 21).toInt - 10
+                blk(24)(1) = ((id / 3) % 9).toInt - 4
+                var sb = 0
+                while (sb < 16) {
+                  blk(sb)(1) = ((id + 5 * sb) % 9).toInt - 4
+                  blk(sb)(2) = ((id + 3 * sb) % 5).toInt - 2
+                  sb += 1
+                }
+                var cb = 0
+                while (cb < 4) {
+                  blk(16 + cb)(0) = ((id + cb) % 17).toInt - 8
+                  blk(16 + cb)(1) = (((id / 2) + cb) % 5).toInt - 2
+                  blk(20 + cb)(0) = ((2 * id + cb) % 17).toInt - 8
+                  blk(20 + cb)(1) = (((id / 4) + cb) % 5).toInt - 2
+                  cb += 1
+                }
+                blk
+              })
+            val img = Vp8.decodeWebpLossy(bytes)
+            var ySum = 0L; var uSum = 0L; var vSum = 0L
+            img.y.foreach(ySum += _)
+            img.u.foreach(uSum += _)
+            img.v.foreach(vSum += _)
+            (id, img.width.toLong, img.height.toLong, ySum, uSum, vSum,
+              img.y(0).toLong, img.y(255).toLong,
+              img.u(0).toLong, img.v(63).toLong)
+          })
+          .toDF("doc_id", "w", "h", "y_sum", "u_sum", "v_sum",
+            "y_tl", "y_br", "u_tl", "v_br")
+          .orderBy(col("doc_id"))
+      },
+      Some(webpLossyOracle)))
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.

@@ -164,19 +164,29 @@ object Vp8 {
       }
     }
 
-    def toBytes: Array[Byte] = {
-      // flush (RFC 7.2): push out the remaining bottom bits, carrying
-      // if the first pending bit would overflow
-      var c = bitCount
-      var v = bottom
-      if ((v & (1L << (32 - c))) != 0) carry()
-      v = (v << (c & 7)) & 0xffffffffL
-      var k = 4
-      while (k > 0) {
-        out += ((v >> 24) & 0xff).toByte
-        v = (v << 8) & 0xffffffffL
-        k -= 1
+    /** Tree encode with probabilities offset into a flat array. */
+    def treeFlat(t: Array[Int], probs: Array[Int], pOff: Int, leaf: Int,
+        at: Int): Unit = {
+      def contains(node: Int): Boolean =
+        if (node <= 0) -node == leaf
+        else contains(t(node)) || contains(t(node + 1))
+      var i = at
+      var done = false
+      while (!done) {
+        val b = if (contains(t(i))) 0 else 1
+        bool(b, probs(pOff + (i >> 1)))
+        val nxt = t(i + b)
+        if (nxt <= 0) done = true else i = nxt
       }
+    }
+
+    def toBytes: Array[Byte] = {
+      // flush by encoding 32 zero bits at prob 128 (vp8_stop_encode's
+      // approach): every meaningful bit is forced out of the window,
+      // and any decoder reads the stream identically — no hand-rolled
+      // carry/alignment arithmetic to get subtly wrong
+      var i = 0
+      while (i < 32) { bool(0, 128); i += 1 }
       out.toArray
     }
   }
@@ -1132,6 +1142,172 @@ object Vp8 {
       }
       mby += 1
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture encoder: writes REAL VP8 key-frame streams directly in the
+  // coefficient domain (the Jpeg.encodeJpeg*Coeffs discipline) — no
+  // segmentation, loop filter level 0, one token partition, default
+  // token probabilities, every macroblock DC_PRED. Its output decodes
+  // identically through this decoder AND through libwebp (the reverse
+  // direction of Vp8RealStreamSpec), proving the streams are genuine
+  // VP8, and its pure-integer pixel math is what the mm_webp_lossy
+  // DuckDB oracle replays term-for-term.
+  // ------------------------------------------------------------------
+
+  /** Encode one 4x4 block's quantized levels (zigzag scan order). */
+  private def encodeBlock(be: BoolEncoder, probs: Array[Int], blockType: Int,
+      ctx0: Int, firstCoeff: Int, levels: Array[Int]): Boolean = {
+    var last = 15
+    while (last >= firstCoeff && levels(last) == 0) last -= 1
+    var c = firstCoeff
+    var ctx = ctx0
+    var skipEob = false
+    while (c <= last) {
+      val band = CoeffBands(c)
+      val pOff = ((blockType * 8 + band) * 3 + ctx) * 11
+      val v = levels(c)
+      val at = if (skipEob) 2 else 0
+      if (v == 0) {
+        be.treeFlat(CoeffTree, probs, pOff, TokZero, at)
+        ctx = 0
+        skipEob = true
+      } else {
+        val m = math.abs(v)
+        if (m <= 4) {
+          be.treeFlat(CoeffTree, probs, pOff, m + 1, at)
+        } else {
+          var cat = 5
+          while (cat > 0 && m < CatBase(cat)) cat -= 1
+          be.treeFlat(CoeffTree, probs, pOff, 6 + cat, at)
+          val cp = CatProbs(cat)
+          val extra = m - CatBase(cat)
+          var j = cp.length - 1
+          var k = 0
+          while (j >= 0) { be.bool((extra >> j) & 1, cp(k)); j -= 1; k += 1 }
+        }
+        be.bool(if (v < 0) 1 else 0, 128)
+        ctx = if (m == 1) 1 else 2
+        skipEob = false
+      }
+      c += 1
+    }
+    if (c < 16) {
+      val pOff = ((blockType * 8 + CoeffBands(c)) * 3 + ctx) * 11
+      be.treeFlat(CoeffTree, probs, pOff, TokEob, if (skipEob) 2 else 0)
+    }
+    last >= firstCoeff
+  }
+
+  /** Write a .webp container holding a VP8 key frame built from
+    * quantized coefficient levels. `levels(mbx, mby)` returns 25
+    * arrays of 16 zigzag-order levels: 0-15 the Y blocks (scan
+    * position 0 ignored — the DC rides in Y2), 16-19 U, 20-23 V,
+    * 24 Y2. All macroblocks are DC_PRED/DC_PRED, filter level 0. */
+  def encodeVp8Fixture(width: Int, height: Int, qi: Int,
+      yDcDelta: Int, y2DcDelta: Int, y2AcDelta: Int,
+      uvDcDelta: Int, uvAcDelta: Int,
+      levels: (Int, Int) => Array[Array[Int]]): Array[Byte] = {
+    val mbW = (width + 15) / 16
+    val mbH = (height + 15) / 16
+    val be = new BoolEncoder
+    be.literal(0, 1) // color space
+    be.literal(0, 1) // clamping
+    be.bool(0, 128)  // segmentation off
+    be.literal(0, 1) // filter type
+    be.literal(0, 6) // filter level 0 -> no deblocking
+    be.literal(0, 3) // sharpness
+    be.bool(0, 128)  // no lf deltas
+    be.literal(0, 2) // 1 token partition
+    be.literal(qi, 7)
+    def delta(d: Int): Unit =
+      if (d != 0) { be.bool(1, 128); be.signedLiteral(d, 4) }
+      else be.bool(0, 128)
+    delta(yDcDelta); delta(y2DcDelta); delta(y2AcDelta)
+    delta(uvDcDelta); delta(uvAcDelta)
+    be.literal(1, 1) // refresh entropy probs
+    var i = 0
+    while (i < 4 * 8 * 3 * 11) { be.bool(0, CoeffUpdateProbsFlat(i)); i += 1 }
+    be.bool(0, 128) // mb_no_coeff_skip off: every MB carries residuals
+    var mb = 0
+    while (mb < mbW * mbH) {
+      be.tree(KfYModeTree, KfYModeProbs, DC_PRED)
+      be.tree(UvModeTree, KfUvModeProbs, DC_PRED)
+      mb += 1
+    }
+    val part1 = be.toBytes
+
+    val te = new BoolEncoder
+    val probs = DefaultCoeffProbsFlat
+    val aboveNz = Array.fill(mbW)(new Array[Int](9))
+    val leftNz = new Array[Int](9)
+    var mby = 0
+    while (mby < mbH) {
+      java.util.Arrays.fill(leftNz, 0)
+      var mbx = 0
+      while (mbx < mbW) {
+        val blk = levels(mbx, mby)
+        val aNz = aboveNz(mbx)
+        // Y2 (type 1)
+        val nz2 = encodeBlock(te, probs, 1, leftNz(8) + aNz(8), 0, blk(24))
+        leftNz(8) = if (nz2) 1 else 0
+        aNz(8) = leftNz(8)
+        var sb = 0
+        while (sb < 16) {
+          val sx = sb & 3; val sy = sb >> 2
+          val nz = encodeBlock(te, probs, 0, leftNz(sy) + aNz(sx), 1, blk(sb))
+          val f = if (nz) 1 else 0
+          leftNz(sy) = f; aNz(sx) = f
+          sb += 1
+        }
+        var plane = 0
+        while (plane < 2) {
+          val base = if (plane == 0) 16 else 20
+          val ci = 4 + plane * 2
+          var cb = 0
+          while (cb < 4) {
+            val sx = cb & 1; val sy = cb >> 1
+            val nz = encodeBlock(te, probs, 2,
+              leftNz(ci + sy) + aNz(ci + sx), 0, blk(base + cb))
+            val f = if (nz) 1 else 0
+            leftNz(ci + sy) = f; aNz(ci + sx) = f
+            cb += 1
+          }
+          plane += 1
+        }
+        mbx += 1
+      }
+      mby += 1
+    }
+    val part2 = te.toBytes
+
+    val frame = new Array[Byte](10 + part1.length + part2.length)
+    val tag = (part1.length << 5) | 0x10 // key frame, version 0, shown
+    frame(0) = (tag & 0xff).toByte
+    frame(1) = ((tag >> 8) & 0xff).toByte
+    frame(2) = ((tag >> 16) & 0xff).toByte
+    frame(3) = 0x9d.toByte; frame(4) = 0x01.toByte; frame(5) = 0x2a.toByte
+    frame(6) = (width & 0xff).toByte
+    frame(7) = ((width >> 8) & 0x3f).toByte
+    frame(8) = (height & 0xff).toByte
+    frame(9) = ((height >> 8) & 0x3f).toByte
+    System.arraycopy(part1, 0, frame, 10, part1.length)
+    System.arraycopy(part2, 0, frame, 10 + part1.length, part2.length)
+
+    val padded = frame.length + (frame.length & 1)
+    val out = new Array[Byte](12 + 8 + padded)
+    def put4(off: Int, s: String): Unit =
+      (0 until 4).foreach(j => out(off + j) = s(j).toByte)
+    def putU32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put4(0, "RIFF"); putU32(4, 4 + 8 + padded); put4(8, "WEBP")
+    put4(12, "VP8 "); putU32(16, frame.length)
+    System.arraycopy(frame, 0, out, 20, frame.length)
+    out
   }
 
   private def crop(h: Header, yP: Array[Int], uP: Array[Int], vP: Array[Int],

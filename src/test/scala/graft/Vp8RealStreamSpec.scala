@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Vp8
+
+/** Bit-exactness of the VP8 decoder against REAL encoder output, in
+  * both directions, using the system libwebp as the independent
+  * implementation (via the committed python harnesses — ctypes over
+  * libwebp.so.7, present in this container; the spec self-skips when
+  * the library or python3 is unavailable so `sbt test` stays portable):
+  *
+  *  1. libwebp encodes 112 images (sizes 1x1..256x256 incl. partial
+  *     macroblocks, qualities 0-100, simple/normal/off loop filter,
+  *     sharpness, 1-8 token partitions, 1-4 segments, autofilter) —
+  *     graft's decode of every stream must equal libwebp's own
+  *     reconstruction byte-for-byte on all three planes.
+  *  2. graft's fixture encoder writes coefficient-domain VP8 streams —
+  *     libwebp's decode of them must equal graft's (proves the
+  *     mm_webp_lossy fixtures are genuine VP8, not a private dialect).
+  */
+class Vp8RealStreamSpec extends AnyFunSuite {
+
+  private def run(cmd: String*): (Int, String) = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    p.waitFor()
+    (p.exitValue(), out)
+  }
+
+  private lazy val libwebpAvailable: Boolean =
+    try run("python3", "-c", "import ctypes; ctypes.CDLL('libwebp.so.7')")._1 == 0
+    catch { case _: Throwable => false }
+
+  private def tmpDir(tag: String): Path = {
+    val d = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"vp8spec_${ProcessHandle.current().pid()}_$tag")
+    Files.createDirectories(d)
+    d
+  }
+
+  private def checkDir(dir: Path): Unit = {
+    val manifest = Files.readAllLines(dir.resolve("manifest.txt"))
+    var n = 0
+    manifest.forEach { line =>
+      if (line.trim.nonEmpty) {
+        val parts = line.trim.split("\\s+")
+        val name = parts(0); val w = parts(1).toInt; val h = parts(2).toInt
+        val webp = Files.readAllBytes(dir.resolve(name + ".webp"))
+        val want = Files.readAllBytes(dir.resolve(name + ".yuv"))
+        val img = Vp8.decodeWebpLossy(webp)
+        assert(img.width == w && img.height == h, s"$name dims")
+        val cw = img.cw; val ch = img.ch
+        val got = new Array[Byte](w * h + 2 * cw * ch)
+        var i = 0
+        img.y.foreach { p => got(i) = p.toByte; i += 1 }
+        img.u.foreach { p => got(i) = p.toByte; i += 1 }
+        img.v.foreach { p => got(i) = p.toByte; i += 1 }
+        assert(java.util.Arrays.equals(got, want),
+          s"$name (${w}x$h): decode differs from libwebp")
+        n += 1
+      }
+    }
+    assert(n > 0, "no cases generated")
+  }
+
+  test("decodes every real libwebp-encoded stream bit-exactly (simple API)") {
+    assume(libwebpAvailable, "libwebp/python3 not available")
+    val dir = tmpDir("simple")
+    val (rc, out) = run("python3", "tools/vp8_crosscheck.py", dir.toString)
+    assert(rc == 0, s"generator failed: $out")
+    checkDir(dir)
+  }
+
+  test("decodes advanced-config streams bit-exactly (filters, segments, partitions)") {
+    assume(libwebpAvailable, "libwebp/python3 not available")
+    val dir = tmpDir("adv")
+    val (rc, out) = run("python3", "tools/vp8_crosscheck_adv.py", dir.toString)
+    assert(rc == 0, s"generator failed: $out")
+    checkDir(dir)
+  }
+
+  test("graft fixture streams decode identically through libwebp") {
+    assume(libwebpAvailable, "libwebp/python3 not available")
+    val dir = tmpDir("fix")
+    graft.tools.Vp8FixtureProbe.main(Array(dir.toString))
+    val (rc, out) = run("python3", "tools/vp8_fixture_check.py", dir.toString)
+    assert(rc == 0, s"libwebp disagrees with graft on graft-encoded streams: $out")
+  }
+}
