@@ -38,8 +38,11 @@ EXEMPT = {"e_cosine_near_dup", "e_semantic_dedup"}
 def load(path):
     with open(path) as f:
         for line in f:
-            d = json.loads(line)
-            if "queries" in d:
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # JVM GC warnings share stdout with the record
+            if isinstance(d, dict) and "queries" in d:
                 return d
     raise SystemExit(f"no detailed record in {path}")
 
