@@ -484,6 +484,58 @@ object TextQueries {
        |FROM ya JOIN ca USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Generated oracle for mm_webp_chain: a RECURSIVE replay of the
+    * cross-macroblock DC-prediction chain. Each MB carries only DC
+    * coefficients, so it reconstructs to uniform planes and the next
+    * MB's DC_PRED (above-only: (Σ16·v + 8) >> 4 = v) sees exactly the
+    * previous value — val_k = clamp255(val_{k-1} + r_k) with
+    * r_k = ((D_k·q_y2dc + 3) >> 3 + 4) >> 3 through the inverse
+    * WHT + DC-only IDCT, val_{-1} := 128. The recursion (with
+    * saturation, which a closed form cannot express) runs in a
+    * recursive CTE; floors use the non-negative-numerator `//` trick.
+    */
+  private def webpChainOracle: String = {
+    val dcq = Vp8Tables.DcQLookup.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, 1 + doc_id % 4 AS nmb,
+       |         LEAST(127, GREATEST(0, doc_id % 128)) AS qi
+       |  FROM documents WHERE doc_id < 200),
+       |qt AS (SELECT $dcq AS dcq),
+       |q AS (
+       |  SELECT doc_id, nmb,
+       |         dcq[LEAST(127, GREATEST(0, qi + (doc_id // 2) % 7 - 3)) + 1] * 2 AS y2dc,
+       |         dcq[LEAST(117, GREATEST(0, qi + (doc_id // 4) % 7 - 3)) + 1] AS uvdc
+       |  FROM d, qt),
+       |chain AS (
+       |  SELECT doc_id, nmb, y2dc, uvdc, 0 AS k,
+       |         LEAST(255, GREATEST(0, 128 +
+       |           ((((doc_id % 41 - 20) * y2dc + 3 + 8388608) // 8 - 1048576)
+       |            + 4 + 8388608) // 8 - 1048576)) AS yv,
+       |         LEAST(255, GREATEST(0, 128 +
+       |           ((doc_id % 25 - 12) * uvdc + 4 + 8388608) // 8 - 1048576)) AS uv,
+       |         LEAST(255, GREATEST(0, 128 +
+       |           ((2 * doc_id % 25 - 12) * uvdc + 4 + 8388608) // 8 - 1048576)) AS vv
+       |  FROM q
+       |  UNION ALL
+       |  SELECT c.doc_id, c.nmb, c.y2dc, c.uvdc, c.k + 1,
+       |         LEAST(255, GREATEST(0, c.yv +
+       |           (((((c.doc_id + 7 * (c.k + 1)) % 41 - 20) * c.y2dc + 3 + 8388608) // 8 - 1048576)
+       |            + 4 + 8388608) // 8 - 1048576)),
+       |         LEAST(255, GREATEST(0, c.uv +
+       |           (((c.doc_id + 3 * (c.k + 1)) % 25 - 12) * c.uvdc + 4 + 8388608) // 8 - 1048576)),
+       |         LEAST(255, GREATEST(0, c.vv +
+       |           (((2 * c.doc_id + 5 * (c.k + 1)) % 25 - 12) * c.uvdc + 4 + 8388608) // 8 - 1048576))
+       |  FROM chain c WHERE c.k + 1 < c.nmb)
+       |SELECT doc_id, CAST(16 AS BIGINT) AS w,
+       |       CAST(16 * nmb AS BIGINT) AS h,
+       |       CAST(SUM(256 * yv) AS BIGINT) AS y_sum,
+       |       CAST(SUM(64 * uv) AS BIGINT) AS u_sum,
+       |       CAST(SUM(64 * vv) AS BIGINT) AS v_sum,
+       |       CAST(MAX(CASE WHEN k = 0 THEN yv END) AS BIGINT) AS y_tl,
+       |       CAST(MAX(CASE WHEN k = nmb - 1 THEN yv END) AS BIGINT) AS y_br
+       |FROM chain GROUP BY doc_id, nmb ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("d_token_stats",
@@ -2213,7 +2265,56 @@ object TextQueries {
             "y_tl", "y_br", "u_tl", "v_br")
           .orderBy(col("doc_id"))
       },
-      Some(webpLossyOracle)))
+      Some(webpLossyOracle)),
+
+    // VP8 cross-macroblock DC-prediction chain (round 11): a 16-wide,
+    // (1..4)-MB-tall fixture where every MB carries only DC
+    // coefficients, so each reconstructs uniform and the NEXT MB's
+    // DC_PRED (above-only form, (Σ+8)>>4) reads the previous MB's
+    // value — the reconstruction is a saturating recurrence
+    // val_k = clamp255(val_{k-1} + r_k) that the oracle replays with a
+    // recursive CTE (webpChainOracle). Exercises what mm_webp_lossy's
+    // single MB cannot: cross-MB intra dependency, the above-only
+    // DC_PRED variant, and token nonzero-contexts carried across MB
+    // rows. Multi-MB entropy/prediction with ALL intra modes is pinned
+    // separately against libwebp (Vp8RealStreamSpec).
+    QueryDef("mm_webp_chain",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val nmb = (1 + id % 4).toInt
+            val bytes = Vp8.encodeVp8Fixture(16, 16 * nmb,
+              qi = (id % 128).toInt,
+              yDcDelta = 0,
+              y2DcDelta = ((id / 2) % 7).toInt - 3,
+              y2AcDelta = 0,
+              uvDcDelta = ((id / 4) % 7).toInt - 3,
+              uvAcDelta = 0,
+              levels = (_, mby) => {
+                val blk = Array.fill(25)(new Array[Int](16))
+                blk(24)(0) = ((id + 7 * mby) % 41).toInt - 20
+                var cb = 0
+                while (cb < 4) {
+                  blk(16 + cb)(0) = ((id + 3 * mby) % 25).toInt - 12
+                  blk(20 + cb)(0) = ((2 * id + 5 * mby) % 25).toInt - 12
+                  cb += 1
+                }
+                blk
+              })
+            val img = Vp8.decodeWebpLossy(bytes)
+            var ySum = 0L; var uSum = 0L; var vSum = 0L
+            img.y.foreach(ySum += _)
+            img.u.foreach(uSum += _)
+            img.v.foreach(vSum += _)
+            (id, img.width.toLong, img.height.toLong, ySum, uSum, vSum,
+              img.y(0).toLong, img.y(img.y.length - 1).toLong)
+          })
+          .toDF("doc_id", "w", "h", "y_sum", "u_sum", "v_sum", "y_tl", "y_br")
+          .orderBy(col("doc_id"))
+      },
+      Some(webpChainOracle)))
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.

@@ -33,6 +33,34 @@ object Vp8 {
       u: Array[Int], v: Array[Int]) { // cw*ch each, cw=(w+1)/2
     def cw: Int = (width + 1) / 2
     def ch: Int = (height + 1) / 2
+
+    /** Packed 0xRRGGBB pixels. The YUV→RGB step is NOT normative in
+      * VP8 (only the YUV reconstruction is); this uses box chroma
+      * upsampling and the same BT.601 fixed-point integer matrix as
+      * the JPEG codec ([[Jpeg]]) so the two lossy formats share one
+      * documented, deterministic color path. */
+    def toRgb: Array[Int] = {
+      val out = new Array[Int](width * height)
+      val cwv = cw
+      var yy = 0
+      while (yy < height) {
+        var xx = 0
+        while (xx < width) {
+          val lum = y(yy * width + xx)
+          val ci = (yy / 2) * cwv + (xx / 2)
+          val cb = u(ci) - 128
+          val cr = v(ci) - 128
+          def cl(v0: Int): Int = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+          val r = cl(lum + ((91881 * cr + 32768) >> 16))
+          val g = cl(lum - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          val b = cl(lum + ((116130 * cb + 32768) >> 16))
+          out(yy * width + xx) = (r << 16) | (g << 8) | b
+          xx += 1
+        }
+        yy += 1
+      }
+      out
+    }
   }
 
   // ------------------------------------------------------------------

@@ -364,6 +364,18 @@ object Webp {
         throw new IllegalArgumentException("webp: truncated stream")
     }
 
+  /** Decode either WebP flavor: VP8L chunks through the lossless path,
+    * lossy VP8 key frames through [[Vp8]] (bit-exact RFC 6386 YUV
+    * reconstruction + the shared BT.601 fixed-point RGB conversion). */
+  def decodeWebp(bytes: Array[Byte]): WebpImage = {
+    require(bytes.length >= 16, "webp: too short")
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length > 15 && tag(12) == "VP8 ") {
+      val img = Vp8.decodeWebpLossy(bytes)
+      WebpImage(img.width, img.height, img.toRgb)
+    } else decodeWebpLossless(bytes)
+  }
+
   private def decodeWebp0(bytes: Array[Byte]): WebpImage = {
     require(bytes.length >= 21, "webp: too short")
     def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")

@@ -76,6 +76,10 @@ class ChaosRetrySpec extends AnyFunSuite {
     assertRetryStable("mm_jpeg_color")
   }
 
+  test("lossy WebP decode digest survives task retry (mm_webp_lossy)") {
+    assertRetryStable("mm_webp_lossy")
+  }
+
   test("similarity join digest survives task retry (d_prefix_join)") {
     assertRetryStable("d_prefix_join")
   }
