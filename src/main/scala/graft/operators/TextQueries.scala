@@ -2173,7 +2173,7 @@ object TextQueries {
             def r(x: Int, y: Int) = ((x * 7 + y * 13 + id) % 256).toInt
             def g(x: Int, y: Int) = ((x * 11 + y * 5 + 2 * id) % 256).toInt
             def b(x: Int, y: Int) = ((x * 3 + y * 17 + 3 * id) % 256).toInt
-            val img = Webp.decodeWebpLossless(Webp.encodeWebpLossless(w, h,
+            val img = Webp.decodeWebp(Webp.encodeWebpLossless(w, h,
               (x, y) => (r(x, y) << 16) | (g(x, y) << 8) | b(x, y)))
             var psum = 0L
             img.pixels.foreach { p =>
@@ -2919,7 +2919,7 @@ object Multimodal {
             val pw = (24 + n % 120).toInt
             val ph = (24 + (n * 7) % 120).toInt
             val c = ((n + id) % 256).toInt
-            val img = Webp.decodeWebpLossless(Webp.encodeWebpLossless(pw, ph,
+            val img = Webp.decodeWebp(Webp.encodeWebpLossless(pw, ph,
               (_, _) => (c << 16) | (c << 8) | c))
             var s = 0L
             img.pixels.foreach { p =>
