@@ -362,22 +362,45 @@ object Vp8 {
   // Decode entry points
   // ------------------------------------------------------------------
 
-  /** Decode a .webp container holding a lossy VP8 frame. */
-  def decodeWebpLossy(bytes: Array[Byte]): Vp8Image = {
-    require(bytes.length >= 20, "short webp")
+  /** Decode a .webp container holding a lossy VP8 frame. Extended
+    * (VP8X) still containers are walked through to their VP8 chunk;
+    * animation and alpha sidecars are out of scope with clear errors,
+    * and truncated streams fail with a message, never an
+    * out-of-bounds. */
+  def decodeWebpLossy(bytes: Array[Byte]): Vp8Image =
+    try decodeWebpLossy0(bytes)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("vp8: truncated stream")
+    }
+
+  private def decodeWebpLossy0(bytes: Array[Byte]): Vp8Image = {
+    require(bytes.length >= 20, "vp8: short webp")
     def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
     def u32(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
         ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
-    require(tag(0) == "RIFF" && tag(8) == "WEBP", "not a webp")
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "vp8: not a webp")
     var off = 12
     while (off + 8 <= bytes.length) {
       val t = tag(off)
       val size = u32(off + 4)
-      if (t == "VP8 ") return decodeFrame(bytes, off + 8, size)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"vp8: chunk '$t' overruns the container")
+      t match {
+        case "VP8 " => return decodeFrame(bytes, off + 8, size)
+        case "ANIM" | "ANMF" =>
+          throw new IllegalArgumentException(
+            "vp8: animated webp not supported (still images only)")
+        case "ALPH" =>
+          throw new IllegalArgumentException(
+            "vp8: alpha sidecar not supported")
+        case _ => () // VP8X/ICCP/EXIF/XMP metadata: skip to the frame
+      }
       off += 8 + size + (size & 1)
     }
-    throw new IllegalArgumentException("no VP8 chunk (lossless? use Webp)")
+    throw new IllegalArgumentException(
+      "vp8: no VP8 chunk (lossless VP8L? use Webp.decodeWebp)")
   }
 
   /** Decode a raw VP8 key frame. */

@@ -123,6 +123,30 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("malformed and out-of-scope inputs fail with clear errors") {
+    def expectMsg(sub: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains(sub), s"got: ${e.getMessage}")
+    }
+    expectMsg("short")(Vp8.decodeWebpLossy(Array[Byte](1, 2, 3)))
+    expectMsg("not a webp")(
+      Vp8.decodeWebpLossy(("X" * 32).getBytes("US-ASCII")))
+    val good = Vp8.encodeVp8Fixture(16, 16, 40, 0, 0, 0, 0, 0,
+      (_, _) => Array.fill(25)(new Array[Int](16)))
+    // truncations at every interesting boundary fail, never AIOOBE
+    Seq(16, 21, 24, good.length / 2, good.length - 2).foreach { n =>
+      intercept[IllegalArgumentException](
+        Vp8.decodeWebpLossy(java.util.Arrays.copyOf(good, n)))
+    }
+    // animation chunk rejected by name
+    val anim = good.clone()
+    System.arraycopy("ANIM".getBytes("US-ASCII"), 0, anim, 12, 4)
+    expectMsg("animated")(Vp8.decodeWebpLossy(anim))
+    // a lossless stream routed to the lossy entry names the right API
+    val vp8l = Webp.encodeWebpLossless(4, 4, (_, _) => 0x112233)
+    expectMsg("VP8L")(Vp8.decodeWebpLossy(vp8l))
+  }
+
   test("token encode/decode round-trips random coefficient blocks") {
     val blkGen: Gen[(Int, List[Int])] = for {
       qi <- Gen.choose(0, 127)
