@@ -392,10 +392,9 @@ object Vp8 {
         case "ANIM" | "ANMF" =>
           throw new IllegalArgumentException(
             "vp8: animated webp not supported (still images only)")
-        case "ALPH" =>
-          throw new IllegalArgumentException(
-            "vp8: alpha sidecar not supported")
-        case _ => () // VP8X/ICCP/EXIF/XMP metadata: skip to the frame
+        case _ => () // VP8X/ALPH/ICCP/EXIF/XMP: skip to the frame — this
+        // entry returns the YUV planes only; Webp.decodeWebp is the
+        // container-level API that merges the ALPH sidecar into RGBA
       }
       off += 8 + size + (size & 1)
     }

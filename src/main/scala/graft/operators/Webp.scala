@@ -364,16 +364,106 @@ object Webp {
         throw new IllegalArgumentException("webp: truncated stream")
     }
 
-  /** Decode either WebP flavor: VP8L chunks through the lossless path,
+  /** Decode any still WebP: VP8L chunks through the lossless path,
     * lossy VP8 key frames through [[Vp8]] (bit-exact RFC 6386 YUV
-    * reconstruction + the shared BT.601 fixed-point RGB conversion). */
+    * reconstruction + the shared BT.601 fixed-point RGB conversion),
+    * and extended (VP8X) stills with an ALPH alpha sidecar — the alpha
+    * plane lands in bits 24-31 of the packed pixels. Raw and
+    * subset-VP8L alpha payloads are decoded (with all four inverse row
+    * filters); VP8L-transform-compressed alpha throws the documented
+    * scope error. */
   def decodeWebp(bytes: Array[Byte]): WebpImage = {
     require(bytes.length >= 16, "webp: too short")
     def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-    if (bytes.length > 15 && tag(12) == "VP8 ") {
-      val img = Vp8.decodeWebpLossy(bytes)
-      WebpImage(img.width, img.height, img.toRgb)
-    } else decodeWebpLossless(bytes)
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "webp: not a RIFF/WEBP file")
+    var off = 12
+    var alph: Option[(Int, Int)] = None // (offset, len) of ALPH payload
+    while (off + 8 <= bytes.length) {
+      val t = tag(off)
+      val len = u32(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"webp: chunk '$t' overruns the container")
+      t match {
+        case "VP8 " =>
+          val img = Vp8.decodeWebpLossy(bytes)
+          val rgb = img.toRgb
+          alph.foreach { case (ao, al) =>
+            val a = decodeAlpha(bytes, ao, al, img.width, img.height)
+            var i = 0
+            while (i < rgb.length) { rgb(i) |= a(i) << 24; i += 1 }
+          }
+          return WebpImage(img.width, img.height, rgb)
+        case "VP8L" => return decodeWebpLossless(bytes)
+        case "ALPH" => alph = Some((off + 8, len))
+        case "ANIM" | "ANMF" =>
+          throw new IllegalArgumentException(
+            "webp: animated webp not supported (still images only)")
+        case _ => () // VP8X/ICCP/EXIF/XMP metadata
+      }
+      off += 8 + len + (len & 1)
+    }
+    throw new IllegalArgumentException("webp: no image chunk")
+  }
+
+  /** Decode an ALPH chunk payload into a w*h plane of 0..255 values
+    * (container spec: 1 header byte — 2 reserved, 2 preprocessing,
+    * 2 filtering, 2 compression bits — then the filtered plane, raw or
+    * as a VP8L image stream with the alpha in the green channel). */
+  private[operators] def decodeAlpha(bytes: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Array[Int] = {
+    require(len >= 1, "webp: empty ALPH chunk")
+    val hdr = bytes(off) & 0xff
+    require((hdr >> 6) == 0, "webp: reserved ALPH bits set")
+    val filter = (hdr >> 2) & 3
+    val comp = hdr & 3
+    val a = new Array[Int](w * h)
+    comp match {
+      case 0 =>
+        require(len >= 1 + w * h, "webp: raw ALPH payload too short")
+        var i = 0
+        while (i < w * h) { a(i) = bytes(off + 1 + i) & 0xff; i += 1 }
+      case 1 =>
+        // a headerless VP8L image stream (no signature, no dims);
+        // alpha values ride in the GREEN channel
+        val br = new BitReader(bytes, off + 1, off + len)
+        val argb = decodeVp8lStream(br, w, h)
+        var i = 0
+        while (i < w * h) { a(i) = (argb(i) >> 8) & 0xff; i += 1 }
+      case _ =>
+        throw new IllegalArgumentException(s"webp: bad ALPH compression $comp")
+    }
+    // inverse row filters (libwebp filter semantics: the row-0/col-0
+    // fallbacks chain through the already-reconstructed neighbors)
+    if (filter > 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val pred =
+            if (x == 0 && y == 0) 0
+            else filter match {
+              case 1 => if (x > 0) a(y * w + x - 1) else a((y - 1) * w)
+              case 2 => if (y > 0) a((y - 1) * w + x) else a(x - 1)
+              case _ => // gradient
+                if (y == 0) a(x - 1)
+                else if (x == 0) a((y - 1) * w)
+                else {
+                  val l = a(y * w + x - 1)
+                  val t = a((y - 1) * w + x)
+                  val tl = a((y - 1) * w + x - 1)
+                  math.max(0, math.min(255, l + t - tl))
+                }
+            }
+          a(y * w + x) = (a(y * w + x) + pred) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+    }
+    a
   }
 
   private def decodeWebp0(bytes: Array[Byte]): WebpImage = {
@@ -403,6 +493,34 @@ object Webp {
     val height = br.readBits(14) + 1
     br.readBits(1) // alpha hint
     require(br.readBits(3) == 0, "webp: unsupported VP8L version")
+    val argb = decodeVp8lStream(br, width, height)
+    val n = width * height
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) { px(i) = argb(i) & 0xffffff; i += 1 }
+    WebpImage(width, height, px)
+  }
+
+  /** Neighbor-mapped LZ77 distance codes 1..120 (VP8L spec): each byte
+    * is (dy << 4) | (8 - dx); dist = dy*width + dx, floored at 1. */
+  private val KCodeToPlane: Array[Int] = Array(
+    24, 7, 23, 25, 40, 6, 39, 41, 22, 26, 38, 42, 56, 5, 55, 57,
+    21, 27, 54, 58, 37, 43, 72, 4, 71, 73, 20, 28, 53, 59, 70, 74,
+    36, 44, 88, 69, 75, 52, 60, 3, 87, 89, 19, 29, 86, 90, 35, 45,
+    68, 76, 85, 91, 51, 61, 104, 2, 103, 105, 18, 30, 102, 106, 34, 46,
+    84, 92, 67, 77, 101, 107, 50, 62, 120, 1, 119, 121, 83, 93, 17, 31,
+    100, 108, 66, 78, 118, 122, 33, 47, 117, 123, 49, 63, 99, 109, 82, 94,
+    0, 116, 124, 65, 79, 16, 32, 98, 110, 48, 115, 125, 81, 95, 64, 114,
+    126, 97, 111, 80, 113, 127, 96, 112)
+
+  /** Decode a headerless VP8L image stream (the part after the
+    * signature/dims — also the exact payload shape of a
+    * lossless-compressed ALPH chunk) into ARGB pixels. Scope: the four
+    * pixel transforms and meta prefix images throw documented errors;
+    * color cache, all prefix-code forms, LZ77 with both direct and
+    * neighbor-mapped distances are handled. */
+  private[operators] def decodeVp8lStream(br: BitReader, width: Int,
+      height: Int): Array[Int] = {
     if (br.readBits(1) == 1) {
       val t = br.readBits(2)
       val name = Seq("predictor", "color", "subtract-green", "palette")(t)
@@ -436,9 +554,13 @@ object Webp {
       } else if (g < 256 + 24) {
         val len = lz77Value(g - 256, br)
         val distCode = lz77Value(distDec.decode(br), br)
-        if (distCode <= 120)
-          throw new IllegalArgumentException("webp: neighbor-mapped distances unsupported")
-        val dist = distCode - 120
+        val dist =
+          if (distCode > 120) distCode - 120
+          else {
+            val pc = KCodeToPlane(distCode - 1)
+            val d = (pc >> 4) * width + (8 - (pc & 0xf))
+            if (d >= 1) d else 1
+          }
         require(dist <= i && i + len <= n, "webp: LZ77 reference out of range")
         var j = 0
         while (j < len) { val p = argb(i - dist); argb(i) = p; cachePut(p); i += 1; j += 1 }
@@ -448,9 +570,6 @@ object Webp {
         argb(i) = p; i += 1
       }
     }
-    val px = new Array[Int](n)
-    i = 0
-    while (i < n) { px(i) = argb(i) & 0xffffff; i += 1 }
-    WebpImage(width, height, px)
+    argb
   }
 }

@@ -82,6 +82,48 @@ class Vp8RealStreamSpec extends AnyFunSuite {
     checkDir(dir)
   }
 
+  test("alpha sidecars: raw-compressed ALPH decodes bit-exactly, " +
+      "VP8L-transform alpha throws the documented scope error") {
+    assume(libwebpAvailable, "libwebp/python3 not available")
+    val dir = tmpDir("alpha")
+    val (rc, out) = run("python3", "tools/vp8_alpha_check.py", dir.toString)
+    assert(rc == 0, s"generator failed: $out")
+    val manifest = Files.readAllLines(dir.resolve("manifest.txt"))
+    var rawN = 0
+    var vp8lN = 0
+    manifest.forEach { line =>
+      if (line.trim.nonEmpty) {
+        val Array(name, wS, hS, compS) = line.trim.split("\\s+")
+        val w = wS.toInt; val h = hS.toInt
+        val webp = Files.readAllBytes(dir.resolve(name + ".webp"))
+        val want = Files.readAllBytes(dir.resolve(name + ".alpha"))
+        // raw alpha must always decode; VP8L-compressed alpha decodes
+        // when the stream stays inside the VP8L subset (no transforms /
+        // meta prefix) and must otherwise fail with the documented
+        // scope error — and whenever decode succeeds, the plane must
+        // equal libwebp's bit-for-bit
+        val decoded =
+          try Some(graft.operators.Webp.decodeWebp(webp))
+          catch {
+            case e: IllegalArgumentException if compS != "0" =>
+              assert(e.getMessage.contains("transform") ||
+                e.getMessage.contains("meta prefix"), e.getMessage)
+              vp8lN += 1
+              None
+          }
+        decoded.foreach { img =>
+          assert(img.width == w && img.height == h)
+          val got = img.pixels.map(p => ((p >>> 24) & 0xff).toByte)
+          assert(java.util.Arrays.equals(got, want),
+            s"$name (ALPH comp=$compS): alpha plane differs from libwebp")
+          rawN += 1
+        }
+      }
+    }
+    assert(rawN > 0, "no alpha case decoded successfully")
+    assert(vp8lN > 0, "no transform-compressed alpha case (scope pin untested)")
+  }
+
   test("graft fixture streams decode identically through libwebp") {
     assume(libwebpAvailable, "libwebp/python3 not available")
     val dir = tmpDir("fix")
