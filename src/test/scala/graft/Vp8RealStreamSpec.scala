@@ -97,31 +97,50 @@ class Vp8RealStreamSpec extends AnyFunSuite {
         val w = wS.toInt; val h = hS.toInt
         val webp = Files.readAllBytes(dir.resolve(name + ".webp"))
         val want = Files.readAllBytes(dir.resolve(name + ".alpha"))
-        // raw alpha must always decode; VP8L-compressed alpha decodes
-        // when the stream stays inside the VP8L subset (no transforms /
-        // meta prefix) and must otherwise fail with the documented
-        // scope error — and whenever decode succeeds, the plane must
-        // equal libwebp's bit-for-bit
-        val decoded =
-          try Some(graft.operators.Webp.decodeWebp(webp))
-          catch {
-            case e: IllegalArgumentException if compS != "0" =>
-              assert(e.getMessage.contains("transform") ||
-                e.getMessage.contains("meta prefix"), e.getMessage)
-              vp8lN += 1
-              None
-          }
-        decoded.foreach { img =>
-          assert(img.width == w && img.height == h)
-          val got = img.pixels.map(p => ((p >>> 24) & 0xff).toByte)
-          assert(java.util.Arrays.equals(got, want),
-            s"$name (ALPH comp=$compS): alpha plane differs from libwebp")
-          rawN += 1
-        }
+        // every alpha payload decodes: raw directly, VP8L-compressed
+        // through the full lossless decoder (transforms included) —
+        // and the plane must equal libwebp's bit-for-bit
+        val img = graft.operators.Webp.decodeWebp(webp)
+        assert(img.width == w && img.height == h)
+        val got = img.pixels.map(p => ((p >>> 24) & 0xff).toByte)
+        assert(java.util.Arrays.equals(got, want),
+          s"$name (ALPH comp=$compS): alpha plane differs from libwebp")
+        if (compS == "0") rawN += 1 else vp8lN += 1
       }
     }
-    assert(rawN > 0, "no alpha case decoded successfully")
-    assert(vp8lN > 0, "no transform-compressed alpha case (scope pin untested)")
+    assert(rawN > 0, "no raw-alpha case generated")
+    assert(vp8lN > 0, "no VP8L-compressed alpha case generated")
+  }
+
+  test("decodes real LOSSLESS (VP8L) encoder streams bit-exactly — " +
+      "all transforms, bundled palettes, meta prefix, methods 0-6") {
+    assume(libwebpAvailable, "libwebp/python3 not available")
+    val dir = tmpDir("vp8l")
+    val (rc, out) = run("python3", "tools/vp8l_crosscheck.py", dir.toString)
+    assert(rc == 0, s"generator failed: $out")
+    var n = 0
+    Files.readAllLines(dir.resolve("manifest.txt")).forEach { line =>
+      if (line.trim.nonEmpty) {
+        val Array(name, wS, hS, desc) = line.trim.split("\\s+")
+        val w = wS.toInt; val h = hS.toInt
+        val webp = Files.readAllBytes(dir.resolve(name + ".webp"))
+        val want = Files.readAllBytes(dir.resolve(name + ".rgb"))
+        val img = graft.operators.Webp.decodeWebp(webp)
+        assert(img.width == w && img.height == h, s"$name dims")
+        val got = new Array[Byte](w * h * 3)
+        var i = 0
+        img.pixels.foreach { p =>
+          got(i) = ((p >> 16) & 0xff).toByte
+          got(i + 1) = ((p >> 8) & 0xff).toByte
+          got(i + 2) = (p & 0xff).toByte
+          i += 3
+        }
+        assert(java.util.Arrays.equals(got, want),
+          s"$name ($desc): lossless decode differs from libwebp")
+        n += 1
+      }
+    }
+    assert(n >= 20, s"only $n lossless cases generated")
   }
 
   test("graft fixture streams decode identically through libwebp") {
