@@ -2,13 +2,16 @@ package graft.operators
 
 /** Baseline-sequential JPEG codec (ITU T.81) in pure byte/double
   * arithmetic — zero codec dependencies, the round-8 sibling of the
-  * BMP/WAV/PNG decoders in [[Multimodal]]. Scope: baseline DCT
-  * (SOF0), 8-bit precision, 1-component (grayscale) or 3-component
-  * YCbCr with 1x1 sampling (4:4:4), standard Annex-K huffman tables,
-  * JFIF container. Progressive (SOF2), subsampled chroma, arithmetic
-  * coding, and restart intervals throw with a clear message — this is
-  * a real entropy decoder for the files the encoder writes (and any
-  * spec-compliant baseline 4:4:4 file), not a stub.
+  * BMP/WAV/PNG decoders in [[Multimodal]]. Scope: baseline (SOF0) and
+  * progressive (SOF2) DCT, 8-bit precision, grayscale or 3-component
+  * YCbCr with sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), arbitrary
+  * huffman tables, restart intervals (DRI/RSTn), JFIF container.
+  * Arithmetic coding and 12-bit precision throw with a clear message.
+  * The entropy layer is verified against real libjpeg encoder output
+  * at the quantized-coefficient level — the representation T.81 pins
+  * down exactly — across quality/progression/restart/subsampling/
+  * optimized-table combinations (JpegRealStreamSpec,
+  * tools/jpeg_crosscheck.py).
   *
   * Exactness contracts used by the `mm_jpeg_decode` oracle:
   *
@@ -207,6 +210,21 @@ object Jpeg {
       var i = 0
       while (i < n) { v = (v << 1) | readBit(); i += 1 }
       v
+    }
+
+    /** Byte-align and consume the expected RSTn marker (T.81 E.2.4 /
+      * F.2.1.3.1): discard the partial byte, skip optional 0xFF fill,
+      * and require the cyclic restart marker 0xFFD0+n. */
+    def consumeRst(n: Int): Unit = {
+      acc = 0; nBits = 0
+      if (pos + 1 >= bytes.length)
+        throw new IllegalArgumentException("jpeg: truncated at restart marker")
+      require((bytes(pos) & 0xff) == 0xff, "jpeg: expected restart marker")
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      val m = bytes(pos + 1) & 0xff
+      require(m == 0xd0 + n,
+        f"jpeg: expected RST$n%d, got marker 0x$m%02X")
+      pos += 2
     }
   }
 
@@ -917,17 +935,54 @@ object Jpeg {
     * 4:4:0) with interleaved MCUs, box (nearest) chroma upsampling and
     * FIXED-POINT integer YCbCr->RGB (single >>16 rounding point per
     * channel, so the color path is oracle-replayable the same way the
-    * IDCT is); throws IllegalArgumentException on anything else
-    * (progressive, arithmetic coding, restart intervals, 12-bit).
+    * IDCT is); progressive (SOF2) streams and restart intervals decode;
+    * throws IllegalArgumentException on anything else (arithmetic
+    * coding, 12-bit precision).
     */
   def decodeJpeg(bytes: Array[Byte]): JpegImage =
-    try decodeJpeg0(bytes)
+    try decodeJpeg0(bytes, null)
     catch { // any out-of-bounds read is a truncation, not a crash
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("jpeg: truncated stream")
     }
 
-  private def decodeJpeg0(bytes: Array[Byte]): JpegImage = {
+  /** Per-component QUANTIZED coefficient planes over the exact
+    * ceil(dim/8) block grid, natural order within each 64-entry block —
+    * the entropy layer's output BEFORE dequantization/IDCT, which T.81
+    * defines exactly (unlike the IDCT), so it is byte-comparable
+    * across independent implementations (JpegRealStreamSpec pins it
+    * against libjpeg's jpeg_read_coefficients on real encoder
+    * output). */
+  final case class JpegCoefs(width: Int, height: Int,
+      blocksW: Array[Int], blocksH: Array[Int], planes: Array[Array[Int]])
+
+  def decodeJpegCoefficients(bytes: Array[Byte]): JpegCoefs = {
+    val sink = new CoefSink
+    try decodeJpeg0(bytes, sink)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("jpeg: truncated stream")
+    }
+    JpegCoefs(sink.width, sink.height, sink.blocksW, sink.blocksH, sink.planes)
+  }
+
+  private final class CoefSink {
+    var width = 0
+    var height = 0
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var planes: Array[Array[Int]] = null
+    def init(w: Int, h: Int, bw: Array[Int], bh: Array[Int]): Unit = {
+      width = w; height = h; blocksW = bw; blocksH = bh
+      planes = Array.tabulate(bw.length)(i => new Array[Int](bw(i) * bh(i) * 64))
+    }
+    /** Store one natural-order quantized block if inside the exact grid. */
+    def put(ci: Int, bx: Int, by: Int, blk: Array[Int]): Unit =
+      if (bx < blocksW(ci) && by < blocksH(ci))
+        System.arraycopy(blk, 0, planes(ci), (by * blocksW(ci) + bx) * 64, 64)
+  }
+
+  private def decodeJpeg0(bytes: Array[Byte], sink: CoefSink): JpegImage = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "jpeg: missing SOI")
     var pos = 2
@@ -941,6 +996,7 @@ object Jpeg {
     var height = 0
     var comps: Array[Component] = null
     var progressive = false
+    var restartInterval = 0
 
     // progressive state, initialized at the first SOS: per-component
     // RAW coefficient planes (natural order, padded to the MCU grid;
@@ -1019,7 +1075,11 @@ object Jpeg {
             while (i < 64) { t(i) = u8(); i += 1 }
             quantTables(id) = t
           }
-        case 0xdd => throw new IllegalArgumentException("jpeg: restart intervals (DRI) unsupported")
+        case 0xdd => // DRI: restart interval in MCUs (data units when
+          // the scan is non-interleaved), 0 disables
+          val l = u16()
+          require(l == 4, "jpeg: bad DRI length")
+          restartInterval = u16()
         case 0xda => // SOS
           val segLen = u16()
           val n = u8()
@@ -1063,7 +1123,7 @@ object Jpeg {
             val br = new BitReader(bytes, pos)
             decodeProgScan(br, comps, scanComps, ss, se, ahAl >> 4, ahAl & 0x0f,
               coefPlanes, padW, pMcusX, pMcusY, pHMax, pVMax, width, height,
-              dcTables, acTables)
+              dcTables, acTables, restartInterval)
             // resume at the next non-stuffed marker
             var p = br.pos
             while (p + 1 < bytes.length &&
@@ -1082,6 +1142,11 @@ object Jpeg {
     val nComp = comps.length
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
+    if (sink != null) {
+      def exW(c: Component): Int = ((width * c.h + hMax - 1) / hMax + 7) / 8
+      def exH(c: Component): Int = ((height * c.v + vMax - 1) / vMax + 7) / 8
+      sink.init(width, height, comps.map(exW), comps.map(exH))
+    }
     // interleaved-scan geometry (T.81 A.2.3): MCU = 8*hMax x 8*vMax
     // pixels; component ci contributes h*v blocks per MCU into a plane
     // of mcusX*h x mcusY*v blocks
@@ -1092,6 +1157,7 @@ object Jpeg {
       new Array[Int](strides(i) * mcusY * c.v * 8)
     }
     val coefs = new Array[Int](64)
+    val rawCoefs = new Array[Int](64)
     val spatial = new Array[Int](64)
 
     /** IDCT one natural-order coefficient block into the pixel plane. */
@@ -1117,6 +1183,8 @@ object Jpeg {
     if (!progressive) {
       val br = new BitReader(bytes, scanStart)
       val prevDc = new Array[Int](nComp)
+      var mcuCount = 0
+      var rstN = 0
       var my = 0
       while (my < mcusY) {
         var mx = 0
@@ -1134,10 +1202,12 @@ object Jpeg {
               var sbx = 0
               while (sbx < c.h) {
                 java.util.Arrays.fill(coefs, 0)
+                if (sink != null) java.util.Arrays.fill(rawCoefs, 0)
                 val cat = dcDec.decode(br)
                 val diff = extend(br.receive(cat), cat)
                 prevDc(ci) += diff
                 coefs(Zigzag(0)) = prevDc(ci) * q(0)
+                if (sink != null) rawCoefs(Zigzag(0)) = prevDc(ci)
                 var k = 1
                 var eob = false
                 while (k < 64 && !eob) {
@@ -1149,16 +1219,29 @@ object Jpeg {
                   } else {
                     k += run
                     require(k < 64, "jpeg: AC index overflow")
-                    coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(k)
+                    val v = extend(br.receive(sz), sz)
+                    coefs(Zigzag(k)) = v * q(k)
+                    if (sink != null) rawCoefs(Zigzag(k)) = v
                     k += 1
                   }
                 }
+                if (sink != null)
+                  sink.put(ci, mx * c.h + sbx, my * c.v + sby, rawCoefs)
                 storeBlock(ci, mx * c.h + sbx, my * c.v + sby)
                 sbx += 1
               }
               sby += 1
             }
             ci += 1
+          }
+          // restart markers every `restartInterval` MCUs (not after the
+          // last): byte-align, consume the cyclic RSTn, reset DC preds
+          mcuCount += 1
+          if (restartInterval > 0 && mcuCount % restartInterval == 0 &&
+            !(my == mcusY - 1 && mx == mcusX - 1)) {
+            br.consumeRst(rstN)
+            rstN = (rstN + 1) & 7
+            java.util.Arrays.fill(prevDc, 0)
           }
           mx += 1
         }
@@ -1168,6 +1251,23 @@ object Jpeg {
       // progressive: all scans already accumulated RAW coefficients in
       // coefPlanes — dequantize and IDCT each padded block once
       require(coefPlanes != null, "jpeg: progressive stream had no scans")
+      if (sink != null) {
+        var ci = 0
+        while (ci < nComp) {
+          val bw = padW(ci)
+          var by = 0
+          while (by < sink.blocksH(ci)) {
+            var bx = 0
+            while (bx < sink.blocksW(ci)) {
+              System.arraycopy(coefPlanes(ci), (by * bw + bx) * 64, rawCoefs, 0, 64)
+              sink.put(ci, bx, by, rawCoefs)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+      }
       var ci = 0
       while (ci < nComp) {
         val c = comps(ci)
@@ -1254,7 +1354,8 @@ object Jpeg {
       scanComps: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
       coefPlanes: Array[Array[Int]], padW: Array[Int],
       mcusX: Int, mcusY: Int, hMax: Int, vMax: Int, width: Int, height: Int,
-      dcTables: Array[HuffDecoder], acTables: Array[HuffDecoder]): Unit = {
+      dcTables: Array[HuffDecoder], acTables: Array[HuffDecoder],
+      restartInterval: Int): Unit = {
     require(ss >= 0 && se <= 63 && ss <= se, "jpeg: bad spectral band")
     require(ah >= 0 && ah <= 13 && al >= 0 && al <= 13, "jpeg: bad successive approximation")
 
@@ -1281,6 +1382,16 @@ object Jpeg {
           if (br.readBit() != 0) plane(off) |= 1 << al
         }
       }
+      var unitCount = 0
+      var rstN = 0
+      def maybeRestart(isLast: Boolean): Unit = {
+        unitCount += 1
+        if (restartInterval > 0 && unitCount % restartInterval == 0 && !isLast) {
+          br.consumeRst(rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(prevDc, 0)
+        }
+      }
       if (scanComps.length > 1) { // interleaved MCU order
         var my = 0
         while (my < mcusY) {
@@ -1300,6 +1411,7 @@ object Jpeg {
               }
               si += 1
             }
+            maybeRestart(my == mcusY - 1 && mx == mcusX - 1)
             mx += 1
           }
           my += 1
@@ -1310,7 +1422,11 @@ object Jpeg {
         var by = 0
         while (by < eh) {
           var bx = 0
-          while (bx < ew) { dcUnit(ci, bx, by); bx += 1 }
+          while (bx < ew) {
+            dcUnit(ci, bx, by)
+            maybeRestart(by == eh - 1 && bx == ew - 1)
+            bx += 1
+          }
           by += 1
         }
       }
@@ -1396,12 +1512,24 @@ object Jpeg {
         }
       }
 
+      var unitCount = 0
+      var rstN = 0
       var by = 0
       while (by < eh) {
         var bx = 0
         while (bx < ew) {
           val off = blockOff(ci, bx, by)
           if (ah == 0) acFirstBlock(off) else acRefineBlock(off)
+          // restarts count data units in a non-interleaved scan; the
+          // encoder must terminate any EOB run at the boundary, so the
+          // decoder resets it with the entropy state (T.81 G.1.2.2)
+          unitCount += 1
+          if (restartInterval > 0 && unitCount % restartInterval == 0 &&
+            !(by == eh - 1 && bx == ew - 1)) {
+            br.consumeRst(rstN)
+            rstN = (rstN + 1) & 7
+            eobrun = 0
+          }
           bx += 1
         }
         by += 1
