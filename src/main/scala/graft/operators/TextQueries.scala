@@ -2454,7 +2454,10 @@ object Multimodal {
   // -------------------------------------------------------------------
 
   /** Decoded PNG: pixels top-down row-major, 0xRRGGBB ints. */
-  case class PngImage(width: Int, height: Int, pixels: Array[Int])
+  /** pixels: packed 0xRRGGBB; alpha: per-pixel 0..255 plane, or null
+    * when the source had no alpha (no alpha channel and no tRNS). */
+  case class PngImage(width: Int, height: Int, pixels: Array[Int],
+      alpha: Array[Int] = null)
 
   private val PNG_SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -2555,13 +2558,21 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Parse a truecolor RGB8 non-interlaced PNG: validate the signature,
-    * walk chunks verifying each CRC32, require IHDR first, concatenate
-    * IDAT payloads, zlib-inflate, reverse the per-scanline filter
-    * (None/Sub/Up/Average/Paeth). Throws IllegalArgumentException on
-    * anything unsupported or malformed — bad CRC, unknown filter type,
-    * short or overlong pixel data — because a quiet misparse poisons
-    * every downstream feature.
+  /** Parse any spec-conformant PNG: validate the signature, walk
+    * chunks verifying each CRC32, require IHDR first, concatenate IDAT
+    * payloads, zlib-inflate, reverse the per-scanline filter
+    * (None/Sub/Up/Average/Paeth at the correct byte offset for the
+    * pixel layout), and decode every color type — grayscale (bit
+    * depths 1/2/4/8/16), truecolor (8/16), palette (1/2/4/8 + tRNS
+    * alpha), gray+alpha and RGBA (8/16) — with both progressive
+    * layouts (non-interlaced and Adam7, each pass its own filtered
+    * sub-image). 16-bit samples strip to their high byte; sub-8-bit
+    * gray scales by bit replication; tRNS compares at full sample
+    * depth — exactly libpng's expand/strip semantics, pinned
+    * bit-for-bit against real libpng encodes in PngRealStreamSpec.
+    * Throws IllegalArgumentException on anything malformed — bad CRC,
+    * unknown filter type, short or overlong pixel data — because a
+    * quiet misparse poisons every downstream feature.
     */
   def decodePng(bytes: Array[Byte]): PngImage = {
     require(bytes.length >= 8 + 25, "not a PNG: too short")
@@ -2569,6 +2580,9 @@ object Multimodal {
     while (k < 8) { require(bytes(k) == PNG_SIG(k), "not a PNG: bad signature"); k += 1 }
     var o = 8
     var width = -1; var height = -1
+    var depth = 0; var colorType = -1; var interlace = 0
+    var palette: Array[Int] = null // packed 0xRRGGBB
+    var trns: Array[Int] = null    // palette: per-entry alpha; gray: [v]; rgb: [r,g,b]
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream(bytes.length)
     while (!seenIend) {
@@ -2586,13 +2600,44 @@ object Multimodal {
           require(len == 13, s"bad IHDR length $len")
           width = be32(bytes, body); height = be32(bytes, body + 4)
           require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20) &&
-            3L * width * height + height <= Int.MaxValue,
+            8L * width * height + height <= Int.MaxValue,
             s"unsupported PNG dims ${width}x$height")
-          require(bytes(body + 8) == 8, s"unsupported bit depth ${bytes(body + 8)}")
-          require(bytes(body + 9) == 2, s"unsupported colour type ${bytes(body + 9)}")
+          depth = bytes(body + 8) & 0xff
+          colorType = bytes(body + 9) & 0xff
+          val okDepth = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)(depth)
+            case 2 | 4 | 6 => depth == 8 || depth == 16
+            case 3 => Set(1, 2, 4, 8)(depth)
+            case _ => false
+          }
+          require(okDepth, s"bad PNG depth/colour combination $depth/$colorType")
           require(bytes(body + 10) == 0 && bytes(body + 11) == 0, "bad compression/filter method")
-          require(bytes(body + 12) == 0, "interlaced PNG unsupported")
+          interlace = bytes(body + 12) & 0xff
+          require(interlace == 0 || interlace == 1, s"bad interlace method $interlace")
           seenIhdr = true
+        case "PLTE" =>
+          require(seenIhdr, "PLTE before IHDR")
+          require(len % 3 == 0 && len <= 3 * 256, s"bad PLTE length $len")
+          palette = Array.tabulate(len / 3)(i =>
+            ((bytes(body + 3 * i) & 0xff) << 16) |
+              ((bytes(body + 3 * i + 1) & 0xff) << 8) |
+              (bytes(body + 3 * i + 2) & 0xff))
+        case "tRNS" =>
+          require(seenIhdr, "tRNS before IHDR")
+          colorType match {
+            case 3 =>
+              require(palette != null && len <= palette.length, "bad tRNS length")
+              trns = Array.tabulate(len)(i => bytes(body + i) & 0xff)
+            case 0 =>
+              require(len == 2, "bad tRNS length for grayscale")
+              trns = Array(((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff))
+            case 2 =>
+              require(len == 6, "bad tRNS length for truecolor")
+              trns = Array.tabulate(3)(i =>
+                ((bytes(body + 2 * i) & 0xff) << 8) | (bytes(body + 2 * i + 1) & 0xff))
+            case _ =>
+              throw new IllegalArgumentException("tRNS with an alpha channel")
+          }
         case "IDAT" =>
           require(seenIhdr, "IDAT before IHDR")
           idat.write(bytes, body, len)
@@ -2606,59 +2651,137 @@ object Multimodal {
       o = body + len + 4
     }
     require(seenIhdr, "missing IHDR")
-    val rowBytes = width * 3
-    val expect = height * (1 + rowBytes)
-    val raw = new Array[Byte](expect)
+    if (colorType == 3) require(palette != null, "palette image without PLTE")
+
+    val channels = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case _ => 4
+    }
+    val bpp = math.max(1, (channels * depth + 7) / 8) // filter byte offset
+
+    // Adam7 pass geometry; non-interlaced = a single full pass
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 1, 0, 1))
+      else Array((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (xs, dx, ys, dy) =>
+      (math.max(0, (width - xs + dx - 1) / dx),
+        math.max(0, (height - ys + dy - 1) / dy))
+    }
+    val expect = passDims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0L
+      else ph.toLong * (1 + (pw.toLong * channels * depth + 7) / 8)
+    }.sum
+    require(expect <= Int.MaxValue, "PNG raster too large")
+    val raw = new Array[Byte](expect.toInt)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
     var got = 0
     try {
-      while (got < expect && !infl.finished()) {
-        val n = infl.inflate(raw, got, expect - got)
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
         require(n > 0 || infl.finished(), "truncated zlib stream in IDAT")
         got += n
       }
-      require(got == expect, s"short pixel data: $got of $expect bytes")
-      // drain: a conforming stream ends exactly here
+      require(got == raw.length, s"short pixel data: $got of ${raw.length} bytes")
       val spill = new Array[Byte](1)
       require(infl.finished() || infl.inflate(spill) == 0, "overlong pixel data")
     } catch {
       case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException(s"corrupt zlib stream: ${e.getMessage}")
     } finally infl.end()
-    // reverse the per-row filter in place (raw → unfiltered scanlines)
+
     val px = new Array[Int](width * height)
-    val cur = new Array[Int](rowBytes)
-    val prev = new Array[Int](rowBytes)
-    var y = 0
-    while (y < height) {
-      val rowOff = y * (1 + rowBytes)
-      val f = raw(rowOff) & 0xff
-      require(f <= 4, s"unknown PNG filter type $f on row $y")
-      var i = 0
-      while (i < rowBytes) {
-        val x = raw(rowOff + 1 + i) & 0xff
-        val a = if (i >= 3) cur(i - 3) else 0
-        val b = prev(i)
-        val c = if (i >= 3) prev(i - 3) else 0
-        cur(i) = (f match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + b
-          case 3 => x + ((a + b) >> 1)
-          case 4 => x + paeth(a, b, c)
-        }) & 0xff
-        i += 1
+    val hasAlpha = colorType == 4 || colorType == 6 || trns != null
+    val al = if (hasAlpha) Array.fill(width * height)(255) else null
+    val maxV = (1 << depth) - 1
+    // sub-8-bit gray scales by bit replication: v * 255 / maxV exactly
+    def gray8(v: Int): Int =
+      if (depth == 16) v >> 8 else if (depth == 8) v else v * 255 / maxV
+
+    var rawOff = 0
+    var p = 0
+    while (p < passes.length) {
+      val (xs, dx, ys, dy) = passes(p)
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * channels * depth + 7) / 8).toInt
+        val cur = new Array[Int](rowBytes)
+        val prev = new Array[Int](rowBytes)
+        java.util.Arrays.fill(prev, 0)
+        var ry = 0
+        while (ry < ph) {
+          val f = raw(rawOff) & 0xff
+          require(f <= 4, s"unknown PNG filter type $f")
+          rawOff += 1
+          var i = 0
+          while (i < rowBytes) {
+            val x = raw(rawOff + i) & 0xff
+            val a = if (i >= bpp) cur(i - bpp) else 0
+            val b = prev(i)
+            val c = if (i >= bpp) prev(i - bpp) else 0
+            cur(i) = (f match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + b
+              case 3 => x + ((a + b) >> 1)
+              case 4 => x + paeth(a, b, c)
+            }) & 0xff
+            i += 1
+          }
+          rawOff += rowBytes
+          // sample reader over the unfiltered row
+          var bitPos = 0
+          def sample(): Int = {
+            val v =
+              if (depth == 16) {
+                val hi = cur(bitPos >> 3); val lo = cur((bitPos >> 3) + 1)
+                (hi << 8) | lo
+              } else if (depth == 8) cur(bitPos >> 3)
+              else (cur(bitPos >> 3) >> (8 - depth - (bitPos & 7))) & maxV
+            bitPos += depth
+            v
+          }
+          var rx = 0
+          while (rx < pw) {
+            val outPos = (ys + ry * dy) * width + xs + rx * dx
+            colorType match {
+              case 0 =>
+                val v = sample()
+                val g = gray8(v)
+                px(outPos) = (g << 16) | (g << 8) | g
+                if (trns != null && v == trns(0)) al(outPos) = 0
+              case 2 =>
+                val r = sample(); val g = sample(); val b = sample()
+                px(outPos) = (gray8(r) << 16) | (gray8(g) << 8) | gray8(b)
+                if (trns != null && r == trns(0) && g == trns(1) && b == trns(2))
+                  al(outPos) = 0
+              case 3 =>
+                val idx = sample()
+                require(idx < palette.length, s"palette index $idx out of range")
+                px(outPos) = palette(idx)
+                if (trns != null) al(outPos) = if (idx < trns.length) trns(idx) else 255
+              case 4 =>
+                val g = gray8(sample()); val av = gray8(sample())
+                px(outPos) = (g << 16) | (g << 8) | g
+                al(outPos) = av
+              case _ =>
+                val r = gray8(sample()); val g = gray8(sample())
+                val b = gray8(sample()); val av = gray8(sample())
+                px(outPos) = (r << 16) | (g << 8) | b
+                al(outPos) = av
+            }
+            rx += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, rowBytes)
+          ry += 1
+        }
       }
-      var xpx = 0
-      while (xpx < width) {
-        px(y * width + xpx) = (cur(xpx * 3) << 16) | (cur(xpx * 3 + 1) << 8) | cur(xpx * 3 + 2)
-        xpx += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, rowBytes)
-      y += 1
+      p += 1
     }
-    PngImage(width, height, px)
+    PngImage(width, height, px, al)
   }
 
   /** Write a PCM16 mono WAV. Includes a junk `LIST` chunk between `fmt `
