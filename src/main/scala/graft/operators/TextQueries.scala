@@ -2314,7 +2314,69 @@ object TextQueries {
           .toDF("doc_id", "w", "h", "y_sum", "u_sum", "v_sum", "y_tl", "y_br")
           .orderBy(col("doc_id"))
       },
-      Some(webpChainOracle)))
+      Some(webpChainOracle)),
+
+    // REAL GIF decode (round 11): encode→decode through the GIF89a
+    // codec (graft.operators.Gif) — global palette, all-literal LZW
+    // with decoder-mirrored code widths, LSB-first sub-block packing.
+    // GIF is palette-lossless, so the oracle states dims/corners/
+    // pixel_sum analytically from doc_id (the mm_webp_decode
+    // discipline). Real-encoder coverage — giflib streams with
+    // compression, interlace, local palettes, transparency and
+    // multi-frame — is pinned bit-exactly by GifRealStreamSpec.
+    QueryDef("mm_gif_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val p = (4 + id % 60).toInt
+            val w = (8 + id % 17).toInt
+            val h = (6 + id % 11).toInt
+            val palette = Array.tabulate(p)(i =>
+              (((i * 37 + id) % 256).toInt << 16) |
+                (((i * 59 + 2 * id) % 256).toInt << 8) |
+                ((i * 83 + 3 * id) % 256).toInt)
+            val bytes = Gif.encodeGifLiteral(w, h, palette,
+              (x, y) => ((x * 3 + y * 5 + id) % p).toInt)
+            val img = Gif.decodeGif(bytes)
+            var psum = 0L
+            img.pixels.foreach { v =>
+              psum += (v & 0xff) + ((v >> 8) & 0xff) + ((v >> 16) & 0xff)
+            }
+            (id, img.width.toLong, img.height.toLong, img.frames.toLong, psum,
+              ((img.pixels(0) >> 16) & 0xff).toLong,
+              (img.pixels(w * h - 1) & 0xff).toLong)
+          })
+          .toDF("doc_id", "w", "h", "n_frames", "pixel_sum", "tl_r", "br_b")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 4 + doc_id % 60 AS p,
+             |         8 + doc_id % 17 AS w, 6 + doc_id % 11 AS h
+             |  FROM documents WHERE doc_id < 200),
+             |xs AS (
+             |  SELECT doc_id, p, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+             |xy AS (
+             |  SELECT doc_id, p, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id, p, w, h, x, y,
+             |         (x * 3 + y * 5 + doc_id) % p AS i
+             |  FROM xy),
+             |s AS (
+             |  SELECT doc_id, w, h,
+             |         SUM((i * 37 + doc_id) % 256 + (i * 59 + 2 * doc_id) % 256
+             |           + (i * 83 + 3 * doc_id) % 256) AS psum,
+             |         MAX(CASE WHEN x = 0 AND y = 0
+             |                  THEN (i * 37 + doc_id) % 256 END) AS tl_r,
+             |         MAX(CASE WHEN x = w - 1 AND y = h - 1
+             |                  THEN (i * 83 + 3 * doc_id) % 256 END) AS br_b
+             |  FROM px GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             |       CAST(1 AS BIGINT) AS n_frames,
+             |       CAST(psum AS BIGINT) AS pixel_sum,
+             |       CAST(tl_r AS BIGINT) AS tl_r, CAST(br_b AS BIGINT) AS br_b
+             |FROM s ORDER BY doc_id""".stripMargin)))
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.
