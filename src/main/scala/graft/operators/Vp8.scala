@@ -851,7 +851,6 @@ object Vp8 {
     * right-column subblocks always comes from the row above the MB. */
   private def predict4x4(plane: Array[Int], stride: Int, x0: Int, y0: Int,
       mode: Int, mbx: Int, mby: Int, mbW: Int, sx: Int, sy: Int): Unit = {
-    val hasAbove = y0 > 0 || mby > 0 // sy>0 always has above (within MB)
     val aboveRow = y0 - 1
     val a = new Array[Int](8)
     var i = 0

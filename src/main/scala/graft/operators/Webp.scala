@@ -7,18 +7,19 @@ package graft.operators
   * canonical prefix codes, green/red/blue/alpha/distance code quintet,
   * color cache, LZ77 backward references).
   *
-  * Scope — honestly partial, like the JPEG baseline-only support:
-  * the DECODER accepts any no-transform VP8L stream (simple 1-2-symbol
-  * codes, full normal codes with the 16/17/18 RLE and single-symbol
-  * code-length codes, color cache, LZ77 with plain distances) and
-  * throws a clear error on the four pixel transforms
-  * (predictor/color/subtract-green/palette), meta prefix images, and
-  * the 120 neighbor-mapped short distance codes. The ENCODER emits a
-  * minimal legal stream: no transforms, no LZ77, fixed complete
-  * length-8/9 literal codes, 1-symbol codes for the constant alpha and
-  * the unused distance alphabet. Lossless: decode(encode(x)) == x
-  * bit-exactly for EVERY image — the `mm_webp_decode` oracle contract
-  * (no exactness corner needed, unlike JPEG).
+  * Scope (round 11+): the DECODER covers the COMPLETE VP8L still
+  * format — all four pixel transforms (predictor with its 14 spatial
+  * modes, cross-color, subtract-green, color-indexing with pixel
+  * bundling), meta prefix groups, color cache, every prefix-code form
+  * (simple 1-2-symbol, full normal with 16/17/18 RLE), and LZ77 with
+  * both direct and the 120 neighbor-mapped short distance codes —
+  * verified bit-exactly against real libwebp encoder output
+  * (Vp8RealStreamSpec). The ENCODER emits a minimal legal stream: no
+  * transforms, no LZ77, fixed complete length-8/9 literal codes,
+  * 1-symbol codes for the constant alpha and the unused distance
+  * alphabet. Lossless: decode(encode(x)) == x bit-exactly for EVERY
+  * image — the `mm_webp_decode` oracle contract (no exactness corner
+  * needed, unlike JPEG).
   */
 object Webp {
   /** Decoded image: pixels top-down row-major 0xRRGGBB (alpha dropped;
@@ -369,9 +370,8 @@ object Webp {
     * reconstruction + the shared BT.601 fixed-point RGB conversion),
     * and extended (VP8X) stills with an ALPH alpha sidecar — the alpha
     * plane lands in bits 24-31 of the packed pixels. Raw and
-    * subset-VP8L alpha payloads are decoded (with all four inverse row
-    * filters); VP8L-transform-compressed alpha throws the documented
-    * scope error. */
+    * VP8L-compressed alpha payloads (including transform-compressed
+    * streams) are decoded, with all four inverse row filters. */
   def decodeWebp(bytes: Array[Byte]): WebpImage = {
     require(bytes.length >= 16, "webp: too short")
     def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
@@ -396,7 +396,15 @@ object Webp {
             while (i < rgb.length) { rgb(i) |= a(i) << 24; i += 1 }
           }
           return WebpImage(img.width, img.height, rgb)
-        case "VP8L" => return decodeWebpLossless(bytes)
+        case "VP8L" =>
+          // decode at THIS walk's offset — a VP8L chunk inside a VP8X
+          // extended container (e.g. lossless + EXIF/ICC) must not be
+          // re-located by the lossless-only walk, which rejects VP8X
+          return (try decodeVp8lChunk(bytes, off + 8, len)
+            catch {
+              case _: ArrayIndexOutOfBoundsException =>
+                throw new IllegalArgumentException("webp: truncated stream")
+            })
         case "ALPH" => alph = Some((off + 8, len))
         case "ANIM" | "ANMF" =>
           throw new IllegalArgumentException(
@@ -487,7 +495,17 @@ object Webp {
         throw new IllegalArgumentException(s"webp: $t (lossy/extended) unsupported, VP8L only")
       else off += 8 + len + (len & 1)
     }
-    require((bytes(vp8lOff) & 0xff) == 0x2f, "webp: bad VP8L signature")
+    decodeVp8lChunk(bytes, vp8lOff, vp8lLen)
+  }
+
+  /** Decode a located VP8L chunk payload (signature byte + 14/14-bit
+    * dims + image stream) — shared by the lossless-only entry point and
+    * [[decodeWebp]]'s container walk (which may find the chunk inside a
+    * VP8X extended container). */
+  private def decodeVp8lChunk(bytes: Array[Byte], vp8lOff: Int,
+      vp8lLen: Int): WebpImage = {
+    require(vp8lLen >= 5 && (bytes(vp8lOff) & 0xff) == 0x2f,
+      "webp: bad VP8L signature")
     val br = new BitReader(bytes, vp8lOff + 1, vp8lOff + vp8lLen)
     val width = br.readBits(14) + 1
     val height = br.readBits(14) + 1

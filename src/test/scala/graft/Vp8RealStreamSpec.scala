@@ -82,8 +82,8 @@ class Vp8RealStreamSpec extends AnyFunSuite {
     checkDir(dir)
   }
 
-  test("alpha sidecars: raw-compressed ALPH decodes bit-exactly, " +
-      "VP8L-transform alpha throws the documented scope error") {
+  test("alpha sidecars: raw and VP8L-compressed ALPH payloads both " +
+      "decode bit-exactly against libwebp") {
     assume(libwebpAvailable, "libwebp/python3 not available")
     val dir = tmpDir("alpha")
     val (rc, out) = run("python3", "tools/vp8_alpha_check.py", dir.toString)

@@ -601,6 +601,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("WebP: VP8L inside a VP8X extended container decodes via decodeWebp") {
+    // lossless + metadata files carry a VP8X header chunk before the
+    // VP8L payload; the unified entry point must decode at its own
+    // walk's chunk offset rather than re-walking with the VP8L-only
+    // locator (which rejects VP8X)
+    val w = 21; val h = 13
+    def px(x: Int, y: Int): Int =
+      (((x * 5 + y) % 256) << 16) | (((y * 9 + x) % 256) << 8) | ((x ^ y) % 256)
+    val plain = Webp.encodeWebpLossless(w, h, px)
+    // extract the VP8L chunk (starts at offset 12 in our encoder output)
+    val vp8l = java.util.Arrays.copyOfRange(plain, 12, plain.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val vp8x = new Array[Byte](10) // flags=0, canvas dims minus one, 24-bit LE
+    vp8x(4) = ((w - 1) & 0xff).toByte
+    vp8x(7) = ((h - 1) & 0xff).toByte
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(u32le(4 + 8 + 10 + vp8l.length))
+    bos.write("WEBP".getBytes("US-ASCII"))
+    bos.write("VP8X".getBytes("US-ASCII")); bos.write(u32le(10)); bos.write(vp8x)
+    bos.write(vp8l)
+    val img = Webp.decodeWebp(bos.toByteArray)
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.pixels(y * w + x) & 0xffffff) == px(x, y), s"($x,$y)")
+  }
+
   test("d_minhash_md5: end-to-end LSH pipeline replayed exactly in memory") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
