@@ -2376,7 +2376,121 @@ object TextQueries {
              |       CAST(1 AS BIGINT) AS n_frames,
              |       CAST(psum AS BIGINT) AS pixel_sum,
              |       CAST(tl_r AS BIGINT) AS tl_r, CAST(br_b AS BIGINT) AS br_b
-             |FROM s ORDER BY doc_id""".stripMargin)))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // FULL multi-frame GIF animation (round 12): a four-frame fixture
+    // per doc exercising every GIF89a disposal mode — frame 0 full
+    // canvas (do-not-dispose), frame 1 an offset rect with a
+    // transparent index over DISPOSAL 3 (restore-previous reverts it),
+    // frame 2 a top-left rect with a LOCAL palette and DISPOSAL 2
+    // (restore-background punches a transparent hole frame 3 must
+    // show), frame 3 a disjoint bottom-right rect. The decoder
+    // composites per spec (Gif.GifAnim.composite) and the oracle
+    // replays the same compositing as per-pixel CASE arithmetic —
+    // composited pixel = f(x, y, frame) exactly because the encoder is
+    // all-literal LZW. Real-encoder coverage (giflib animations with
+    // compression, interlace, GCBs) is pinned per-frame bit-exactly by
+    // GifRealStreamSpec.
+    QueryDef("mm_gif_frames",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sw = (12 + id % 13).toInt; val sh = (10 + id % 9).toInt
+            val p = (4 + id % 28).toInt; val p2 = (3 + id % 29).toInt
+            val qw = sw / 2; val qh = sh / 2
+            val w3 = math.max(1, sw / 3); val h3 = math.max(1, sh / 3)
+            val l1 = (id % (sw - qw + 1)).toInt
+            val t1 = (id % (sh - qh + 1)).toInt
+            val tr1 = (id % p).toInt
+            val gpal = Array.tabulate(p)(i =>
+              (((i * 37 + id) % 256).toInt << 16) |
+                (((i * 59 + 2 * id) % 256).toInt << 8) |
+                ((i * 83 + 3 * id) % 256).toInt)
+            val lpal = Array.tabulate(p2)(i =>
+              (((i * 41 + 2 * id) % 256).toInt << 16) |
+                (((i * 61 + id) % 256).toInt << 8) |
+                ((i * 89 + 5 * id) % 256).toInt)
+            val bytes = Gif.encodeGifAnimation(sw, sh, gpal, Seq(
+              Gif.GifFrameSpec(0, 0, sw, sh, null, -1, 1,
+                (x, y) => ((x * 3 + y * 5 + id) % p).toInt),
+              Gif.GifFrameSpec(l1, t1, qw, qh, null, tr1, 3,
+                (x, y) => ((x * 5 + y * 7 + 2 * id) % p).toInt),
+              Gif.GifFrameSpec(0, 0, qw, qh, lpal, -1, 2,
+                (x, y) => ((x * 7 + y * 11 + 3 * id) % p2).toInt),
+              Gif.GifFrameSpec(sw - w3, sh - h3, w3, h3, null, -1, 0,
+                (x, y) => ((x + y * 3 + 4 * id) % p).toInt)))
+            val anim = Gif.decodeGifFrames(bytes)
+            val cv = anim.composite
+            def rgbSum(c: Array[Int]): Long = {
+              var s0 = 0L
+              c.foreach { v =>
+                if ((v >>> 24) != 0)
+                  s0 += (v & 0xff) + ((v >> 8) & 0xff) + ((v >> 16) & 0xff)
+              }
+              s0
+            }
+            (id, anim.frames.length.toLong, rgbSum(cv(0)), rgbSum(cv(1)),
+              rgbSum(cv(2)), rgbSum(cv(3)),
+              cv(3).count(v => (v >>> 24) != 0).toLong)
+          })
+          .toDF("doc_id", "n_frames", "f0_sum", "f1_sum", "f2_sum",
+            "f3_sum", "f3_opaque")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 12 + doc_id % 13 AS sw, 10 + doc_id % 9 AS sh,
+             |         4 + doc_id % 28 AS p, 3 + doc_id % 29 AS p2
+             |  FROM documents WHERE doc_id < 200),
+             |d2 AS (
+             |  SELECT *, sw // 2 AS qw, sh // 2 AS qh,
+             |         GREATEST(1, sw // 3) AS w3, GREATEST(1, sh // 3) AS h3,
+             |         doc_id % (sw - sw // 2 + 1) AS l1,
+             |         doc_id % (sh - sh // 2 + 1) AS t1,
+             |         doc_id % p AS tr1
+             |  FROM d),
+             |xs AS (SELECT *, unnest(generate_series(0, sw - 1)) AS x FROM d2),
+             |xy AS (SELECT *, unnest(generate_series(0, sh - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id, tr1,
+             |         (x * 3 + y * 5 + doc_id) % p AS i0,
+             |         CASE WHEN x >= l1 AND x < l1 + qw AND y >= t1 AND y < t1 + qh
+             |              THEN ((x - l1) * 5 + (y - t1) * 7 + 2 * doc_id) % p
+             |         END AS i1,
+             |         CASE WHEN x < qw AND y < qh
+             |              THEN (x * 7 + y * 11 + 3 * doc_id) % p2 END AS i2,
+             |         CASE WHEN x >= sw - w3 AND y >= sh - h3
+             |              THEN ((x - sw + w3) + (y - sh + h3) * 3 + 4 * doc_id) % p
+             |         END AS i3
+             |  FROM xy),
+             |rgb AS (
+             |  SELECT doc_id, tr1, i1, i2, i3,
+             |         (i0 * 37 + doc_id) % 256 + (i0 * 59 + 2 * doc_id) % 256
+             |           + (i0 * 83 + 3 * doc_id) % 256 AS g0,
+             |         (i1 * 37 + doc_id) % 256 + (i1 * 59 + 2 * doc_id) % 256
+             |           + (i1 * 83 + 3 * doc_id) % 256 AS g1,
+             |         (i2 * 41 + 2 * doc_id) % 256 + (i2 * 61 + doc_id) % 256
+             |           + (i2 * 89 + 5 * doc_id) % 256 AS l2,
+             |         (i3 * 37 + doc_id) % 256 + (i3 * 59 + 2 * doc_id) % 256
+             |           + (i3 * 83 + 3 * doc_id) % 256 AS g3
+             |  FROM px),
+             |f AS (
+             |  SELECT doc_id, SUM(g0) AS f0_sum,
+             |         SUM(CASE WHEN i1 IS NOT NULL AND i1 <> tr1 THEN g1 ELSE g0 END) AS f1_sum,
+             |         SUM(CASE WHEN i2 IS NOT NULL THEN l2 ELSE g0 END) AS f2_sum,
+             |         SUM(CASE WHEN i3 IS NOT NULL THEN g3
+             |                  WHEN i2 IS NOT NULL THEN 0 ELSE g0 END) AS f3_sum,
+             |         SUM(CASE WHEN i3 IS NOT NULL THEN 1
+             |                  WHEN i2 IS NOT NULL THEN 0 ELSE 1 END) AS f3_opaque
+             |  FROM rgb GROUP BY 1)
+             |SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+             |       CAST(f0_sum AS BIGINT) AS f0_sum,
+             |       CAST(f1_sum AS BIGINT) AS f1_sum,
+             |       CAST(f2_sum AS BIGINT) AS f2_sum,
+             |       CAST(f3_sum AS BIGINT) AS f3_sum,
+             |       CAST(f3_opaque AS BIGINT) AS f3_opaque
+             |FROM f ORDER BY doc_id""".stripMargin)))
 }
 
 /** Multimodal column handling: media as opaque binary + typed metadata.

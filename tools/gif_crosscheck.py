@@ -148,6 +148,86 @@ def gen(path, w, h, ncol, interlace, trans, frames, seed, local):
     assert lib.EGifCloseFile(f, ctypes.byref(err)) == 1
 
 
+def gen_anim(path, sw, sh, frames, seed):
+    """Write a multi-frame animation with the REAL giflib encoder.
+    Each frame is a dict: left, top, w, h, ncol, local, interlace,
+    trans (index or -1), disposal (0-3), fno (pixel formula variant)."""
+    err = ctypes.c_int(0)
+    f = lib.EGifOpenFileName(path.encode(), 0, ctypes.byref(err))
+    assert f, err.value
+    gmap = make_cmap(max(fr["ncol"] for fr in frames), seed)
+    assert lib.EGifPutScreenDesc(f, sw, sh, 8, 0, gmap) == 1
+    for k, fr in enumerate(frames):
+        raw = (ctypes.c_ubyte * 4)()
+        raw[0] = (fr["disposal"] << 2) | (0x01 if fr["trans"] >= 0 else 0)
+        raw[1] = 5; raw[2] = 0  # delay LE
+        raw[3] = fr["trans"] if fr["trans"] >= 0 else 0
+        assert lib.EGifPutExtension(f, 0xF9, 4, raw) == 1
+        imap = make_cmap(fr["ncol"], seed + 11 * k) if fr["local"] else None
+        assert lib.EGifPutImageDesc(f, fr["left"], fr["top"], fr["w"],
+                                    fr["h"], fr["interlace"], imap) == 1
+        fno = fr["fno"]
+        def idx(x, y):
+            return (x * (3 + fno) + y * (5 + 2 * fno) + seed + 7 * k) % fr["ncol"]
+        row = (ctypes.c_ubyte * fr["w"])()
+        ys = interlaced_rows(fr["h"]) if fr["interlace"] else range(fr["h"])
+        for y in ys:
+            for x in range(fr["w"]):
+                row[x] = idx(x, y)
+            assert lib.EGifPutLine(f, row, fr["w"]) == 1
+    assert lib.EGifCloseFile(f, ctypes.byref(err)) == 1
+
+
+def dump_frames(path, outdir, name):
+    """Composite EVERY frame per GIF89a disposal semantics onto the
+    logical screen — canvas starts transparent; transparent-index
+    pixels leave it unchanged; disposal 2 clears the frame rect back
+    to transparent (modern-renderer rule, LSD background ignored);
+    disposal 3 restores the pre-frame canvas — and dump each
+    composited canvas as <name>.f<k>.rgba. giflib supplies the
+    independently decoded rasters (DGifSlurp deinterlaces) and GCBs."""
+    err = ctypes.c_int(0)
+    f = lib.DGifOpenFileName(path.encode(), ctypes.byref(err))
+    assert f, err.value
+    assert lib.DGifSlurp(f) == 1
+    g = f.contents
+    sw, sh = g.SWidth, g.SHeight
+    canvas = [(0, 0, 0, 0)] * (sw * sh)
+    for k in range(g.ImageCount):
+        img = g.SavedImages[k]
+        d = img.ImageDesc
+        cmap = d.ColorMap if d.ColorMap else g.SColorMap
+        cc = cmap.contents.ColorCount
+        colors = cmap.contents.Colors
+        gcb = GCB()
+        disposal, trans = 0, -1
+        if lib.DGifSavedExtensionToGCB(f, k, ctypes.byref(gcb)) == 1:
+            disposal, trans = gcb.DisposalMode, gcb.TransparentColor
+        saved = list(canvas) if disposal == 3 else None
+        for fy in range(d.Height):
+            for fx in range(d.Width):
+                i = img.RasterBits[fy * d.Width + fx]
+                assert i < cc
+                if i != trans:
+                    c = colors[i]
+                    canvas[(d.Top + fy) * sw + d.Left + fx] = \
+                        (c.Red, c.Green, c.Blue, 255)
+        buf = bytearray()
+        for px in canvas:
+            buf += bytes(px)
+        with open(os.path.join(outdir, f"{name}.f{k}.rgba"), "wb") as fo:
+            fo.write(buf)
+        if disposal == 2:
+            for fy in range(d.Height):
+                for fx in range(d.Width):
+                    canvas[(d.Top + fy) * sw + d.Left + fx] = (0, 0, 0, 0)
+        elif disposal == 3:
+            canvas = saved
+    n = g.ImageCount
+    lib.DGifCloseFile(f, ctypes.byref(err))
+    return sw, sh, n
+
+
 def dump_first_frame(path, out):
     err = ctypes.c_int(0)
     f = lib.DGifOpenFileName(path.encode(), ctypes.byref(err))
@@ -197,7 +277,56 @@ def main():
             i += 1
     with open(os.path.join(outdir, "manifest.txt"), "w") as f:
         f.write("\n".join(cases) + "\n")
-    print(f"wrote {i} gif cases to {outdir}")
+
+    # --- multi-frame animation cases: every disposal mode, offsets,
+    # transparency, local palettes, interlaced later frames ---
+    def F(left, top, w, h, ncol=16, local=0, interlace=0, trans=-1,
+          disposal=0, fno=0):
+        return dict(left=left, top=top, w=w, h=h, ncol=ncol, local=local,
+                    interlace=interlace, trans=trans, disposal=disposal,
+                    fno=fno)
+
+    anim_cases = []
+    a = 0
+    for (sw, sh) in [(20, 14), (33, 25)]:
+        qw, qh = sw // 2, sh // 2
+        scenarios = [
+            # keep-chain: full-canvas frames overwrite each other
+            ("keep", [F(0, 0, sw, sh, ncol=64, disposal=1, fno=0),
+                      F(0, 0, sw, sh, ncol=64, disposal=1, fno=1),
+                      F(0, 0, sw, sh, ncol=64, disposal=1, fno=2)]),
+            # transparency over a base: offset frames punch through
+            ("trans", [F(0, 0, sw, sh, ncol=16, disposal=1),
+                       F(2, 1, qw, qh, ncol=16, trans=3, disposal=1, fno=1),
+                       F(qw, qh, qw, qh, ncol=16, trans=5, disposal=1, fno=2)]),
+            # restore-to-background leaves a transparent hole
+            ("bg", [F(0, 0, sw, sh, ncol=16, disposal=1),
+                    F(1, 2, qw, qh, ncol=16, disposal=2, fno=1),
+                    F(sw - qw, sh - qh, qw, qh, ncol=16, disposal=0, fno=2)]),
+            # restore-to-previous reverts the middle frame entirely
+            ("prev", [F(0, 0, sw, sh, ncol=16, disposal=1),
+                      F(3, 3, qw, qh, ncol=16, disposal=3, fno=1),
+                      F(0, 0, qw, qh, ncol=16, disposal=1, fno=2)]),
+            # local palettes + an interlaced later frame + partial first
+            # frame (transparent canvas border)
+            ("mixed", [F(2, 2, sw - 4, sh - 4, ncol=32, local=1, disposal=1),
+                       F(0, 0, sw, sh - 1, ncol=32, local=1, interlace=1,
+                         trans=7, disposal=3, fno=1),
+                       F(1, 1, qw, qh, ncol=32, local=1, disposal=2, fno=2),
+                       F(0, 0, sw, sh, ncol=32, interlace=1, disposal=1,
+                         fno=3)]),
+        ]
+        for tag, frames in scenarios:
+            name = f"anim_{a}"
+            p = os.path.join(outdir, name + ".gif")
+            gen_anim(p, sw, sh, frames, 31 + a)
+            W, H, n = dump_frames(p, outdir, name)
+            assert (W, H, n) == (sw, sh, len(frames)), (W, H, n)
+            anim_cases.append(f"{name} {sw} {sh} {len(frames)} {tag}")
+            a += 1
+    with open(os.path.join(outdir, "manifest_frames.txt"), "w") as f:
+        f.write("\n".join(anim_cases) + "\n")
+    print(f"wrote {i} gif cases + {a} animation cases to {outdir}")
 
 
 if __name__ == "__main__":
