@@ -1920,6 +1920,59 @@ object TextQueries {
              |       CAST(16000 AS BIGINT) AS sample_rate
              |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)),
 
+    // REAL FLAC decode (round 12): encode→decode through the RFC 9639
+    // codec (graft.operators.Flac) — frame headers with UTF-8-coded
+    // numbers, CRC-8/16 + STREAMINFO-MD5 verification, constant/
+    // verbatim/fixed/LPC subframes, Rice partitions with escapes, and
+    // all four stereo decorrelations (the seed = doc_id cycles every
+    // mode across frames). The LEFT channel is the mm_wav_decode
+    // lane's exact PCM — FLAC is lossless, so sum_l/peak_l must equal
+    // the WAV lane's digests and the oracle states both channels
+    // analytically. No libFLAC exists in the container; FlacSpec pins
+    // roundtrip exactness + checksum enforcement.
+    QueryDef("mm_flac_decode",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = (50 + id % 50).toInt
+            val left = Array.tabulate(n)(i =>
+              (((id * 31 + i * 17) % 65536) - 32768).toInt)
+            val right = Array.tabulate(n)(i =>
+              (((id * 13 + i * 29) % 65536) - 32768).toInt)
+            val audio = Flac.decodeFlac(
+              Flac.encodeFlac(16000, 16, Array(left, right), 32, id))
+            var sumL = 0L; var sumR = 0L; var peakL = 0L
+            audio.samples(0).foreach { v =>
+              sumL += v; peakL = math.max(peakL, math.abs(v.toLong))
+            }
+            audio.samples(1).foreach(sumR += _)
+            (id, audio.totalSamples, sumL, sumR, peakL,
+              if (audio.md5Ok) 1L else 0L, audio.sampleRate.toLong)
+          })
+          .toDF("doc_id", "n_samples", "sum_l", "sum_r", "peak_l",
+            "md5_ok", "sample_rate")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 50 + doc_id % 50 AS n
+             |  FROM documents WHERE doc_id < 200),
+             |i AS (
+             |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+             |s AS (
+             |  SELECT doc_id, n,
+             |         ((doc_id * 31 + i * 17) % 65536) - 32768 AS l,
+             |         ((doc_id * 13 + i * 29) % 65536) - 32768 AS r
+             |  FROM i)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             |       CAST(SUM(l) AS BIGINT) AS sum_l,
+             |       CAST(SUM(r) AS BIGINT) AS sum_r,
+             |       CAST(MAX(abs(l)) AS BIGINT) AS peak_l,
+             |       CAST(1 AS BIGINT) AS md5_ok,
+             |       CAST(16000 AS BIGINT) AS sample_rate
+             |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)),
+
     // REAL PNG decode (round 8): encode→decode truecolor RGB8 PNGs with
     // zero new dependencies — zlib via java.util.zip, chunk CRCs, and
     // the five scanline filters in byte arithmetic. The encoder cycles
