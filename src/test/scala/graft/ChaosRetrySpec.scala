@@ -133,6 +133,134 @@ class ChaosRetrySpec extends AnyFunSuite {
     assert(chaotic === clean, "streaming dedup result changed under micro-batch task retry")
     assert(clean.nonEmpty, "fixture produced no near-dup pairs — test would be vacuous")
   }
+  // -------------------------------------------------------------
+  // Round 12 (VERDICT r11 item 4): failures BEFORE wide shuffles —
+  // shuffle-MAP-stage tasks die and the scheduler recomputes upstream
+  // partials (potentially interleaved differently) — and a streaming
+  // kill-restart that must rebuild state from the checkpoint.
+  // -------------------------------------------------------------
+
+  /** Wrap a DataFrame so its SCAN/map side throws on the first attempt
+    * of every even partition — placed before a groupBy/join this makes
+    * the failure land in the shuffle-map stage, not the result stage. */
+  private def chaosSource(df: DataFrame, chaos: Boolean): DataFrame = {
+    val rdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val tc = TaskContext.get()
+      if (chaos && tc != null && tc.attemptNumber() == 0 && pid % 2 == 0) {
+        injections.incrementAndGet()
+        throw new RuntimeException(s"chaos: injected map-stage failure in partition $pid")
+      }
+      it
+    }
+    spark.createDataFrame(rdd, df.schema)
+  }
+
+  private def sortedDigest(df: DataFrame): String =
+    df.collect().map(_.toString).sorted.mkString("\n")
+
+  test("shuffle-map-stage failure: bitmap-distinct aggregate recomputes identically") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VariantFunctions => vf}
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_custkey")).repartition(4)
+    def run(chaos: Boolean): String = sortedDigest(
+      chaosSource(o, chaos)
+        .groupBy(col("o_orderpriority"))
+        .agg(vf.bitmap_cardinality(vf.bitmap_agg(col("o_custkey"))).as("n_cust"),
+          count(lit(1)).as("n_orders")))
+    val clean = run(chaos = false)
+    val before = injections.get()
+    val chaotic = run(chaos = true)
+    assert(injections.get() > before, "no map-stage failure was injected")
+    assert(chaotic === clean,
+      "bitmap-distinct digest changed under shuffle-map-stage retry")
+    assert(clean.nonEmpty)
+  }
+
+  test("shuffle-map-stage failure: connected-components labels recompute identically") {
+    import spark.implicits._
+    // 8 chains of 25 nodes plus cross-links joining chains 2k/2k+1:
+    // 4 components of 50 — iterative large/small-star shuffles all
+    // sit downstream of the chaos source
+    val edges = ((0 until 8).flatMap { c =>
+      (0 until 24).map(i => (c * 100L + i, c * 100L + i + 1))
+    } ++ (0 until 4).map(k => (2 * k * 100L + 7, (2 * k + 1) * 100L + 13)))
+      .toDF("u", "v").repartition(4)
+    def run(chaos: Boolean): String = {
+      val (labels, _) = graft.operators.ConnectedComponents
+        .labelComponents(chaosSource(edges, chaos))
+      sortedDigest(labels)
+    }
+    val clean = run(chaos = false)
+    val before = injections.get()
+    val chaotic = run(chaos = true)
+    assert(injections.get() > before, "no map-stage failure was injected")
+    assert(chaotic === clean,
+      "connected-components labels changed under shuffle-map-stage retry")
+    assert(clean.count(_ == '\n') >= 199, "expected ~200 labeled nodes")
+  }
+
+  test("streaming kill-restart: fMGWS state rebuilds from the checkpoint") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta cluster${i % 4} " +
+        s"iota kappa lambda mu nu xi omicron pi suffix${if (i < 4) i else i % 4}")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_ckpt_").toString
+    val schema = {
+      docs.take(1).toDF("doc_id", "text").write.parquet(s"$base/probe")
+      spark.read.parquet(s"$base/probe").schema
+    }
+
+    def stage(dir: String, slices: Seq[Seq[(Long, String)]]): Unit =
+      slices.zipWithIndex.foreach { case (s0, i) =>
+        s0.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f$i.parquet")
+      }
+
+    def startQuery(src: String, ckpt: String, outDir: String) = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*/")
+      graft.operators.StreamingDedup.minhashDupStream(in, "doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    // reference: one uninterrupted run over all 40 docs
+    stage(s"$base/src_ref", Seq(docs.take(20), docs.drop(20)))
+    val qRef = startQuery(s"$base/src_ref", s"$base/ckpt_ref", s"$base/out_ref")
+    try qRef.processAllAvailable() finally qRef.stop()
+    val refRows = spark.read.parquet(s"$base/out_ref")
+      .collect().map(_.toString).sorted
+
+    // kill-restart: process the first half, STOP the query, then land
+    // the second half and restart from the same checkpoint — the
+    // restarted query only produces the cross-half pairs if the
+    // bucket state from batch 1 is reloaded from the state store
+    stage(s"$base/src_kr", Seq(docs.take(20)))
+    val q1 = startQuery(s"$base/src_kr", s"$base/ckpt_kr", s"$base/out_kr")
+    try q1.processAllAvailable() finally q1.stop() // the "kill"
+    stage2(s"$base/src_kr", docs.drop(20))
+    val q2 = startQuery(s"$base/src_kr", s"$base/ckpt_kr", s"$base/out_kr")
+    try q2.processAllAvailable() finally q2.stop()
+    val krRows = spark.read.parquet(s"$base/out_kr")
+      .collect().map(_.toString).sorted
+
+    assert(refRows.nonEmpty, "fixture produced no near-dup pairs")
+    assert(krRows.mkString("\n") === refRows.mkString("\n"),
+      "kill-restart output differs from the uninterrupted run")
+    // the load-bearing half: pairs that SPAN the restart boundary
+    val crossing = spark.read.parquet(s"$base/out_kr")
+      .filter("(id_a < 20 AND id_b >= 20) OR (id_b < 20 AND id_a >= 20)")
+      .count()
+    assert(crossing > 0,
+      "no pair spans the restart — checkpoint state recovery was not exercised")
+  }
+
+  private def stage2(dir: String, slice: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    slice.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f1.parquet")
+  }
 }
 
 object ChaosRetrySpec {
