@@ -2543,6 +2543,116 @@ object TextQueries {
              |       CAST(f2_sum AS BIGINT) AS f2_sum,
              |       CAST(f3_sum AS BIGINT) AS f3_sum,
              |       CAST(f3_opaque AS BIGINT) AS f3_opaque
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Animated WebP (round 12): a three-frame ANMF/ANIM/VP8X animation
+    // per doc — full-canvas lossless base, an offset frame with
+    // DISPOSE-TO-BACKGROUND (the rect shows the ANIM background color
+    // afterwards, per the container spec), and a third frame drawn
+    // over the disposed canvas. Frames are our own VP8L encodes
+    // (opaque, all-pixel-analytic) so the oracle replays compositing
+    // as per-pixel CASE arithmetic; real libwebp frame payloads,
+    // blending with alpha, and the lossy-VP8-frame path are pinned
+    // per-frame by WebpAnimSpec + tools/webp_anim_check.py.
+    QueryDef("mm_webp_anim",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sw = 2 * (6 + id % 6).toInt; val sh = 2 * (5 + id % 5).toInt
+            val bg = 0xff000000 |
+              (((id * 7) % 256).toInt << 16) |
+              (((id * 11) % 256).toInt << 8) | ((id * 13) % 256).toInt
+            val loop = (id % 7).toInt
+            def p0(x: Int, y: Int): Int =
+              (((x * 7 + y * 3 + id) % 256).toInt << 16) |
+                (((x * 5 + y * 11 + 2 * id) % 256).toInt << 8) |
+                ((x * 13 + y + 3 * id) % 256).toInt
+            val fw1 = sw / 2; val fh1 = sh / 2
+            val lx1 = 2 * (id % ((sw - fw1) / 2 + 1)).toInt
+            val ly1 = 2 * (id % ((sh - fh1) / 2 + 1)).toInt
+            def p1(x: Int, y: Int): Int =
+              (((x * 3 + y * 7 + 5 * id) % 256).toInt << 16) |
+                (((x * 11 + y + 2 * id) % 256).toInt << 8) |
+                ((x + y * 5 + 7 * id) % 256).toInt
+            val fw2 = math.max(1, sw / 3); val fh2 = math.max(1, sh / 3)
+            val lx2 = 2 * ((sw - fw2) / 2); val ly2 = 2 * ((sh - fh2) / 2)
+            def p2(x: Int, y: Int): Int =
+              (((x * 9 + y * 2 + 3 * id) % 256).toInt << 16) |
+                (((x * 4 + y * 13 + id) % 256).toInt << 8) |
+                ((x * 6 + y * 3 + 9 * id) % 256).toInt
+            val data = Webp.encodeWebpAnim(sw, sh, bg, loop, Seq(
+              (0, 0, 40, true, false, Webp.encodeWebpLossless(sw, sh, p0)),
+              (lx1, ly1, 40, true, true, Webp.encodeWebpLossless(fw1, fh1, p1)),
+              (lx2, ly2, 40, true, false, Webp.encodeWebpLossless(fw2, fh2, p2))))
+            val anim = Webp.decodeWebpAnim(data)
+            val cv = anim.composite
+            def rgbSum(c: Array[Int]): Long = {
+              var s0 = 0L
+              c.foreach(v =>
+                s0 += (v & 0xff) + ((v >> 8) & 0xff) + ((v >> 16) & 0xff))
+              s0
+            }
+            (id, anim.frames.length.toLong, anim.loopCount.toLong,
+              rgbSum(cv(0)), rgbSum(cv(1)), rgbSum(cv(2)),
+              ((anim.background >> 16) & 0xff).toLong +
+                ((anim.background >> 8) & 0xff) + (anim.background & 0xff))
+          })
+          .toDF("doc_id", "n_frames", "loop_count", "f0_sum", "f1_sum",
+            "f2_sum", "bg_sum")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 2 * (6 + doc_id % 6) AS sw,
+             |         2 * (5 + doc_id % 5) AS sh
+             |  FROM documents WHERE doc_id < 200),
+             |d2 AS (
+             |  SELECT *, sw // 2 AS fw1, sh // 2 AS fh1,
+             |         GREATEST(1, sw // 3) AS fw2, GREATEST(1, sh // 3) AS fh2,
+             |         2 * (doc_id % ((sw - sw // 2) // 2 + 1)) AS lx1,
+             |         2 * (doc_id % ((sh - sh // 2) // 2 + 1)) AS ly1
+             |  FROM d),
+             |d3 AS (
+             |  SELECT *, 2 * ((sw - fw2) // 2) AS lx2,
+             |         2 * ((sh - fh2) // 2) AS ly2
+             |  FROM d2),
+             |xs AS (SELECT *, unnest(generate_series(0, sw - 1)) AS x FROM d3),
+             |xy AS (SELECT *, unnest(generate_series(0, sh - 1)) AS y FROM xs),
+             |px AS (
+             |  SELECT doc_id,
+             |         (x * 7 + y * 3 + doc_id) % 256
+             |           + (x * 5 + y * 11 + 2 * doc_id) % 256
+             |           + (x * 13 + y + 3 * doc_id) % 256 AS s0,
+             |         CASE WHEN x >= lx1 AND x < lx1 + fw1
+             |                   AND y >= ly1 AND y < ly1 + fh1
+             |              THEN ((x - lx1) * 3 + (y - ly1) * 7 + 5 * doc_id) % 256
+             |                + ((x - lx1) * 11 + (y - ly1) + 2 * doc_id) % 256
+             |                + ((x - lx1) + (y - ly1) * 5 + 7 * doc_id) % 256
+             |         END AS s1,
+             |         CASE WHEN x >= lx2 AND x < lx2 + fw2
+             |                   AND y >= ly2 AND y < ly2 + fh2
+             |              THEN ((x - lx2) * 9 + (y - ly2) * 2 + 3 * doc_id) % 256
+             |                + ((x - lx2) * 4 + (y - ly2) * 13 + doc_id) % 256
+             |                + ((x - lx2) * 6 + (y - ly2) * 3 + 9 * doc_id) % 256
+             |         END AS s2,
+             |         (doc_id * 7) % 256 + (doc_id * 11) % 256
+             |           + (doc_id * 13) % 256 AS sbg
+             |  FROM xy),
+             |f AS (
+             |  SELECT doc_id,
+             |         SUM(s0) AS f0_sum,
+             |         SUM(COALESCE(s1, s0)) AS f1_sum,
+             |         SUM(CASE WHEN s2 IS NOT NULL THEN s2
+             |                  WHEN s1 IS NOT NULL THEN sbg ELSE s0 END) AS f2_sum,
+             |         MAX(sbg) AS bg_sum
+             |  FROM px GROUP BY 1)
+             |SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+             |       CAST(doc_id % 7 AS BIGINT) AS loop_count,
+             |       CAST(f0_sum AS BIGINT) AS f0_sum,
+             |       CAST(f1_sum AS BIGINT) AS f1_sum,
+             |       CAST(f2_sum AS BIGINT) AS f2_sum,
+             |       CAST(bg_sum AS BIGINT) AS bg_sum
              |FROM f ORDER BY doc_id""".stripMargin)))
 }
 
