@@ -473,21 +473,27 @@ object DedupQueries {
     * pass, and the tf table is the single checkpointed artifact. */
   def wminhashMd5On(docs: DataFrame,
       tfCacheKey: Option[(SparkSession, String)] = None): DataFrame = {
-    def buildTf: DataFrame = docs
-      .select(col("doc_id").as("id"),
-        expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
-        .as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds the expansion AND the verification
+    def buildTf(checkpoint: Boolean): DataFrame = {
+      val tf0 = docs
+        .select(col("doc_id").as("id"),
+          expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+          .as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
+      if (checkpoint) tf0.localCheckpoint() else tf0
+    }
     // the tf table is the lane's index-build artifact: cached per
     // (session, SF) when the caller passes a key (the QueryDef does;
-    // the ScaleProbe soaks pass None and rebuild per run)
+    // the ScaleProbe soaks pass None and rebuild per run). It is
+    // POSTING-LIST sized (a row per (doc, bigram)) — cached as parquet
+    // on disk, not pinned executor memory (see
+    // StageArtifacts.cachedParquet for the 100x-curve rationale).
     val tf = tfCacheKey match {
-      case Some((s, d)) => StageArtifacts.cached(s, s"wminhash_md5_tf#$d")(buildTf)
-      case None => buildTf
+      case Some((s, d)) =>
+        StageArtifacts.cachedParquet(s, s"wminhash_md5_tf#$d")(buildTf(checkpoint = false))
+      case None => buildTf(checkpoint = true)
     }
     def buildBanded: DataFrame = {
       val ex = tf
@@ -509,9 +515,8 @@ object DedupQueries {
     // md5-over-expansion map amortizes with it (cached with the tf
     // artifact; the bucket join + exact verification below stay per-run)
     val banded = tfCacheKey match {
-      case Some((s, d)) => StageArtifacts.cached(s, s"wminhash_md5_banded#$d") {
-        buildBanded.localCheckpoint()
-      }
+      case Some((s, d)) =>
+        StageArtifacts.cachedParquet(s, s"wminhash_md5_banded#$d")(buildBanded)
       case None => buildBanded
     }
     val cand = banded.as("a")

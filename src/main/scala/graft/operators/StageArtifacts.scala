@@ -84,4 +84,37 @@ object StageArtifacts {
   def cachedLong(s: SparkSession, key: String)(build: => Long): Long =
     getOrBuild(s"${sessionTag(s)}#n#$key", java.lang.Long.valueOf(build))
       .asInstanceOf[java.lang.Long].longValue()
+
+  /** Build-once artifact persisted as PARQUET ON DISK instead of
+    * checkpointed executor memory — for CORPUS-EXPANSION-SIZED builds
+    * (e.g. the weighted-MinHash (doc, bigram, tf) table, one row per
+    * posting). Round-12 lesson from the 100x curve point: a
+    * localCheckpoint of such an artifact is resident deserialized
+    * blocks ∝ corpus; past RAM it degrades into spill thrash that
+    * bends the lane's own scale curve AND poisons the heap for every
+    * lane sharing the session (d_winnow_md5 measured p=1.74 purely
+    * from the neighbor's resident cache). In production these
+    * artifacts live in object storage; parquet-on-local-disk is the
+    * single-box analogue — bounded memory, linear IO, no cliff. Files
+    * live under java.io.tmpdir and are deleted on ApplicationEnd. */
+  def cachedParquet(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    getOrBuild(s"${sessionTag(s)}#pq#$key", {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_artifacts",
+        s"${sessionTag(s)}_${key.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
+      build.write.mode("overwrite").parquet(dir)
+      val reader = s.read.parquet(dir)
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          try {
+            val root = java.nio.file.Paths.get(dir)
+            if (java.nio.file.Files.exists(root)) {
+              java.nio.file.Files.walk(root)
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            }
+          } catch { case _: Exception => () }
+      })
+      reader
+    }).asInstanceOf[DataFrame]
 }

@@ -15,7 +15,10 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-exec java $ADD_OPENS \
+# SPARK_BENCH_EXTRA_OPTS: extra -D/JVM flags (e.g. longer
+# spark.network.timeout for deep-regime soaks where a full-GC pause can
+# outlive the 120 s local-mode heartbeat and kill the executor).
+exec java $ADD_OPENS ${SPARK_BENCH_EXTRA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dfile.encoding=UTF-8 \
   -Xmx"${SPARK_DRIVER_MEM:-32g}" -XX:ReservedCodeCacheSize=512m \

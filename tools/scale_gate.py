@@ -125,15 +125,24 @@ def curve_main(argv):
     if len(pts) < 3:
         raise SystemExit("curve mode needs >= 3 FILE:factor points")
     factors = [f for f, _ in pts]
-    qs = sorted(set.intersection(*(set(r["queries"]) for _, r in pts)))
+    # Per-lane point availability: deeper-regime records (e.g. the 100x
+    # run of the three highest-exponent lanes) cover a subset — fit each
+    # lane on the points it HAS (>= 3 required), with the tail exponent
+    # always between that lane's two LARGEST factors, so a lane with a
+    # 100x point is judged one decade deeper than the rest.
+    qs = sorted(set.union(*(set(r["queries"]) for _, r in pts)))
     table = {}
     violations = []
     for q in qs:
-        ts = [r["queries"][q] for _, r in pts]
-        (f_mid, t_mid), (f_hi, t_hi) = (factors[-2], ts[-2]), (factors[-1], ts[-1])
+        have = [(f, r["queries"][q]) for f, r in pts if q in r["queries"]]
+        if len(have) < 3:
+            continue
+        fs = [f for f, _ in have]
+        ts = [t for _, t in have]
+        (f_mid, t_mid), (f_hi, t_hi) = have[-2], have[-1]
         p = (math.log(t_hi / t_mid) / math.log(f_hi / f_mid)
              if t_mid > 0 and t_hi > 0 else float("inf"))
-        row = {"factors": factors,
+        row = {"factors": fs,
                "times_s": [round(t, 3) for t in ts],
                "growth_mid": round(ts[-2] / ts[0], 2) if ts[0] > 0 else None,
                "growth_big": round(ts[-1] / ts[0], 2) if ts[0] > 0 else None,
@@ -142,8 +151,7 @@ def curve_main(argv):
         table[q] = row
         if p > P_THRESH and t_hi >= CURVE_MIN_BIG_S and q not in EXEMPT:
             violations.append((p, q))
-    print(f"{'p(tail)':>8} {'t@'+str(int(factors[0])):>8} "
-          f"{'t@'+str(int(factors[-2])):>8} {'t@'+str(int(factors[-1])):>8}  query")
+    print(f"{'p(tail)':>8} {'fit@':>9} {'t_first':>8} {'t_mid':>8} {'t_last':>8}  query")
     for q in sorted(table, key=lambda q: -table[q]["tail_exponent"]):
         r = table[q]
         mark = ""
@@ -151,7 +159,8 @@ def curve_main(argv):
             mark = (" (exempt)" if r["exempt"]
                     else (" <-- FLAG" if r["times_s"][-1] >= CURVE_MIN_BIG_S
                           else " (under floor)"))
-        print(f"{r['tail_exponent']:8.3f} {r['times_s'][0]:8.3f} "
+        fit = f"{int(r['factors'][-2])}-{int(r['factors'][-1])}x"
+        print(f"{r['tail_exponent']:8.3f} {fit:>9} {r['times_s'][0]:8.3f} "
               f"{r['times_s'][-2]:8.3f} {r['times_s'][-1]:8.3f}  {q}{mark}")
     if out:
         record = {"p_thresh": P_THRESH, "min_big_s": CURVE_MIN_BIG_S,
