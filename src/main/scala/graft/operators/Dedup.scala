@@ -524,17 +524,29 @@ object DedupQueries {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val a = cand.join(tf, col("id_a") === tf("id"))
-      .select(col("id_a"), col("id_b"), col("g"), col("tf").as("tf_a"))
-    val b = cand.join(tf, col("id_b") === tf("id"))
-      .select(col("id_a").as("bi"), col("id_b").as("bj"),
-        col("g").as("bg"), col("tf").as("tf_b"))
-    a.join(b, col("id_a") === col("bi") && col("id_b") === col("bj") &&
-        col("g") === col("bg"), "full_outer")
-      .select(coalesce(col("id_a"), col("bi")).as("id_a"),
-        coalesce(col("id_b"), col("bj")).as("id_b"),
-        least(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mn"),
-        greatest(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mx"))
+    // Verification = Σmin(tf)/Σmax(tf) over each candidate pair's gram
+    // union. Shape matters at scale: a FULL OUTER join of the two
+    // pair-gram expansions is a sort-merge join — sorting two
+    // posting-expansion-sized relations by a string key was the 100x
+    // stage this round's curve run caught burning an hour in
+    // UnsafeExternalSorter across 4 coalesced partitions. The same
+    // algebra needs NO sort: union both sides and hash-aggregate
+    // twice — per (pair, gram): a gram missing from one side
+    // contributes min 0 (n_sides < 2) and max = the present tf.
+    // The posting-table joins are SHUFFLE_HASH-hinted for the same
+    // reason: SMJ would sort the postings by id, a hash join just
+    // builds per-partition maps of the candidate pairs.
+    val a = cand.join(tf.hint("SHUFFLE_HASH"), col("id_a") === tf("id"))
+      .select(col("id_a"), col("id_b"), col("g"), col("tf"))
+    val b = cand.join(tf.hint("SHUFFLE_HASH"), col("id_b") === tf("id"))
+      .select(col("id_a"), col("id_b"), col("g"), col("tf"))
+    a.union(b)
+      .groupBy(col("id_a"), col("id_b"), col("g"))
+      .agg(count(lit(1)).as("n_sides"), min(col("tf")).as("mn0"),
+        max(col("tf")).as("mx"))
+      .select(col("id_a"), col("id_b"),
+        when(col("n_sides") === 2, col("mn0")).otherwise(lit(0L)).as("mn"),
+        col("mx"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
       .filter(col("wj_ppm") >= 500000L)
