@@ -91,8 +91,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadavg()
+    // Convention pinned in the record itself (round-13, VERDICT item 2):
+    // every per-query value is the MINIMUM over `passes` timed passes
+    // (after one untimed warm pass); the total is the sum of minima.
+    // Cross-round curve points are only comparable when this field
+    // matches.
     val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"per_query_stat":"min_of_passes","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // The driver keeps only a short stdout tail (~2.2 KB); the detailed
     // per-query record (~2.6 KB) overruns it. Print the detailed record
     // first (for humans / the file copy), then a short total-only record

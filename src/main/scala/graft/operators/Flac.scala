@@ -469,19 +469,25 @@ object Flac {
     var idx = 0
     while (p < nParts) {
       val cnt = (blockSize >> po) - (if (p == 0) predOrder else 0)
+      // The 5-bit raw-width field cannot express 32; a residual needing
+      // 32 bits (possible for fixed-order differences of near-full-range
+      // samples) must fall back to Rice for this partition rather than
+      // have its top bit clamped off (which would break losslessness).
+      var escNeed = 0
       if (escape) {
-        var need = 0
         var i = 0
         while (i < cnt) {
           val v = resid(idx + i)
           val w = 33 - Integer.numberOfLeadingZeros(if (v < 0) ~v else v)
-          if (w > need) need = w
+          if (w > escNeed) escNeed = w
           i += 1
         }
-        if (need > 31) need = 31
+      }
+      if (escape && escNeed <= 31) {
+        val need = escNeed
         bw.writeBits(escParam, pBits)
         bw.writeBits(need, 5)
-        i = 0
+        var i = 0
         while (i < cnt) {
           if (need > 0)
             bw.writeBits(resid(idx + i).toLong & ((1L << need) - 1), need)

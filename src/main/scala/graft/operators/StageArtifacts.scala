@@ -41,6 +41,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StageArtifacts {
   private val cache = new ConcurrentHashMap[String, AnyRef]()
   private val nextId = new AtomicLong()
+  private val buildId = new AtomicLong()
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Long]())
 
@@ -97,24 +98,45 @@ object StageArtifacts {
     * artifacts live in object storage; parquet-on-local-disk is the
     * single-box analogue — bounded memory, linear IO, no cliff. Files
     * live under java.io.tmpdir and are deleted on ApplicationEnd. */
-  def cachedParquet(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    getOrBuild(s"${sessionTag(s)}#pq#$key", {
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_artifacts",
-        s"${sessionTag(s)}_${key.replaceAll("[^A-Za-z0-9._-]", "_")}").toString
-      build.write.mode("overwrite").parquet(dir)
-      val reader = s.read.parquet(dir)
+  def cachedParquet(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val fullKey = s"${sessionTag(s)}#pq#$key"
+    val hit = cache.get(fullKey)
+    if (hit != null) return hit.asInstanceOf[DataFrame]
+    // Each build ATTEMPT writes to its own directory (round-13 ADVICE):
+    // under the documented duplicate-build race two racers must write
+    // disjoint paths, or the loser's overwrite deletes files under the
+    // winner's already-published reader mid-query. The dir name also
+    // carries a full MD5 of the UNSANITIZED key — the readable suffix is
+    // lossy ([^A-Za-z0-9._-] → _), so without the hash two distinct keys
+    // could alias one directory and silently serve the wrong artifact.
+    val keyHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val readable = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_artifacts",
+      s"${sessionTag(s)}_${buildId.incrementAndGet()}_${keyHash}_$readable").toString
+    build.write.mode("error").parquet(dir) // dir is attempt-unique: never pre-exists
+    val reader = s.read.parquet(dir)
+    val prev = cache.putIfAbsent(fullKey, reader)
+    if (prev != null) {
+      deleteRecursively(dir) // lost the race: drop the orphan artifact now
+      prev.asInstanceOf[DataFrame]
+    } else {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          try {
-            val root = java.nio.file.Paths.get(dir)
-            if (java.nio.file.Files.exists(root)) {
-              java.nio.file.Files.walk(root)
-                .sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => java.nio.file.Files.deleteIfExists(p))
-            }
-          } catch { case _: Exception => () }
+          deleteRecursively(dir)
       })
       reader
-    }).asInstanceOf[DataFrame]
+    }
+  }
+
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } catch { case _: Exception => () }
 }

@@ -65,6 +65,20 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("32-bit residuals fall back to Rice when escape width can't hold them") {
+    // bps=32 samples alternating Int.MinValue and 1: fixed-order
+    // differences wrap to values needing the FULL 32 bits (e.g.
+    // 1 - MinValue ≡ 0x80000001), which the escape partition's 5-bit
+    // raw-width field cannot express (max 31). The encoder must fall
+    // back to Rice for such partitions instead of clamping the width
+    // and truncating the top bit. Seeds 0-9 over 6+ frames sweep every
+    // (subframe-type, residual-method) combination including the
+    // escape-selecting mix and all fixed orders.
+    val n = 32 * 6 + 7
+    val data = Array.tabulate(n)(i => if (i % 2 == 0) Int.MinValue else 1)
+    for (seed <- 0L until 10L) roundtrip(44100, 32, Array(data), 32, seed)
+  }
+
   test("wasted bits: low-zero PCM roundtrips and stays lossless") {
     for (w <- 1 to 4) {
       val base = pcm(99 + w, 120, 12).map(_ << w)

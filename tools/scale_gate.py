@@ -133,9 +133,11 @@ def curve_main(argv):
     qs = sorted(set.union(*(set(r["queries"]) for _, r in pts)))
     table = {}
     violations = []
-    for q in qs:
+    skipped = {}   # lanes with < 3 points get no exponent gate — record
+    for q in qs:   # them visibly instead of letting missing coverage
         have = [(f, r["queries"][q]) for f, r in pts if q in r["queries"]]
-        if len(have) < 3:
+        if len(have) < 3:  # read as passing (no-silent-caps convention)
+            skipped[q] = [f for f, _ in have]
             continue
         fs = [f for f, _ in have]
         ts = [t for _, t in have]
@@ -162,10 +164,14 @@ def curve_main(argv):
         fit = f"{int(r['factors'][-2])}-{int(r['factors'][-1])}x"
         print(f"{r['tail_exponent']:8.3f} {fit:>9} {r['times_s'][0]:8.3f} "
               f"{r['times_s'][-2]:8.3f} {r['times_s'][-1]:8.3f}  {q}{mark}")
+    if skipped:
+        print(f"SKIPPED (fewer than 3 curve points, NOT gated): "
+              f"{ {q: fs for q, fs in sorted(skipped.items())} }")
     if out:
         record = {"p_thresh": P_THRESH, "min_big_s": CURVE_MIN_BIG_S,
                   "factors": factors, "n_queries": len(qs),
                   "violations": [q for _, q in sorted(violations, reverse=True)],
+                  "skipped_underscoped": skipped,
                   "queries": table}
         with open(out, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
