@@ -21,13 +21,15 @@ object CurationQueries {
   // pair set) live in StageArtifacts: unique session tags + eviction on
   // ApplicationEnd (round-10 ADVICE fix replacing the per-file maps).
 
+  // corpus-TEXT-sized payload (every doc's shingle array ~ its text):
+  // parquet on disk, not resident checkpoint blocks — the r12 100x curve
+  // showed text-sized resident caches poisoning the whole session's heap
   private def shingled(s: SparkSession, d: String): DataFrame =
-    StageArtifacts.cached(s, s"curShingle#$d") {
+    StageArtifacts.cachedParquet(s, s"curShingle#$d") {
       documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           array_distinct(vf.shingle_tokens(col("text"), 3)).as("toks"))
-        .localCheckpoint()
     }
 
   /** The DuckDB 3-gram builder shared by every oracle in this file

@@ -229,7 +229,10 @@ object DedupQueries {
         // per (session, SF) like any signature index (round 9 — the
         // banding, bucket join, and verification below still run per
         // invocation and stay under the oracle gate)
-        val sh = StageArtifacts.cached(s, s"minhash_md5_sh#$d") {
+        // corpus-TEXT-sized payload (per-doc shingle arrays) — parquet
+        // on disk, not resident checkpoint blocks (r12 100x-curve
+        // lesson); shingles feed banding AND verification
+        val sh = StageArtifacts.cachedParquet(s, s"minhash_md5_sh#$d") {
           documents(s, d)
             .select(col("doc_id").as("id"),
               expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
@@ -241,7 +244,6 @@ object DedupQueries {
             // (explicit count: AQE would coalesce a keyed repartition of
             // this small input back to one partition)
             .repartition(s.sparkContext.defaultParallelism, col("id"))
-            .localCheckpoint() // shingles feed banding AND verification
         }
         val banded = sh
           .select(col("id"), expr(
@@ -519,11 +521,17 @@ object DedupQueries {
         StageArtifacts.cachedParquet(s, s"wminhash_md5_banded#$d")(buildBanded)
       case None => buildBanded
     }
+    // Checkpointed ONCE per invocation: both verification sides consume
+    // it, and without the checkpoint the bucket self-join + distinct
+    // recomputes per side (measured 2x the candidate-generation cost,
+    // WmhStageProbe round 13). Pair-id rows only — bounded, never the
+    // residency-cliff class.
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
     // Verification = Σmin(tf)/Σmax(tf) over each candidate pair's gram
     // union. Shape matters at scale: a FULL OUTER join of the two
     // pair-gram expansions is a sort-merge join — sorting two
@@ -535,10 +543,14 @@ object DedupQueries {
     // contributes min 0 (n_sides < 2) and max = the present tf.
     // The posting-table joins are SHUFFLE_HASH-hinted for the same
     // reason: SMJ would sort the postings by id, a hash join just
-    // builds per-partition maps of the candidate pairs.
-    val a = cand.join(tf.hint("SHUFFLE_HASH"), col("id_a") === tf("id"))
+    // builds per-partition maps. The hint sits on the CANDIDATE side so
+    // the hash tables are built from the bounded pair-id rows and the
+    // corpus-expansion-sized postings STREAM through the probe side —
+    // building on the postings inverted that (measured ~25% slower at
+    // 10x and the build side there grows with the corpus).
+    val a = cand.hint("SHUFFLE_HASH").join(tf, col("id_a") === tf("id"))
       .select(col("id_a"), col("id_b"), col("g"), col("tf"))
-    val b = cand.join(tf.hint("SHUFFLE_HASH"), col("id_b") === tf("id"))
+    val b = cand.hint("SHUFFLE_HASH").join(tf, col("id_b") === tf("id"))
       .select(col("id_a"), col("id_b"), col("g"), col("tf"))
     a.union(b)
       .groupBy(col("id_a"), col("id_b"), col("g"))

@@ -1380,9 +1380,12 @@ object PipelineQueries {
     QueryDef("e_sq8_exact",
       (s, d) => {
         val x = ppmVecs(s, d)
-        val xp = StageArtifacts.cached(s, s"sq8_xp#$d") {
+        // dim-EXPANSION of the embedding table (one row per (vec, dim),
+        // 64x the vec count) — the corpus-expansion artifact class that
+        // must live on disk, not in resident checkpoint blocks (r12
+        // 100x-curve lesson; feeds stats, codes, and probe sides)
+        val xp = StageArtifacts.cachedParquet(s, s"sq8_xp#$d") {
           x.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "xv")))
-            .localCheckpoint() // feeds stats, codes, and probe sides
         }
         val stats = xp.groupBy(col("dim"))
           .agg(min(col("xv")).as("mn"), max(col("xv")).as("mx"))

@@ -653,12 +653,13 @@ object TextQueries {
         // both verify sides), and the shingled corpus is a derived
         // representation shared across runs, i.e. index build
         // (pairsCache/ivfModelCache amortization)
-        val docs = StageArtifacts.cached(s, s"txtShingle#$d") {
+        // corpus-TEXT-sized payload — parquet tier (r12 100x-curve
+        // lesson), re-read per consuming stage instead of resident
+        val docs = StageArtifacts.cachedParquet(s, s"txtShingle#$d") {
           documents(s, d)
             .repartition(s.sparkContext.defaultParallelism)
             .select(col("doc_id"),
               array_distinct(fn.shingle_tokens(col("text"), 3)).as("toks"))
-            .localCheckpoint()
         }
         prefixSimilarityJoin(docs, tNum, tDen)
           .orderBy(col("id_a"), col("id_b"))
