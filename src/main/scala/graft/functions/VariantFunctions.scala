@@ -64,6 +64,8 @@ object VariantFunctions {
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
   def deflate_len(c: Column): Column = col(DeflateLen(expr(c)))
   def ncd_ppm(a: Column, b: Column): Column = col(NcdPpm(expr(a), expr(b)))
+  def sum_min_tf_sorted(a: Column, b: Column): Column =
+    col(SumMinTfSorted(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
   def vec_l2sq(a: Column, b: Column): Column = col(L2SqFloat(expr(a), expr(b)))
   def vec_sq8(c: Column): Column = col(Sq8Encode(expr(c)))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.{QueryDef, Tables}
 import graft.functions.{VariantFunctions => vf}
 
@@ -115,7 +116,13 @@ object Dedup {
       .withColumn("w", expr("regexp_extract_all(text, '\\\\S+', 0)"))
       .filter(size(col("w")) >= 2)
       .select(col("id"), shingles("w", 2).as("toks"))
-      .localCheckpoint()
+      // DISK_ONLY: the bigram arrays are corpus-TEXT-sized (≈2× the
+      // input text) — the residency-cliff class from the r12 100×
+      // curve. Disk blocks keep the recompute-avoidance and lineage
+      // truncation with zero heap pinned (same tier rule as the
+      // StageArtifacts parquet artifacts; this frame is per-run, so a
+      // checkpoint, not a cached artifact).
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val banded = toks
       .withColumn("bandArr", graft.functions.VariantFunctions.minhash_bands_of(
         graft.functions.VariantFunctions.weighted_minhash_signature(col("toks"), numHashes),
@@ -129,21 +136,28 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Exact Σmin/Σmax verification in the same expansion-free shape as
+    // wminhashMd5On (see that comment for the measured 30x cliff the
+    // per-(pair, tok) aggregation hits): per-doc SORTED tf entries,
+    // pair↔entries hash joins, one compiled merge walk per pair
+    // (SumMinTfSorted), Σmax = Σtf_a + Σtf_b − Σmin.
     val tf = toks.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val ta = cand.join(tf.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .select(col("id_a"), col("id_b"), col("tok"), col("tf").as("tf_a"))
-    val tb = cand.join(tf.withColumnRenamed("id", "id_b"), Seq("id_b"))
-      .select(col("id_a").as("ba"), col("id_b").as("bb"),
-        col("tok").as("btok"), col("tf").as("tf_b"))
-    ta.join(tb, col("id_a") === col("ba") && col("id_b") === col("bb") &&
-        col("tok") === col("btok"), "full_outer")
-      .select(coalesce(col("id_a"), col("ba")).as("id_a"),
-        coalesce(col("id_b"), col("bb")).as("id_b"),
-        least(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mn"),
-        greatest(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mx"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
+    val docmap = tf.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("tf")))).as("ent"),
+        sum(col("tf")).as("stf"))
+    val ma = docmap.select(col("id").as("ja"), col("ent").as("e_a"),
+      col("stf").as("s_a"))
+    val mb = docmap.select(col("id").as("jb"), col("ent").as("e_b"),
+      col("stf").as("s_b"))
+    cand
+      .join(ma.hint("SHUFFLE_HASH"), col("id_a") === col("ja"))
+      .join(mb.hint("SHUFFLE_HASH"), col("id_b") === col("jb"))
+      .select(col("id_a"), col("id_b"),
+        vf.sum_min_tf_sorted(col("e_a"), col("e_b")).as("smin"),
+        (col("s_a") + col("s_b")).as("stot"))
+      .select(col("id_a"), col("id_b"),
+        expr("smin * 1000000 DIV (stot - smin)").as("wj_ppm"))
       .filter(col("wj_ppm") >= thresholdPpm)
   }
 
@@ -484,7 +498,10 @@ object DedupQueries {
           "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
           .as("g"))
         .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
-      if (checkpoint) tf0.localCheckpoint() else tf0
+      // DISK_ONLY when checkpointed per-run (the ScaleProbe soak path —
+      // the QueryDef path caches as parquet instead): the tf table is
+      // posting-list-sized, the residency-cliff class.
+      if (checkpoint) tf0.localCheckpoint(true, StorageLevel.DISK_ONLY) else tf0
     }
     // the tf table is the lane's index-build artifact: cached per
     // (session, SF) when the caller passes a key (the QueryDef does;
@@ -533,34 +550,43 @@ object DedupQueries {
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint()
     // Verification = Σmin(tf)/Σmax(tf) over each candidate pair's gram
-    // union. Shape matters at scale: a FULL OUTER join of the two
-    // pair-gram expansions is a sort-merge join — sorting two
-    // posting-expansion-sized relations by a string key was the 100x
-    // stage this round's curve run caught burning an hour in
-    // UnsafeExternalSorter across 4 coalesced partitions. The same
-    // algebra needs NO sort: union both sides and hash-aggregate
-    // twice — per (pair, gram): a gram missing from one side
-    // contributes min 0 (n_sides < 2) and max = the present tf.
-    // The posting-table joins are SHUFFLE_HASH-hinted for the same
-    // reason: SMJ would sort the postings by id, a hash join just
-    // builds per-partition maps. The hint sits on the CANDIDATE side so
-    // the hash tables are built from the bounded pair-id rows and the
-    // corpus-expansion-sized postings STREAM through the probe side —
-    // building on the postings inverted that (measured ~25% slower at
-    // 10x and the build side there grows with the corpus).
-    val a = cand.hint("SHUFFLE_HASH").join(tf, col("id_a") === tf("id"))
-      .select(col("id_a"), col("id_b"), col("g"), col("tf"))
-    val b = cand.hint("SHUFFLE_HASH").join(tf, col("id_b") === tf("id"))
-      .select(col("id_a"), col("id_b"), col("g"), col("tf"))
-    a.union(b)
-      .groupBy(col("id_a"), col("id_b"), col("g"))
-      .agg(count(lit(1)).as("n_sides"), min(col("tf")).as("mn0"),
-        max(col("tf")).as("mx"))
+    // union — computed with NO expansion-sized shuffle at all. Two
+    // earlier shapes failed at depth: the FULL OUTER SMJ sorted two
+    // posting-expansion relations (the r12 100x hour in
+    // UnsafeExternalSorter), and its r12 replacement (union both sides
+    // + hash-aggregate per (pair, gram)) still shuffled and aggregated
+    // Σ(|grams a| + |grams b|) over all candidates — ~154M rows at the
+    // 30x curve point. Past executor memory the hash aggregate degrades
+    // to sort-based spill: isolated fresh-JVM runs measured 11.8 s at
+    // 10x but 103 s at 30x on LINEAR candidate growth (WmhStageProbe
+    // r13: cand 542k @10x → 1.51M @30x — the blow-up was per-row cost,
+    // not candidates). The expansion-free form: fold each doc's grams
+    // into ONE sorted entry array (doc-count-sized table), hash-join
+    // the bounded pair-id rows to the two entry arrays, and compute
+    // Σmin per pair in-row with a compiled merge walk
+    // (SumMinTfSorted — SQL map_zip_with computes the same fold on the
+    // interpreted higher-order path and burned ~400 CPU-s/worker at
+    // 30x). Σmax needs no union walk: Σmax = Σtf_a + Σtf_b − Σmin
+    // (grams in both sides contribute max = a + b − min; one-sided
+    // grams contribute their own tf). The only shuffles left are the
+    // two pair↔entries joins, SHUFFLE_HASH-hinted on the entries side —
+    // its per-partition build set is docs/partitions rows, bounded
+    // at any corpus size by scaling partitions with the data.
+    val docmap = tf.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("g"), col("tf")))).as("ent"),
+        sum(col("tf")).as("stf"))
+    val ma = docmap.select(col("id").as("ja"), col("ent").as("e_a"),
+      col("stf").as("s_a"))
+    val mb = docmap.select(col("id").as("jb"), col("ent").as("e_b"),
+      col("stf").as("s_b"))
+    cand
+      .join(ma.hint("SHUFFLE_HASH"), col("id_a") === col("ja"))
+      .join(mb.hint("SHUFFLE_HASH"), col("id_b") === col("jb"))
       .select(col("id_a"), col("id_b"),
-        when(col("n_sides") === 2, col("mn0")).otherwise(lit(0L)).as("mn"),
-        col("mx"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
+        vf.sum_min_tf_sorted(col("e_a"), col("e_b")).as("smin"),
+        (col("s_a") + col("s_b")).as("stot"))
+      .select(col("id_a"), col("id_b"),
+        expr("smin * 1000000 DIV (stot - smin)").as("wj_ppm"))
       .filter(col("wj_ppm") >= 500000L)
   }
 }
