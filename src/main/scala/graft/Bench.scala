@@ -17,7 +17,13 @@ object Bench {
       // StreamProbe measured the no-maintenance floor ~0.08 s/query
       // lower; park it outside the bench window.
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
-    val shm = new java.io.File("/dev/shm/graft_bench_scratch")
+    // SPARK_GRAFT_SCRATCH overrides the tmpfs default: deep-regime curve
+    // points (100x) shuffle tens of GB — on tmpfs those pages and the
+    // 64g heap compete for the same physical RAM and the OOM killer
+    // takes the JVM (observed r13, d_curate_pipeline @100x). Disk
+    // scratch trades shuffle bandwidth for a hard RAM ceiling.
+    val shm = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/dev/shm/graft_bench_scratch"))
     if (shm.isDirectory || shm.mkdirs()) {
       System.setProperty("java.io.tmpdir", shm.toString)
       builder = builder.config("spark.local.dir", shm.toString)

@@ -22,9 +22,13 @@ LANES="${2:?usage: run_curve.sh OUT.json lane1,lane2,...}"
 TMPD=$(mktemp -d /tmp/curve_lanes.XXXXXX)
 LOAD_START=$(cut -d' ' -f1-3 /proc/loadavg | tr ' ' ',')
 for lane in ${LANES//,/ }; do
-  rm -rf /dev/shm/graft_bench_scratch 2>/dev/null || true
+  rm -rf /dev/shm/graft_bench_scratch "${SPARK_GRAFT_SCRATCH:-}" 2>/dev/null || true
   echo "[curve] $lane @ ${SPARK_GRAFT_SF_DIR} load=$(cut -d' ' -f1-3 /proc/loadavg)" >&2
-  SPARK_GRAFT_BENCH_ONLY="$lane" tools/run_bench.sh "$TMPD/$lane.json"
+  # A lane failure (e.g. an OOM-killed JVM) must not abort the whole
+  # point: record it loudly and move on — the gate's
+  # skipped_underscoped output surfaces lanes missing a point.
+  SPARK_GRAFT_BENCH_ONLY="$lane" tools/run_bench.sh "$TMPD/$lane.json" ||
+    echo "[curve] LANE FAILED (exit $?): $lane @ ${SPARK_GRAFT_SF_DIR}" >&2
 done
 LOAD_END=$(cut -d' ' -f1-3 /proc/loadavg | tr ' ' ',')
 python3 - "$OUT" "$TMPD" "$LOAD_START" "$LOAD_END" <<'EOF'
