@@ -482,22 +482,31 @@ object AnalyticsQueries {
         val e = p.as("a").join(p.as("b"),
             col("a.pf") === col("b.pf") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        // Verification in the expansion-free shape (see wminhashMd5On):
+        // per-doc SORTED (tok, tf) entries, pair↔entries hash joins, one
+        // compiled merge walk per pair, Σmax = Σtf_a + Σtf_b − Σmin.
+        // The old full-outer join over per-(pair, token) expansions was
+        // the same sort/aggregation cliff the wminhash lanes hit at 30×.
+        // A pair with a token-less endpoint drops out of the inner
+        // joins; its wj is 0 and below threshold either way.
         val tf = Tables.documents(s, d)
           .select(col("doc_id"), explode(TextAnalysis.tokens("text")).as("tok"))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        val a = e.join(tf, col("i") === tf("doc_id"))
-          .select(col("i"), col("j"), col("tok"), col("tf").as("tf_a"))
-        val b = e.join(tf, col("j") === tf("doc_id"))
-          .select(col("i").as("bi"), col("j").as("bj"),
-            col("tok").as("btok"), col("tf").as("tf_b"))
-        a.join(b, col("i") === col("bi") && col("j") === col("bj") &&
-            col("tok") === col("btok"), "full_outer")
-          .select(coalesce(col("i"), col("bi")).as("i"),
-            coalesce(col("j"), col("bj")).as("j"),
-            least(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mn"),
-            greatest(coalesce(col("tf_a"), lit(0L)), coalesce(col("tf_b"), lit(0L))).as("mx"))
-          .groupBy(col("i"), col("j"))
-          .agg(expr("sum(mn) * 1000000 DIV sum(mx)").as("wj_ppm"))
+        val docmap = tf.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("tok"), col("tf")))).as("ent"),
+            sum(col("tf")).as("stf"))
+        val ma = docmap.select(col("doc_id").as("ja"), col("ent").as("e_a"),
+          col("stf").as("s_a"))
+        val mb = docmap.select(col("doc_id").as("jb"), col("ent").as("e_b"),
+          col("stf").as("s_b"))
+        e.join(ma.hint("SHUFFLE_HASH"), col("i") === col("ja"))
+          .join(mb.hint("SHUFFLE_HASH"), col("j") === col("jb"))
+          .select(col("i"), col("j"),
+            graft.functions.VariantFunctions.sum_min_tf_sorted(
+              col("e_a"), col("e_b")).as("smin"),
+            (col("s_a") + col("s_b")).as("stot"))
+          .select(col("i"), col("j"),
+            expr("smin * 1000000 DIV (stot - smin)").as("wj_ppm"))
           .filter(col("wj_ppm") >= 100000)
           .orderBy(col("i"), col("j"))
       },

@@ -64,24 +64,31 @@ object TextQueries {
     }
 
   private def computeJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // Candidates via the exact PPJoin prefix filter, NOT a block-nested
+    // self-join on `source`. The old plan enumerated every size-
+    // compatible same-source pair and attached token arrays to all of
+    // them; measured on the 100x curve corpus the size prune barely
+    // cuts (homogeneous doc lengths: 6.25e9 enumerated -> 4.2e9
+    // surviving pairs, each shuffled WITH two token arrays — the
+    // 25-minute warm pass the r13 curve caught). prefixSimilarityJoin
+    // is EXACT for J >= tNum/tDen (prefix + size + positional filters
+    // are superset generators, a full intersect verifies; completeness
+    // property-tested in PrefixJoinPropertySpec), and its candidate
+    // count is bounded by df-ordered prefix postings, not block². The
+    // same-source restriction applies AFTER verification — candidates
+    // are similarity-bounded either way, and the pair set stays
+    // byte-identical: n_inter/n_union over the same distinct token
+    // sets is the same IEEE division jaccard_sorted computed.
     val base = documents(s, d)
-    val ids = base.select(col("doc_id"), col("source"),
-      size(array_distinct(tokens("text"))).as("n_toks"))
     val toksTable = base
       .select(col("doc_id"), array_sort(array_distinct(tokens("text"))).as("toks"))
-    val a = ids.select(col("source"), col("doc_id").as("doc_a"), col("n_toks").as("n_a"))
-    val b = ids.select(col("source"), col("doc_id").as("doc_b"), col("n_toks").as("n_b"))
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(least(col("n_a"), col("n_b")).cast("double") >=
-        lit(0.7) * greatest(col("n_a"), col("n_b")))
-      .repartition(col("doc_a"), col("doc_b"))
-      .join(toksTable.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-      .join(toksTable.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-      .withColumn("jac",
-        graft.functions.VariantFunctions.jaccard_sorted(col("toks_a"), col("toks_b")))
-      .filter(col("jac") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    val src = base.select(col("doc_id"), col("source"))
+    prefixSimilarityJoin(toksTable, 7, 10)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .filter(col("src_a") === col("src_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jac"))
   }
 
   /** Global all-pairs set-similarity join via PREFIX FILTERING with the
