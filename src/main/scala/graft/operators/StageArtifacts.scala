@@ -112,9 +112,19 @@ object StageArtifacts {
     val keyHash = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val readable = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    // Attempt-unique ACROSS JVMs, not just within one: sessionTag and
+    // buildId both restart at 1 in every process, so a JVM killed
+    // before its ApplicationEnd cleanup (OOM-killed curve soak — seen
+    // r13: e_sq8_exact failed Verify with PATH_ALREADY_EXISTS on the
+    // previous run's leftover dir) would otherwise collide with the
+    // next run's identical (tag, buildId, key) triple. A random nonce
+    // makes mode("error") safe; stale dirs from kill -9 leak until
+    // ApplicationEnd of a later run never touches them — bounded by
+    // tmp cleanup, and harmless because no name is ever reused.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_artifacts",
-      s"${sessionTag(s)}_${buildId.incrementAndGet()}_${keyHash}_$readable").toString
+      s"${sessionTag(s)}_${buildId.incrementAndGet()}_${nonce}_${keyHash}_$readable").toString
     build.write.mode("error").parquet(dir) // dir is attempt-unique: never pre-exists
     val reader = s.read.parquet(dir)
     val prev = cache.putIfAbsent(fullKey, reader)
