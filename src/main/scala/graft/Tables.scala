@@ -75,6 +75,18 @@ object Tables {
     // leaving sf0.001-0.1 (files <= 11 MB) byte-identical: one split
     // either way.
     .config("spark.sql.files.maxPartitionBytes", "16m")
+    // MEASURED AND REJECTED (r13, recorded in OPTIMIZATION_r13.md):
+    // byte-based post-shuffle coalescing
+    // (adaptive.coalescePartitions.parallelismFirst=false + 64m
+    // advisory) and the global shuffled-hash-join preference
+    // (join.preferSortMergeJoin=false + 64m localMapThreshold). The
+    // coalescing saves only task-scheduling overhead (~0.1 s/lane at
+    // bench SF) but serializes every CPU-heavy post-shuffle operator
+    // whose bytes are small — the 11-lane window family regressed
+    // +0.9..+2.7 s per lane in two independent experiments because the
+    // window sort collapsed to one task. The asymmetry (cents saved,
+    // seconds lost) holds at any scale where compute-per-byte is high,
+    // so the default (parallelism-first) stays.
     // ObjectHashAggregate (the path every TypedImperativeAggregate
     // sketch takes: bitmap/count-min/bloom/KMV/top-k) falls back to
     // SORT-based aggregation after 128 distinct groups per partition —

@@ -68,6 +68,7 @@ object VariantFunctions {
     col(SumMinTfSorted(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
   def vec_l2sq(a: Column, b: Column): Column = col(L2SqFloat(expr(a), expr(b)))
+  def vec_l2sq_long(a: Column, b: Column): Column = col(L2SqLong(expr(a), expr(b)))
   def vec_sq8(c: Column): Column = col(Sq8Encode(expr(c)))
   def vec_cosine_i8(a: Column, b: Column): Column = col(CosineSimI8(expr(a), expr(b)))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))

@@ -116,6 +116,48 @@ case class L2SqFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_l2sq_long(a, b)`: exact BIGINT squared Euclidean distance over
+  * two `array<bigint>` — the compiled replacement for the interpreted
+  * higher-order `aggregate(zip_with(e, qe, (a, b) -> (a - b) * (a - b)),
+  * 0L, (acc, v) -> acc + v)` the exact ANN/k-means lanes evaluate once
+  * per (vector, centroid) or per candidate pair. Same wrapping Long
+  * arithmetic as the non-ANSI HOF path and the DuckDB BIGINT oracle
+  * (values are quantized micros: |x| ≤ ~2^21, so 64-dim sums stay far
+  * below overflow either way); a NULL element yields NULL exactly as
+  * zip_with + aggregate does.
+  */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2sq_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq_long expects two array<bigint>, got: $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hyperplane_bucket(vec, bits)`: random-hyperplane LSH bucket id of a
   * float/double vector — bit j is the sign of ⟨vec, h_j⟩ where h_j is a
   * deterministic Rademacher (±1) vector derived from Hash64. Vectors

@@ -1254,9 +1254,7 @@ object PipelineQueries {
         cand
           .join(x.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
           .join(x, Seq("vec_id"))
-          .withColumn("dist", expr(
-            """aggregate(zip_with(e, qe, (a, b) -> (a - b) * (a - b)),
-              |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("dist", vf.vec_l2sq_long(col("e"), col("qe")))
           .withColumn("rank", row_number().over(rw).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
@@ -1319,9 +1317,7 @@ object PipelineQueries {
         sg.join(broadcast(pb), col("sig") === col("pb"))
           .filter(col("vec_id") =!= col("qid"))
           .join(x.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
-          .withColumn("dist", expr(
-            """aggregate(zip_with(e, qe, (a, b) -> (a - b) * (a - b)),
-              |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("dist", vf.vec_l2sq_long(col("e"), col("qe")))
           .withColumn("rank", row_number().over(rw).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("dist"))
@@ -1477,9 +1473,7 @@ object PipelineQueries {
         val dup = a.as("a")
           .join(b.as("b"), Seq("cid", "salt"))
           .filter(col("b.vec_id") < col("a.vec_id"))
-          .withColumn("dist", expr(
-            """aggregate(zip_with(a.e, b.e, (p, q) -> (p - q) * (p - q)),
-              |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+          .withColumn("dist", vf.vec_l2sq_long(col("a.e"), col("b.e")))
           .filter(col("dist") <= 1200000000000L)
           .groupBy(col("a.vec_id").as("vec_id"))
           .agg(min(col("b.vec_id")).as("dup_of"))
@@ -1596,9 +1590,8 @@ object PipelineQueries {
         val dt = parts.zipWithIndex.map { case ((cb, _), m) =>
           pr.select(col("qid"), col("cid"), expr(s"slice(re, ${m * 16 + 1}, 16)").as("e"))
             .crossJoin(broadcast(cb.select(col("cid").as("code"), col("c"))))
-            .select(col("qid"), col("cid"), lit(m).as("m"), col("code"), expr(
-              """aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),
-                |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
+            .select(col("qid"), col("cid"), lit(m).as("m"), col("code"),
+              vf.vec_l2sq_long(col("e"), col("c")).as("dist"))
         }.reduce(_ union _)
         val cand = cells.join(broadcast(probeCells), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
@@ -1713,9 +1706,7 @@ object PipelineQueries {
     * tiny centroid arrays against the corpus — narrow, one fold each. */
   private def centDists(x: DataFrame, cent: DataFrame): DataFrame =
     x.crossJoin(broadcast(cent))
-      .withColumn("dist", expr(
-        """aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),
-          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("dist", vf.vec_l2sq_long(col("e"), col("c")))
       .select(col("vec_id"), col("cid"), col("dist"))
 
   /** Nearest centroid per vector, argmin tie-broken by centroid id. */
