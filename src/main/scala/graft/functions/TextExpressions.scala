@@ -156,6 +156,112 @@ case class ShingleTokens(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `word_ngrams(toks, n)`: consecutive word n-grams of a token array,
+  * space-joined — the compiled twin of the interpreted HOF form
+  * `transform(sequence(0, greatest(size(t) - n, 0)), i ->
+  *   concat_ws(' ', slice(t, i + 1, n)))`
+  * used by the gram-building dedup/curation lanes. Spark's higher-order
+  * functions evaluate the lambda per element on the interpreted path
+  * (CodegenFallback + per-element named-lambda binding + a slice copy
+  * and a concat per gram) — the same defect class the L2SqLong /
+  * SumMinTfSorted kernels removed from the ANN/wminhash lanes.
+  * Semantics are pinned to the HOF form exactly (WordNgramsSpec):
+  * m >= n → m-n+1 grams; 1 <= m < n → ONE gram of all m tokens
+  * (greatest(..,0) yields sequence(0,0)); m == 0 → one EMPTY-STRING
+  * gram (concat_ws over an empty slice); null elements are skipped by
+  * the join exactly as concat_ws skips them.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(n >= 1 && n <= 64, s"ngram size out of range: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects array<string>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val sep =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val count = math.max(m - n + 1, 1)
+    val out = new Array[Any](count)
+    var w = 0
+    while (w < count) {
+      val end = math.min(w + n, m)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - w)
+      var j = w
+      while (j < end) {
+        // null tokens stay null here; concatWs skips them like concat_ws
+        parts(j - w) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+        j += 1
+      }
+      out(w) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngram_xxhash64(toks, n)`: the xxhash64 of every consecutive n-token
+  * window — the compiled twin of
+  * `transform(sequence(1, size(w) - n + 1), i -> xxhash64(slice(w, i, n)))`.
+  * Window hashes are BYTE-IDENTICAL to Spark's `xxhash64` over the
+  * array slice (pinned property-tested in WordNgramsSpec): the hash of
+  * an array value is the fold of XXH64 over its elements' UTF-8 bytes
+  * with the running hash as seed, starting at seed 42, null elements
+  * leaving the running hash unchanged. m < n → empty array (call sites
+  * guard, as they must for the HOF form too — sequence(1, 0) DESCENDS).
+  */
+case class NgramXxhash64(child: Expression, n: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(n >= 1 && n <= 64, s"ngram size out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_xxhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_xxhash64 expects array<string>, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var w = 0
+    while (w <= m - n) {
+      var h = 42L // spark.sql.legacy default xxhash64 seed
+      var j = w
+      while (j < w + n) {
+        if (!arr.isNullAt(j)) {
+          val s = arr.getUTF8String(j)
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+        }
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_bands(tokens, k, b)`: LSH band bucket ids computed in ONE
   * pass — slot signature then one combined hash per band of r = k/b
   * consecutive slots. Exists as a single expression because computing

@@ -60,6 +60,8 @@ object VariantFunctions {
   def minhash_bands(c: Column, k: Int, bands: Int): Column = col(MinHashBands(expr(c), k, bands))
   def minhash_bands_of(sig: Column, bands: Int): Column = col(MinHashBandsOfSig(expr(sig), bands))
   def shingle_tokens(c: Column, n: Int): Column = col(ShingleTokens(expr(c), n))
+  def word_ngrams(c: Column, n: Int): Column = col(WordNgrams(expr(c), n))
+  def ngram_xxhash64(c: Column, n: Int): Column = col(NgramXxhash64(expr(c), n))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
   def deflate_len(c: Column): Column = col(DeflateLen(expr(c)))
@@ -214,6 +216,12 @@ object VariantFunctions {
     ("shingle_tokens",
       (es: Seq[Expression]) => ShingleTokens(es.head, litInt(es(1), "shingle_tokens n")),
       "shingle_tokens(text, n) - Whitespace tokens joined into word n-gram shingles."),
+    ("word_ngrams",
+      (es: Seq[Expression]) => WordNgrams(es.head, litInt(es(1), "word_ngrams n")),
+      "word_ngrams(toks, n) - Space-joined consecutive n-grams of a token array."),
+    ("ngram_xxhash64",
+      (es: Seq[Expression]) => NgramXxhash64(es.head, litInt(es(1), "ngram_xxhash64 n")),
+      "ngram_xxhash64(toks, n) - xxhash64 of every consecutive n-token window."),
     ("hyperplane_bucket",
       (es: Seq[Expression]) => HyperplaneBucket(es.head, litInt(es(1), "hyperplane_bucket bits")),
       "hyperplane_bucket(vec, bits) - Sign-hash LSH bucket of an embedding vector."),

@@ -439,8 +439,7 @@ object AnalyticsQueries {
           .withColumn("toks", TextAnalysis.tokens("text"))
           .filter(size(col("toks")) >= 4)
         val grams = toks.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', slice(toks, i + 1, 4)))"))
+          explode(vf.word_ngrams(col("toks"), 4))
             .as("gram")).distinct()
         val benchGrams = grams.filter(col("doc_id") % 100 === 0)
           .select(col("gram")).distinct()

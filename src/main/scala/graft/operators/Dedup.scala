@@ -29,8 +29,12 @@ object Dedup {
     * collides.
     */
   def shingles(tokensCol: String, n: Int): Column =
-    expr(s"transform(sequence(0, greatest(size($tokensCol) - $n, 0)), " +
-      s"i -> concat_ws(' ', slice($tokensCol, i + 1, $n)))")
+    // compiled kernel; semantics pinned to the HOF form
+    // transform(sequence(0, greatest(size(t)-n, 0)),
+    //           i -> concat_ws(' ', slice(t, i+1, n)))
+    // it replaced (WordNgramsSpec) — HOF lambdas evaluate interpreted
+    // per element, the r13 hot-path defect class
+    vf.word_ngrams(col(tokensCol), n)
 
   /** docs(id, toks) → candidate id pairs (id_a < id_b) sharing ≥ 1 LSH
     * band bucket; verification is the caller's job (minhashDedup).
@@ -251,9 +255,8 @@ object DedupQueries {
             .select(col("doc_id").as("id"),
               expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
             .filter(size(col("w")) >= 3)
-            .select(col("id"), expr(
-              "array_distinct(transform(sequence(0, size(w) - 3), " +
-                "i -> concat_ws(' ', slice(w, i + 1, 3))))").as("s"))
+            .select(col("id"),
+              array_distinct(vf.word_ngrams(col("w"), 3)).as("s"))
             // the signature map is CPU-heavy; spread a single-file scan
             // (explicit count: AQE would coalesce a keyed repartition of
             // this small input back to one partition)
@@ -494,9 +497,7 @@ object DedupQueries {
         .select(col("doc_id").as("id"),
           expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
         .filter(size(col("w")) >= 2)
-        .select(col("id"), explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
-          .as("g"))
+        .select(col("id"), explode(vf.word_ngrams(col("w"), 2)).as("g"))
         .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
       // DISK_ONLY when checkpointed per-run (the ScaleProbe soak path —
       // the QueryDef path caches as parquet instead): the tf table is

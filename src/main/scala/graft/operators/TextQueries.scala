@@ -195,8 +195,8 @@ object TextQueries {
     val toks = docsIn.withColumn("t", tokens("text"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"))
     val g0 = toks.filter(col("n_tokens") >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(t) - 8), i -> concat_ws(' ', slice(t, i + 1, 8)))")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.VariantFunctions.word_ngrams(col("t"), 8)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
     val g = if (hashKey) g0.select(col("doc_id"), col("p"), xxhash64(col("gram")).as("k"))
             else g0.select(col("doc_id"), col("p"), col("gram").as("k"))
@@ -715,10 +715,13 @@ object TextQueries {
         // shuffle rows + no crypto hash on the hot path.
         val ng = tk
           .filter(size(col("w")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 7), " +
-              "i -> struct(i AS p, xxhash64(slice(w, i, 8)) AS k))")).as("s"))
-          .select(col("doc_id"), col("s.p").as("p"), col("s.k").as("k"))
+          // compiled per-window xxhash64 (byte-identical to
+          // xxhash64(slice(w, i, 8)), WordNgramsSpec); posexplode's
+          // 0-based pos + 1 = the old sequence(1, ...) index
+          .select(col("doc_id"), posexplode(
+            graft.functions.VariantFunctions.ngram_xxhash64(col("w"), 8))
+            .as(Seq("p0", "k")))
+          .select(col("doc_id"), (col("p0") + 1).as("p"), col("k"))
         // "seen in >= 2 distinct docs" ⟺ min(doc) != max(doc) over the
         // gram's partition — as a WINDOW, not groupBy + semi-join-back:
         // the exploded gram table is computed ONCE and shuffled ONCE
@@ -1058,8 +1061,7 @@ object TextQueries {
           .withColumn("toks", tokens("text"))
           .filter(size(col("toks")) >= 4)
         val grams = toks.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', slice(toks, i + 1, 4)))"))
+          explode(graft.functions.VariantFunctions.word_ngrams(col("toks"), 4))
             .as("gram"))
         val benchGrams = grams.filter(col("doc_id") % 100 === 0)
           .select(col("gram")).distinct()
@@ -1197,8 +1199,7 @@ object TextQueries {
           .withColumn("toks", tokens("text"))
           .filter(size(col("toks")) >= 4)
         val grams = toks4.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', slice(toks, i + 1, 4)))"))
+          explode(graft.functions.VariantFunctions.word_ngrams(col("toks"), 4))
             .as("gram"))
         val benchGrams = grams.filter(col("doc_id") % 100 === 0)
           .select(col("gram")).distinct()
