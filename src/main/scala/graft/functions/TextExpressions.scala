@@ -262,6 +262,430 @@ case class NgramXxhash64(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `minhash_md5_sig(s, h)`: the md5-keyed MinHash signature — for each
+  * k in 1..h, the minimum over the array of `md5(k || ':' || x)` as a
+  * 32-char lowercase hex string. Compiled twin of the nested HOF
+  *   `transform(sequence(1, h), k ->
+  *      array_min(transform(s, x -> md5(concat(CAST(k AS STRING), ':', x)))))`
+  * used by the hash-gate dedup twins (d_minhash_md5 / d_wminhash_md5 —
+  * both 100×-curve lanes): the HOF path evaluates every lambda
+  * interpreted AND materializes h intermediate hex-string arrays of
+  * |s| elements per row. Here: one pass over s, h running 16-byte
+  * digest minima (hex encoding is order-preserving byte-for-byte, so
+  * unsigned digest comparison ≡ the hex-string comparison array_min
+  * does), hex-encoded once at the end. NULL elements are skipped
+  * (concat propagates NULL through md5, and array_min ignores NULLs);
+  * an empty / all-NULL array yields NULL elements exactly like
+  * array_min over an empty array. Pinned in Md5KernelsSpec.
+  */
+case class Md5MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(numHashes >= 1 && numHashes <= 64, s"numHashes out of range: $numHashes")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_md5_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_md5_sig expects array<string>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(k => s"${k + 1}:".getBytes("UTF-8"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val md = Md5Kernel.digest()
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val xb = arr.getUTF8String(i).getBytes
+        var k = 0
+        while (k < numHashes) {
+          md.reset()
+          md.update(prefixes(k))
+          md.update(xb)
+          val dg = md.digest()
+          if (mins(k) == null || Md5Kernel.unsignedLess(dg, mins(k))) mins(k) = dg
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      out(k) = if (mins(k) == null) null
+               else org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                 Md5Kernel.hex(mins(k)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_fps(text, k, w)`: winnowing fingerprints (Schleimer et al.
+  * 2003) with md5 as the gram hash — the sorted distinct set of
+  * per-window-of-w minima over the char-k-gram key strings
+  * `md5(substring(text, i+1, k)) || ':' || lpad(i, 8, '0')`.
+  * Compiled twin of the two-stage HOF chain in d_winnow_md5 (a
+  * 100×-curve lane):
+  *   g   = transform(sequence(0, length(text)-k), i -> concat(md5(...), ':', lpad(...)))
+  *   fps = array_sort(array_distinct(transform(sequence(0, size(g)-w),
+  *           j -> array_min(slice(g, j+1, w)))))
+  * The HOF path md5s through an interpreted lambda and materializes
+  * the FULL g array of hex key strings plus a w-slice copy per window;
+  * here the minima are tracked as (16-byte digest, position) pairs in
+  * a w-ring — key strings are built only for the distinct winners.
+  * Equivalences relied on (pinned in Md5KernelsSpec): hex encoding is
+  * byte-order-preserving, so digest comparison ≡ hex comparison; ties
+  * on digest resolve by the zero-padded position, i.e. ascending
+  * position; lpad truncates to the leftmost 8 chars if the position
+  * ever exceeds 8 digits (mirrored, unreachable for real docs).
+  * Defined for length(text) >= k + w - 1 — exactly the call-site guard
+  * (the HOF's sequence() DESCENDS below that); shorter inputs yield
+  * an empty array.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(k >= 1 && w >= 1 && k <= 64 && w <= 64, s"bad winnow params: k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects string, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val b = text.getBytes
+    // codepoint start offsets (substring/length count codepoints)
+    val n = text.numChars()
+    val nGrams = n - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < n) {
+      offs(ci) = bi
+      bi += Md5Kernel.utf8CharLen(b(bi))
+      ci += 1
+    }
+    offs(n) = b.length
+    val md = Md5Kernel.digest()
+    // w-ring of (digest, position); min per window by (digest, pos)
+    val ringDg = new Array[Array[Byte]](w)
+    val ringPos = new Array[Int](w)
+    var minDg: Array[Byte] = null
+    var minPos = -1
+    // distinct winners in first-seen order; position identifies the gram
+    val seen = new java.util.HashSet[Integer]()
+    val winDg = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val winPos = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(b, offs(i), offs(i + k) - offs(i))
+      ringDg(i % w) = md.digest()
+      ringPos(i % w) = i
+      if (i >= w - 1) {
+        // min over the w ring entries (ties → smallest position)
+        minDg = null; minPos = -1
+        var j = 0
+        while (j < w) {
+          val c = if (minDg == null) -1
+                  else Md5Kernel.compareUnsigned(ringDg(j), minDg)
+          if (c < 0 || (c == 0 && ringPos(j) < minPos)) {
+            minDg = ringDg(j); minPos = ringPos(j)
+          }
+          j += 1
+        }
+        if (seen.add(minPos)) { winDg += minDg; winPos += minPos }
+      }
+      i += 1
+    }
+    // sort by (digest unsigned, position) == binary order of the key
+    // strings; then build the strings once
+    val idx = winDg.indices.toArray
+    val sorted = idx.sortWith { (a, bI) =>
+      val c = Md5Kernel.compareUnsigned(winDg(a), winDg(bI))
+      if (c != 0) c < 0 else winPos(a) < winPos(bI)
+    }
+    val out = new Array[Any](sorted.length)
+    var o = 0
+    while (o < sorted.length) {
+      val s = sorted(o)
+      val key = new Array[Byte](32 + 1 + 8)
+      Md5Kernel.hexInto(winDg(s), key, 0)
+      key(32) = ':'
+      Md5Kernel.lpad8Into(winPos(s), key, 33)
+      out(o) = org.apache.spark.unsafe.types.UTF8String.fromBytes(key)
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_ngrams(str, n)`: all consecutive n-codepoint substrings — the
+  * compiled twin of
+  * `transform(sequence(1, length(tok) - n + 1), i -> substring(tok, i, n))`
+  * (d_bpe_merge's char-pair mining; a 100×-curve-adjacent lane).
+  * Codepoint boundaries follow Spark's own UTF-8 walk, so substrings
+  * are byte-identical to substring()'s (CharNgramsSpec). Defined for
+  * length >= n — the call-site guard (sequence() DESCENDS below it);
+  * shorter inputs yield an empty array.
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(n >= 1 && n <= 64, s"ngram size out of range: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects string, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val b = str.getBytes
+    val m = str.numChars()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](m + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < m) {
+      offs(ci) = bi
+      bi += Md5Kernel.utf8CharLen(b(bi))
+      ci += 1
+    }
+    offs(m) = b.length
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val len = offs(i + n) - offs(i)
+      val seg = new Array[Byte](len)
+      System.arraycopy(b, offs(i), seg, 0, len)
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(seg)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bpe_saved(words)`: per-document BPE token-budget accounting — the
+  * struct (n_base = Σ length(w), n_merged = Σ bpeCount(w)) over a word
+  * array, where bpeCount is the sentinel-joined replace-chain semantics
+  * of PipelineQueries.bpeCountExpr: chars joined as `¤t¤h¤e¤`, each
+  * merge in rank order one left-to-right non-overlapping
+  * replace('¤a¤b¤' → '¤ab¤'), count = segments − 2 ≡ occurrences('¤')
+  * − 1. Compiled twin of the two interpreted
+  * `aggregate(transform(words, w -> ...))` HOFs in d_bpe_apply (a
+  * 100×-curve lane): the HOF path rebuilds and re-replaces every word
+  * OCCURRENCE through interpreted lambda evaluation; here one pass
+  * computes both sums and a per-thread word-TYPE memo collapses the
+  * Zipf tail (the merge chain is a pure function of the word). Java's
+  * String.replace is the same literal left-to-right non-overlapping
+  * scan as UTF8String.replace — pinned in BpeSavedSpec against the
+  * exact generated chain. Empty array → (0, 0), like aggregate's init.
+  */
+case class BpeSaved(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_base", LongType, nullable = false),
+    StructField("n_merged", LongType, nullable = false)))
+  override def prettyName: String = "bpe_saved"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_saved expects array<string>, got: ${other.simpleString}")
+  }
+
+  @transient private lazy val pats: Array[(String, String)] =
+    merges.map { case (a, b) => (s"¤$a¤$b¤", s"¤$a$b¤") }.toArray
+
+  // word-TYPE memo, per thread (expression objects can be shared across
+  // local-mode tasks). Bounded: cleared past 1 << 17 entries.
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+      override def initialValue() = new java.util.HashMap[String, java.lang.Long]()
+    }
+
+  private def mergedCount(word: String): Long = {
+    // split('', '') = [''] -> sentinel string '¤¤' -> 1 segment; the
+    // call site ([a-z]+ words) never produces it, pinned for exactness
+    if (word.isEmpty) return 1L
+    val m = memo.get()
+    val hit = m.get(word)
+    if (hit != null) return hit.longValue()
+    val sb = new java.lang.StringBuilder(word.length * 2 + 1)
+    sb.append('¤')
+    var i = 0
+    while (i < word.length) { sb.append(word.charAt(i)).append('¤'); i += 1 }
+    var s = sb.toString
+    var p = 0
+    while (p < pats.length) { s = s.replace(pats(p)._1, pats(p)._2); p += 1 }
+    var cnt = -1L
+    i = 0
+    while (i < s.length) { if (s.charAt(i) == '¤') cnt += 1; i += 1 }
+    if (m.size() > (1 << 17)) m.clear()
+    m.put(word, cnt)
+    cnt
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    var nBase = 0L
+    var nMerged = 0L
+    var i = 0
+    while (i < m) {
+      // regexp_extract_all never yields null elements; mirror aggregate's
+      // null-propagation anyway (null word -> null length -> null sum)
+      if (arr.isNullAt(i)) return null
+      val w = arr.getUTF8String(i)
+      nBase += w.numChars()
+      nMerged += mergedCount(w.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nBase, nMerged))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `repeat_indexed(g, tf)`: the multiset expansion
+  * [g#0, g#1, ..., g#(tf-1)] — compiled twin of
+  * `transform(sequence(CAST(0 AS BIGINT), tf - 1), j ->
+  *    concat(g, '#', CAST(j AS STRING)))`
+  * in the weighted-minhash tf expansion (d_wminhash_md5, a 100×-curve
+  * lane, where this runs once per (doc, gram) POSTING row). Defined
+  * for tf >= 1 — the call site's tf is a groupBy count, always >= 1
+  * (sequence() DESCENDS at tf <= 0); tf <= 0 yields an empty array.
+  */
+case class RepeatIndexed(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "repeat_indexed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"repeat_indexed expects (string, bigint), got: " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val g = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val tf = r.asInstanceOf[Long]
+    if (tf <= 0) return new GenericArrayData(Array.empty[Any])
+    val gb = g.getBytes
+    val out = new Array[Any](tf.toInt)
+    var j = 0
+    while (j < tf) {
+      val js = j.toString
+      val seg = new Array[Byte](gb.length + 1 + js.length)
+      System.arraycopy(gb, 0, seg, 0, gb.length)
+      seg(gb.length) = '#'
+      var c = 0
+      while (c < js.length) { seg(gb.length + 1 + c) = js.charAt(c).toByte; c += 1 }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromBytes(seg)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared md5 plumbing for the compiled md5-keyed kernels. */
+object Md5Kernel {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def digest(): java.security.MessageDigest = local.get()
+
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  def hex(dg: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](dg.length * 2)
+    hexInto(dg, out, 0)
+    out
+  }
+
+  def hexInto(dg: Array[Byte], out: Array[Byte], off: Int): Unit = {
+    var i = 0
+    while (i < dg.length) {
+      val v = dg(i) & 0xff
+      out(off + 2 * i) = HEX(v >>> 4)
+      out(off + 2 * i + 1) = HEX(v & 0xf)
+      i += 1
+    }
+  }
+
+  /** lpad(CAST(pos AS STRING), 8, '0') — zero-pad to 8, truncating to
+    * the LEFTMOST 8 chars for >8-digit values, exactly like lpad. */
+  def lpad8Into(pos: Int, out: Array[Byte], off: Int): Unit = {
+    val s = pos.toString
+    if (s.length >= 8) {
+      var i = 0
+      while (i < 8) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    } else {
+      var i = 0
+      val pad = 8 - s.length
+      while (i < pad) { out(off + i) = '0'; i += 1 }
+      var j = 0
+      while (j < s.length) { out(off + pad + j) = s.charAt(j).toByte; j += 1 }
+    }
+  }
+
+  def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    val len = math.min(a.length, b.length)
+    var i = 0
+    while (i < len) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean =
+    compareUnsigned(a, b) < 0
+
+  /** UTF-8 encoded length of the codepoint starting with this byte —
+    * delegated to Spark's own table so substring boundaries match
+    * UTF8String.substringSQL byte-for-byte even on malformed input. */
+  def utf8CharLen(first: Byte): Int =
+    org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(first)
+}
+
 /** `minhash_bands(tokens, k, b)`: LSH band bucket ids computed in ONE
   * pass — slot signature then one combined hash per band of r = k/b
   * consecutive slots. Exists as a single expression because computing

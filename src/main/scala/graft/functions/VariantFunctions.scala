@@ -62,6 +62,13 @@ object VariantFunctions {
   def shingle_tokens(c: Column, n: Int): Column = col(ShingleTokens(expr(c), n))
   def word_ngrams(c: Column, n: Int): Column = col(WordNgrams(expr(c), n))
   def ngram_xxhash64(c: Column, n: Int): Column = col(NgramXxhash64(expr(c), n))
+  def minhash_md5_sig(c: Column, h: Int): Column = col(Md5MinhashSig(expr(c), h))
+  def bpe_saved(c: Column, merges: Seq[(String, String)]): Column =
+    col(BpeSaved(expr(c), merges))
+  def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(expr(c), k, w))
+  def char_ngrams(c: Column, n: Int): Column = col(CharNgrams(expr(c), n))
+  def repeat_indexed(g: Column, tf: Column): Column =
+    col(RepeatIndexed(expr(g), expr(tf)))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def hash64(c: Column, seed: Long = 0L): Column = col(StringHash64(expr(c), seed))
   def deflate_len(c: Column): Column = col(DeflateLen(expr(c)))
@@ -222,6 +229,16 @@ object VariantFunctions {
     ("ngram_xxhash64",
       (es: Seq[Expression]) => NgramXxhash64(es.head, litInt(es(1), "ngram_xxhash64 n")),
       "ngram_xxhash64(toks, n) - xxhash64 of every consecutive n-token window."),
+    ("minhash_md5_sig",
+      (es: Seq[Expression]) => Md5MinhashSig(es.head, litInt(es(1), "minhash_md5_sig h")),
+      "minhash_md5_sig(s, h) - md5-keyed MinHash signature: per k in 1..h, min md5(k||':'||x) hex."),
+    ("winnow_fps",
+      (es: Seq[Expression]) => WinnowFps(es.head,
+        litInt(es(1), "winnow_fps k"), litInt(es(2), "winnow_fps w")),
+      "winnow_fps(text, k, w) - sorted distinct winnowing fingerprints over md5 char k-grams."),
+    ("char_ngrams",
+      (es: Seq[Expression]) => CharNgrams(es.head, litInt(es(1), "char_ngrams n")),
+      "char_ngrams(str, n) - all consecutive n-codepoint substrings."),
     ("hyperplane_bucket",
       (es: Seq[Expression]) => HyperplaneBucket(es.head, litInt(es(1), "hyperplane_bucket bits")),
       "hyperplane_bucket(vec, bits) - Sign-hash LSH bucket of an embedding vector."),

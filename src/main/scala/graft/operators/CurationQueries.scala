@@ -205,9 +205,9 @@ object CurationQueries {
           // Spark's sequence(1, 0) DESCENDS instead of yielding empty —
           // guard single-char tokens (DuckDB's range(1,1) is empty)
           .filter(length(col("tok")) >= 2)
-          .select(explode(
-            expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
-            .as("pair"))
+          // compiled twin of transform(sequence(1, length(tok) - 1),
+          //   i -> substring(tok, i, 2)) (CharNgramsSpec)
+          .select(explode(vf.char_ngrams(col("tok"), 2)).as("pair"))
           .groupBy(col("pair")).agg(count(lit(1)).as("n"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 20)

@@ -263,10 +263,10 @@ object DedupQueries {
             .repartition(s.sparkContext.defaultParallelism, col("id"))
         }
         val banded = sh
-          .select(col("id"), expr(
-            """transform(sequence(1, 8), k ->
-              |  array_min(transform(s, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
-              .stripMargin).as("sig"))
+          // compiled twin of transform(sequence(1,8), k ->
+          //   array_min(transform(s, x -> md5(concat(k,':',x))))) —
+          // one pass, running digest minima (Md5KernelsSpec)
+          .select(col("id"), vf.minhash_md5_sig(col("s"), 8).as("sig"))
           .select(col("id"), posexplode(expr(
             """transform(sequence(0, 3), b ->
               |  md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))))"""
@@ -335,13 +335,14 @@ object DedupQueries {
         // map (explicit count: AQE would coalesce a keyed repartition
         // of this small input back to one partition)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), expr(
-          """transform(sequence(0, length(text) - 7), i ->
-            |  concat(md5(substring(text, i + 1, 7)), ':',
-            |         lpad(CAST(i AS STRING), 8, '0')))""".stripMargin).as("g"))
-        .select(col("doc_id"), expr(
-          """array_sort(array_distinct(transform(sequence(0, size(g) - 4),
-            |  j -> array_min(slice(g, j + 1, 4)))))""".stripMargin).as("fps"))
+        // compiled twin of the two-stage HOF chain
+        //   g   = transform(sequence(0, length(text)-7), i ->
+        //           concat(md5(substring(text, i+1, 7)), ':', lpad(i, 8, '0')))
+        //   fps = array_sort(array_distinct(transform(sequence(0, size(g)-4),
+        //           j -> array_min(slice(g, j+1, 4)))))
+        // — minima tracked as (digest, position) in a 4-ring, key
+        // strings built only for the winners (Md5KernelsSpec)
+        .select(col("doc_id"), vf.winnow_fps(col("text"), 7, 4).as("fps"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fps"),
           expr("md5(concat_ws('', fps))").as("fp_digest"))
@@ -517,15 +518,14 @@ object DedupQueries {
     }
     def buildBanded: DataFrame = {
       val ex = tf
-        .select(col("id"), explode(expr(
-          "transform(sequence(CAST(0 AS BIGINT), tf - 1), j -> concat(g, '#', CAST(j AS STRING)))"))
-          .as("x"))
+        // compiled twin of transform(sequence(0, tf-1), j ->
+        //   concat(g, '#', CAST(j AS STRING))) — one eval per POSTING
+        // row (RepeatIndexedSpec)
+        .select(col("id"), explode(vf.repeat_indexed(col("g"), col("tf"))).as("x"))
         .groupBy(col("id")).agg(collect_list(col("x")).as("s"))
       ex
-        .select(col("id"), expr(
-          """transform(sequence(1, 8), k ->
-            |  array_min(transform(s, x -> md5(concat(CAST(k AS STRING), ':', x)))))"""
-            .stripMargin).as("sig"))
+        // compiled md5-signature kernel — see d_minhash_md5 above
+        .select(col("id"), vf.minhash_md5_sig(col("s"), 8).as("sig"))
         .select(col("id"), posexplode(expr(
           """transform(sequence(0, 3), b ->
             |  md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))))"""

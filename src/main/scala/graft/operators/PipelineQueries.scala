@@ -75,7 +75,7 @@ object PipelineQueries {
     * pipeline ships with — applying a FIXED table to new data is the
     * production shape (the data-derived mining step is d_bpe_merge).
     * Later merges build on earlier outputs (th+e, an+d, in+g). */
-  private val bpeMerges: Seq[(String, String)] = Seq(
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
     ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
     ("an", "d"), ("in", "g"), ("s", "t"), ("o", "u"), ("e", "s"))
@@ -148,14 +148,16 @@ object PipelineQueries {
     // -----------------------------------------------------------------
     QueryDef("d_bpe_apply",
       (s, d) => {
-        val cnt = bpeCountExpr(spark = true)
+        // compiled twin of the two interpreted aggregate(transform(...))
+        // HOFs over the SAME generated replace-chain semantics
+        // (BpeSavedSpec pins the per-word counts against
+        // bpeCountExprForTest); one pass computes both sums and the
+        // word-TYPE memo collapses the Zipf tail
         documents(s, d)
-          .withColumn("n_base",
-            expr("aggregate(transform(regexp_extract_all(lower(text), '[a-z]+', 0), " +
-              "w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)"))
-          .withColumn("n_merged",
-            expr("aggregate(transform(regexp_extract_all(lower(text), '[a-z]+', 0), " +
-              s"w -> $cnt), 0L, (a, x) -> a + x)"))
+          .withColumn("bpe", vf.bpe_saved(
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)"), bpeMerges))
+          .withColumn("n_base", col("bpe.n_base"))
+          .withColumn("n_merged", col("bpe.n_merged"))
           .filter(col("n_base") > 0)
           .select(col("doc_id"), col("n_base"), col("n_merged"),
             expr("(n_base - n_merged) * 1000000 DIV n_base").as("saved_ppm"))

@@ -1621,16 +1621,21 @@ object TextQueries {
     // Bigram extraction is a map-only transform+explode (no shuffle).
     QueryDef("d_bigram_score",
       (s, d) => {
+        // bigram identity = the space-joined 2-gram string (tokens are
+        // \S+, so "w1 w2" <-> (w1, w2) is a bijection): one compiled
+        // word_ngrams pass replaces the interpreted struct-building
+        // lambda, the (w1, w2) group/join keys narrow to one string,
+        // and w1 re-derives from the gram only on the c-counts side
         val bigrams = documents(s, d)
           .select(col("doc_id"), tokens("text").as("toks"))
-          .withColumn("n", size(col("toks")))
-          .filter(col("n") >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, n - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
-          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(graft.functions.VariantFunctions.word_ngrams(col("toks"), 2))
+              .as("g"))
+        val c12 = bigrams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .withColumn("w1", substring_index(col("g"), " ", 1))
         val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-        bigrams.join(broadcast(c12.join(c1, Seq("w1"))), Seq("w1", "w2"))
+        bigrams.join(broadcast(c12.join(c1, Seq("w1")).select(col("g"), col("c"), col("c1"))), Seq("g"))
           .groupBy(col("doc_id"))
           .agg(sum(expr("(c1 * 1000000) div c")).as("score_sum_ppm"),
             count(lit(1)).as("n_bigrams"))
