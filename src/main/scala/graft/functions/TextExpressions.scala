@@ -1271,16 +1271,34 @@ case class SumMinTfSorted(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "sum_min_tf_sorted"
 
+  // keys may be the gram STRINGS or their xxhash64 LONGS (r13: the
+  // wminhash verify ships 8-byte hashed entries — signed-long compare
+  // matches sort_array's ordering of the hashed structs exactly as
+  // binary UTF8 compare matches it for strings)
   private def okType(t: DataType): Boolean = t match {
     case ArrayType(StructType(Array(k, v)), _) =>
-      k.dataType == StringType && v.dataType == LongType
+      (k.dataType == StringType || k.dataType == LongType) &&
+        v.dataType == LongType
     case _ => false
   }
 
+  @transient private lazy val longKeys: Boolean = left.dataType match {
+    case ArrayType(StructType(Array(k, _)), _) => k.dataType == LongType
+    case _ => false
+  }
+
+  private def keyTypeOf(t: DataType): DataType = t match {
+    case ArrayType(StructType(Array(k, _)), _) => k.dataType
+    case _ => NullType
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (okType(left.dataType) && okType(right.dataType) &&
+        keyTypeOf(left.dataType) == keyTypeOf(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sum_min_tf_sorted expects two array<struct<string,bigint>>, got: " +
+      s"sum_min_tf_sorted expects two array<struct<string|bigint,bigint>> " +
+        s"with matching key type, got: " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -1294,7 +1312,9 @@ case class SumMinTfSorted(left: Expression, right: Expression)
     while (i < na && j < nb) {
       val ra = a.getStruct(i, 2)
       val rb = b.getStruct(j, 2)
-      val c = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      val c =
+        if (longKeys) java.lang.Long.compare(ra.getLong(0), rb.getLong(0))
+        else ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
       if (c == 0) {
         s += math.min(ra.getLong(1), rb.getLong(1))
         i += 1; j += 1

@@ -544,11 +544,26 @@ object DedupQueries {
     // recomputes per side (measured 2x the candidate-generation cost,
     // WmhStageProbe round 13). Pair-id rows only — bounded, never the
     // residency-cliff class.
-    val cand = banded.as("a")
+    val cand0 = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // SOUND size prefilter BEFORE the entry-array joins (r13 100×
+    // curve): wj_ppm = smin*1e6 DIV (stot−smin) with smin ≤ min(S_a,
+    // S_b) and stot−smin ≥ max(S_a, S_b), so wj_ppm ≤
+    // least(S)*1e6 DIV greatest(S) — a pair failing this bound fails
+    // the verify too; output identical. The filter joins carry only
+    // (pair, two longs), and at the 100× point it removes 22% of
+    // candidates (WmhPhaseProbe) before any array is shuffled.
+    val sizes = tf.groupBy(col("id")).agg(sum(col("tf")).as("stf"))
+    val cand = cand0
+      .join(sizes.select(col("id").as("ja"), col("stf").as("sza"))
+        .hint("SHUFFLE_HASH"), col("id_a") === col("ja"))
+      .join(sizes.select(col("id").as("jb"), col("stf").as("szb"))
+        .hint("SHUFFLE_HASH"), col("id_b") === col("jb"))
+      .filter(expr("least(sza, szb) * 1000000 DIV greatest(sza, szb) >= 500000"))
+      .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     // Verification = Σmin(tf)/Σmax(tf) over each candidate pair's gram
     // union — computed with NO expansion-sized shuffle at all. Two
@@ -573,9 +588,20 @@ object DedupQueries {
     // two pair↔entries joins, SHUFFLE_HASH-hinted on the entries side —
     // its per-partition build set is docs/partitions rows, bounded
     // at any corpus size by scaling partitions with the data.
+    // entries keyed by xxhash64(g), not the gram string (r13 100×
+    // curve): the two pair↔entries joins and the exchange between them
+    // carry every candidate's entry arrays — 16-byte (long, long)
+    // structs cut those bytes ~3× vs (string, long) (WmhPhaseProbe
+    // 100×: verify 14.8 → 6.9 s warm). Gram identity needs injectivity
+    // only (the d_repeated_ngram_strip argument: 64-bit over ~100-gram
+    // unions per pair, collision odds ~1e-9 corpus-wide,
+    // deterministic); the oracle keeps grouping on the raw gram
+    // strings, so the hash-exact gate would catch a collision. Signed
+    // long compare in the merge walk matches sort_array's ordering of
+    // the hashed structs.
     val docmap = tf.groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("g"), col("tf")))).as("ent"),
-        sum(col("tf")).as("stf"))
+      .agg(sort_array(collect_list(struct(xxhash64(col("g")).as("h"),
+        col("tf")))).as("ent"), sum(col("tf")).as("stf"))
     val ma = docmap.select(col("id").as("ja"), col("ent").as("e_a"),
       col("stf").as("s_a"))
     val mb = docmap.select(col("id").as("jb"), col("ent").as("e_b"),

@@ -47,6 +47,33 @@ class SumMinTfSpec extends AnyFunSuite {
     }
   }
 
+  test("sum_min_tf_sorted over xxhash64-keyed long entries equals the string walk") {
+    // r13: the wminhash verify ships struct<long,long> entries sorted by
+    // the hash — the walk must agree with the string-keyed walk whenever
+    // the hash is injective on the pair's union (always, in practice)
+    val rnd = new Random(43)
+    val vocab = (0 until 40).map(i => s"gram $i x")
+    val cases = (0 until 200).map { i =>
+      val a = vocab.filter(_ => rnd.nextBoolean())
+        .map(t => t -> (1L + rnd.nextInt(5))).toMap
+      val b = vocab.filter(_ => rnd.nextBoolean())
+        .map(t => t -> (1L + rnd.nextInt(5))).toMap
+      (i, entries(a), entries(b))
+    }
+    val df = cases.toDF("i", "ea", "eb")
+      .select(col("i"),
+        VariantFunctions.sum_min_tf_sorted(
+          col("ea").cast("array<struct<g:string,tf:bigint>>"),
+          col("eb").cast("array<struct<g:string,tf:bigint>>")).as("s_str"),
+        VariantFunctions.sum_min_tf_sorted(
+          expr("sort_array(transform(CAST(ea AS array<struct<g:string,tf:bigint>>), " +
+            "e -> struct(xxhash64(e.g) AS h, e.tf AS tf)))"),
+          expr("sort_array(transform(CAST(eb AS array<struct<g:string,tf:bigint>>), " +
+            "e -> struct(xxhash64(e.g) AS h, e.tf AS tf)))"))
+          .as("s_hash"))
+    assert(df.filter(col("s_str") =!= col("s_hash")).count() === 0)
+  }
+
   test("sum_min_tf_sorted: empty, disjoint, identical, null") {
     val df = Seq(
       (1, Seq.empty[(String, Long)], Seq("a" -> 2L)),
