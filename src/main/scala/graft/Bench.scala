@@ -105,11 +105,31 @@ object Bench {
     val detailed =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"per_query_stat":"min_of_passes","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // The driver keeps only a short stdout tail (~2.2 KB); the detailed
-    // per-query record (~2.6 KB) overruns it. Print the detailed record
-    // first (for humans / the file copy), then a short total-only record
-    // LAST so it always lands inside the tail window and parses.
+    // per-query record (~10 KB over 311 lanes) overruns it, which left
+    // PERF per_query/scaling EMPTY in r12/r13 (the driver parsed only a
+    // total-only record). Print the detailed record first (for humans /
+    // the file copy), then LAST a COMPACT record that still fits any
+    // tail window: per-FAMILY subtotals (stable keys, ~7 entries) plus
+    // the top-15 slowest individual lanes (the regression-relevant
+    // ones). Keys are prefixed "fam_" so they can never collide with a
+    // real query name; the full per-query map stays in bench_out.json.
+    def fam(n: String): String =
+      if (n.startsWith("d_")) "fam_d"
+      else if (n.startsWith("e_")) "fam_e"
+      else if (n.startsWith("mm_")) "fam_mm"
+      else if (n.startsWith("s_")) "fam_s"
+      else if (n.startsWith("v_")) "fam_v"
+      else if (n.matches("q\\d+_.*")) "fam_tpch"
+      else "fam_q"
+    def r3(v: Double): String = f"$v%.3f"
+    val famTotals = results.groupBy { case (n, _) => fam(n) }
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val slowest = results.sortBy { case (_, v) => -v }.take(15)
+    val compactQs = (famTotals.map { case (k, v) => s"\"$k\":${r3(v)}" } ++
+      slowest.map { case (k, v) => s"\"$k\":${r3(v)}" })
+      .mkString("{", ",", "}")
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     println(detailed)
     println(short)
     java.nio.file.Files.write(

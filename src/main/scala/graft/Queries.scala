@@ -922,36 +922,47 @@ object Queries {
     QueryDef("q_kmv_overlap",
       (s, d) => {
         val k = 128
+        val fn = graft.functions.VariantFunctions
         val items = orders(s, d)
           .select(col("o_orderpriority").as("g"), col("o_custkey").as("item"))
           .distinct()
         val hashed = items
           .withColumn("h", pmod(pmod(col("item"), lit(2147483648L)) * 2654435761L,
             lit(2147483648L)))
-          .select(col("g"), col("h")).distinct()
-        val wg = Window.partitionBy(col("g")).orderBy(col("h"))
-        val sk = hashed.withColumn("rnk", row_number().over(wg).cast("long"))
-          .filter(col("rnk") <= k)
+          .select(col("g"), col("h"))
+        // Sketch build as a MERGEABLE bottom-k aggregate (BottomKLongs),
+        // not `distinct + row_number() <= k` over a window: the window
+        // formulation shuffled and full-sorted EVERY hashed row per
+        // group (plus the distinct's own exchange), while the aggregate
+        // dedups and trims to k inside the map-side partial — at most k
+        // longs per group per map task cross the shuffle, which is what
+        // makes the sketch build map-side-combining at 100 TB group
+        // sizes. Output-identical: bottom-k of distinct values is
+        // bottom-k with dedup in the buffer.
+        val skArr = hashed.groupBy(col("g"))
+          .agg(fn.bottom_k_longs(col("h"), k).as("hs"))
+        val sk = skArr.select(col("g"), explode(col("hs")).as("h"))
         // `div`, not `/`: Column./ is DOUBLE division; the estimator must
-        // stay in truncating integer arithmetic to hash-match the oracle
-        def estExpr(kg: String, hk: String): Column =
-          when(col(kg) < k, col(kg))
-            .otherwise(expr(s"(127L * 2147483648L) div $hk"))
-        val gs = sk.groupBy(col("g"))
-          .agg(max(col("rnk")).as("kg"), max(col("h")).as("hk"))
-          .select(col("g"), estExpr("kg", "hk").as("est"))
-        val groups = sk.select(col("g")).distinct()
+        // stay in truncating integer arithmetic to hash-match the oracle.
+        // kg = |sketch| = min(n, k); h_(k) = the sketch's largest value =
+        // its last element (the array is ascending).
+        def estExpr(hs: String): Column =
+          when(size(col(hs)) < k, size(col(hs)).cast("long"))
+            .otherwise(expr(s"(127L * 2147483648L) div element_at($hs, size($hs))"))
+        val gs = skArr.select(col("g"), estExpr("hs").as("est"))
+        val groups = skArr.select(col("g"))
         val pairs = groups.select(col("g").as("ga"))
           .crossJoin(groups.select(col("g").as("gb")))
           .filter(col("ga") < col("gb"))
-        // sketch-union per pair: ≤2k rows before dedup — broadcast BNLJ
-        // over SKETCHES, which stay k-bounded at any corpus size
+        // sketch-union per pair: ≤2k rows per pair — broadcast BNLJ
+        // over SKETCHES, which stay k-bounded at any corpus size; the
+        // union's dedup + k-trim happen inside the same aggregate.
         val pu = broadcast(pairs).join(sk,
             col("g") === col("ga") || col("g") === col("gb"))
-          .select(col("ga"), col("gb"), col("h")).distinct()
-        val wp = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
-        val merged = pu.withColumn("rnk", row_number().over(wp).cast("long"))
-          .filter(col("rnk") <= k)
+          .select(col("ga"), col("gb"), col("h"))
+        val puArr = pu.groupBy(col("ga"), col("gb"))
+          .agg(fn.bottom_k_longs(col("h"), k).as("hs"))
+        val merged = puArr.select(col("ga"), col("gb"), explode(col("hs")).as("h"))
         val mh = sk.as("a").join(sk.as("b"),
             col("a.h") === col("b.h") && col("a.g") < col("b.g"))
           .select(col("a.g").as("mga"), col("b.g").as("mgb"), col("a.h").as("mhh"))
@@ -960,11 +971,11 @@ object Queries {
               col("h") === col("mhh"))
           .groupBy(col("ga").as("xga"), col("gb").as("xgb"))
           .agg(count(lit(1)).as("x"))
-        val ps = merged.groupBy(col("ga"), col("gb"))
-          .agg(max(col("rnk")).as("kp"), max(col("h")).as("hkp"))
+        val ps = puArr
+          .select(col("ga"), col("gb"), size(col("hs")).cast("long").as("kp"),
+            estExpr("hs").as("est_union"))
           .join(x, col("ga") === col("xga") && col("gb") === col("xgb"), "left")
-          .select(col("ga"), col("gb"), col("kp"),
-            estExpr("kp", "hkp").as("est_union"),
+          .select(col("ga"), col("gb"), col("kp"), col("est_union"),
             coalesce(col("x"), lit(0L)).as("x"))
         val exact = items.groupBy(col("g")).agg(count(lit(1)).as("n"))
         val exactOv = items.as("a").join(items.as("b"),

@@ -512,6 +512,15 @@ case class BpeSaved(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = StructType(Seq(
     StructField("n_base", LongType, nullable = false),
     StructField("n_merged", LongType, nullable = false)))
+  // nullSafeEval returns null when an array ELEMENT is null, so the
+  // expression is nullable whenever the element type admits nulls —
+  // the UnaryExpression default (child.nullable alone) would let
+  // codegen skip the null branch for a non-null child whose array has
+  // containsNull=true (r13 ADVICE)
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
   override def prettyName: String = "bpe_saved"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -539,8 +548,17 @@ case class BpeSaved(child: Expression, merges: Seq[(String, String)])
     if (hit != null) return hit.longValue()
     val sb = new java.lang.StringBuilder(word.length * 2 + 1)
     sb.append('¤')
+    // iterate by CODEPOINT, not UTF-16 unit: the HOF twin's split(w, '')
+    // segments by codepoint (Java 8+ zero-width split never lands inside
+    // a surrogate pair), so a supplementary-plane char is ONE segment
+    // (r13 ADVICE; the [a-z]+ call site never reaches this, pinned by
+    // the astral case in BpeSavedSpec)
     var i = 0
-    while (i < word.length) { sb.append(word.charAt(i)).append('¤'); i += 1 }
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp).append('¤')
+      i += Character.charCount(cp)
+    }
     var s = sb.toString
     var p = 0
     while (p < pats.length) { s = s.replace(pats(p)._1, pats(p)._2); p += 1 }
@@ -602,6 +620,11 @@ case class RepeatIndexed(left: Expression, right: Expression)
     val g = l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
     val tf = r.asInstanceOf[Long]
     if (tf <= 0) return new GenericArrayData(Array.empty[Any])
+    // tf.toInt below would silently wrap past Int.MaxValue while the
+    // `j < tf` loop still ran to the long bound — fail loudly instead
+    // (r13 ADVICE; unreachable from the groupBy-count call site)
+    if (tf > Int.MaxValue) throw new IllegalArgumentException(
+      s"repeat_indexed tf out of range: $tf (max ${Int.MaxValue})")
     val gb = g.getBytes
     val out = new Array[Any](tf.toInt)
     var j = 0
@@ -621,6 +644,57 @@ case class RepeatIndexed(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `del1_neighbors(p)`: the distinct single-deletion neighborhood
+  * {p} ∪ {p with codepoint i removed} in first-occurrence order — the
+  * compiled twin of d_fuzzy_join's
+  * `array_distinct(transform(sequence(0, length(p)), i ->
+  *    IF(i = 0, p, concat(substring(p, 1, i - 1), substring(p, i + 1)))))`
+  * which evaluates the substring/concat lambda interpreted per ELEMENT
+  * (17 string builds per row for the 16-char prefix). Spark's
+  * substring/length count CODEPOINTS, so the deletion walk here does
+  * too; bit-equality incl. multi-byte/astral inputs and the
+  * duplicate-collapse order is pinned in Del1NeighborsSpec.
+  */
+case class Del1Neighbors(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "del1_neighbors"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"del1_neighbors expects string, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    seen.add(s)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(s.length)
+      var j = 0
+      while (j < n) { if (j != i) sb.appendCodePoint(cps(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Shared md5 plumbing for the compiled md5-keyed kernels. */

@@ -130,3 +130,100 @@ object TopKPairs {
     }
   }
 }
+
+/** `bottom_k_longs(v, k)`: the k smallest DISTINCT bigint values per
+  * group, ascending — the KMV-sketch build as a MERGEABLE aggregate
+  * with O(k) state (the TopKPairs pattern, specialized to a distinct
+  * long set).
+  *
+  * Versus the `distinct + row_number() <= k` window formulation: the
+  * window shuffles and full-sorts EVERY group member (plus a separate
+  * exchange for the distinct), while this aggregate dedups and trims to
+  * k inside the map-side partial, so at most k longs per group per map
+  * task cross the shuffle — the property that makes a bottom-k sketch
+  * build scale to 100 TB group sizes. Dedup inside the buffer (a
+  * TreeSet) makes a preceding `.distinct()` on (group, v) redundant:
+  * distinct-then-bottom-k ≡ bottom-k-with-dedup.
+  *
+  * Determinism: the result is the unique set of k smallest distinct
+  * values — input-order- and partition-count-invariant by construction.
+  */
+case class BottomKLongs(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(k > 0 && k <= 100000, s"bottom_k_longs k out of range: $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_longs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bottom_k_longs expects bigint, got: ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def trim(buf: java.util.TreeSet[java.lang.Long]): Unit =
+    while (buf.size() > k) buf.remove(buf.last())
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = v.asInstanceOf[Long]
+      // skip values that cannot enter a full buffer — avoids the
+      // add+trim churn on the (common) case of a saturated sketch
+      if (buf.size() < k || l < buf.last()) {
+        buf.add(l)
+        trim(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+                     b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    a.addAll(b)
+    trim(a)
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 8)
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

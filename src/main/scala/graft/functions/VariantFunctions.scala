@@ -78,6 +78,9 @@ object VariantFunctions {
   def vec_cosine(a: Column, b: Column): Column = col(CosineSimFloat(expr(a), expr(b)))
   def vec_l2sq(a: Column, b: Column): Column = col(L2SqFloat(expr(a), expr(b)))
   def vec_l2sq_long(a: Column, b: Column): Column = col(L2SqLong(expr(a), expr(b)))
+  def vec_quantize_ppm(c: Column): Column = col(VecQuantizePpm(expr(c)))
+  def vec_sub_long(a: Column, b: Column): Column = col(VecSubLong(expr(a), expr(b)))
+  def del1_neighbors(c: Column): Column = col(Del1Neighbors(expr(c)))
   def vec_sq8(c: Column): Column = col(Sq8Encode(expr(c)))
   def vec_cosine_i8(a: Column, b: Column): Column = col(CosineSimI8(expr(a), expr(b)))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
@@ -101,6 +104,8 @@ object VariantFunctions {
     col(BloomMightContain(expr(bf), expr(key)))
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     col(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
+  def bottom_k_longs(c: Column, k: Int): Column =
+    col(BottomKLongs(expr(c), k).toAggregateExpression())
   def count_min_agg(c: Column, depth: Int, width: Int): Column =
     col(CountMinAgg(expr(c), depth, width).toAggregateExpression())
   def count_min_query(sketch: Column, key: Column): Column =

@@ -142,7 +142,13 @@ case class L2SqLong(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched lengths: zip_with null-pads the shorter side, the
+    // padded subtraction is NULL, and aggregate's sum of a NULL element
+    // is NULL — return NULL, not a sum over min(len) (r13 VERDICT item
+    // 3; the lanes only ever pass fixed-dim embeddings, pinned in
+    // L2SqLongSpec either way)
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -152,6 +158,114 @@ case class L2SqLong(left: Expression, right: Expression)
       i += 1
     }
     java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_quantize_ppm(vec)`: the micros quantization
+  * `transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0
+  * + 0.5) AS BIGINT))` as a compiled loop — the map every exact
+  * embedding lane's ppmVecs artifact build (and e_gram_matrix /
+  * e_rand_proj per-row prep) runs over all 64 components of every
+  * vector; the HOF path evaluates the cast/floor lambda interpreted per
+  * ELEMENT. Identical arithmetic: float widens to double exactly,
+  * floor yields a whole double, and |v*1e6| ≈ 2^21 is far inside the
+  * 2^53 exact-long range, so the final cast is exact (pinned vs the
+  * HOF in VecKernelsSpec). NULL elements pass through as NULL exactly
+  * like the HOF's cast-of-null.
+  */
+case class VecQuantizePpm(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  @transient private lazy val childContainsNull = child.dataType match {
+    case ArrayType(_, c) => c
+    case _ => true
+  }
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = childContainsNull)
+  override def prettyName: String = "vec_quantize_ppm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_quantize_ppm expects array<float> or array<double>, got: ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (!childContainsNull) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(v * 1000000.0 + 0.5).toLong
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          out(i) = java.lang.Long.valueOf(math.floor(v * 1000000.0 + 0.5).toLong)
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vec_sub_long(a, b)`: elementwise `zip_with(a, b, (x, y) -> x - y)`
+  * over two `array<bigint>` as a compiled loop — the IVF-PQ residual
+  * prep (`e_ivfpq_exact` / `e_ann_ivfpq` encode and query paths). Same
+  * semantics as zip_with: output length is max(|a|, |b|), the shorter
+  * side null-pads, and a NULL element yields a NULL element (pinned vs
+  * the HOF in VecKernelsSpec). Differences are quantized micros
+  * (|x| ≤ ~2^21), far from Long overflow either way.
+  */
+case class VecSubLong(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryCodegen {
+
+  @transient private lazy val anyContainsNull = (left.dataType, right.dataType) match {
+    case (ArrayType(_, c1), ArrayType(_, c2)) => c1 || c2
+    case _ => true
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "vec_sub_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sub_long expects two array<bigint>, got: $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < na && i < nb && !a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(a.getLong(i) - b.getLong(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -75,9 +75,14 @@ object CurationQueries {
 
   def containmentJoinRanked(docs: DataFrame, ranked: DataFrame,
                             tNum: Int, tDen: Int): DataFrame = {
-    val prefixA = ranked.filter(col("rank") <=
+    // candidate-join key width is env-switched for the deep-point
+    // measurement — see TextQueries.candKey (output-identical; the
+    // full-intersect verify filters any hash-added candidate)
+    val rankedK = ranked.select(TextQueries.candKey(col("tok")).as("tok"),
+      col("doc_id"), col("rank"), col("sz"))
+    val prefixA = rankedK.filter(col("rank") <=
       col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-    val cand = prefixA.as("a").join(ranked.as("b"),
+    val cand = prefixA.as("a").join(rankedK.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id")
           // positional filter: alpha = ceil(t*sz_a); sound at the
           // pair's minimal common token, which a's prefix contains
@@ -107,8 +112,17 @@ object CurationQueries {
     // -----------------------------------------------------------------
     QueryDef("d_novelty",
       (s, d) => {
+        // The per-gram window shuffles the exploded table ONCE — keyed
+        // on xxhash64(gram), an 8-byte long, not the ~20-char gram
+        // string (the d_dup_ngrams / d_repeated_ngram_strip treatment):
+        // the key never appears in the output, so it needs no
+        // cross-engine portability, only injectivity in practice
+        // (64-bit over ~1M distinct grams: collision odds ~1e-7,
+        // deterministic). The oracle groups on the raw gram string,
+        // so the hash-exact gate would catch a collision.
         val grams = shingled(s, d)
-          .select(col("doc_id"), explode(col("toks")).as("g"))
+          .select(col("doc_id"), explode(col("toks")).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("g"))
         val wg = Window.partitionBy(col("g"))
         grams.withColumn("first_doc", min(col("doc_id")).over(wg))
           .groupBy(col("doc_id"))

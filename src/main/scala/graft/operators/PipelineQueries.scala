@@ -1131,7 +1131,7 @@ object PipelineQueries {
           // small input back to one partition)
           .repartition(s.sparkContext.defaultParallelism)
           .select(
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+          vf.vec_quantize_ppm(col("embedding"))
             .as("e"))
         x.select(explode(expr(
             """flatten(transform(e, (xi, i) ->
@@ -1172,7 +1172,7 @@ object PipelineQueries {
     QueryDef("e_rand_proj",
       (s, d) => {
         val x = embeddings(s, d).select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+          vf.vec_quantize_ppm(col("embedding"))
             .as("e"))
         x.select(col("vec_id"), posexplode(expr(
             """transform(sequence(0, 7), j ->
@@ -1566,7 +1566,7 @@ object PipelineQueries {
           x.join(kmAssign(x, cent).select(col("vec_id"), col("cid")), "vec_id")
             .join(cent, "cid")
             .select(col("vec_id"), col("cid"),
-              expr("zip_with(e, c, (a, b) -> a - b)").as("e"))
+              vf.vec_sub_long(col("e"), col("c")).as("e"))
             .localCheckpoint() // residuals feed 4 trainings + 4 code passes
         }
         val parts = (0 until 4).map { m =>
@@ -1588,7 +1588,7 @@ object PipelineQueries {
           .join(x.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
           .join(cent, Seq("cid"))
           .select(col("qid"), col("cid"),
-            expr("zip_with(qe, c, (a, b) -> a - b)").as("re"))
+            vf.vec_sub_long(col("qe"), col("c")).as("re"))
         val dt = parts.zipWithIndex.map { case ((cb, _), m) =>
           pr.select(col("qid"), col("cid"), expr(s"slice(re, ${m * 16 + 1}, 16)").as("e"))
             .crossJoin(broadcast(cb.select(col("cid").as("code"), col("c"))))
@@ -1682,8 +1682,12 @@ object PipelineQueries {
     * one partition. */
   private def ppmVecs(s: SparkSession, d: String): DataFrame =
     StageArtifacts.cached(s, s"ppm#$d") {
+      // compiled micros quantization (r14): the interpreted
+      // transform(embedding, v -> CAST(floor(...))) evaluated its
+      // lambda per ELEMENT — 64 interpreted evals per vector on the
+      // artifact build every exact embedding lane shares
       embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        vf.vec_quantize_ppm(col("embedding"))
           .as("e"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .localCheckpoint()

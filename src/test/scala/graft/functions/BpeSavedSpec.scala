@@ -61,4 +61,35 @@ class BpeSavedSpec extends AnyFunSuite {
       assert(r.getStruct(0).getLong(1) === r.getLong(1))
     }
   }
+
+  test("astral (supplementary-plane) codepoints segment like the HOF's split") {
+    // r13 ADVICE: the sentinel join must iterate by CODEPOINT — a
+    // UTF-16-unit walk would split a surrogate pair into two segments,
+    // counting one extra token per astral char vs split(w, '')
+    val words = Seq("a𝄞b", "𝄞", "😀😀", "thé𝄞")
+    val df = words.map(w => Tuple1(Seq(w))).toDF("words")
+      .select(
+        VariantFunctions.bpe_saved(col("words"), merges).as("k"),
+        expr("aggregate(transform(words, w -> CAST(length(w) AS BIGINT)), " +
+          "0L, (a, x) -> a + x)").as("h_base"),
+        expr(s"aggregate(transform(words, w -> $cnt), 0L, (a, x) -> a + x)")
+          .as("h_merged"))
+    df.collect().foreach { r =>
+      assert(r.getStruct(0).getLong(0) === r.getLong(1))
+      assert(r.getStruct(0).getLong(1) === r.getLong(2))
+    }
+  }
+
+  test("null array ELEMENT nulls the result (and the expression is nullable)") {
+    // r13 ADVICE: with a non-null child whose array has
+    // containsNull=true, codegen must keep the null branch
+    val e = BpeSaved(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("a", null), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true)), merges)
+    assert(e.nullable)
+    val r = spark.sql("SELECT array('a', CAST(NULL AS STRING)) AS words")
+      .select(VariantFunctions.bpe_saved(col("words"), merges).as("k"))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
 }

@@ -11,9 +11,9 @@ import scala.util.Random
   * ANN / k-means lanes (r13 optimization). Property: bit-identical to
   * the higher-order formulation it replaced, on random vectors in the
   * quantized-micros range, on mismatched-length arrays (zip_with pads
-  * the shorter side with NULL, nulling the sum — the kernel must agree
-  * on equal lengths, the only case the lanes produce), and on NULL
-  * elements.
+  * the shorter side with NULL, nulling the sum — since r14 the kernel
+  * agrees there too, though the lanes only ever pass equal lengths),
+  * and on NULL elements.
   */
 class L2SqLongSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -66,5 +66,23 @@ class L2SqLongSpec extends AnyFunSuite {
       .select(VariantFunctions.vec_l2sq_long(col("a"), col("b")).as("k"))
       .collect()
     assert(nr.head.isNullAt(0))
+  }
+
+  test("vec_l2sq_long on mismatched lengths is NULL, matching zip_with padding") {
+    // zip_with pads the shorter side with NULL -> NULL element ->
+    // aggregate sum NULL; the kernel must agree (r13 VERDICT item 3)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1L, 2L, 3L), array(1L, 2L)),
+        |  (array(1L), array(1L, 2L, 3L, 4L)),
+        |  (array(1L, 2L), array(1L, 2L))
+        |AS t(a, b)""".stripMargin)
+      .select(
+        VariantFunctions.vec_l2sq_long(col("a"), col("b")).as("k"),
+        expr(hof).as("h"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
   }
 }

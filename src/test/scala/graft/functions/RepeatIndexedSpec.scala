@@ -31,4 +31,19 @@ class RepeatIndexedSpec extends AnyFunSuite {
     val bad = df.filter(not(col("k") <=> col("h"))).count()
     assert(bad === 0)
   }
+
+  test("repeat_indexed rejects tf above Int.MaxValue instead of wrapping") {
+    // r13 ADVICE: tf.toInt would silently truncate; the kernel must
+    // fail loudly (unreachable from the groupBy-count call site)
+    val ex = intercept[Exception] {
+      Seq(("g", Int.MaxValue.toLong + 1L)).toDF("g", "tf")
+        .select(VariantFunctions.repeat_indexed(col("g"), col("tf")))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("repeat_indexed tf out of range")))
+  }
 }
